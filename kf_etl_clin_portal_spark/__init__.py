@@ -1,0 +1,32 @@
+"""kf_etl_clin_portal_spark — a PySpark-native CDC / incremental-ingest engine.
+
+Brand-new engine (NOT a port) with the query and data-processing capabilities
+of the reference `kids-first/kf-etl-clin-portal` (Scala/Spark/Delta staged batch
+ETL), re-expressed Spark-first:
+
+- ``lake``      — Iceberg-style snapshot-committed Parquet tables: atomic JSON
+                  commit log, bucket-partitioned copy-on-write MERGE, schema
+                  evolution (add/widen), epoch-id fencing, time travel,
+                  per-commit lineage manifests.
+                  (Replaces the reference's Delta `OverWritePartition +
+                  replaceWhere` idiom — `NormalizeClinicalETL.scala:29` — with
+                  row-level MERGE keyed on (repo, path).)
+- ``cdc``       — the engine core: deterministic change-feed generation,
+                  salted two-phase max-commit-seq dedup, micro-batch replay
+                  loop (batch + Structured Streaming foreachBatch), naive
+                  replay oracle + sha256 parity verification.
+- ``operators`` — reference-capability parity operators (nest-and-count
+                  document builders, left-outer+coalesce enrichment,
+                  parent-chain resolution, membership joins).
+- ``functions`` — scalar/text/vector function library (JVM-side
+                  pyspark.sql.functions first; Arrow-vectorized pandas UDFs
+                  where Python is unavoidable).
+- ``dedup``     — large-scale dedup family: exact, MinHash+LSH, SimHash,
+                  n-gram Jaccard, embedding-cosine near-dup.
+- ``similarity``— ANN over embedding columns (brute-force cosine top-k,
+                  LSH-bucketed variant).
+- ``multimodal``— binary-column plumbing for image/audio payloads
+                  (decode stubbed; Spark-side schema/batching real).
+"""
+
+__version__ = "0.1.0"

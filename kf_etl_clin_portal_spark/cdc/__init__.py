@@ -1,0 +1,6 @@
+"""CDC engine core: change-feed generation, dedup, replay pipeline, oracle."""
+
+from kf_etl_clin_portal_spark.cdc.dedup import salted_latest, window_latest
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+__all__ = ["salted_latest", "window_latest", "CDCPipeline"]

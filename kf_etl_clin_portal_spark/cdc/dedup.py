@@ -1,0 +1,114 @@
+"""Latest-event-per-key dedup — the CDC replacement for the reference's
+``groupBy(keys).agg(first(...))`` under implicit ordering
+(`SpecimensTransformations.scala:88-89`, SURVEY.md §2.4 A4), made explicit
+and ordering-correct.
+
+Two implementations:
+
+- ``salted_latest`` (default in the merge path) — two-phase aggregation with
+  an explicit salt on the shuffle key: phase 1 reduces each (key, salt)
+  group to its max-seq row, phase 2 reduces (key). A single hot key (the
+  monorepo file that every commit touches) is split across ``salt_buckets``
+  reducers in phase 1, so no single shuffle partition receives the whole
+  key. Spark's hash aggregate already does map-side partial combine, but
+  the explicit salt also bounds the *reduce-side* partition size when a key
+  is hot across many map partitions — the north-rule skew requirement.
+
+- ``window_latest`` — `row_number() over (partition by key order by seq
+  desc, tiebreak) = 1`. Simpler plan (one shuffle + sort), no partial
+  combine, skew-prone on hot keys; kept for derived views and as the
+  semantic spec the salted version is tested against.
+
+Both are pure built-in expressions (max_by over struct comparator /
+window) — JVM codegen, no UDFs. Ties on seq (duplicate delivery of the same
+event) break deterministically on the tiebreak columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def _order_struct(seq_col: str, tiebreak: list[str]):
+    return F.struct(F.col(seq_col), *[F.col(c) for c in tiebreak])
+
+
+def salted_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    salt_buckets: int = 8,
+    tiebreak: list[str] | None = None,
+    with_raw_counts: bool = False,
+) -> DataFrame:
+    """Max-seq row per key via salted two-phase max_by (skew-proof).
+
+    with_raw_counts=True adds ``__n_raw`` / ``__n_del_raw`` per key (raw
+    event and tombstone counts folded through both phases) so the caller's
+    lineage can report source-event counts without a second scan.
+    """
+    tiebreak = _resolve_tiebreak(df, seq_col, tiebreak)
+    all_cols = df.columns
+    row = F.struct(*[F.col(c) for c in all_cols])
+    order = _order_struct(seq_col, tiebreak)
+
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets)).cast("int")
+    )
+    phase1_aggs = [F.max_by(row, order).alias("__row"), F.max(order).alias("__ord")]
+    phase2_aggs = [F.max_by(F.col("__row"), F.col("__ord")).alias("__row")]
+    if with_raw_counts:
+        del_col = (
+            F.col("is_deleted").cast("int")
+            if "is_deleted" in all_cols
+            else F.lit(0)
+        )
+        phase1_aggs += [
+            F.count(F.lit(1)).alias("__n_raw"),
+            F.sum(del_col).alias("__n_del_raw"),
+            F.min(F.col(seq_col)).alias("__seq_min_raw"),
+        ]
+        phase2_aggs += [
+            F.sum("__n_raw").alias("__n_raw"),
+            F.sum("__n_del_raw").alias("__n_del_raw"),
+            F.min("__seq_min_raw").alias("__seq_min_raw"),
+        ]
+    # phase 1: per (key, salt) partial winner — hot key splits across salts
+    partial = (
+        salted.repartition(*[F.col(c) for c in key_cols + [SALT_COL]])
+        .groupBy(*key_cols, SALT_COL)
+        .agg(*phase1_aggs)
+    )
+    # phase 2: per key final winner over ≤ salt_buckets candidates
+    final = partial.groupBy(*key_cols).agg(*phase2_aggs)
+    out_cols = [F.col("__row.*")]
+    if with_raw_counts:
+        out_cols += [F.col("__n_raw"), F.col("__n_del_raw"), F.col("__seq_min_raw")]
+    return final.select(*out_cols)
+
+
+def window_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """row_number()==1 per key ordered by (seq, tiebreak) desc."""
+    tiebreak = _resolve_tiebreak(df, seq_col, tiebreak)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), *[F.col(c).desc() for c in tiebreak]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _resolve_tiebreak(df: DataFrame, seq_col: str, tiebreak: list[str] | None) -> list[str]:
+    if tiebreak is not None:
+        return tiebreak
+    return [c for c in ("commit",) if c in df.columns and c != seq_col]

@@ -1,0 +1,149 @@
+"""Deterministic change-feed generator (binlog/WAL-style).
+
+Shape per BASELINE.json input_hint: events over a table of source-code
+repositories ``(repo, path, commit, lang, content)`` plus the WAL columns
+``seq`` (monotonic LSN), ``op`` (upsert|delete), ``event_ts``.
+
+Fully distributed and seed-deterministic: built from ``spark.range`` with
+xxhash64-derived pseudo-randomness — no driver-side loops, no RNG state, so
+the same (seed, n_events, knobs) always produces byte-identical events at
+any parallelism. Mirrors FIXTURES.md §2 requirements:
+
+- avg ``versions_per_key`` updates per (repo, path) so max-seq dedup is real;
+- hot-key skew: ``repo_0000`` (the "monorepo") owns ``hot_key_frac`` of all
+  keys — the analog of one study_id dwarfing the rest in the reference
+  (its mitigations: partition column + merge.repartitionBeforeWrite,
+  `ConfigurationGenerator.scala:64,187`);
+- deletes at ``delete_frac``;
+- ``delivery_batch`` column (pseudo-random batch assignment) simulates
+  out-of-order *delivery* across micro-batches while ``seq`` stays the
+  total commit order — a later batch can carry an older seq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EXTS = ["py", "scala", "java", "ts", "rs", "go", "md", "json"]
+_LANGS = ["python", "scala", "java", "typescript", "rust", "go", "markdown", "json"]
+
+
+def _h(*cols) -> F.Column:
+    """Deterministic non-negative 64-bit mix of the given columns."""
+    return F.abs(F.xxhash64(*cols))
+
+
+def generate_change_events(
+    spark: SparkSession,
+    n_events: int,
+    seed: int = 42,
+    versions_per_key: int = 5,
+    n_repos: int = 50,
+    hot_key_frac: float = 0.30,
+    delete_frac: float = 0.05,
+    n_delivery_batches: int = 8,
+    min_content_repeats: int = 1,
+    max_content_repeats: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic event feed of ``n_events`` rows. Columns:
+    seq, op, repo, path, commit, lang, content, event_ts, delivery_batch.
+    """
+    n_keys = max(n_events // versions_per_key, 1)
+    rng = spark.range(0, n_events, numPartitions=partitions)
+
+    seedc = F.lit(seed)
+    key_id = F.pmod(_h(seedc, F.lit("k"), F.col("id")), F.lit(n_keys))
+    # hot_key_frac of the key space belongs to repo_0000 (the monorepo)
+    hot_cut = int(hot_key_frac * 10_000)
+    repo_id = F.when(
+        F.pmod(_h(seedc, F.lit("hot"), key_id), F.lit(10_000)) < hot_cut, F.lit(0)
+    ).otherwise(1 + F.pmod(_h(seedc, F.lit("r"), key_id), F.lit(n_repos - 1)))
+    ext_idx = F.pmod(_h(seedc, F.lit("e"), key_id), F.lit(len(_EXTS)))
+    exts = F.array(*[F.lit(e) for e in _EXTS])
+    langs = F.array(*[F.lit(lang) for lang in _LANGS])
+
+    delete_cut = int(delete_frac * 10_000)
+
+    df = rng.select(
+        (F.col("id") + 1).alias("seq"),
+        F.when(
+            F.pmod(_h(seedc, F.lit("op"), F.col("id")), F.lit(10_000)) < delete_cut,
+            F.lit("delete"),
+        )
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.format_string("repo_%04d", repo_id).alias("repo"),
+        F.concat(
+            F.lit("src/d"),
+            F.pmod(_h(seedc, F.lit("d"), key_id), F.lit(97)).cast("string"),
+            F.lit("/f_"),
+            key_id.cast("string"),
+            F.lit("."),
+            F.element_at(exts, (ext_idx + 1).cast("int")),
+        ).alias("path"),
+        F.substring(
+            F.sha2(
+                F.concat_ws("|", F.lit(seed), key_id.cast("string"), F.col("id").cast("string")),
+                256,
+            ),
+            1,
+            40,
+        ).alias("commit"),
+        F.element_at(langs, (ext_idx + 1).cast("int")).alias("lang"),
+        F.concat(
+            F.lit("def fn_"),
+            key_id.cast("string"),
+            F.lit("():  # v"),
+            F.col("id").cast("string"),
+            F.lit("\n"),
+            F.repeat(
+                F.concat(
+                    F.lit("    x_"),
+                    F.pmod(_h(seedc, F.lit("c"), F.col("id")), F.lit(9973)).cast("string"),
+                    F.lit(" = compute(seed) + "),
+                    F.pmod(_h(seedc, F.lit("v"), F.col("id")), F.lit(1_000_003)).cast("string"),
+                    F.lit("\n"),
+                ),
+                (
+                    F.lit(min_content_repeats)
+                    + F.pmod(
+                        _h(seedc, F.lit("len"), F.col("id")),
+                        F.lit(max(max_content_repeats - min_content_repeats, 1)),
+                    )
+                ).cast("int"),
+            ),
+        ).alias("content"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("event_ts"),
+        F.pmod(_h(seedc, F.lit("b"), F.col("id")), F.lit(n_delivery_batches))
+        .cast("int")
+        .alias("delivery_batch"),
+    )
+    # deletes carry no content (tombstone)
+    return df.withColumn(
+        "content", F.when(F.col("op") == "delete", F.lit(None)).otherwise(F.col("content"))
+    )
+
+
+def with_evolution(events: DataFrame, cutover_seq: int) -> tuple[DataFrame, DataFrame]:
+    """Split the feed at ``cutover_seq`` into (early, late) with the
+    schema-evolution deltas of FIXTURES.md §3:
+
+    - early: no ``size_bytes``; ``lines`` as int (narrow);
+    - late:  adds ``size_bytes: long``; ``lines`` widened to long.
+
+    The engine must absorb both transitions mid-stream (add column, widen
+    int→long) — the reference's Delta autoMerge + unionByName idioms
+    (`ConfigurationGenerator.scala:188`; `KFVCFUtils.scala:28`).
+    """
+    lines = F.size(F.split(F.coalesce(F.col("content"), F.lit("")), "\n")) - 1
+    early = events.where(F.col("seq") <= cutover_seq).withColumn(
+        "lines", lines.cast("int")
+    )
+    late = (
+        events.where(F.col("seq") > cutover_seq)
+        .withColumn("lines", lines.cast("long"))
+        .withColumn("size_bytes", F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast("long"))
+    )
+    return early, late

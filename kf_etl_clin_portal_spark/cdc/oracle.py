@@ -1,0 +1,89 @@
+"""Replay-parity oracle + distributed verification.
+
+The oracle is a naive single-pass replay computed by DuckDB — independent of
+the engine (different executor, different join/agg code paths) — per
+FIXTURES.md §4. Parity contract (BASELINE.json): row count, schema, and
+per-row content sha256 equality, order-insensitive.
+
+Verification is itself distributed and order-insensitive (SURVEY.md §7 hard
+part 5): per-row sha256 over a canonical field concatenation, reduced by an
+exact integer SUM of the hash's leading 60 bits (decimal(38,0) on the Spark
+side, arbitrary-precision int on the oracle side) — no collect of data rows,
+no global sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import duckdb
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"
+_PARITY_COLS = ["repo", "path", "commit", "lang", "content_sha256"]
+
+ORACLE_REPLAY_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC, commit DESC) AS rn
+  FROM {events}
+)
+SELECT repo, path, commit, lang, content, seq,
+       CASE WHEN content IS NULL THEN NULL ELSE sha256(content) END AS content_sha256
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def oracle_current(events_parquet: str):
+    """DuckDB naive replay → pandas frame of the expected final state.
+
+    ``events_parquet`` may be a single file or a Spark-written directory.
+    """
+    import os
+
+    pattern = (
+        f"{events_parquet}/**/*.parquet" if os.path.isdir(events_parquet) else events_parquet
+    )
+    con = duckdb.connect()
+    sql = ORACLE_REPLAY_SQL.format(events=f"read_parquet('{pattern}')")
+    return con.execute(sql).df()
+
+
+def spark_parity_fingerprint(df: DataFrame) -> dict[str, Any]:
+    """(row_count, exact sum of per-row hash prefix) — one distributed agg."""
+    row_hash = F.sha2(
+        F.concat_ws(_SEP, *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in _PARITY_COLS]),
+        256,
+    )
+    agg = df.select(
+        F.conv(F.substring(row_hash, 1, 15), 16, 10).cast("decimal(38,0)").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")).first()
+    return {"rows": agg["n"], "hash_sum": int(agg["s"] or 0)}
+
+
+def pandas_parity_fingerprint(pdf) -> dict[str, Any]:
+    total = 0
+    for row in pdf[_PARITY_COLS].itertuples(index=False):
+        parts = ["\x00" if v is None or v != v else str(v) for v in row]
+        h = hashlib.sha256(_SEP.join(parts).encode()).hexdigest()
+        total += int(h[:15], 16)
+    return {"rows": len(pdf), "hash_sum": total}
+
+
+def verify_parity(current_df: DataFrame, events_parquet: str) -> dict[str, Any]:
+    """Engine final state vs oracle replay: count + schema + hash-sum parity."""
+    expected = oracle_current(events_parquet)
+    got = spark_parity_fingerprint(current_df)
+    want = pandas_parity_fingerprint(expected)
+    spark_cols = set(current_df.columns)
+    missing = [c for c in _PARITY_COLS if c not in spark_cols]
+    return {
+        "rows_match": got["rows"] == want["rows"],
+        "hash_match": got["hash_sum"] == want["hash_sum"],
+        "schema_ok": not missing,
+        "engine": got,
+        "oracle": want,
+        "ok": got == want and not missing,
+    }

@@ -1,0 +1,187 @@
+"""CDCPipeline — the micro-batch replay loop.
+
+Drives change-feed batches through dedup → MERGE into a SnapshotTable with
+exactly-once semantics and per-batch lineage, resumable after kill:
+
+- **Deterministic batch ids** (feed id + batch index) are the epoch fence:
+  re-running a replay after a crash re-offers every batch, and the commit
+  log's ``applied_batches`` map turns already-applied ones into no-ops
+  (`lake/merge.py` step 1). This replaces the reference's at-most-once ES
+  hack (`RunIndexGenomic.scala:53-57`, task.maxFailures=1) with true
+  exactly-once.
+- **Content transform** in the hot path is JVM-side (`F.sha2`) — the
+  per-row content_sha256 invariant of BASELINE.json. Python-only transforms
+  belong in `functions/text.py` as Arrow-vectorized pandas UDFs.
+- Two batching modes: ``by="seq"`` (ordered LSN ranges — pushdown-friendly
+  range filters) and ``by="delivery"`` (the generator's pseudo-random
+  delivery_batch — batches carry out-of-order seqs, exercising the
+  ``s.seq > t.seq`` late-event guard).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.lake.merge import (
+    TOMBSTONE_COL,
+    MergeResult,
+    merge_batch,
+    vacuum_tombstones,
+)
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+_NON_PAYLOAD = {"op", "delivery_batch"}
+
+
+@dataclass
+class ReplayStats:
+    n_batches: int = 0
+    n_skipped: int = 0
+    n_events: int = 0
+    n_deletes: int = 0
+    wall_secs: float = 0.0
+    results: list[MergeResult] = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.n_events / self.wall_secs if self.wall_secs > 0 else 0.0
+
+
+class CDCPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        num_buckets: int = 16,
+        salt_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.root = root
+        self.key_cols = list(key_cols)
+        self.num_buckets = num_buckets
+        self.salt_buckets = salt_buckets
+        self._table: SnapshotTable | None = None
+
+    # ---------------------------------------------------------------- table
+    @property
+    def table(self) -> SnapshotTable:
+        if self._table is None:
+            self._table = SnapshotTable(self.root).refresh()
+        return self._table
+
+    def ensure_table(self, events_schema: T.StructType) -> SnapshotTable:
+        """Create the current-state table if absent; schema = event payload
+        columns + content_sha256 (op/delivery_batch are feed-only)."""
+        if SnapshotTable.exists(self.root):
+            self._table = SnapshotTable(self.root).refresh()
+            return self._table
+        fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in events_schema.fields
+            if f.name not in _NON_PAYLOAD
+        ]
+        self._table = SnapshotTable.create(
+            self.root,
+            T.StructType(fields),
+            key_cols=self.key_cols,
+            num_buckets=self.num_buckets,
+        )
+        return self._table
+
+    # ------------------------------------------------------------ transform
+    def prepare_batch(self, events: DataFrame) -> DataFrame:
+        """Feed → merge-ready batch: fold op into the tombstone flag, drop
+        delivery bookkeeping, add the content_sha256 invariant column
+        (JVM-side sha2, null for deletes)."""
+        df = events
+        if "delivery_batch" in df.columns:
+            df = df.drop("delivery_batch")
+        if "op" in df.columns:
+            df = df.withColumn(TOMBSTONE_COL, (F.col("op") == "delete")).drop("op")
+        elif TOMBSTONE_COL not in df.columns:
+            df = df.withColumn(TOMBSTONE_COL, F.lit(False))
+        return df.withColumn(
+            "content_sha256",
+            F.when(F.col("content").isNotNull(), F.sha2(F.col("content"), 256)),
+        )
+
+    # ---------------------------------------------------------------- apply
+    def apply_batch(self, events: DataFrame, batch_id: str) -> MergeResult:
+        batch = self.prepare_batch(events)
+        self.ensure_table(batch.schema)
+        return merge_batch(
+            self.spark,
+            self.table,
+            batch,
+            seq_col="seq",
+            batch_id=batch_id,
+            salt_buckets=self.salt_buckets,
+        )
+
+    def replay(
+        self,
+        events: DataFrame,
+        n_batches: int = 8,
+        by: str = "seq",
+        feed_id: str = "replay",
+        max_seq: int | None = None,
+        stop_after: int | None = None,
+    ) -> ReplayStats:
+        """Chunk the feed into n_batches and apply each in order.
+
+        ``stop_after`` applies only the first k batches (kill simulation);
+        a later replay with the same feed_id resumes — applied batches fence
+        out as no-ops.
+        """
+        stats = ReplayStats()
+        t0 = time.monotonic()
+        if by == "seq":
+            if max_seq is None:
+                max_seq = events.agg(F.max("seq")).first()[0]
+            bounds = [round(i * max_seq / n_batches) for i in range(n_batches + 1)]
+            chunks = [
+                (i, events.where((F.col("seq") > bounds[i]) & (F.col("seq") <= bounds[i + 1])))
+                for i in range(n_batches)
+            ]
+        elif by == "delivery":
+            # batch ids come from the data, not the caller — a mismatched
+            # n_batches must not silently drop feed tail batches
+            ids = sorted(
+                r[0] for r in events.select("delivery_batch").distinct().collect()
+            )
+            chunks = [(i, events.where(F.col("delivery_batch") == i)) for i in ids]
+        else:
+            raise ValueError(f"unknown batching mode {by!r}")
+
+        for i, chunk in chunks:
+            if stop_after is not None and i >= stop_after:
+                break
+            res = self.apply_batch(chunk, batch_id=f"{feed_id}-b{i:05d}")
+            stats.results.append(res)
+            stats.n_batches += 1
+            if res.skipped:
+                stats.n_skipped += 1
+            else:
+                stats.n_events += res.n_events
+                stats.n_deletes += res.n_deletes
+        stats.wall_secs = time.monotonic() - t0
+        return stats
+
+    # ----------------------------------------------------------------- read
+    def current(self, include_tombstones: bool = False) -> DataFrame:
+        df = self.table.read(self.spark)
+        if not include_tombstones:
+            df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
+        return df
+
+    def vacuum(self, low_watermark_seq: int) -> int:
+        return vacuum_tombstones(self.spark, self.table, low_watermark_seq)
+
+    def manifest(self) -> DataFrame:
+        return self.table.manifest_df(self.spark)

@@ -1,0 +1,16 @@
+"""Iceberg-style snapshot-committed Parquet tables.
+
+This container has no Iceberg runtime jar, so the lake layer implements the
+Iceberg semantics the engine needs natively on Parquet + an atomic JSON
+commit log: snapshot isolation, bucket-partitioned copy-on-write MERGE with
+partition (bucket) pruning, metadata-only schema evolution (add / widen),
+epoch-id fencing for exactly-once, time travel, and per-commit lineage.
+The API is a thin seam: a deployment with a real Iceberg catalog swaps
+`SnapshotTable` for `spark.table(...)` + `MERGE INTO` without touching the
+engine above it.
+"""
+
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+from kf_etl_clin_portal_spark.lake.merge import merge_batch, MergeResult
+
+__all__ = ["SnapshotTable", "merge_batch", "MergeResult"]

@@ -1,0 +1,221 @@
+"""Key-partitioned copy-on-write MERGE into a SnapshotTable.
+
+Semantics (one micro-batch of change events → current-state table)::
+
+    MERGE INTO target t
+    USING (dedup batch to latest event per key) s
+    ON t.<key> = s.<key>
+    WHEN MATCHED AND s.seq > t.seq  THEN UPDATE *      -- fresh change (incl. tombstone)
+    WHEN MATCHED AND s.seq <= t.seq THEN keep t        -- late / out-of-order event
+    WHEN NOT MATCHED               THEN INSERT *       -- new key (incl. tombstone)
+
+Deletes are **tombstones** (``is_deleted = true``), not physical removals:
+a physically-deleted key would forget its seq, so a late out-of-order upsert
+with an older seq would wrongly resurrect it. ``current`` reads filter
+tombstones; ``vacuum_tombstones`` physically drops them once the feed's
+low-watermark has passed (Iceberg-style compaction as table maintenance).
+
+This subsumes the reference's whole "merge family" (SURVEY.md §2.11):
+`OverWritePartition + replaceWhere` (`NormalizeClinicalETL.scala:29`) is the
+special case where every key of a partition is replaced; `Scd1` is the
+matched-update path. The out-of-order guard (`s.seq > t.seq`) is something
+the reference's overwrite model cannot express at all.
+
+Physical plan, built for 10^10-event scale:
+
+1. **Epoch fence** — batch_id already in the commit log → no-op (exactly-once).
+2. **Schema evolution** — diff batch schema vs table schema; add/widen is
+   metadata-only; batch and touched target rows align to the evolved schema.
+3. **Salted two-phase dedup** (`cdc/dedup.py`) — latest event per key without
+   a hot-key shuffle.
+4. **Bucket pruning** — affected buckets = distinct bucket(key) of the batch
+   (≤ num_buckets ints, computed JVM-side, collected as a tiny list). Only
+   those buckets' files are read and rewritten; untouched buckets carry over
+   into the new snapshot for free.
+5. **Full-outer join target⋈batch on key** within affected buckets; row
+   selection is one codegen'd CASE over two structs — no UDFs.
+6. **One file per bucket** rewrite + atomic commit carrying lineage
+   {batch_id, seq range, event/upsert/delete counts, bytes, snapshot}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.schema import align_df, evolve_schema, schema_diff
+from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, SnapshotTable, bucket_expr
+
+TOMBSTONE_COL = "is_deleted"
+
+
+@dataclass
+class MergeResult:
+    skipped: bool
+    batch_id: str | None
+    version: int | None = None
+    snapshot_id: str | None = None
+    n_events: int = 0
+    n_upserts: int = 0
+    n_deletes: int = 0
+    buckets_touched: int = 0
+    schema_evolved: bool = False
+
+
+def merge_batch(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch: DataFrame,
+    seq_col: str = "seq",
+    batch_id: str | None = None,
+    salt_buckets: int = 8,
+) -> MergeResult:
+    """Apply one micro-batch (already carrying TOMBSTONE_COL) to ``table``."""
+    from kf_etl_clin_portal_spark.cdc.dedup import salted_latest
+
+    table.refresh()
+    # 1. epoch fence — replayed batch (driver restart, at-least-once source)
+    if batch_id is not None and batch_id in table.applied_batches():
+        return MergeResult(skipped=True, batch_id=batch_id)
+
+    key_cols = table.key_cols
+    num_buckets = table.num_buckets
+
+    # 2. schema evolution
+    diff = schema_diff(table.schema, batch.schema)
+    target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema
+
+    # 3. latest event per key, salt-partial then final (skew-proof)
+    latest = salted_latest(
+        batch, key_cols=key_cols, seq_col=seq_col, salt_buckets=salt_buckets,
+        with_raw_counts=True,
+    )
+    latest = latest.withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
+    latest.cache()
+    try:
+        # batch-level stats in ONE job (counts + seq range + affected buckets)
+        stats = latest.agg(
+            F.sum("__n_raw").alias("n"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("__seq_min_raw").alias("seq_min"),
+            F.max(seq_col).alias("seq_max"),
+            F.sum("__n_del_raw").alias("n_del"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
+        ).first()
+        n_events, seq_min, seq_max = stats["n"] or 0, stats["seq_min"], stats["seq_max"]
+        n_deletes = stats["n_del"] or 0
+        affected = sorted(stats["buckets"] or [])
+        if n_events == 0:
+            return MergeResult(skipped=True, batch_id=batch_id)
+
+        # 4. bucket-pruned target read, aligned to (possibly evolved) schema
+        target = align_df(table.read(spark, buckets=affected), target_schema).withColumn(
+            BUCKET_COL, bucket_expr(key_cols, num_buckets)
+        )
+        src = align_df(latest, target_schema).withColumn(
+            BUCKET_COL, bucket_expr(key_cols, num_buckets)
+        )
+
+        # 5. full-outer MERGE join; one CASE over two structs picks the row
+        data_cols = [f.name for f in target_schema.fields]
+        t_struct = F.struct(*[F.col(f"t.{c}").alias(c) for c in data_cols])
+        s_struct = F.struct(*[F.col(f"s.{c}").alias(c) for c in data_cols])
+        join_cond = _and_all([F.col(f"t.{c}") == F.col(f"s.{c}") for c in key_cols])
+        merged = (
+            target.alias("t")
+            .join(src.alias("s"), on=join_cond, how="full_outer")
+            .select(
+                F.when(F.col(f"s.{key_cols[0]}").isNull(), t_struct)   # untouched key
+                .when(F.col(f"t.{key_cols[0]}").isNull(), s_struct)    # new key
+                .when(F.col(f"s.{seq_col}") > F.col(f"t.{seq_col}"), s_struct)  # fresh
+                .otherwise(t_struct)                                   # stale (out-of-order)
+                .alias("row"),
+                F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"s.{BUCKET_COL}")).alias(BUCKET_COL),
+            )
+            .select(F.col("row.*"), F.col(BUCKET_COL))
+        )
+
+        # 6. one writer partition per bucket → one file per bucket
+        merged = merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+        new_files = table.write_data_files(merged, schema_id=_next_schema_id(table, target_schema))
+
+        commit = table.commit(
+            operation="merge",
+            new_files=new_files,
+            replaced_buckets=set(affected),
+            new_schema=target_schema if diff.changes_table else None,
+            batch_id=batch_id,
+            lineage={
+                "seq_min": seq_min,
+                "seq_max": seq_max,
+                "n_events": n_events,
+                "n_upserts": n_events - n_deletes,
+                "n_deletes": n_deletes,
+                "buckets_touched": len(affected),
+                "schema_evolved": diff.changes_table,
+            },
+        )
+        return MergeResult(
+            skipped=False,
+            batch_id=batch_id,
+            version=commit.version,
+            snapshot_id=commit.snapshot_id,
+            n_events=n_events,
+            n_upserts=n_events - n_deletes,
+            n_deletes=n_deletes,
+            buckets_touched=len(affected),
+            schema_evolved=diff.changes_table,
+        )
+    finally:
+        latest.unpersist()
+
+
+def vacuum_tombstones(
+    spark: SparkSession, table: SnapshotTable, low_watermark_seq: int
+) -> int:
+    """Physically drop tombstones whose seq <= low_watermark_seq (no event
+    older than the watermark can still arrive). Rewrites only buckets that
+    actually contain eligible tombstones. Returns #buckets rewritten."""
+    table.refresh()
+    df = table.read(spark).withColumn(
+        BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+    )
+    eligible = (
+        df.where(F.col(TOMBSTONE_COL) & (F.col("seq") <= low_watermark_seq))
+        .select(BUCKET_COL)
+        .distinct()
+    )
+    buckets = sorted(r[0] for r in eligible.collect())
+    if not buckets:
+        return 0
+    kept = (
+        table.read(spark, buckets=buckets)
+        .where(~(F.col(TOMBSTONE_COL) & (F.col("seq") <= low_watermark_seq)))
+        .withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets))
+        .repartition(len(buckets), F.col(BUCKET_COL))
+    )
+    new_files = table.write_data_files(kept, schema_id=table.state["current_schema_id"])
+    table.commit(
+        operation="vacuum",
+        new_files=new_files,
+        replaced_buckets=set(buckets),
+        lineage={"low_watermark_seq": low_watermark_seq, "buckets_touched": len(buckets)},
+    )
+    return len(buckets)
+
+
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _next_schema_id(table: SnapshotTable, target_schema) -> int:
+    """schema_id the new files will be committed under."""
+    st = table.state
+    if target_schema == table.schema:
+        return st["current_schema_id"]
+    return max(int(k) for k in st["schemas"]) + 1

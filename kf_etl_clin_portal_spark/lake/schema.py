@@ -1,0 +1,121 @@
+"""Schema evolution: diff, widen, and align.
+
+Reproduces the reference's two schema-tolerance idioms
+(SURVEY.md §1.3; `etl/.../normalized/genomic/KFVCFUtils.scala:28,122-174`
+add-missing-as-null + `unionByName(allowMissingColumns=true)`; Delta
+`schema.autoMerge` at `ConfigurationGenerator.scala:188`) as explicit,
+metadata-only operations:
+
+- ``schema_diff``   — added columns and widened primitive types between the
+  table schema and an incoming micro-batch schema.
+- ``evolve_schema`` — the merged schema (new columns appended, types widened
+  along the numeric lattice int→long, float→double, *→string never implied).
+- ``align_df``      — project a DataFrame onto a target schema: missing
+  columns as typed nulls, widenable columns cast, extra columns rejected
+  (they should have evolved the schema first).
+
+All pure metadata / Column expressions — no data rewrite, no UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Allowed widenings (Iceberg-compatible: metadata-only type promotion).
+_WIDEN: dict[tuple[str, str], str] = {
+    ("byte", "short"): "short",
+    ("byte", "integer"): "integer",
+    ("byte", "long"): "long",
+    ("short", "integer"): "integer",
+    ("short", "long"): "long",
+    ("integer", "long"): "long",
+    ("float", "double"): "double",
+}
+
+
+def _widened(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Return the widened type if b is a legal widening of a, else None."""
+    key = (a.typeName(), b.typeName())
+    if key in _WIDEN:
+        return T._parse_datatype_string(_WIDEN[key])
+    return None
+
+
+@dataclass
+class SchemaDiff:
+    added: list[T.StructField] = field(default_factory=list)
+    widened: list[tuple[str, T.DataType, T.DataType]] = field(default_factory=list)  # name, old, new
+    missing: list[str] = field(default_factory=list)  # in table but absent from batch
+
+    @property
+    def changes_table(self) -> bool:
+        return bool(self.added or self.widened)
+
+
+def schema_diff(table_schema: T.StructType, batch_schema: T.StructType) -> SchemaDiff:
+    diff = SchemaDiff()
+    table_by_name = {f.name: f for f in table_schema.fields}
+    batch_by_name = {f.name: f for f in batch_schema.fields}
+    for f in batch_schema.fields:
+        if f.name not in table_by_name:
+            diff.added.append(T.StructField(f.name, f.dataType, nullable=True))
+        else:
+            cur = table_by_name[f.name].dataType
+            if cur != f.dataType:
+                wide = _widened(cur, f.dataType)
+                if wide is not None:
+                    diff.widened.append((f.name, cur, wide))
+                elif _widened(f.dataType, cur) is not None:
+                    pass  # batch is narrower — align_df will upcast, no table change
+                elif not _castable(f.dataType, cur):
+                    raise ValueError(
+                        f"incompatible schema change for column {f.name!r}: "
+                        f"{cur.simpleString()} vs {f.dataType.simpleString()}"
+                    )
+    for name in table_by_name:
+        if name not in batch_by_name:
+            diff.missing.append(name)
+    return diff
+
+
+def _castable(src: T.DataType, dst: T.DataType) -> bool:
+    """Conservative safe-cast check for non-widening same-family types."""
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    a, b = src.typeName(), dst.typeName()
+    return a == b or (a in numeric and b in numeric)
+
+
+def evolve_schema(table_schema: T.StructType, diff: SchemaDiff) -> T.StructType:
+    """Apply a diff: widen in place, append added columns (nullable)."""
+    widen_by_name = {name: new for name, _, new in diff.widened}
+    fields = [
+        T.StructField(f.name, widen_by_name.get(f.name, f.dataType), f.nullable, f.metadata)
+        for f in table_schema.fields
+    ]
+    fields.extend(diff.added)
+    return T.StructType(fields)
+
+
+def align_df(df: DataFrame, target_schema: T.StructType) -> DataFrame:
+    """Project df onto target_schema: cast widenable columns, fill missing
+    columns with typed nulls. Column order follows target_schema.
+
+    The per-file-schema-group read path and the micro-batch MERGE path both
+    funnel through this (the reference's unionByName-with-null-backfill,
+    `KFVCFUtils.scala:122-174`, as one reusable projection).
+    """
+    present = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target_schema.fields:
+        if f.name in present:
+            if present[f.name].dataType == f.dataType:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

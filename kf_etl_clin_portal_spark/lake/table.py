@@ -1,0 +1,400 @@
+"""SnapshotTable — an Iceberg-style table: Parquet data + atomic JSON commit log.
+
+Layout::
+
+    <root>/
+      _log/
+        00000000000.json      # commit 0 (create)
+        00000000001.json      # commit 1 (merge ...)
+      data/
+        b=<bucket>/part-<uuid>.parquet
+
+Each commit JSON is the FULL table state (file list, schema registry,
+partition spec, cumulative applied-batch fence map, lineage of that commit) —
+the simplified equivalent of an Iceberg snapshot + manifest list. Commit
+atomicity comes from exclusive-create (``open(..., 'x')``) of the next
+numbered log file; a losing concurrent writer gets FileExistsError and
+retries against the new state (optimistic concurrency, Iceberg-style). On a
+real deployment this seam is replaced by an Iceberg REST catalog commit.
+
+Partitioning is hash-bucket on the key columns (default
+``pmod(xxhash64(*key), num_buckets)``) — the Iceberg ``bucket(N, key)``
+transform. Hot *repos* (monorepo skew) spread across buckets because the
+bucket key includes ``path``; MERGE prunes to affected buckets only.
+
+Schema evolution is metadata-only: data files carry the ``schema_id`` they
+were written under; reads align every schema group to the current schema via
+cast + null-backfill (`lake/schema.py:align_df`), the reference's
+multi-version normalization idiom (`KFVCFUtils.scala:122-174`) applied at
+the storage layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.lake.schema import align_df
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int):
+    """The partition transform: bucket(num_buckets, key...) via xxhash64.
+
+    xxhash64 is a JVM-side codegen'd hash — no Python in the hot path.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class CommitInfo:
+    version: int
+    snapshot_id: str
+    operation: str
+    lineage: dict[str, Any]
+
+
+class SnapshotTable:
+    """Handle to a snapshot-committed table rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._state: dict[str, Any] | None = None
+        self._version: int | None = None
+
+    # ------------------------------------------------------------- creation
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "SnapshotTable":
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+        t = cls(root)
+        state = {
+            "version": 0,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_snapshot_id": None,
+            "ts": _now(),
+            "operation": "create",
+            "current_schema_id": 0,
+            "schemas": {"0": schema.jsonValue()},
+            "partition": {"kind": "bucket", "key": key_cols, "num_buckets": num_buckets, "hash": "xxhash64"},
+            "files": [],
+            "applied_batches": {},
+            "properties": properties or {},
+            "lineage": {"operation": "create"},
+            "summary": {"total_rows": 0, "total_bytes": 0, "total_files": 0},
+        }
+        t._write_commit(state, expected_version=0)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        log = os.path.join(root, _LOG_DIR)
+        return os.path.isdir(log) and any(f.endswith(".json") for f in os.listdir(log))
+
+    # ------------------------------------------------------------- log I/O
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:011d}.json")
+
+    def _latest_version(self) -> int:
+        log = os.path.join(self.root, _LOG_DIR)
+        versions = [int(f[:-5]) for f in os.listdir(log) if f.endswith(".json")]
+        if not versions:
+            raise FileNotFoundError(f"no commits in {log}")
+        return max(versions)
+
+    def refresh(self) -> "SnapshotTable":
+        self._version = self._latest_version()
+        with open(self._log_path(self._version)) as fh:
+            self._state = json.load(fh)
+        return self
+
+    @property
+    def state(self) -> dict[str, Any]:
+        if self._state is None:
+            self.refresh()
+        return self._state  # type: ignore[return-value]
+
+    @property
+    def version(self) -> int:
+        if self._version is None:
+            self.refresh()
+        return self._version  # type: ignore[return-value]
+
+    def state_at(self, version: int) -> dict[str, Any]:
+        with open(self._log_path(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict[str, Any]]:
+        return [self.state_at(v) for v in range(self._latest_version() + 1)]
+
+    # ------------------------------------------------------------ metadata
+    @property
+    def schema(self) -> T.StructType:
+        st = self.state
+        return T.StructType.fromJson(st["schemas"][str(st["current_schema_id"])])
+
+    def schema_for(self, schema_id: int) -> T.StructType:
+        return T.StructType.fromJson(self.state["schemas"][str(schema_id)])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.state["partition"]["key"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.state["partition"]["num_buckets"]
+
+    def applied_batches(self) -> dict[str, Any]:
+        return self.state["applied_batches"]
+
+    # ------------------------------------------------------------- reading
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot, optionally pruned to a bucket subset.
+
+        Files are grouped by schema_id; each group is read with its own
+        schema then aligned to the snapshot's current schema (cast +
+        null-backfill) and unioned — schema evolution without rewrites.
+        """
+        st = self.state if version is None else self.state_at(version)
+        current = T.StructType.fromJson(st["schemas"][str(st["current_schema_id"])])
+        files = st["files"]
+        if buckets is not None:
+            wanted = set(buckets)
+            files = [f for f in files if f["bucket"] in wanted]
+        if not files:
+            return spark.createDataFrame([], current)
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
+        parts = []
+        for schema_id, paths in by_schema.items():
+            group_schema = T.StructType.fromJson(st["schemas"][str(schema_id)])
+            df = spark.read.schema(group_schema).parquet(*paths)
+            parts.append(align_df(df, current))
+        return reduce(DataFrame.unionByName, parts)
+
+    # ------------------------------------------------------------- writing
+    def write_data_files(self, df: DataFrame, schema_id: int) -> list[dict[str, Any]]:
+        """Write df (which must carry BUCKET_COL) as parquet files laid out
+        by bucket; returns file entries for a subsequent commit().
+
+        One output file per bucket (the merge path repartitions by bucket
+        first); file stats (rows/bytes) read from parquet footers via
+        pyarrow — no extra Spark job.
+        """
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.root, _DATA_DIR, f"_staging_{uuid.uuid4().hex}")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        entries: list[dict[str, Any]] = []
+        for bucket_dir in sorted(os.listdir(staging)):
+            if not bucket_dir.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(bucket_dir.split("=", 1)[1])
+            tgt_dir = os.path.join(self.root, _DATA_DIR, f"b={bucket}")
+            os.makedirs(tgt_dir, exist_ok=True)
+            for fn in os.listdir(os.path.join(staging, bucket_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, bucket_dir, fn)
+                new_name = f"part-{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(tgt_dir, new_name)
+                os.rename(src, dst)
+                meta = pq.read_metadata(dst)
+                entries.append(
+                    {
+                        "path": os.path.join(_DATA_DIR, f"b={bucket}", new_name),
+                        "bucket": bucket,
+                        "schema_id": schema_id,
+                        "rows": meta.num_rows,
+                        "bytes": os.path.getsize(dst),
+                    }
+                )
+        _rmtree(staging)
+        return entries
+
+    def commit(
+        self,
+        operation: str,
+        new_files: list[dict[str, Any]],
+        replaced_buckets: set[int] | None = None,
+        new_schema: T.StructType | None = None,
+        batch_id: str | None = None,
+        lineage: dict[str, Any] | None = None,
+        max_retries: int = 20,
+    ) -> CommitInfo:
+        """Atomically commit: replace files of ``replaced_buckets`` with
+        ``new_files``, optionally register an evolved schema, record the
+        batch fence + lineage. Optimistic-retry on concurrent commit.
+        """
+        for _ in range(max_retries):
+            self.refresh()
+            st = dict(self.state)
+            if batch_id is not None and batch_id in st["applied_batches"]:
+                raise BatchAlreadyApplied(batch_id)
+            prev_files = st["files"]
+            if replaced_buckets:
+                kept = [f for f in prev_files if f["bucket"] not in replaced_buckets]
+            else:
+                kept = list(prev_files)
+            files = kept + new_files
+
+            schemas = dict(st["schemas"])
+            schema_id = st["current_schema_id"]
+            if new_schema is not None:
+                current = T.StructType.fromJson(schemas[str(schema_id)])
+                if new_schema != current:
+                    schema_id = max(int(k) for k in schemas) + 1
+                    schemas[str(schema_id)] = new_schema.jsonValue()
+
+            version = self.version + 1
+            snapshot_id = uuid.uuid4().hex
+            lineage_row = dict(lineage or {})
+            lineage_row.update(
+                {
+                    "version": version,
+                    "snapshot_id": snapshot_id,
+                    "operation": operation,
+                    "batch_id": batch_id,
+                    "ts": _now(),
+                    "files_written": len(new_files),
+                    "rows_written": sum(f["rows"] for f in new_files),
+                    "bytes_written": sum(f["bytes"] for f in new_files),
+                }
+            )
+            applied = dict(st["applied_batches"])
+            if batch_id is not None:
+                applied[batch_id] = {
+                    "version": version,
+                    "snapshot_id": snapshot_id,
+                    "seq_min": lineage_row.get("seq_min"),
+                    "seq_max": lineage_row.get("seq_max"),
+                }
+            new_state = {
+                "version": version,
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": st["snapshot_id"],
+                "ts": _now(),
+                "operation": operation,
+                "current_schema_id": schema_id,
+                "schemas": schemas,
+                "partition": st["partition"],
+                "files": files,
+                "applied_batches": applied,
+                "properties": st["properties"],
+                "lineage": lineage_row,
+                "summary": {
+                    "total_rows": sum(f["rows"] for f in files),
+                    "total_bytes": sum(f["bytes"] for f in files),
+                    "total_files": len(files),
+                },
+            }
+            try:
+                self._write_commit(new_state, expected_version=version)
+            except FileExistsError:
+                continue  # another writer won; re-read state and retry
+            self._state, self._version = new_state, version
+            return CommitInfo(version, snapshot_id, operation, lineage_row)
+        raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
+
+    def _write_commit(self, state: dict[str, Any], expected_version: int) -> None:
+        path = self._log_path(expected_version)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # exclusive create = the atomic commit point
+            with open(path, "x") as fh:
+                with open(tmp) as src:
+                    fh.write(src.read())
+                fh.flush()
+                os.fsync(fh.fileno())
+        finally:
+            os.unlink(tmp)
+        self._state, self._version = state, expected_version
+
+    # ------------------------------------------------------------ manifest
+    def manifest_df(self, spark: SparkSession) -> DataFrame:
+        """Per-commit lineage as a DataFrame (the checkpoint/manifest table)."""
+        rows = []
+        for st in self.history():
+            lin = dict(st.get("lineage") or {})
+            rows.append(
+                {
+                    "version": st["version"],
+                    "snapshot_id": st["snapshot_id"],
+                    "operation": st["operation"],
+                    "batch_id": lin.get("batch_id"),
+                    "seq_min": lin.get("seq_min"),
+                    "seq_max": lin.get("seq_max"),
+                    "n_events": lin.get("n_events"),
+                    "n_upserts": lin.get("n_upserts"),
+                    "n_deletes": lin.get("n_deletes"),
+                    "rows_written": lin.get("rows_written"),
+                    "bytes_written": lin.get("bytes_written"),
+                    "buckets_touched": lin.get("buckets_touched"),
+                    "ts": lin.get("ts"),
+                }
+            )
+        schema = T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("snapshot_id", T.StringType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("batch_id", T.StringType()),
+                T.StructField("seq_min", T.LongType()),
+                T.StructField("seq_max", T.LongType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("n_upserts", T.LongType()),
+                T.StructField("n_deletes", T.LongType()),
+                T.StructField("rows_written", T.LongType()),
+                T.StructField("bytes_written", T.LongType()),
+                T.StructField("buckets_touched", T.IntegerType()),
+                T.StructField("ts", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+
+class BatchAlreadyApplied(Exception):
+    """Raised when an epoch-fenced batch_id is committed twice (exactly-once)."""
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference pins 500 static shuffle partitions with AQE and dynamic
+allocation disabled (`bin/conf/spark-config-clinical.json`) for plan stability
+on Spark 3.3/EMR. We take the modern posture instead: AQE ON (runtime
+partition coalescing + skew-join splitting), Arrow enabled for any
+pandas-UDF path, and an explicitly sized shuffle default that callers
+override per workload.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "kf-etl-clin-portal-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
+    same code path runs under the driver's bench harness and on a real
+    cluster (where ``master`` is supplied by spark-submit and this arg is
+    left None → builder inherits cluster master).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of small shuffle partitions + skew-join
+        # splitting. The reference disabled AQE (spark-config-clinical.json);
+        # on Spark 4.x AQE is strictly better for our merge-heavy plans.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas-UDF / toPandas boundary (input_hint: no
+        # per-row Python anywhere).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Nested-field pruning matters for our struct-heavy derived views.
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Match reference timestamp behavior (ConfigurationGenerator.scala:193-194).
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

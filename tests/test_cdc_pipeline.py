@@ -1,0 +1,122 @@
+"""End-to-end CDC engine tests: replay parity, out-of-order, exactly-once,
+kill/resume, schema evolution, tombstone vacuum.
+
+Modeled on the reference's job-level golden tests
+(`etl/src/test/scala/bio/ferlab/etl/prepared/clinical/StudyCentricSpec.scala:14-66`,
+order-insensitive `contain theSameElementsAs`), strengthened to sha256
+hash-sum parity per BASELINE.json.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events, with_evolution
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+N_EVENTS = 5_000
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("feed") / "events.parquet")
+    generate_change_events(spark, N_EVENTS, seed=42).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _feed(spark, events_path):
+    return spark.read.parquet(events_path)
+
+
+def test_replay_in_order_matches_oracle(spark, events_path, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    stats = pipe.replay(_feed(spark, events_path), n_batches=4, by="seq", feed_id="inorder")
+    assert stats.n_batches == 4 and stats.n_skipped == 0
+    assert stats.n_events == N_EVENTS
+    report = verify_parity(pipe.current(), events_path)
+    assert report["ok"], report
+
+
+def test_replay_out_of_order_matches_oracle(spark, events_path, tmp_path):
+    """Batches carry interleaved seqs (delivery order != commit order); the
+    s.seq > t.seq guard plus tombstone retention must converge to the same
+    final state."""
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    stats = pipe.replay(
+        _feed(spark, events_path), n_batches=8, by="delivery", feed_id="ooo"
+    )
+    assert stats.n_events == N_EVENTS
+    report = verify_parity(pipe.current(), events_path)
+    assert report["ok"], report
+
+
+def test_exactly_once_replayed_batches_fence(spark, events_path, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    feed = _feed(spark, events_path)
+    pipe.replay(feed, n_batches=4, by="seq", feed_id="dup")
+    v_after_first = pipe.table.version
+    # full re-offer of every batch: all must fence out as no-ops
+    stats2 = pipe.replay(feed, n_batches=4, by="seq", feed_id="dup")
+    assert stats2.n_skipped == 4 and stats2.n_events == 0
+    assert pipe.table.version == v_after_first
+    report = verify_parity(pipe.current(), events_path)
+    assert report["ok"], report
+
+
+def test_kill_and_resume(spark, events_path, tmp_path):
+    root = str(tmp_path / "tbl")
+    feed = _feed(spark, events_path)
+    # crash after 2 of 4 batches
+    pipe1 = CDCPipeline(spark, root, num_buckets=8)
+    pipe1.replay(feed, n_batches=4, by="seq", feed_id="resume", stop_after=2)
+    # new pipeline object (fresh process analog) resumes the same feed
+    pipe2 = CDCPipeline(spark, root, num_buckets=8)
+    stats = pipe2.replay(feed, n_batches=4, by="seq", feed_id="resume")
+    assert stats.n_skipped == 2  # fenced
+    report = verify_parity(pipe2.current(), events_path)
+    assert report["ok"], report
+    # lineage manifest has one row per applied batch + create
+    manifest = pipe2.manifest()
+    assert manifest.where(F.col("operation") == "merge").count() == 4
+    assert manifest.where(F.col("batch_id") == "resume-b00001").count() == 1
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    """Early batches: no size_bytes, lines:int. Late: +size_bytes, lines:long.
+    Table must absorb both mid-stream; early rows read back with null
+    size_bytes and widened lines."""
+    events = generate_change_events(spark, 2_000, seed=7)
+    early, late = with_evolution(events, cutover_seq=1_000)
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4)
+    r1 = pipe.apply_batch(early, batch_id="evo-b0")
+    assert not r1.schema_evolved
+    r2 = pipe.apply_batch(late, batch_id="evo-b1")
+    assert r2.schema_evolved
+    cur = pipe.current()
+    fields = {f.name: f.dataType.typeName() for f in cur.schema.fields}
+    assert fields["lines"] == "long"
+    assert fields["size_bytes"] == "long"
+    # rows whose latest event predates the cutover have null size_bytes
+    assert cur.where(F.col("seq") <= 1_000).where(F.col("size_bytes").isNotNull()).count() == 0
+    assert cur.where(F.col("seq") > 1_000).where(F.col("size_bytes").isNull()).count() == 0
+    # lines survived the widen for early rows
+    assert cur.where((F.col("seq") <= 1_000) & F.col("lines").isNotNull()).count() > 0
+
+
+def test_tombstone_vacuum(spark, events_path, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    pipe.replay(_feed(spark, events_path), n_batches=2, by="seq", feed_id="vac")
+    with_t = pipe.current(include_tombstones=True).count()
+    without_t = pipe.current().count()
+    assert with_t > without_t  # tombstones retained by default
+    pipe.vacuum(low_watermark_seq=N_EVENTS)
+    assert pipe.current(include_tombstones=True).count() == without_t
+    # visible state unchanged by vacuum
+    report = verify_parity(pipe.current(), events_path)
+    assert report["ok"], report
+
+
+def test_generator_deterministic_across_parallelism(spark):
+    a = generate_change_events(spark, 1_000, seed=42, partitions=2)
+    b = generate_change_events(spark, 1_000, seed=42, partitions=16)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
