@@ -1,0 +1,13 @@
+"""Large-scale deduplication family over document tables.
+
+All variants are DataFrame-native (explode / groupBy / join shuffles only;
+hashing in JVM codegen via `functions.hashing`) and scale by key-partitioned
+shuffles — no pairwise O(n^2) stage ever touches the full corpus:
+
+- exact        — hash-groupBy on a canonical-form fingerprint.
+- minhash LSH  — shingle → MinHash signature → band keys → bucket join;
+                 candidate pairs verified by signature agreement.
+- simhash      — 16-bit SimHash + hamming radius within buckets.
+- ngram        — n-gram Jaccard via shingle explode + equi-join on shingle.
+- embedding    — cosine near-dup via LSH-ish norm bucketing or brute pairs.
+"""

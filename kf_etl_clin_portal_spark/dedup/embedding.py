@@ -1,0 +1,51 @@
+"""Embedding-cosine near-duplicate pairs.
+
+Blocking strategy instead of all-pairs: candidates are generated within a
+blocking key (default: the ``label`` column if present, else an LSH sign
+bucket from `similarity.ann`), then verified by exact cosine. All-pairs mode
+(`block_col=None, lsh_planes=None`) exists for oracle-checkable small sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.vectors import cosine
+from kf_etl_clin_portal_spark.similarity.ann import _bucket_expr
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    lsh_planes: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ min_cos, a < b."""
+    base = df
+    if block_col is not None and block_col in df.columns:
+        block = [block_col]
+    elif lsh_planes is not None:
+        if dim is None:
+            raise ValueError("dim required for LSH blocking")
+        base = df.withColumn("__block", _bucket_expr(vec_col, dim, lsh_planes, seed=42))
+        block = ["__block"]
+    else:
+        base = df.withColumn("__block", F.lit(0))
+        block = ["__block"]
+    a = base.select(
+        *block, F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = base.select(
+        *block, F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, on=block)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+    )

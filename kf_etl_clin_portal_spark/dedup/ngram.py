@@ -1,0 +1,54 @@
+"""Exact n-gram Jaccard similarity via shingle inverted index.
+
+shingle-explode → equi-join on shingle → count common shingles → Jaccard =
+|A∩B| / (|A|+|B|-|A∩B|). The join is the inverted-index trick: only pairs
+sharing ≥1 shingle are ever materialized. A document-frequency cap on
+shingles (``max_df``) drops boilerplate shingles before the join — the
+skew guard at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.hashing import word_shingles
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for all pairs with Jaccard ≥ min_jaccard."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    exploded = sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = dfreq.where(F.col("df") <= max_df).select("shingle")
+        exploded = exploded.join(F.broadcast(keep), on="shingle")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"), "shingle"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"), "shingle"
+    )
+    common = (
+        a.join(b, on=["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

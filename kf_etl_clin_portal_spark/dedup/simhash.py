@@ -1,0 +1,51 @@
+"""SimHash near-dup: 16-bit fingerprint, hamming-radius matching.
+
+Exact-bucket join on the simhash value catches hamming distance 0; for
+radius ≤ r, each doc emits its simhash with each of the 16 bit-flips
+(r=1) — bucket join stays linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.hashing import hamming16, simhash16
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within the hamming radius.
+
+    Probe expansion: emit simhash XOR (0, 1<<0, ..., 1<<15) per doc for
+    radius 1 — join on the probe value, then verify exact hamming.
+    """
+    fp = simhash_fingerprints(df, text_col, id_col)
+    probes = [F.lit(0)] + ([F.lit(1 << j) for j in range(16)] if max_hamming >= 1 else [])
+    probed = fp.select(
+        id_col,
+        "simhash",
+        F.explode(F.array(*[F.col("simhash").bitwiseXOR(p) for p in probes])).alias("probe"),
+    )
+    a = probed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "probe"
+    )
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("probe"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, on="probe")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming16(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,7 @@
+"""Scalar / text / hashing / vector function library.
+
+Everything here is JVM-side `pyspark.sql.functions` composition (whole-stage
+codegen, no Python in the hot path) unless explicitly named ``*_pandas`` —
+those are Arrow-vectorized pandas UDFs for transforms the built-ins can't
+express (input_hint: vectorized pandas/Arrow UDFs, never per-row Python).
+"""

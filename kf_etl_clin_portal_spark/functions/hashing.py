@@ -1,0 +1,127 @@
+"""Hashing primitives for dedup at scale: portable 60-bit hashes, word
+shingles, MinHash signatures, SimHash.
+
+Portability contract: every formula is integer arithmetic over md5 (both
+Spark and DuckDB produce identical lowercase-hex md5), so the DuckDB oracle
+reproduces signatures bit-for-bit. The base hash is the leading 15 hex chars
+of md5 (60 bits — fits int64 with headroom for modular multiply against a
+31-bit prime).
+
+For the 10^10-row hot path the same shapes run entirely in JVM codegen:
+`F.transform` / `F.aggregate` over arrays, no UDFs, no shuffles beyond the
+explode/groupBy the algorithm itself requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.text import words
+
+MERSENNE_31 = 2_147_483_647  # 2^31 - 1
+
+# deterministic MinHash permutation parameters (a odd, b from a second seed
+# stream); generated once — identical constants are baked into the oracle SQL
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    params = []
+    a, b = seed * 2 + 1, seed + 7
+    for i in range(k):
+        a = (a * 1_103_515_245 + 12_345) % MERSENNE_31
+        b = (b * 69_069 + 1) % MERSENNE_31
+        params.append((a | 1, b))
+    return params
+
+
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash: int(md5(x)[:15], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    `transform(sequence(...), i -> concat_ws(slice(words,...)))` — the
+    reference's higher-order-function style (`Transformations.scala:82-90`)
+    instead of an explode/collect round-trip.
+    """
+    w = words(col)
+    k = F.size(w) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16, seed: int = 42) -> Column:
+    """MinHash signature (array<long>, length k) over a shingle array.
+
+    sig_j = min over shingles s of (a_j * (h60(s) mod P) + b_j) mod P,
+    P = 2^31-1. All int64 arithmetic (a_j*h' < 2^62) — overflow-free and
+    bit-identical in any engine.
+    """
+    hs = F.transform(shingles, lambda s: F.pmod(h60(s), F.lit(MERSENNE_31)))
+    sigs = [
+        F.array_min(
+            F.transform(hs, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31)))
+        )
+        for a, b in minhash_params(k, seed)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` bucket keys 'band_i:h(sig slice)'.
+    Docs sharing any band key are near-dup candidates."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.sha2(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(signature, i * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                    256,
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens (portable formula).
+
+    bit_j = 1 iff sum over tokens of (2*bit_j(h60(token)) - 1) > 0.
+    Returned as an int in [0, 65536). Hamming distance on these detects
+    near-duplicates; 16 bits keeps the oracle SQL finite.
+    """
+    hs = F.transform(words(col), lambda t: h60(t))
+    bit_sums = [
+        F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        for j in range(16)
+    ]
+    out = F.lit(0)
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhashes (popcount via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

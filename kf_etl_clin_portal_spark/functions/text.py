@@ -1,0 +1,130 @@
+"""Text analysis columns: tokenization, language-ID, quality scoring,
+document fingerprinting.
+
+Replaces the reference's only-two-Scala-UDFs surface
+(`normalized/clinical/Utils.scala:50-63`, SURVEY.md §2.9) with pure column
+expressions; the one genuinely-Python transform (`normalize_text_pandas`)
+is an Arrow-vectorized pandas UDF.
+
+Every formula here is deliberately expressible in ANSI SQL so the DuckDB
+oracle can replicate it bit-for-bit (the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+WORD_SEP = r"\s+"
+# token classes: alpha runs, digit runs, single other non-space (BPE-ish)
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny multilingual stopword inventory for the n-gram/lexicon language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "de", "et", "un", "est"],
+    "es": ["el", "la", "de", "y", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (trimmed)."""
+    return F.split(F.trim(col), WORD_SEP)
+
+
+def n_words(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def n_tokens(col: Column) -> Column:
+    """BPE-ish regex token count — JVM regexp_count."""
+    return F.regexp_count(col, F.lit(TOKEN_RE))
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    return F.size(F.filter(words(F.lower(col)), lambda w: F.array_contains(sw, w)))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    # nullif guard: ANSI mode (Spark 4 default) errors on division by zero
+    return stopword_count(col, stopwords) / F.nullif(n_words(col), F.lit(0))
+
+
+def avg_word_len(col: Column) -> Column:
+    return F.length(F.regexp_replace(F.trim(col), WORD_SEP, "")) / F.nullif(
+        n_words(col), F.lit(0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic doc quality in [0,1]: length band + stopword presence +
+    word-length sanity. Deterministic, SQL-replicable (round(4))."""
+    nw = n_words(col)
+    len_score = F.when(nw.between(20, 10_000), F.lit(1.0)).when(
+        nw.between(5, 19), F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    sw_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    awl = avg_word_len(col)
+    wl_score = F.when(awl.between(2.0, 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_score + sw_score + wl_score) / 3.0, 4)
+
+
+def lang_hits(col: Column, code: str) -> Column:
+    """Stopword-lexicon hit count for one language."""
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[code]])
+    return F.size(F.filter(words(F.lower(col)), lambda x: F.array_contains(sw, x)))
+
+
+def lang_id(col: Column) -> Column:
+    """Lexicon-hit language ID: argmax of per-language stopword hits, ties
+    broken by alphabetical language-code order, 'und' when no hits anywhere.
+    A CASE ladder (codegen'd, SQL-replicable) — the reference's conditional
+    classifier idiom (`normalized/clinical/Utils.scala:70-75`)."""
+    codes = sorted(LANG_STOPWORDS)
+    hits = {c: lang_hits(col, c) for c in codes}
+    expr = F.lit("und")
+    # build in reverse so the first (alphabetical) max wins ties
+    for c in reversed(codes):
+        is_best = hits[c] > 0
+        for other in codes:
+            if other == c:
+                continue
+            cond = hits[c] >= hits[other] if other > c else hits[c] > hits[other]
+            is_best = is_best & cond
+        expr = F.when(is_best, F.lit(c)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form: lowercase, collapse whitespace runs, trim."""
+    return F.regexp_replace(F.lower(F.trim(col)), WORD_SEP, " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the canonical form."""
+    return F.md5(normalize_text(col))
+
+
+def sha256_hex(col: Column) -> Column:
+    return F.sha2(col, 256)
+
+
+@pandas_udf(T.StringType())
+def normalize_text_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized equivalent of normalize_text — the demonstrator for
+    content transforms that genuinely need Python (input_hint). Identical
+    output to the JVM expression; tested for parity."""
+    return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+
+@pandas_udf(T.LongType())
+def token_count_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized token counter (same TOKEN_RE as n_tokens)."""
+    return s.str.count(TOKEN_RE).astype("int64")

@@ -1,0 +1,51 @@
+"""Vector math over array<float|double> embedding columns.
+
+JVM-side higher-order functions (`F.zip_with` + `F.aggregate`) — sequential
+left-to-right fold per row, so results are deterministic and bit-identical
+to any engine that folds the same way in double precision (the DuckDB
+oracle's list_dot_product does). A vectorized pandas-UDF variant covers the
+case where numpy batch math wins (very wide vectors, many queries).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def to_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs cast to double first for cross-engine parity."""
+    ad, bd = to_double_array(a), to_double_array(b)
+    return dot(ad, bd) / F.nullif(norm(ad) * norm(bd), F.lit(0.0))
+
+
+@pandas_udf(T.DoubleType())
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine — numpy batch math for wide vectors."""
+    import numpy as np
+
+    av = np.stack(a.to_numpy())
+    bv = np.stack(b.to_numpy())
+    num = (av * bv).sum(axis=1)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den == 0, np.nan, num / den)
+    return pd.Series(out)

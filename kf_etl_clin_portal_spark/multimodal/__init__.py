@@ -1,0 +1,23 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Opaque payloads travel as ``binary`` columns with a typed metadata struct;
+all per-payload compute runs through Arrow-batched `mapInPandas` so payload
+bytes never round-trip through per-row Python. Actual codecs (PIL/ffmpeg)
+are not in this container — the decode step is stubbed behind
+``DecoderUnavailable`` / a deterministic fake, while the Spark-side schema,
+partitioning, UDF signatures and batch shapes are real and tested.
+"""
+
+from kf_etl_clin_portal_spark.multimodal.binary import (
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    decode_and_featurize,
+    fake_decode_features,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "decode_and_featurize",
+    "fake_decode_features",
+]

@@ -1,0 +1,115 @@
+"""Binary media columns: schema, metadata, Arrow-batched decode/featurize.
+
+The decode step is STUBBED (no image/audio libs in this container):
+``decode_and_featurize(..., decoder=None)`` raises ``DecoderUnavailable``
+at call time, and ``fake_decode_features`` is the deterministic stand-in
+used by tests — everything around it (mapInPandas batching, schema
+handling, partition sizing) is the real production path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised when a real media decoder is required but not installed."""
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: byte length + sha256; no Python."""
+    return df.withColumn(
+        "n_bytes", F.octet_length(F.col(payload_col)).cast("long")
+    ).withColumn("payload_sha256", F.sha2(F.col(payload_col), 256))
+
+
+def fake_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoder: 8 floats derived from payload
+    bytes (length-bucketed byte histogram)."""
+    if payload is None:
+        return [0.0] * n_features
+    buckets = [0] * n_features
+    for i, b in enumerate(payload):
+        buckets[b % n_features] += 1
+    total = max(len(payload), 1)
+    return [round(c / total, 6) for c in buckets]
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    decoder=None,
+    payload_col: str = "payload",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction via mapInPandas.
+
+    ``decoder(payload: bytes) -> list[float]``; None → DecoderUnavailable
+    (real codecs not present in this container; pass
+    ``fake_decode_features`` in tests). Repartition first so each Arrow
+    batch holds a bounded number of payloads (payloads are big — batch
+    size is controlled by partition count, not row count).
+    """
+    if decoder is None:
+        raise DecoderUnavailable(
+            "no media decoder installed; pass decoder=fake_decode_features "
+            "or a real codec-backed callable"
+        )
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf[payload_col].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "payload_sha256": pdf[payload_col].map(
+                        lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
+                    ),
+                    "features": pdf[payload_col].map(decoder),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

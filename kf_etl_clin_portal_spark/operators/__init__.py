@@ -1,0 +1,6 @@
+"""Reference-capability operator library (SURVEY.md §2.3-2.7 parity).
+
+Each helper re-expresses one of the reference's signature Scala DataFrame
+patterns as idiomatic PySpark, with scale notes (broadcast, explode-rewrite,
+shuffle counts) that the reference leaves implicit.
+"""

@@ -1,0 +1,117 @@
+"""Enrichment join family (SURVEY.md §2.3 J2-J8), Spark-first.
+
+Where the reference leaves join strategy to defaults, these helpers make the
+scale decision explicit: dimension sides are broadcast when small, the
+array-containment theta-join (J4 — Catalyst would pick
+BroadcastNestedLoopJoin) is rewritten as explode + equi-join, and the
+10-level parent chain (J5) is an iterative equi-join loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    defaults: dict[str, object] | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """left_outer join + coalesce(default) — the reference's standard
+    "enrich with optional attribute" (`prepared/clinical/Utils.scala:44-51`,
+    J2 + P6). ``broadcast_dim`` should stay True for dimension tables that
+    fit on executors (region/nation/metadata) — no shuffle of the fact side.
+    """
+    on = [on] if isinstance(on, str) else on
+    d = F.broadcast(dim) if broadcast_dim else dim
+    out = fact.join(d, on=on, how="left_outer")
+    for col, default in (defaults or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return out
+
+
+def membership_join(
+    fact_with_array: DataFrame,
+    member: DataFrame,
+    array_col: str,
+    member_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """J4 rewrite: the reference joins on
+    `array_contains(left.family_members_id, right.participant_fhir_id)`
+    (`prepared/clinical/Utils.scala:369-376`) which Catalyst executes as a
+    BroadcastNestedLoopJoin — O(n*m) at scale. Explode the array side and
+    equi-join instead: one shuffle, hash join, AQE-skew-splittable.
+    """
+    exploded = fact_with_array.withColumn("__member", F.explode(F.col(array_col)))
+    return exploded.join(
+        member, on=exploded["__member"] == member[member_col], how=how
+    ).drop("__member")
+
+
+def resolve_parent_chain(
+    df: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_depth: int = 10,
+    root_alias: str = "root_id",
+) -> DataFrame:
+    """J5: iterated self-join parent resolution
+    (`SpecimensTransformations.scala:19-51` — 10 fixed levels then
+    coalesce(parent_10..parent_1)). Implemented as pointer-jumping: each
+    iteration links node → grandparent, so depth d resolves in ceil(log2 d)
+    joins instead of d (3-4 shuffles instead of 10 at reference depth).
+    """
+    cur = df.select(
+        F.col(id_col).alias("__id"), F.col(parent_col).alias("__anc")
+    ).withColumn("__anc", F.coalesce(F.col("__anc"), F.col("__id")))
+    links = cur
+    iters = max(1, (max_depth - 1).bit_length())
+    for _ in range(iters):
+        hop = links.select(
+            F.col("__id").alias("__anc"), F.col("__anc").alias("__anc2")
+        )
+        links = (
+            links.join(hop, on="__anc", how="left_outer")
+            .select("__id", F.coalesce(F.col("__anc2"), F.col("__anc")).alias("__anc"))
+        )
+    out = df.join(
+        links.select(F.col("__id").alias(id_col), F.col("__anc").alias(root_alias)),
+        on=id_col,
+        how="left_outer",
+    )
+    return out
+
+
+def split_pair_join(
+    df: DataFrame,
+    split_pred,
+    relate_col: str,
+    id_col: str,
+    nested_alias: str = "index_files",
+    nested_cols: list[str] | None = None,
+) -> DataFrame:
+    """J6: split one DataFrame by predicate, left-join the matching half
+    back onto the other (file ↔ index-file pairing,
+    `Transformations.scala:197-214`)."""
+    main = df.where(~split_pred)
+    side = df.where(split_pred)
+    cols = nested_cols or [c for c in df.columns if c != relate_col]
+    nested = side.groupBy(F.col(relate_col).alias(id_col)).agg(
+        F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in cols]))).alias(nested_alias)
+    )
+    return main.join(nested, on=id_col, how="left_outer")
+
+
+def semi(fact: DataFrame, other: DataFrame, on: list[str] | str) -> DataFrame:
+    """J7 made explicit: the reference emulates semi-joins with inner join +
+    select; `left_semi` avoids materializing the right side's columns."""
+    return fact.join(other, on=[on] if isinstance(on, str) else on, how="left_semi")
+
+
+def anti(fact: DataFrame, other: DataFrame, on: list[str] | str) -> DataFrame:
+    """J8 made explicit: full-outer + isNull patterns become `left_anti`."""
+    return fact.join(other, on=[on] if isinstance(on, str) else on, how="left_anti")

@@ -1,0 +1,61 @@
+"""Relational → document pivot: the reference's signature operation
+(`collect_list(struct(...))` nesting child rows under parents —
+`prepared/clinical/Utils.scala:81-95,178,191`, SURVEY.md §2.4 A3/A6).
+
+Determinism note the reference skips: `collect_list` order is partition-
+dependent, so nested arrays are sorted (`sort_array`) before they land in a
+result that gets hashed/compared. At scale the nest is one hash-aggregate
+shuffle on the parent key; child-side skew is handled by AQE skew-join on
+the preceding join, not here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nest_children(
+    parent: DataFrame,
+    child: DataFrame,
+    on: list[str] | str,
+    child_cols: list[str],
+    alias: str,
+    how: str = "left_outer",
+    sort: bool = True,
+) -> DataFrame:
+    """Attach child rows as an array<struct> column on the parent.
+
+    left_outer + coalesce-to-empty keeps childless parents (the reference's
+    enrich idiom, `prepared/clinical/Utils.scala:44-51`).
+    """
+    on = [on] if isinstance(on, str) else on
+    nested = child.groupBy(*on).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in child_cols])).alias(alias)
+    )
+    out = parent.join(nested, on=on, how=how)
+    arr = F.coalesce(F.col(alias), F.array().cast(nested.schema[alias].dataType))
+    if sort:
+        arr = F.sort_array(arr)
+    return out.withColumn(alias, arr)
+
+
+def nest_two_level(
+    df: DataFrame,
+    outer_keys: list[str],
+    inner_keys: list[str],
+    agg_col: str,
+    inner_alias: str = "items",
+    outer_alias: str = "groups",
+) -> DataFrame:
+    """Two-level re-aggregation (A6, `OntologyUtils.scala:84-98`):
+    groupBy(outer+inner).collect_set(agg) → groupBy(outer).collect_list(struct).
+    """
+    inner = df.groupBy(*outer_keys, *inner_keys).agg(
+        F.sort_array(F.collect_set(F.col(agg_col))).alias(inner_alias)
+    )
+    return inner.groupBy(*outer_keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*[F.col(c) for c in inner_keys], F.col(inner_alias)))
+        ).alias(outer_alias)
+    )

@@ -1,0 +1,38 @@
+"""Per-group rollup documents — the reference's StudyCentric pattern
+(`prepared/clinical/StudyCentric.scala:42-79`, SURVEY.md §2.4 A1/A2/A5/A7):
+entity counts, distinct-value sets, nested-cardinality metrics per group.
+
+One hash-aggregate shuffle per rollup; Catalyst plans partial+final
+automatically. `collect_set` sizes give exact distinct counts (the
+reference never uses approx_count_distinct); pass approx=True to switch to
+HLL when exactness isn't required at 10^10 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_rollup(
+    df: DataFrame,
+    keys: list[str],
+    count_distinct_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
+    avg_cols: list[str] | None = None,
+    set_cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in count_distinct_cols or []:
+        if approx:
+            aggs.append(F.approx_count_distinct(c).alias(f"n_{c}"))
+        else:
+            aggs.append(F.countDistinct(c).alias(f"n_{c}"))
+    for c in sum_cols or []:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+    for c in avg_cols or []:
+        aggs.append(F.avg(c).alias(f"avg_{c}"))
+    for c in set_cols or []:
+        aggs.append(F.sort_array(F.collect_set(c)).alias(f"set_{c}"))
+    return df.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,2 @@
+"""Query-plan utilities: oracle-SQL generation sharing constants with the
+Spark-side expressions (single source of truth → no Spark/oracle drift)."""

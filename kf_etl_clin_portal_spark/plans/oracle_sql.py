@@ -1,0 +1,144 @@
+"""DuckDB-dialect SQL fragments that replicate `functions.*` expressions
+bit-for-bit. Generated from the SAME Python constants (stopword lexicons,
+MinHash parameters, token regex) used by the Spark columns, so the driver's
+Spark-vs-oracle comparison tests the engine, not two hand-written copies.
+
+Portability contracts relied on (empirically verified in tests):
+- md5 hex is identical; int('0x'+hex15) == conv(hex15,16,10) (60-bit hash);
+- int64 modular arithmetic a*(h%P)+b mod P, P=2^31-1, never overflows;
+- double arithmetic over identical operand sequences is bit-identical;
+- exact DECIMAL sums cast to DOUBLE are bit-identical.
+"""
+
+from __future__ import annotations
+
+from kf_etl_clin_portal_spark.functions.hashing import MERSENNE_31, minhash_params
+from kf_etl_clin_portal_spark.functions.text import LANG_STOPWORDS, STOPWORDS_EN, TOKEN_RE
+
+WORDS = r"regexp_split_to_array(trim({col}), '\s+')"
+H60 = r"(('0x' || substr(md5({v}), 1, 15))::BIGINT)"
+
+
+def words_sql(col: str) -> str:
+    return WORDS.format(col=col)
+
+
+def n_words_sql(col: str) -> str:
+    return f"len({words_sql(col)})::BIGINT"
+
+
+def n_tokens_sql(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{TOKEN_RE}'))::BIGINT"
+
+
+def _sql_str_list(values: list[str]) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in values) + "]"
+
+
+def stopword_count_sql(col: str, stopwords: list[str] | None = None) -> str:
+    sw = _sql_str_list(stopwords or STOPWORDS_EN)
+    return (
+        f"len(list_filter({words_sql(f'lower({col})')}, w -> list_contains({sw}, w)))::BIGINT"
+    )
+
+
+def stopword_ratio_sql(col: str) -> str:
+    return f"({stopword_count_sql(col)} / nullif({n_words_sql(col)}, 0))"
+
+
+def avg_word_len_sql(col: str) -> str:
+    return (
+        f"(length(regexp_replace(trim({col}), '\\s+', '', 'g')) / "
+        f"nullif({n_words_sql(col)}, 0))"
+    )
+
+
+def normalize_sql(col: str) -> str:
+    return f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5({normalize_sql(col)})"
+
+
+def quality_score_sql(col: str) -> str:
+    nw = n_words_sql(col)
+    len_score = (
+        f"(CASE WHEN {nw} BETWEEN 20 AND 10000 THEN 1.0 "
+        f"WHEN {nw} BETWEEN 5 AND 19 THEN 0.5 ELSE 0.0 END)"
+    )
+    sw_score = f"least({stopword_ratio_sql(col)} * 5.0, 1.0)"
+    awl = avg_word_len_sql(col)
+    wl_score = f"(CASE WHEN {awl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)"
+    return f"round(({len_score} + {sw_score} + {wl_score}) / 3.0, 4)"
+
+
+def lang_hits_sql(col: str, code: str) -> str:
+    sw = _sql_str_list(LANG_STOPWORDS[code])
+    return (
+        f"len(list_filter({words_sql(f'lower({col})')}, w -> list_contains({sw}, w)))"
+    )
+
+
+def lang_id_sql(col: str) -> str:
+    """Same CASE-ladder construction loop as functions.text.lang_id."""
+    codes = sorted(LANG_STOPWORDS)
+    hits = {c: lang_hits_sql(col, c) for c in codes}
+    expr = "'und'"
+    for c in reversed(codes):
+        conds = [f"{hits[c]} > 0"]
+        for other in codes:
+            if other == c:
+                continue
+            op = ">=" if other > c else ">"
+            conds.append(f"{hits[c]} {op} {hits[other]}")
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{c}' ELSE {expr} END"
+    return expr
+
+
+def shingles_sql(col: str, n: int = 3) -> str:
+    """list_distinct word n-grams — mirrors hashing.word_shingles."""
+    w = words_sql(col)
+    return (
+        f"(CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({w}) - {n} + 2), "
+        f"i -> array_to_string({w}[i:i+{n - 1}], ' '))) "
+        f"ELSE [] END)"
+    )
+
+
+def minhash_sig_sql(shingles_expr: str, j: int, k: int = 16, seed: int = 42) -> str:
+    """j-th MinHash component over a shingle-list SQL expression."""
+    a, b = minhash_params(k, seed)[j]
+    h = H60.format(v="s")
+    return (
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> ({a} * ({h} % {MERSENNE_31}) + {b}) % {MERSENNE_31}))"
+    )
+
+
+def simhash16_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Full query: 16-bit simhash per doc (mirrors hashing.simhash16)."""
+    h = H60.format(v="tk")
+    bit_sums = ", ".join(
+        f"sum(((hv >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
+    )
+    recon = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({words_sql(text_col)}) AS tk FROM {table}
+), h AS (
+  SELECT {id_col}, {h} AS hv FROM tok
+), bits AS (
+  SELECT {id_col}, {bit_sums} FROM h GROUP BY {id_col}
+)
+SELECT {id_col}, ({recon})::BIGINT AS simhash FROM bits
+"""
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """Cosine over DOUBLE[] lists — same operand order as vectors.cosine."""
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"nullif(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 0.0))"
+    )

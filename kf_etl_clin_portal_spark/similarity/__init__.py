@@ -1,0 +1,5 @@
+"""Approximate-nearest-neighbor search over embedding columns."""
+
+from kf_etl_clin_portal_spark.similarity.ann import brute_force_topk, lsh_bucketed_topk
+
+__all__ = ["brute_force_topk", "lsh_bucketed_topk"]

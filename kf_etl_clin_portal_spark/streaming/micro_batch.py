@@ -1,0 +1,48 @@
+"""Structured Streaming → foreachBatch → MERGE.
+
+The streaming face of the engine: a file-source `readStream` tails the
+change-feed directory (the WAL), and every micro-batch goes through the
+same `CDCPipeline.apply_batch` MERGE as batch replay. Exactly-once is
+double-layered: Spark's checkpoint tracks source offsets, and the commit
+log's batch fence (`stream-<epochId>`) makes the MERGE idempotent even if
+the checkpoint is lost or a batch is re-delivered — the fix for the
+reference's at-most-once ES sink (`RunIndexGenomic.scala:53-57`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+
+def stream_feed_into_table(
+    spark: SparkSession,
+    feed_dir: str,
+    feed_schema: T.StructType,
+    pipeline: CDCPipeline,
+    checkpoint_dir: str,
+    stream_id: str = "stream",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Run the feed directory through the pipeline as a stream; returns the
+    StreamingQuery (caller awaits termination). available_now=True drains
+    everything currently in the directory then stops (test/replay mode);
+    False runs continuously."""
+    reader = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 16)
+        .parquet(feed_dir)
+    )
+
+    def handle(batch_df, epoch_id: int):
+        pipeline.apply_batch(batch_df, batch_id=f"{stream_id}-e{epoch_id:06d}")
+
+    writer = reader.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

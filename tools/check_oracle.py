@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() side-by-side, compare row count + column names + an
+order-insensitive value comparison (pandas sort + equality with dtype
+leniency). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def compare(spdf: pd.DataFrame, opdf: pd.DataFrame, name: str) -> list[str]:
+    problems = []
+    scols, ocols = sorted(spdf.columns), sorted(opdf.columns)
+    if scols != ocols:
+        return [f"{name}: column mismatch spark={scols} oracle={ocols}"]
+    if len(spdf) != len(opdf):
+        problems.append(f"{name}: row count spark={len(spdf)} oracle={len(opdf)}")
+    a = spdf[scols].copy()
+    b = opdf[scols].copy()
+    for c in scols:
+        # canonicalize for sorting/compare
+        if str(a[c].dtype).startswith("datetime") or str(b[c].dtype).startswith("datetime"):
+            a[c] = pd.to_datetime(a[c]).astype("int64")
+            b[c] = pd.to_datetime(b[c]).astype("int64")
+    try:
+        a = a.sort_values(scols, na_position="last").reset_index(drop=True)
+        b = b.sort_values(scols, na_position="last").reset_index(drop=True)
+    except Exception as e:
+        return problems + [f"{name}: unsortable ({e})"]
+    if len(a) == len(b):
+        for c in scols:
+            av, bv = a[c], b[c]
+            try:
+                pd.testing.assert_series_equal(
+                    av, bv, check_dtype=False, check_names=False, check_exact=True
+                )
+            except AssertionError:
+                neq = (av.astype(object).where(pd.notna(av), None)
+                       != bv.astype(object).where(pd.notna(bv), None))
+                idx = neq[neq].index[:3].tolist()
+                examples = [(i, av.iloc[i], bv.iloc[i]) for i in idx]
+                problems.append(f"{name}: column {c} differs, e.g. {examples}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from kf_etl_clin_portal_spark.session import build_session
+
+    spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            print(f"FAIL  {name} (spark error)")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spdf)} rows (rows-only check)")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            print(f"FAIL  {name} (oracle error)")
+            continue
+        problems = compare(spdf, opdf, name)
+        if problems:
+            failures.extend(problems)
+            print(f"FAIL  {name}")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"ok    {name}: {len(spdf)} rows")
+    print()
+    if failures:
+        print(f"{len(failures)} failure(s)")
+        return 1
+    print("all queries match oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
