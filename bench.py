@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total_sec", "value": <sec>, "unit": "sec",
+   "queries": {<name>: <sec>, ...}, "sf": <sf>,
+   "cdc": {"events": N, "events_per_sec": ..., "scaling": {...}}}
+
+Two parts:
+1. Headline analytic queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+2. CDC bulk-replay throughput at two pinned core counts (N and 4N) on the
+   same deterministic feed → scaling efficiency = (rate_4N / rate_N) / 4
+   (BASELINE.md §2; in-sandbox proxy for the N→4N executor criterion, CPUs
+   pinned via sched_setaffinity so the small run can't borrow helper-thread
+   cores). Skip with SPARK_GRAFT_BENCH_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "cdc_latest_state",
+    "cdc_salted_latest",
+    "hourly_windowed",
+    "nation_rollup",
+    "top_orders_per_customer",
+    "nested_orders",
+    "doc_text_stats",
+    "doc_fingerprint_dedup",
+    "minhash_signatures",
+    "simhash",
+    "ngram_jaccard",
+    "embedding_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # sized so per-batch serial driver time amortizes below the
+    # scaling-efficiency noise floor (see BASELINE.md)
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "3000000"))
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    import __spark_entry__ as E
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+    from kf_etl_clin_portal_spark.session import build_session
+
+    spark = build_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+    )
+
+    # ---- headline queries --------------------------------------------------
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize fully
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    # ---- CDC replay + scaling ---------------------------------------------
+    cdc: dict = {}
+    if do_scaling:
+        feed_dir = os.path.join(tempfile.mkdtemp(prefix="bench_feed_"), "feed")
+        generate_change_events(spark, n_events, seed=42, partitions=32).write.parquet(
+            feed_dir
+        )
+        spark.stop()  # free the JVM before pinned subprocess runs
+
+        # scaling pair: N and 4N CPUs, pinned. Default 1→4: on this single-VM
+        # sandbox, shared memory bandwidth caps total throughput near 8+
+        # cores regardless of engine efficiency (BASELINE.md measurements),
+        # which a multi-node cluster does not suffer; 1→4 isolates the
+        # engine's own scaling behavior.
+        pair = os.environ.get("SPARK_GRAFT_BENCH_SCALE_CORES", "1,4")
+        n_small, n_big = (int(x) for x in pair.split(","))
+        runs: dict[int, dict] = {}
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        # interleave N/4N runs, keep the best of each (filters host noise)
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))):
+            for cores in (n_big, n_small):
+                out = subprocess.run(
+                    [
+                        sys.executable,
+                        "-m",
+                        "kf_etl_clin_portal_spark.bench_scaling",
+                        str(cores),
+                        str(n_events),
+                        feed_dir,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                )
+                line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+                if not line:
+                    print(f"# scaling run {cores} failed: {out.stderr[-500:]}", file=sys.stderr)
+                    continue
+                r = json.loads(line[-1])
+                print(f"# scaling: {r}", file=sys.stderr)
+                if cores not in runs or r["events_per_sec"] > runs[cores]["events_per_sec"]:
+                    runs[cores] = r
+        if n_small in runs and n_big in runs:
+            rate_n = runs[n_small]["events_per_sec"]
+            rate_4n = runs[n_big]["events_per_sec"]
+            cdc = {
+                "events": n_events,
+                "events_per_sec": rate_4n,
+                "scaling": {
+                    "n_cores": n_small,
+                    "four_n_cores": n_big,
+                    "rate_n": rate_n,
+                    "rate_4n": rate_4n,
+                    "efficiency": round(rate_4n / rate_n / (n_big / n_small), 3),
+                },
+            }
+    else:
+        spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc": cdc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Scaling-run helper: one CDC bulk replay at a given core count, pinned to
+that many physical CPUs (sched_setaffinity before the JVM starts, so GC /
+shuffle / codec threads share the same budget — an honest single-node proxy
+for an N-executor cluster).
+
+Invoked by bench.py as a subprocess:
+    python -m kf_etl_clin_portal_spark.bench_scaling <cores> <n_events> <feed_dir>
+Prints one JSON line {"cores":..,"wall":..,"eps":..}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n_events = int(sys.argv[2])
+    feed_dir = sys.argv[3]
+
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass  # non-Linux or restricted: fall back to local[N] slot cap only
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"bench-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    feed = spark.read.parquet(feed_dir)
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix=f"bench_tbl_{cores}_", dir=tmp_base)
+
+    # Steady-state measurement: replay n_batches micro-batches into ONE
+    # growing table; batch 1 is the cold run (JIT/codegen compile, page
+    # cache) and is excluded — the reported rate is what a long-running
+    # stream sustains. Batches 2+ also exercise the real merge (non-empty
+    # target), unlike a single bulk load.
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "6"))
+    pipe = CDCPipeline(spark, os.path.join(root, "tbl"), num_buckets=64, prune=False)
+    bounds = [round(i * n_events / n_batches) for i in range(n_batches + 1)]
+    walls = []
+    counts = []
+    from pyspark.sql import functions as Fn
+
+    for i in range(n_batches):
+        chunk = feed.where(
+            (Fn.col("seq") > bounds[i]) & (Fn.col("seq") <= bounds[i + 1])
+        )
+        t0 = time.monotonic()
+        res = pipe.apply_batch(chunk, batch_id=f"bench-b{i:05d}")
+        walls.append(time.monotonic() - t0)
+        counts.append(res.n_events)
+    # first batch = cold (JIT compile, cache); second still warming on some
+    # hosts — steady state is batches 3+
+    skip = n_batches // 2 if n_batches >= 4 else 1
+    steady_events = sum(counts[skip:])
+    steady_wall = sum(walls[skip:])
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_events": sum(counts),
+                "n_batches": n_batches,
+                "batch_walls": [round(w, 2) for w in walls],
+                "steady_events": steady_events,
+                "wall_secs": round(steady_wall, 2),
+                "events_per_sec": round(steady_events / steady_wall),
+            }
+        )
+    )
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # tmpfs tables must not pin RAM
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,16 @@ class CDCPipeline:
         key_cols: tuple[str, ...] = ("repo", "path"),
         num_buckets: int = 16,
         salt_buckets: int = 8,
+        merge_strategy: str = "union_agg",
+        prune: bool | None = None,
     ):
         self.spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
         self.salt_buckets = salt_buckets
+        self.merge_strategy = merge_strategy
+        self.prune = prune
         self._table: SnapshotTable | None = None
 
     # ---------------------------------------------------------------- table
@@ -122,6 +126,8 @@ class CDCPipeline:
             seq_col="seq",
             batch_id=batch_id,
             salt_buckets=self.salt_buckets,
+            strategy=self.merge_strategy,
+            prune=self.prune,
         )
 
     def replay(

@@ -71,10 +71,21 @@ def merge_batch(
     seq_col: str = "seq",
     batch_id: str | None = None,
     salt_buckets: int = 8,
+    strategy: str = "union_agg",
+    prune: bool | None = None,
 ) -> MergeResult:
-    """Apply one micro-batch (already carrying TOMBSTONE_COL) to ``table``."""
-    from kf_etl_clin_portal_spark.cdc.dedup import salted_latest
+    """Apply one micro-batch (already carrying TOMBSTONE_COL) to ``table``.
 
+    strategy="union_agg" (default, the scale path): MERGE as
+    ``(target ∪ batch) groupBy(key) max_by(row, (seq, tiebreak))`` — one wide
+    shuffle; within-batch dedup folds into the same aggregate; Spark's
+    map-side partial combine performs the salt phase implicitly (one combiner
+    per map partition caps what any reducer receives from a hot key).
+
+    strategy="join": the explicit full-outer-join MERGE with the salted
+    two-phase dedup — the didactic/audit path, semantically identical
+    (tested equal), ~2 extra shuffles.
+    """
     table.refresh()
     # 1. epoch fence — replayed batch (driver restart, at-least-once source)
     if batch_id is not None and batch_id in table.applied_batches():
@@ -87,7 +98,123 @@ def merge_batch(
     diff = schema_diff(table.schema, batch.schema)
     target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema
 
-    # 3. latest event per key, salt-partial then final (skew-proof)
+    if strategy == "union_agg":
+        return _merge_union_agg(
+            spark, table, batch, seq_col, batch_id, diff, target_schema, prune=prune
+        )
+    return _merge_join(
+        spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema
+    )
+
+
+def _batch_stats(batch: DataFrame, seq_col: str, key_cols: list[str], num_buckets: int):
+    """One aggregation job over the raw batch: counts + seq range + affected
+    buckets (collect_set of ≤ num_buckets ints — bounded, driver-safe)."""
+    return batch.withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(seq_col).alias("seq_min"),
+        F.max(seq_col).alias("seq_max"),
+        F.sum(F.col(TOMBSTONE_COL).cast("int")).alias("n_del"),
+        F.collect_set(BUCKET_COL).alias("buckets"),
+    ).first()
+
+
+def _order_expr(seq_col: str, schema) -> F.Column:
+    names = {f.name for f in schema.fields}
+    tie = ["commit"] if "commit" in names else []
+    return F.struct(F.col(seq_col), *[F.col(c) for c in tie])
+
+
+def _merge_union_agg(
+    spark, table, batch, seq_col, batch_id, diff, target_schema, prune=None
+) -> MergeResult:
+    key_cols, num_buckets = table.key_cols, table.num_buckets
+
+    # Bucket pruning costs one extra scan of the batch (to learn which
+    # buckets it touches). Worth it for trickle batches hitting a few
+    # buckets of a big table; pure overhead for bulk-replay batches that
+    # touch everything. Heuristic when unspecified: prune only once the
+    # table has more files than buckets-touched-by-everything would imply.
+    if prune is None:
+        prune = len(table.state["files"]) > 0
+
+    if prune:
+        stats = _batch_stats(batch, seq_col, key_cols, num_buckets)
+        n_events = stats["n"] or 0
+        seq_min, seq_max, n_deletes = stats["seq_min"], stats["seq_max"], stats["n_del"] or 0
+        affected = sorted(stats["buckets"] or [])
+        if n_events == 0:
+            return MergeResult(skipped=True, batch_id=batch_id)
+        obs = None
+        src = align_df(batch, target_schema)
+    else:
+        # no pruning → fold batch stats into the merge job itself
+        # (DataFrame.observe: JVM-side accumulators, zero extra passes)
+        from pyspark.sql import Observation
+
+        affected = sorted(range(num_buckets))
+        obs = Observation()
+        src = align_df(batch, target_schema).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min(seq_col).alias("seq_min"),
+            F.max(seq_col).alias("seq_max"),
+            F.sum(F.col(TOMBSTONE_COL).cast("int")).alias("n_del"),
+        )
+
+    target = align_df(table.read(spark, buckets=affected), target_schema)
+    data_cols = [f.name for f in target_schema.fields]
+    row = F.struct(*[F.col(c) for c in data_cols])
+    order = _order_expr(seq_col, target_schema)
+
+    # ONE wide shuffle total: repartition(n, key) hash-partitions by key;
+    # the groupBy reuses that exchange (same clustering), and because
+    # bucket_expr == Spark's partition-id expression, every output partition
+    # holds exactly one bucket — the partitionBy file write needs no second
+    # repartition. (The explicit repartition is also the north-rule skew
+    # control point: the monorepo's paths fan out across all n partitions.)
+    merged = (
+        target.unionByName(src)
+        .repartition(num_buckets, *[F.col(c) for c in key_cols])
+        .groupBy(*key_cols)
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(F.col("__row.*"))
+        .withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
+    )
+    new_files = table.write_data_files(merged, schema_id=_next_schema_id(table, target_schema))
+    if obs is not None:
+        got = obs.get
+        n_events, n_deletes = got["n"] or 0, got["n_del"] or 0
+        seq_min, seq_max = got["seq_min"], got["seq_max"]
+        if n_events == 0:
+            # empty batch wrote nothing new worth keeping — commit anyway is
+            # wasteful; drop the rewritten files and skip
+            for f in new_files:
+                _unlink(table.root, f["path"])
+            return MergeResult(skipped=True, batch_id=batch_id)
+    return _commit_merge(
+        table, new_files, affected, diff, target_schema, batch_id,
+        n_events, n_deletes, seq_min, seq_max,
+    )
+
+
+def _unlink(root: str, rel_path: str) -> None:
+    import os
+
+    try:
+        os.unlink(os.path.join(root, rel_path))
+    except FileNotFoundError:
+        pass
+
+
+def _merge_join(
+    spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema
+) -> MergeResult:
+    from kf_etl_clin_portal_spark.cdc.dedup import salted_latest
+
+    key_cols, num_buckets = table.key_cols, table.num_buckets
+
+    # 3. latest event per key, salt-partial then final (explicitly skew-proof)
     latest = salted_latest(
         batch, key_cols=key_cols, seq_col=seq_col, salt_buckets=salt_buckets,
         with_raw_counts=True,
@@ -95,10 +222,8 @@ def merge_batch(
     latest = latest.withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
     latest.cache()
     try:
-        # batch-level stats in ONE job (counts + seq range + affected buckets)
         stats = latest.agg(
             F.sum("__n_raw").alias("n"),
-            F.count(F.lit(1)).alias("n_keys"),
             F.min("__seq_min_raw").alias("seq_min"),
             F.max(seq_col).alias("seq_max"),
             F.sum("__n_del_raw").alias("n_del"),
@@ -140,36 +265,45 @@ def merge_batch(
         # 6. one writer partition per bucket → one file per bucket
         merged = merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         new_files = table.write_data_files(merged, schema_id=_next_schema_id(table, target_schema))
-
-        commit = table.commit(
-            operation="merge",
-            new_files=new_files,
-            replaced_buckets=set(affected),
-            new_schema=target_schema if diff.changes_table else None,
-            batch_id=batch_id,
-            lineage={
-                "seq_min": seq_min,
-                "seq_max": seq_max,
-                "n_events": n_events,
-                "n_upserts": n_events - n_deletes,
-                "n_deletes": n_deletes,
-                "buckets_touched": len(affected),
-                "schema_evolved": diff.changes_table,
-            },
-        )
-        return MergeResult(
-            skipped=False,
-            batch_id=batch_id,
-            version=commit.version,
-            snapshot_id=commit.snapshot_id,
-            n_events=n_events,
-            n_upserts=n_events - n_deletes,
-            n_deletes=n_deletes,
-            buckets_touched=len(affected),
-            schema_evolved=diff.changes_table,
+        return _commit_merge(
+            table, new_files, affected, diff, target_schema, batch_id,
+            n_events, n_deletes, seq_min, seq_max,
         )
     finally:
         latest.unpersist()
+
+
+def _commit_merge(
+    table, new_files, affected, diff, target_schema, batch_id,
+    n_events, n_deletes, seq_min, seq_max,
+) -> MergeResult:
+    commit = table.commit(
+        operation="merge",
+        new_files=new_files,
+        replaced_buckets=set(affected),
+        new_schema=target_schema if diff.changes_table else None,
+        batch_id=batch_id,
+        lineage={
+            "seq_min": seq_min,
+            "seq_max": seq_max,
+            "n_events": n_events,
+            "n_upserts": n_events - n_deletes,
+            "n_deletes": n_deletes,
+            "buckets_touched": len(affected),
+            "schema_evolved": diff.changes_table,
+        },
+    )
+    return MergeResult(
+        skipped=False,
+        batch_id=batch_id,
+        version=commit.version,
+        snapshot_id=commit.snapshot_id,
+        n_events=n_events,
+        n_upserts=n_events - n_deletes,
+        n_deletes=n_deletes,
+        buckets_touched=len(affected),
+        schema_evolved=diff.changes_table,
+    )
 
 
 def vacuum_tombstones(

@@ -51,11 +51,16 @@ BUCKET_COL = "__bucket"
 
 
 def bucket_expr(key_cols: list[str], num_buckets: int):
-    """The partition transform: bucket(num_buckets, key...) via xxhash64.
+    """The partition transform: bucket(num_buckets, key...).
 
-    xxhash64 is a JVM-side codegen'd hash — no Python in the hot path.
+    Deliberately ``pmod(murmur3_hash(key), n)`` — EXACTLY Spark's
+    HashPartitioning partition-id expression. Consequence: after
+    ``df.repartition(n, *key_cols)`` every row already sits in the shuffle
+    partition equal to its bucket, so a bucket-wise file layout falls out of
+    the aggregation shuffle with NO second repartition (`lake/merge.py`).
+    JVM codegen'd, no Python in the hot path.
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
 @dataclass
@@ -214,7 +219,7 @@ class SnapshotTable:
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
-        entries: list[dict[str, Any]] = []
+        moved: list[tuple[int, str, str]] = []  # (bucket, rel_path, abs_path)
         for bucket_dir in sorted(os.listdir(staging)):
             if not bucket_dir.startswith(f"{BUCKET_COL}="):
                 continue
@@ -228,16 +233,24 @@ class SnapshotTable:
                 new_name = f"part-{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(tgt_dir, new_name)
                 os.rename(src, dst)
-                meta = pq.read_metadata(dst)
-                entries.append(
-                    {
-                        "path": os.path.join(_DATA_DIR, f"b={bucket}", new_name),
-                        "bucket": bucket,
-                        "schema_id": schema_id,
-                        "rows": meta.num_rows,
-                        "bytes": os.path.getsize(dst),
-                    }
-                )
+                moved.append((bucket, os.path.join(_DATA_DIR, f"b={bucket}", new_name), dst))
+
+        # footer reads parallelized — a serial per-file loop here becomes the
+        # Amdahl bottleneck of the whole merge at high core counts
+        from concurrent.futures import ThreadPoolExecutor
+
+        def stat_one(item: tuple[int, str, str]) -> dict[str, Any]:
+            bucket, rel, dst = item
+            return {
+                "path": rel,
+                "bucket": bucket,
+                "schema_id": schema_id,
+                "rows": pq.read_metadata(dst).num_rows,
+                "bytes": os.path.getsize(dst),
+            }
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            entries = list(pool.map(stat_one, moved))
         _rmtree(staging)
         return entries
 

@@ -50,6 +50,20 @@ def test_replay_out_of_order_matches_oracle(spark, events_path, tmp_path):
     assert report["ok"], report
 
 
+def test_join_strategy_equals_union_agg(spark, events_path, tmp_path):
+    """The explicit salted-dedup + full-outer-join MERGE and the union_agg
+    fast path are semantically identical — byte-equal final states."""
+    pipe_j = CDCPipeline(
+        spark, str(tmp_path / "tblj"), num_buckets=8, merge_strategy="join"
+    )
+    stats = pipe_j.replay(
+        _feed(spark, events_path), n_batches=4, by="delivery", feed_id="joinpath"
+    )
+    assert stats.n_events == N_EVENTS
+    report = verify_parity(pipe_j.current(), events_path)
+    assert report["ok"], report
+
+
 def test_exactly_once_replayed_batches_fence(spark, events_path, tmp_path):
     pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
     feed = _feed(spark, events_path)
@@ -114,6 +128,26 @@ def test_tombstone_vacuum(spark, events_path, tmp_path):
     # visible state unchanged by vacuum
     report = verify_parity(pipe.current(), events_path)
     assert report["ok"], report
+
+
+def test_bucket_expr_matches_spark_partitioning(spark):
+    """Load-bearing invariant for the one-shuffle merge: bucket_expr must
+    equal Spark's HashPartitioning partition id, so repartition(n, keys)
+    co-locates each bucket in exactly one partition."""
+    from pyspark.sql import functions as F
+
+    from kf_etl_clin_portal_spark.lake.table import bucket_expr
+
+    df = generate_change_events(spark, 2_000, seed=3)
+    n = 16
+    check = (
+        df.repartition(n, F.col("repo"), F.col("path"))
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("bucket", bucket_expr(["repo", "path"], n))
+        .where(F.col("pid") != F.col("bucket"))
+        .count()
+    )
+    assert check == 0
 
 
 def test_generator_deterministic_across_parallelism(spark):
