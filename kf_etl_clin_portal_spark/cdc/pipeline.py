@@ -116,7 +116,9 @@ class CDCPipeline:
         )
 
     # ---------------------------------------------------------------- apply
-    def apply_batch(self, events: DataFrame, batch_id: str) -> MergeResult:
+    def apply_batch(
+        self, events: DataFrame, batch_id: str, prune: bool | None = None
+    ) -> MergeResult:
         batch = self.prepare_batch(events)
         self.ensure_table(batch.schema)
         return merge_batch(
@@ -127,7 +129,7 @@ class CDCPipeline:
             batch_id=batch_id,
             salt_buckets=self.salt_buckets,
             strategy=self.merge_strategy,
-            prune=self.prune,
+            prune=self.prune if prune is None else prune,
         )
 
     def replay(

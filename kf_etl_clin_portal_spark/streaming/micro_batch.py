@@ -38,7 +38,13 @@ def stream_feed_into_table(
     )
 
     def handle(batch_df, epoch_id: int):
-        pipeline.apply_batch(batch_df, batch_id=f"{stream_id}-e{epoch_id:06d}")
+        # prune=True forces the explicit batch-stats job instead of
+        # DataFrame.observe: QueryExecutionListener events never reach an
+        # Observation from inside a foreachBatch callback (verified on
+        # Spark 4.1), so obs.get would deadlock the stream.
+        pipeline.apply_batch(
+            batch_df, batch_id=f"{stream_id}-e{epoch_id:06d}", prune=True
+        )
 
     writer = reader.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,132 @@
+"""Function-library tests: pandas-UDF ↔ JVM-expression parity, hashing
+portability invariants, vector math, multimodal plumbing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions import text as TX
+from kf_etl_clin_portal_spark.functions.hashing import (
+    h60,
+    hamming16,
+    minhash_signature,
+    simhash16,
+    word_shingles,
+)
+from kf_etl_clin_portal_spark.functions.vectors import cosine, cosine_pandas
+from kf_etl_clin_portal_spark.multimodal import (
+    attach_media_metadata,
+    decode_and_featurize,
+    fake_decode_features,
+)
+from kf_etl_clin_portal_spark.multimodal.binary import DecoderUnavailable
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, text="  The quick  Brown fox "),
+            Row(id=2, text="le chat est la et le chien est la"),
+            Row(id=3, text="one two three four five six seven"),
+        ]
+    )
+
+
+def test_normalize_pandas_equals_jvm(spark, texts):
+    out = texts.select(
+        TX.normalize_text(F.col("text")).alias("jvm"),
+        TX.normalize_text_pandas(F.col("text")).alias("arrow"),
+    )
+    assert out.where(F.col("jvm") != F.col("arrow")).count() == 0
+
+
+def test_token_count_pandas_equals_jvm(spark, texts):
+    out = texts.select(
+        TX.n_tokens(F.col("text")).cast("long").alias("jvm"),
+        TX.token_count_pandas(F.col("text")).alias("arrow"),
+    )
+    assert out.where(F.col("jvm") != F.col("arrow")).count() == 0
+
+
+def test_h60_matches_python_md5(spark):
+    df = spark.createDataFrame([Row(s="hello")]).select(h60(F.col("s")).alias("h"))
+    expected = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert df.first()["h"] == expected
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(t="w1 w2 w3 w4"), Row(t="a b")])
+    got = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert got[0]["s"] == ["w1 w2 w3", "w2 w3 w4"]
+    assert got[1]["s"] == []
+
+
+def test_minhash_identical_texts_agree(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="a b c d e f g"), Row(id=2, t="a b c d e f g"), Row(id=3, t="x y z q r s t")]
+    )
+    sigs = df.select("id", minhash_signature(word_shingles(F.col("t"), 3)).alias("sig"))
+    got = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert len(got[1]) == 16
+
+
+def test_simhash_close_for_similar(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="the quick brown fox jumps over the lazy dog"),
+            Row(id=2, t="the quick brown fox jumps over the lazy cat"),
+        ]
+    )
+    sh = df.select("id", simhash16(F.col("t")).alias("s"))
+    a, b = [r["s"] for r in sh.orderBy("id").collect()]
+    dist = spark.createDataFrame([Row(a=a, b=b)]).select(
+        hamming16(F.col("a"), F.col("b")).alias("d")
+    ).first()["d"]
+    assert 0 <= dist <= 6  # near-dup texts land close in simhash space
+
+
+def test_cosine_jvm_equals_pandas(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0]), Row(a=[1.0, 0.0, 0.0], b=[0.0, 1.0, 0.0])]
+    )
+    out = df.select(
+        F.round(cosine(F.col("a"), F.col("b")), 9).alias("jvm"),
+        F.round(cosine_pandas(F.col("a"), F.col("b")), 9).alias("arrow"),
+    )
+    assert out.where(F.col("jvm") != F.col("arrow")).count() == 0
+
+
+# ---------------------------------------------------------------- multimodal
+def _media_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", payload=b"\x89PNG fake bytes 123"),
+            Row(media_id=2, kind="audio", payload=b"RIFF fake wav data xx"),
+        ]
+    )
+
+
+def test_attach_media_metadata_jvm(spark):
+    out = attach_media_metadata(_media_df(spark))
+    r = {x["media_id"]: x for x in out.collect()}
+    assert r[1]["n_bytes"] == len(b"\x89PNG fake bytes 123")
+    assert r[1]["payload_sha256"] == hashlib.sha256(b"\x89PNG fake bytes 123").hexdigest()
+
+
+def test_decode_and_featurize_with_fake_decoder(spark):
+    out = decode_and_featurize(_media_df(spark), decoder=fake_decode_features)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert len(got[1]["features"]) == 8
+    assert abs(sum(got[1]["features"]) - 1.0) < 1e-3  # histogram normalized
+    assert got[2]["payload_sha256"] == hashlib.sha256(b"RIFF fake wav data xx").hexdigest()
+
+
+def test_decode_without_decoder_raises(spark):
+    with pytest.raises(DecoderUnavailable):
+        decode_and_featurize(_media_df(spark), decoder=None)

@@ -1,0 +1,132 @@
+"""Operator-level unit tests — the reference's single-Column test style
+(`etl/src/test/scala/bio/ferlab/etl/prepared/clinical/UtilsSpec.scala:23-752`):
+tiny golden inputs, order-insensitive row comparison.
+"""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.enrich import (
+    anti,
+    enrich_left,
+    membership_join,
+    resolve_parent_chain,
+    semi,
+    split_pair_join,
+)
+from kf_etl_clin_portal_spark.operators.nest import nest_children, nest_two_level
+from kf_etl_clin_portal_spark.operators.rollup import group_rollup
+
+
+def rows(df):
+    return sorted([r.asDict(recursive=True) for r in df.collect()], key=str)
+
+
+def test_enrich_left_coalesce_defaults(spark):
+    fact = spark.createDataFrame([Row(id=1, k="a"), Row(id=2, k="b")])
+    dim = spark.createDataFrame([Row(k="a", name="alpha")])
+    out = enrich_left(fact, dim, on="k", defaults={"name": "UNKNOWN"})
+    got = {r["id"]: r["name"] for r in rows(out)}
+    assert got == {1: "alpha", 2: "UNKNOWN"}
+
+
+def test_membership_join_equals_containment(spark):
+    """Explode+equi rewrite must equal the naive array_contains theta-join
+    (the reference's J4, `prepared/clinical/Utils.scala:369-376`)."""
+    fam = spark.createDataFrame(
+        [Row(fam="f1", members=["p1", "p2"]), Row(fam="f2", members=["p3"])]
+    )
+    people = spark.createDataFrame(
+        [Row(pid="p1", age=10), Row(pid="p2", age=20), Row(pid="p3", age=30), Row(pid="p4", age=40)]
+    )
+    fast = membership_join(fam, people, "members", "pid").select("fam", "pid", "age")
+    naive = (
+        fam.join(people, on=F.array_contains(fam["members"], people["pid"]))
+        .select("fam", "pid", "age")
+    )
+    assert rows(fast) == rows(naive)
+
+
+def test_resolve_parent_chain_pointer_jumping(spark):
+    """Chain a→b→c→d→e (depth 4) plus a root-only node; pointer jumping must
+    resolve every node to the root in ceil(log2(depth)) iterations."""
+    df = spark.createDataFrame(
+        [
+            Row(id="a", parent="b"),
+            Row(id="b", parent="c"),
+            Row(id="c", parent="d"),
+            Row(id="d", parent="e"),
+            Row(id="e", parent=None),
+            Row(id="x", parent=None),
+        ]
+    )
+    out = resolve_parent_chain(df, "id", "parent", max_depth=10)
+    got = {r["id"]: r["root_id"] for r in rows(out)}
+    assert got == {"a": "e", "b": "e", "c": "e", "d": "e", "e": "e", "x": "x"}
+
+
+def test_split_pair_join_index_files(spark):
+    """File ↔ index-file pairing (J6, `Transformations.scala:197-214`)."""
+    files = spark.createDataFrame(
+        [
+            Row(fid="f1", fmt="cram", relate=None),
+            Row(fid="f2", fmt="crai", relate="f1"),
+            Row(fid="f3", fmt="vcf", relate=None),
+        ]
+    )
+    out = split_pair_join(
+        files,
+        split_pred=F.col("fmt").isin("crai", "tbi", "bai"),
+        relate_col="relate",
+        id_col="fid",
+        nested_cols=["fid", "fmt"],
+    )
+    got = {r["fid"]: r for r in rows(out)}
+    assert set(got) == {"f1", "f3"}
+    assert [x["fid"] for x in got["f1"]["index_files"]] == ["f2"]
+    assert got["f3"]["index_files"] is None or got["f3"]["index_files"] == []
+
+
+def test_semi_anti(spark):
+    a = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    b = spark.createDataFrame([Row(k=2), Row(k=3), Row(k=4)])
+    assert sorted(r["k"] for r in semi(a, b, "k").collect()) == [2, 3]
+    assert sorted(r["k"] for r in anti(a, b, "k").collect()) == [1]
+
+
+def test_nest_children_sorted_and_empty(spark):
+    parents = spark.createDataFrame([Row(pid=1), Row(pid=2)])
+    children = spark.createDataFrame(
+        [Row(pid=1, c="z"), Row(pid=1, c="a"), Row(pid=1, c="m")]
+    )
+    out = nest_children(parents, children, on="pid", child_cols=["c"], alias="cs")
+    got = {r["pid"]: [x["c"] for x in r["cs"]] for r in rows(out)}
+    assert got == {1: ["a", "m", "z"], 2: []}
+
+
+def test_nest_two_level(spark):
+    df = spark.createDataFrame(
+        [
+            Row(u=1, t="click", h="h1"),
+            Row(u=1, t="click", h="h2"),
+            Row(u=1, t="view", h="h1"),
+        ]
+    )
+    out = nest_two_level(df, ["u"], ["t"], "h")
+    r = rows(out)[0]
+    assert r["u"] == 1
+    groups = {g["t"]: g["items"] for g in r["groups"]}
+    assert groups == {"click": ["h1", "h2"], "view": ["h1"]}
+
+
+def test_group_rollup(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=1, w=2.0), Row(g="a", v=2, w=3.0), Row(g="b", v=1, w=1.0)]
+    )
+    out = group_rollup(
+        df, ["g"], count_distinct_cols=["v"], sum_cols=["w"], set_cols=["v"]
+    )
+    got = {r["g"]: r for r in rows(out)}
+    assert got["a"]["n_rows"] == 2 and got["a"]["n_v"] == 2 and got["a"]["sum_w"] == 5.0
+    assert got["a"]["set_v"] == [1, 2]
+    assert got["b"]["n_rows"] == 1

@@ -1,0 +1,71 @@
+"""Structured Streaming front-end: file-source WAL tail → foreachBatch MERGE.
+
+Exactly-once is double-layered (Spark checkpoint offsets + commit-log batch
+fence); the fence alone must survive checkpoint loss.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.streaming import stream_feed_into_table
+
+
+def _write_feed_files(spark, events, feed_dir, n_files=6):
+    # several files so maxFilesPerTrigger produces several micro-batches
+    events.repartition(n_files).write.mode("overwrite").parquet(feed_dir)
+
+
+def test_stream_available_now_matches_oracle(spark, tmp_path):
+    events = generate_change_events(spark, 4_000, seed=11)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, events, feed_dir)
+
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    q = stream_feed_into_table(
+        spark,
+        feed_dir,
+        spark.read.parquet(feed_dir).schema,
+        pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        stream_id="s1",
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+    report = verify_parity(pipe.current(), feed_dir)
+    assert report["ok"], report
+    # several micro-batches committed, each with lineage
+    merges = pipe.manifest().where(F.col("operation") == "merge").count()
+    assert merges >= 2
+
+
+def test_stream_resume_after_checkpoint_continues(spark, tmp_path):
+    """Drain, then append new feed files and run the stream again with the
+    SAME checkpoint: only the new files are processed; final state = full
+    replay oracle."""
+    events = generate_change_events(spark, 4_000, seed=13)
+    early = events.where(F.col("seq") <= 2_000)
+    late = events.where(F.col("seq") > 2_000)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, early, feed_dir, n_files=2)
+
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    schema = spark.read.parquet(feed_dir).schema
+    ckpt = str(tmp_path / "ckpt")
+    q1 = stream_feed_into_table(spark, feed_dir, schema, pipe, ckpt, stream_id="s2")
+    q1.awaitTermination(300)
+    v_mid = pipe.table.version
+
+    # append the late files (new WAL segments) and resume
+    late.repartition(2).write.mode("append").parquet(feed_dir)
+    q2 = stream_feed_into_table(spark, feed_dir, schema, pipe, ckpt, stream_id="s2b")
+    q2.awaitTermination(300)
+    assert pipe.table.version > v_mid
+
+    full_dir = str(tmp_path / "full")
+    events.write.parquet(full_dir)
+    report = verify_parity(pipe.current(), full_dir)
+    assert report["ok"], report
