@@ -167,21 +167,30 @@ def _merge_union_agg(
     row = F.struct(*[F.col(c) for c in data_cols])
     order = _order_expr(seq_col, target_schema)
 
-    # ONE wide shuffle total: repartition(n, key) hash-partitions by key;
-    # the groupBy reuses that exchange (same clustering), and because
-    # bucket_expr == Spark's partition-id expression, every output partition
-    # holds exactly one bucket — the partitionBy file write needs no second
-    # repartition. (The explicit repartition is also the north-rule skew
-    # control point: the monorepo's paths fan out across all n partitions.)
-    merged = (
-        target.unionByName(src)
-        .repartition(num_buckets, *[F.col(c) for c in key_cols])
-        .groupBy(*key_cols)
-        .agg(F.max_by(row, order).alias("__row"))
-        .select(F.col("__row.*"))
-        .withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
-    )
-    new_files = table.write_data_files(merged, schema_id=_next_schema_id(table, target_schema))
+    # ONE wide shuffle total, with map-side combine: the groupBy plans
+    # partial_max_by BEFORE its exchange (a hot key is pre-reduced inside
+    # every map partition — the salt phase performed by Spark itself), and
+    # with shuffle.partitions pinned to num_buckets for this job the
+    # exchange is hashpartitioning(key, num_buckets) — exactly bucket_expr —
+    # so every output partition holds whole buckets and the partitionBy
+    # file write needs no second repartition. (An explicit
+    # repartition-before-groupBy would look equivalent but kills the
+    # map-side combine: partial agg would run after the exchange.)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
+    try:
+        merged = (
+            target.unionByName(src)
+            .groupBy(*key_cols)
+            .agg(F.max_by(row, order).alias("__row"))
+            .select(F.col("__row.*"))
+            .withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
+        )
+        new_files = table.write_data_files(
+            merged, schema_id=_next_schema_id(table, target_schema)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     if obs is not None:
         got = obs.get
         n_events, n_deletes = got["n"] or 0, got["n_del"] or 0

@@ -1,0 +1,125 @@
+"""Plan audit: print formatted plans for load-bearing queries and assert the
+physical properties we designed for (pushdown, broadcast, shuffle counts).
+
+    python tools/explain_audit.py [sf_dir]
+"""
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_exchanges(plan: str) -> int:
+    # count detail headers only ("(9) Exchange"), not tree-view references;
+    # BroadcastExchange is not a wide shuffle
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M))
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+    from kf_etl_clin_portal_spark.session import build_session
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.schema import align_df
+    from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, bucket_expr
+    from pyspark.sql import functions as F
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    problems = []
+
+    # 1. predicate pushdown + column pruning reach the parquet scan
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    if "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" not in p:
+        problems.append("lineitem filter NOT pushed to scan")
+    m = re.search(r"ReadSchema: (\S+)", p)
+    if m and ("l_extendedprice" in m.group(0) or "l_comment" in m.group(0)):
+        problems.append("column pruning failed (extra columns read)")
+    print("== scan pushdown/pruning ==")
+    print(p[:1200])
+
+    # 2. enrich join broadcasts the dimension side
+    p = plan_of(E.q_enrich_orders(spark, sf))
+    if "BroadcastHashJoin" not in p:
+        problems.append("enrich_orders: no BroadcastHashJoin")
+    print("== enrich broadcast ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l or "Broadcast" in l))
+
+    # 3. merge plan: exactly ONE wide exchange (the repartition-by-key),
+    #    reused by the groupBy
+    import tempfile
+    ev = generate_change_events(spark, 10_000, seed=5)
+    pipe = CDCPipeline(spark, tempfile.mkdtemp() + "/t", num_buckets=8)
+    batch = pipe.prepare_batch(ev)
+    table = pipe.ensure_table(batch.schema)
+    schema = table.schema
+    src = align_df(batch, schema)
+    target = align_df(table.read(spark), schema)
+    row = F.struct(*[F.col(c) for c in schema.fieldNames()])
+    order = F.struct(F.col("seq"), F.col("commit"))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    merged = (
+        target.unionByName(src)
+        .groupBy("repo", "path")
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(F.col("__row.*"))
+        .withColumn(BUCKET_COL, bucket_expr(["repo", "path"], 8))
+    )
+    p = plan_of(merged)
+    n_ex = count_exchanges(p)
+    print("== merge exchanges ==")
+    print("\n".join(l for l in p.splitlines() if "Exchange" in l or "Aggregate" in l or "partial" in l))
+    if n_ex != 1:
+        problems.append(f"merge plan has {n_ex} exchanges, want exactly 1")
+    # map-side combine must be planned BEFORE the exchange
+    lines = p.splitlines()
+    ex_idx = next(i for i, l in enumerate(lines) if re.match(r"\(\d+\) Exchange", l))
+    partial_idx = next(
+        (i for i, l in enumerate(lines) if "partial_max_by" in l), None
+    )
+    if partial_idx is None:
+        problems.append("merge agg lacks partial aggregation")
+
+    # 4. ANN brute force: query side broadcast, no corpus shuffle before window
+    p = plan_of(E.q_embedding_topk(spark, sf))
+    if "BroadcastNestedLoopJoin" not in p and "BroadcastHashJoin" not in p:
+        problems.append("embedding_topk: queries not broadcast")
+    print("== ann broadcast ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l or "Broadcast" in l))
+
+    # 5. no Python eval in the text-stats hot path (higher-order fns are
+    # JVM interpreted-expression, not codegen — that is expected)
+    p = plan_of(E.q_doc_text_stats(spark, sf))
+    if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+        problems.append("doc_text_stats: Python eval in hot path")
+    # codegen sanity on a plain-expression query instead
+    # (under AQE, codegen ids only appear in the final executed plan, so we
+    # assert the agg shape instead: hash agg with map-side partial sums)
+    p = plan_of(E.q1_pricing_summary(spark, sf))
+    if "HashAggregate" not in p or "partial_sum" not in p:
+        problems.append("q1: expected HashAggregate with partial_sum")
+
+    print()
+    if problems:
+        print("AUDIT FAILURES:")
+        for x in problems:
+            print(" -", x)
+        return 1
+    print("plan audit OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
