@@ -24,7 +24,14 @@ from kf_etl_clin_portal_spark.dedup.simhash import simhash_fingerprints
 from kf_etl_clin_portal_spark.dedup.embedding import cosine_near_dup_pairs
 from kf_etl_clin_portal_spark.functions import text as TX
 from kf_etl_clin_portal_spark.functions.hashing import word_shingles
-from kf_etl_clin_portal_spark.operators.enrich import anti, enrich_left
+from kf_etl_clin_portal_spark.operators.enrich import (
+    anti,
+    enrich_left,
+    membership_join,
+    resolve_parent_chain,
+    split_pair_join,
+)
+from kf_etl_clin_portal_spark.operators.history import changes_between, scd2_history
 from kf_etl_clin_portal_spark.operators.nest import nest_two_level
 from kf_etl_clin_portal_spark.operators.rollup import group_rollup
 from kf_etl_clin_portal_spark.plans import oracle_sql as OSQL
@@ -386,6 +393,188 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def q_member_top_custs(spark, sf):
+    """J4 containment join (`prepared/clinical/Utils.scala:369-376`) via the
+    explode+equi rewrite — nation→member-array built first, then resolved
+    back to member rows through `membership_join` (no BroadcastNestedLoopJoin)."""
+    cust = _t(spark, sf, "customer")
+    members = (
+        cust.where(F.col("c_acctbal") > 9500)
+        .groupBy("c_nationkey")
+        .agg(F.collect_set("c_custkey").alias("member_ids"))
+    )
+    out = membership_join(
+        members, cust.select("c_custkey", "c_name"), "member_ids", "c_custkey"
+    )
+    return out.select("c_nationkey", "c_custkey", "c_name")
+
+
+def q_part_root_chain(spark, sf):
+    """J5 iterated self-join parent resolution
+    (`SpecimensTransformations.scala:19-51`) by pointer-jumping: synthetic
+    parent pointer p/2, chain depth ~11 over the part table."""
+    part = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") < 2, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("p_partkey") / 2).cast("long"))
+        .alias("parent_key"),
+    )
+    out = resolve_parent_chain(part, "p_partkey", "parent_key", max_depth=12)
+    return out.select("p_partkey", "root_id")
+
+
+def q_order_lines_pair(spark, sf):
+    """J6 split + self-join pairing (`Transformations.scala:197-214`):
+    line 1 of each order carries its extra lines nested, serialized."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    out = split_pair_join(
+        li,
+        F.col("l_linenumber") > 1,
+        relate_col="l_orderkey",
+        id_col="l_orderkey",
+        nested_alias="extra_lines",
+        nested_cols=["l_linenumber", "l_partkey"],
+    )
+    ser = F.concat_ws(
+        ";",
+        F.transform(
+            "extra_lines",
+            lambda x: F.concat_ws(
+                ":",
+                x["l_linenumber"].cast("string"),
+                x["l_partkey"].cast("string"),
+            ),
+        ),
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.coalesce(ser, F.lit("")).alias("extra"),
+    )
+
+
+def q_latest_event_maxby(spark, sf):
+    """A4 dedup-by-key as one-shuffle hash aggregate (`max_by`), the
+    reference's groupBy+first (`SpecimensTransformations.scala:88-89`) with
+    an explicit ordering."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def q_doc_hash_map(spark, sf):
+    """§2.9 extractHashes analog: map_from_entries built hash map,
+    serialized entry-order-stable (`normalized/clinical/Utils.scala:60-63`)."""
+    docs = _t(spark, sf, "documents")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("md5").alias("key"), F.md5(F.col("text")).alias("value")),
+            F.struct(
+                F.lit("sha256").alias("key"),
+                F.sha2(F.col("text"), 256).alias("value"),
+            ),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries(m), lambda e: F.concat_ws(":", e["key"], e["value"])
+            ),
+        ).alias("hashes"),
+    )
+
+
+def q_word_classes(spark, sf):
+    """§2.9 codingClassify analog: higher-order transform + when ladder over
+    the first five tokens (`normalized/clinical/Utils.scala:50-56` rebuilt
+    UDF-free)."""
+    docs = _t(spark, sf, "documents")
+    w5 = F.slice(TX.words(F.lower(F.col("text"))), 1, 5)
+    classes = F.transform(
+        w5,
+        lambda w: F.when(w.rlike("^[0-9]+$"), F.concat(w, F.lit("#num")))
+        .when(F.length(w) > 5, F.concat(w, F.lit("#long")))
+        .otherwise(F.concat(w, F.lit("#short"))),
+    )
+    return docs.select("doc_id", F.concat_ws(" ", classes).alias("classes"))
+
+
+def q_monthly_orders(spark, sf):
+    """Temporal rollup: date_trunc month + priority."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q_cust_key_extract(spark, sf):
+    """P4 regex predicate + regexp_extract id parsing
+    (`FhirToNormalizedMappings.scala:15-16` fhir_id extraction idiom)."""
+    cust = _t(spark, sf, "customer")
+    return (
+        cust.where(F.col("c_name").rlike("00$"))
+        .select(
+            "c_name",
+            F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("cust_num"),
+            F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+        )
+    )
+
+
+def q_scd2_history(spark, sf):
+    """SCD2 validity intervals over the events WAL (lead window)."""
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    return scd2_history(ev, key_cols=["user_id"], seq_col="event_id")
+
+
+def q_snapshot_diff(spark, sf):
+    """Snapshot diff (Iceberg CDC-view analog): keys added/removed/changed
+    between the first-half and full prefix of the WAL."""
+    ev = _t(spark, sf, "events")
+    mid = 5000  # same literal in the oracle SQL — half the sf0.01 WAL
+    half = window_latest(
+        ev.where(F.col("event_id") <= mid).select("user_id", "event_type", "event_id"),
+        key_cols=["user_id"],
+        seq_col="event_id",
+        tiebreak=[],
+    ).select("user_id", F.col("event_type").alias("h"))
+    full = window_latest(
+        ev.select("user_id", "event_type", "event_id"),
+        key_cols=["user_id"],
+        seq_col="event_id",
+        tiebreak=[],
+    ).select("user_id", F.col("event_type").alias("h"))
+    return changes_between(half, full, key_cols=["user_id"], hash_col="h")
+
+
+def q_lang_sets(spark, sf):
+    """§2.7 array set algebra: array_union of collected sets with a constant
+    set, sorted + serialized (`OntologyUtils.scala:70` idiom)."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.array_union(F.collect_set("lang"), F.array(F.lit("en")))
+            ),
+        ).alias("langs_plus_en"),
+        F.size(F.array_distinct(F.collect_list("lang"))).cast("long").alias("n_langs"),
+    )
+
+
 # ---- weaker (rows-only) checks: approximate / non-SQL-expressible ops ----
 def q_minhash_lsh_pairs(spark, sf):
     return minhash_near_dups(_t(spark, sf, "documents"), min_agreement=0.3)
@@ -443,6 +632,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "member_top_custs": q_member_top_custs,
+        "part_root_chain": q_part_root_chain,
+        "order_lines_pair": q_order_lines_pair,
+        "latest_event_maxby": q_latest_event_maxby,
+        "doc_hash_map": q_doc_hash_map,
+        "word_classes": q_word_classes,
+        "monthly_orders": q_monthly_orders,
+        "cust_key_extract": q_cust_key_extract,
+        "lang_sets": q_lang_sets,
+        "scd2_history": q_scd2_history,
+        "snapshot_diff": q_snapshot_diff,
         # rows-only (approximate / non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -648,5 +848,108 @@ def oracle_sql() -> dict[str, str]:
                    round({OSQL.cosine_sql('a.v', 'b.v')}, 6) AS cos
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({OSQL.cosine_sql('a.v', 'b.v')}, 6) >= 0.25
+        """,
+        "member_top_custs": """
+            SELECT c_nationkey, c_custkey, c_name
+            FROM customer WHERE c_acctbal > 9500
+        """,
+        "part_root_chain": """
+            WITH RECURSIVE p AS (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey < 2 THEN NULL ELSE p_partkey // 2 END AS parent_key
+              FROM part
+            ), walk AS (
+              SELECT p_partkey AS id, p_partkey AS anc FROM p
+              UNION ALL
+              SELECT w.id, p.parent_key
+              FROM walk w JOIN p ON w.anc = p.p_partkey
+              WHERE p.parent_key IS NOT NULL
+            )
+            SELECT id AS p_partkey, min(anc) AS root_id FROM walk GROUP BY id
+        """,
+        "order_lines_pair": """
+            WITH side AS (
+              SELECT l_orderkey,
+                     CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR) AS s,
+                     l_linenumber AS ln, l_partkey AS pk
+              FROM lineitem WHERE l_linenumber > 1
+            ), nested AS (
+              SELECT l_orderkey, string_agg(s, ';' ORDER BY ln, pk) AS extra
+              FROM side GROUP BY 1
+            )
+            SELECT m.l_orderkey, m.l_linenumber, m.l_partkey,
+                   coalesce(n.extra, '') AS extra
+            FROM lineitem m LEFT JOIN nested n ON m.l_orderkey = n.l_orderkey
+            WHERE m.l_linenumber = 1
+        """,
+        "latest_event_maxby": """
+            SELECT user_id,
+                   arg_max(event_type, event_id) AS last_type,
+                   arg_max(value, event_id) AS last_value,
+                   max(event_id) AS last_event_id
+            FROM events GROUP BY user_id
+        """,
+        "doc_hash_map": """
+            SELECT doc_id,
+                   'md5:' || md5(text) || ',sha256:' || sha256(text) AS hashes
+            FROM documents
+        """,
+        "word_classes": r"""
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(
+                       regexp_split_to_array(trim(lower(text)), '\s+')[1:5],
+                       w -> CASE WHEN regexp_full_match(w, '[0-9]+') THEN w || '#num'
+                                 WHEN length(w) > 5 THEN w || '#long'
+                                 ELSE w || '#short' END
+                     ), ' ') AS classes
+            FROM documents
+        """,
+        "monthly_orders": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "cust_key_extract": r"""
+            SELECT c_name,
+                   CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+                   upper(substring(c_mktsegment, 1, 3)) AS seg3
+            FROM customer WHERE regexp_matches(c_name, '00$')
+        """,
+        "scd2_history": """
+            SELECT user_id, event_id, event_type, value,
+                   event_id AS valid_from_seq,
+                   lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id ASC)
+                     AS valid_to_seq,
+                   lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id ASC)
+                     IS NULL AS is_current
+            FROM events
+        """,
+        "snapshot_diff": """
+            WITH half AS (
+              SELECT user_id, arg_max(event_type, event_id) AS h
+              FROM events WHERE event_id <= 5000 GROUP BY user_id
+            ), full_t AS (
+              SELECT user_id, arg_max(event_type, event_id) AS h
+              FROM events GROUP BY user_id
+            )
+            SELECT coalesce(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.h IS NULL THEN 'added'
+                        WHEN n.h IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed' END AS change
+            FROM half o FULL OUTER JOIN full_t n ON o.user_id = n.user_id
+            WHERE (o.h IS NULL OR n.h IS NULL OR o.h <> n.h)
+        """,
+        "lang_sets": """
+            WITH s AS (SELECT source, list(DISTINCT lang) AS langs,
+                              count(DISTINCT lang) AS n_langs
+                       FROM documents GROUP BY source)
+            SELECT source,
+                   array_to_string(
+                     list_sort(list_distinct(list_append(langs, 'en'))), ',')
+                     AS langs_plus_en,
+                   n_langs
+            FROM s
         """,
     }

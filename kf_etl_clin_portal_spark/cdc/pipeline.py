@@ -182,11 +182,22 @@ class CDCPipeline:
         return stats
 
     # ----------------------------------------------------------------- read
-    def current(self, include_tombstones: bool = False) -> DataFrame:
-        df = self.table.read(self.spark)
+    def current(
+        self, include_tombstones: bool = False, ref: str | None = None
+    ) -> DataFrame:
+        df = self.table.read(self.spark, ref=ref)
         if not include_tombstones:
             df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
         return df
+
+    # -------------------------------------------------------------- publish
+    def publish(self, ref: str = "published", version: int | None = None):
+        """Promote the current (or given) snapshot to a named ref — the
+        atomic release commit replacing the reference's ES alias swap
+        (`published/PublishUtils.scala:12-16`). Call after a replay-parity
+        check passes; readers on ``current(ref=...)`` never see a
+        half-applied release."""
+        return self.table.set_ref(ref, version=version)
 
     def vacuum(self, low_watermark_seq: int) -> int:
         return vacuum_tombstones(self.spark, self.table, low_watermark_seq)

@@ -1,0 +1,132 @@
+"""The non-MERGE load-mode family over SnapshotTable — SURVEY.md §2.11.
+
+The reference's `LoadType`s (`ConfigurationGenerator.scala:54-67` +
+datalake-lib semantics) map onto four commit shapes:
+
+| LoadType              | here                      | commit shape                       |
+|-----------------------|---------------------------|------------------------------------|
+| Read                  | `SnapshotTable.read`      | no commit                          |
+| OverWrite             | `overwrite`               | replace ALL buckets                |
+| OverWritePartition +  | `overwrite_where`         | delete predicate-matching rows,    |
+|   replaceWhere        |                           | insert df, bucket-pruned rewrite   |
+| Scd1                  | `lake/merge.py`           | row-level MERGE (finer grain)      |
+| (append, datalake-lib)| `append`                  | add files, replace nothing         |
+
+`append` accumulates multiple files per bucket; `compact_buckets` is the
+table-maintenance rewrite (Iceberg `rewrite_data_files` analog) that folds
+them back to one file per bucket.
+
+All writers go through the same bucket layout as MERGE, so a table can mix
+load modes: e.g. bulk-backfill with `overwrite`, then stream MERGE on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, SnapshotTable, bucket_expr
+
+
+def _bucketed(df: DataFrame, table: SnapshotTable) -> DataFrame:
+    """Stamp the bucket column and land one shuffle partition per bucket so
+    the partitionBy write emits one file per bucket (same trick as the MERGE
+    path: hashpartitioning(key, num_buckets) IS the bucket function)."""
+    key, n = table.key_cols, table.num_buckets
+    return df.repartition(n, *[F.col(c) for c in key]).withColumn(
+        BUCKET_COL, bucket_expr(key, n)
+    )
+
+
+def overwrite(spark: SparkSession, table: SnapshotTable, df: DataFrame) -> int:
+    """Full-table replace (`LoadType.OverWrite`, `ConfigurationGenerator.scala:62`)."""
+    table.refresh()
+    new_files = table.write_data_files(_bucketed(df, table), table.state["current_schema_id"])
+    commit = table.commit(
+        operation="overwrite",
+        new_files=new_files,
+        replaced_buckets=set(range(table.num_buckets)),
+        lineage={"mode": "overwrite"},
+    )
+    return commit.version
+
+
+def overwrite_where(
+    spark: SparkSession, table: SnapshotTable, df: DataFrame, predicate
+) -> int:
+    """`OverWritePartition + replaceWhere` (`NormalizeClinicalETL.scala:29`;
+    `SNV.scala:123`): atomically delete every target row matching
+    ``predicate`` (a Column, e.g. ``F.col("repo") == "r1"``) and insert
+    ``df`` — the reference's idempotent per-release upsert unit.
+
+    Because the table partitions by hash bucket (not by a user column),
+    replace-granularity is computed honestly: rewritten buckets = buckets
+    holding predicate-matching rows ∪ buckets df lands in; their
+    NON-matching rows are carried over, so keys that merely share a bucket
+    with the predicate are never lost. At 10^10 rows the predicate scan is
+    one bucket-pruned pass with the filter pushed to parquet."""
+    table.refresh()
+    bucketed_new = _bucketed(df, table)
+    target = table.read(spark).withColumn(
+        BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+    )
+    touched_new = {r[0] for r in bucketed_new.select(BUCKET_COL).distinct().collect()}
+    touched_old = {
+        r[0]
+        for r in target.where(predicate).select(BUCKET_COL).distinct().collect()
+    }
+    touched = sorted(touched_new | touched_old)  # ≤ num_buckets ints
+    # NULL predicate result must mean "keep", not "drop" (ternary logic)
+    keep = target.where(F.col(BUCKET_COL).isin(touched)).where(
+        ~F.coalesce(predicate, F.lit(False))
+    )
+    out = keep.unionByName(bucketed_new).repartition(
+        max(len(touched), 1), F.col(BUCKET_COL)
+    )
+    new_files = table.write_data_files(out, table.state["current_schema_id"])
+    commit = table.commit(
+        operation="overwrite_where",
+        new_files=new_files,
+        replaced_buckets=set(touched),
+        lineage={"mode": "overwrite_where", "buckets_touched": len(touched)},
+    )
+    return commit.version
+
+
+def append(spark: SparkSession, table: SnapshotTable, df: DataFrame) -> int:
+    """Blind append (datalake-lib `Insert` analog): add files, replace
+    nothing. Key uniqueness is NOT enforced — use MERGE for upserts."""
+    table.refresh()
+    new_files = table.write_data_files(_bucketed(df, table), table.state["current_schema_id"])
+    commit = table.commit(
+        operation="append", new_files=new_files, lineage={"mode": "append"}
+    )
+    return commit.version
+
+
+def compact_buckets(
+    spark: SparkSession, table: SnapshotTable, min_files_per_bucket: int = 2
+) -> int:
+    """Rewrite every bucket holding ≥ min_files_per_bucket files down to one
+    file (Iceberg `rewrite_data_files`). Snapshot-atomic; readers of older
+    versions/refs still see the pre-compaction files. Returns #buckets
+    rewritten."""
+    table.refresh()
+    counts: dict[int, int] = {}
+    for f in table.state["files"]:
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    victims = sorted(b for b, c in counts.items() if c >= min_files_per_bucket)
+    if not victims:
+        return 0
+    df = table.read(spark, buckets=victims)
+    bucketed = df.repartition(len(victims), *[F.col(c) for c in table.key_cols]).withColumn(
+        BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+    )
+    new_files = table.write_data_files(bucketed, table.state["current_schema_id"])
+    table.commit(
+        operation="compact",
+        new_files=new_files,
+        replaced_buckets=set(victims),
+        lineage={"mode": "compact", "buckets_touched": len(victims)},
+    )
+    return len(victims)

@@ -103,6 +103,7 @@ class SnapshotTable:
             "partition": {"kind": "bucket", "key": key_cols, "num_buckets": num_buckets, "hash": "xxhash64"},
             "files": [],
             "applied_batches": {},
+            "refs": {},
             "properties": properties or {},
             "lineage": {"operation": "create"},
             "summary": {"total_rows": 0, "total_bytes": 0, "total_files": 0},
@@ -171,19 +172,83 @@ class SnapshotTable:
     def applied_batches(self) -> dict[str, Any]:
         return self.state["applied_batches"]
 
+    def refs(self) -> dict[str, Any]:
+        return self.state.get("refs", {})
+
+    # ------------------------------------------------------------- publish
+    def set_ref(self, name: str, version: int | None = None) -> CommitInfo:
+        """Atomically point a named ref at a snapshot version — the engine's
+        "publish" step: the Iceberg branch/tag analog of the reference's ES
+        alias swap (`published/PublishUtils.scala:12-16`,
+        `RunPublishClinical.scala:28-38`). Readers that pass ``ref=`` see the
+        published snapshot only; later merges don't move it until the next
+        publish. Physical data files are never deleted on commit, so every
+        ref stays readable (time travel)."""
+        self.refresh()
+        target_version = self.version if version is None else version
+        if target_version > self.version:
+            raise ValueError(f"cannot publish future version {target_version}")
+        target_state = self.state_at(target_version)
+        for _ in range(20):
+            self.refresh()
+            st = dict(self.state)
+            refs = dict(st.get("refs", {}))
+            refs[name] = {
+                "version": target_version,
+                "snapshot_id": target_state["snapshot_id"],
+                "ts": _now(),
+            }
+            version_new = self.version + 1
+            snapshot_id = uuid.uuid4().hex
+            new_state = dict(
+                st,
+                version=version_new,
+                snapshot_id=snapshot_id,
+                parent_snapshot_id=st["snapshot_id"],
+                ts=_now(),
+                operation="publish",
+                refs=refs,
+                lineage={
+                    "operation": "publish",
+                    "ref": name,
+                    "published_version": target_version,
+                    "version": version_new,
+                    "snapshot_id": snapshot_id,
+                    "ts": _now(),
+                },
+            )
+            try:
+                self._write_commit(new_state, expected_version=version_new)
+            except FileExistsError:
+                continue
+            return CommitInfo(version_new, snapshot_id, "publish", new_state["lineage"])
+        raise RuntimeError("publish contention: gave up after 20 retries")
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"unknown ref {name!r}; known: {sorted(refs)}")
+        return refs[name]["version"]
+
     # ------------------------------------------------------------- reading
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         buckets: list[int] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Read a snapshot, optionally pruned to a bucket subset.
+        """Read a snapshot, optionally pruned to a bucket subset, optionally
+        at a published ref (``ref="published"``) or explicit version.
 
         Files are grouped by schema_id; each group is read with its own
         schema then aligned to the snapshot's current schema (cast +
         null-backfill) and unioned — schema evolution without rewrites.
         """
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass either version or ref, not both")
+            version = self.resolve_ref(ref)
         st = self.state if version is None else self.state_at(version)
         current = T.StructType.fromJson(st["schemas"][str(st["current_schema_id"])])
         files = st["files"]
@@ -322,6 +387,7 @@ class SnapshotTable:
                 "partition": st["partition"],
                 "files": files,
                 "applied_batches": applied,
+                "refs": st.get("refs", {}),
                 "properties": st["properties"],
                 "lineage": lineage_row,
                 "summary": {

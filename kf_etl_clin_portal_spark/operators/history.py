@@ -1,0 +1,84 @@
+"""Change history views over a change feed — SCD2 and per-key timelines.
+
+The reference only keeps SCD1-style current state (`LoadType.Scd1`,
+`ConfigurationGenerator.scala:4,86-88`); a CDC engine also owes its users
+the *history* shape: every version of every key with validity intervals.
+Built purely from window functions over the feed — one shuffle on the key,
+`lead()` closing each interval — the idiomatic Spark replacement for the
+reference's groupBy+first-under-implicit-order (`SpecimensTransformations
+.scala:88-89`) when "first" must become "every, in order".
+
+At 10^10 events this is the same single wide shuffle as the MERGE dedup;
+AQE skew-split handles hot keys (no salting needed — `lead()` needs full
+key locality, and Spark's rangepartition-within-key handles a monorepo key
+by spilling, not by dying).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    tiebreak: list[str] | None = None,
+    current_flag: str = "is_current",
+    valid_from: str = "valid_from_seq",
+    valid_to: str = "valid_to_seq",
+) -> DataFrame:
+    """Type-2 slowly-changing history: each event row becomes a version row
+    with [valid_from_seq, valid_to_seq) validity and an is_current flag.
+
+    valid_to is the NEXT version's seq (open interval), null for the live
+    version — exactly `lead(seq) over (partition by key order by seq)`.
+    """
+    order = [F.col(seq_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(F.col(seq_col)).over(w)
+    return (
+        df.withColumn(valid_from, F.col(seq_col))
+        .withColumn(valid_to, nxt)
+        .withColumn(current_flag, nxt.isNull())
+    )
+
+
+def key_timeline(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    payload_cols: list[str],
+    alias: str = "versions",
+) -> DataFrame:
+    """Per-key nested timeline: one row per key, versions as a seq-sorted
+    array<struct> — the reference's collect_list(struct) document nesting
+    (`prepared/clinical/Utils.scala:81-95`) applied to CDC history."""
+    ver = F.struct(F.col(seq_col), *[F.col(c) for c in payload_cols])
+    return df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(ver)).alias(alias),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(seq_col).alias("last_seq"),
+    )
+
+
+def changes_between(
+    df_old: DataFrame, df_new: DataFrame, key_cols: list[str], hash_col: str
+) -> DataFrame:
+    """Snapshot diff: which keys were added / removed / changed between two
+    table snapshots (Iceberg CDC-view analog). Full-outer on key + hash
+    compare; one shuffle."""
+    o = df_old.select(*key_cols, F.col(hash_col).alias("__old_hash"))
+    n = df_new.select(*key_cols, F.col(hash_col).alias("__new_hash"))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    change = (
+        F.when(F.col("__old_hash").isNull(), F.lit("added"))
+        .when(F.col("__new_hash").isNull(), F.lit("removed"))
+        .when(F.col("__old_hash") != F.col("__new_hash"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

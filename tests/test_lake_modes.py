@@ -1,0 +1,141 @@
+"""Load-mode family (§2.11), publish refs (S9 alias-swap analog), compaction,
+and the history operators (SCD2 / timeline / snapshot diff)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.lake.load import (
+    append,
+    compact_buckets,
+    overwrite,
+    overwrite_where,
+)
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+from kf_etl_clin_portal_spark.operators.history import (
+    changes_between,
+    key_timeline,
+    scd2_history,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, key_cols=["repo", "path"], num_buckets=4
+    )
+
+
+def test_overwrite_replaces_everything(spark, table):
+    overwrite(spark, table, _df(spark, [("r1", "a", 1, "x"), ("r2", "b", 2, "y")]))
+    overwrite(spark, table, _df(spark, [("r3", "c", 3, "z")]))
+    got = [tuple(r) for r in table.read(spark).collect()]
+    assert got == [("r3", "c", 3, "z")]
+
+
+def test_overwrite_where_replaces_only_predicate_rows(spark, table):
+    overwrite(
+        spark,
+        table,
+        _df(spark, [("r1", "a", 1, "x"), ("r1", "b", 2, "y"), ("r2", "b", 3, "z")]),
+    )
+    # replaceWhere repo='r1' with a single replacement row: r1/b must be
+    # deleted, r2/b untouched even if it shares a bucket with r1 rows
+    overwrite_where(
+        spark, table, _df(spark, [("r1", "a", 9, "x2")]), F.col("repo") == "r1"
+    )
+    got = {tuple(r) for r in table.read(spark).collect()}
+    assert got == {("r1", "a", 9, "x2"), ("r2", "b", 3, "z")}
+
+
+def test_append_accumulates_then_compacts(spark, table):
+    for i in range(3):
+        append(spark, table, _df(spark, [("r1", f"p{i}", i, "c")]))
+    assert table.read(spark).count() == 3
+    files_before = len(table.state["files"])
+    version_before = table.version
+    n = compact_buckets(spark, table, min_files_per_bucket=1)  # force full rewrite
+    assert n >= 1
+    assert table.read(spark).count() == 3
+    assert len(table.state["files"]) <= files_before
+    # compaction is snapshot-atomic: pre-compaction version still readable
+    assert table.read(spark, version=version_before).count() == 3
+
+
+def test_publish_ref_is_stable_under_later_writes(spark, table):
+    overwrite(spark, table, _df(spark, [("r1", "a", 1, "v1")]))
+    table.set_ref("published")
+    published_version = table.resolve_ref("published")
+    overwrite(spark, table, _df(spark, [("r1", "a", 2, "v2")]))
+    # live read moved on; published ref did not
+    assert [r["content"] for r in table.read(spark).collect()] == ["v2"]
+    assert [r["content"] for r in table.read(spark, ref="published").collect()] == ["v1"]
+    assert table.resolve_ref("published") == published_version
+    # re-publish promotes
+    table.set_ref("published")
+    assert [r["content"] for r in table.read(spark, ref="published").collect()] == ["v2"]
+    with pytest.raises(KeyError):
+        table.resolve_ref("nope")
+    with pytest.raises(ValueError):
+        table.set_ref("future", version=table.version + 10)
+
+
+def test_pipeline_publish_roundtrip(spark, tmp_path):
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4)
+    ev = generate_change_events(spark, 500, seed=7)
+    pipe.replay(ev, n_batches=1, by="seq", feed_id="p1")
+    pipe.publish()
+    before = pipe.current(ref="published").count()
+    # further merges don't move the published ref
+    pipe.replay(
+        generate_change_events(spark, 800, seed=7), n_batches=2, by="seq", feed_id="p2"
+    )
+    assert pipe.current(ref="published").count() == before
+
+
+# ----------------------------------------------------------------- history
+def test_scd2_history_intervals(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 3, "b"), ("k1", 7, "c"), ("k2", 2, "z")],
+        "key string, seq long, v string",
+    )
+    got = {
+        (r["key"], r["seq"]): (r["valid_from_seq"], r["valid_to_seq"], r["is_current"])
+        for r in scd2_history(df, ["key"], "seq").collect()
+    }
+    assert got[("k1", 1)] == (1, 3, False)
+    assert got[("k1", 3)] == (3, 7, False)
+    assert got[("k1", 7)] == (7, None, True)
+    assert got[("k2", 2)] == (2, None, True)
+
+
+def test_key_timeline_nested_sorted(spark):
+    df = spark.createDataFrame(
+        [("k1", 3, "b"), ("k1", 1, "a")], "key string, seq long, v string"
+    )
+    row = key_timeline(df, ["key"], "seq", ["v"]).collect()[0]
+    assert row["n_versions"] == 2 and row["last_seq"] == 3
+    assert [x["seq"] for x in row["versions"]] == [1, 3]
+
+
+def test_changes_between(spark):
+    old = spark.createDataFrame([("a", "h1"), ("b", "h2")], "k string, h string")
+    new = spark.createDataFrame([("b", "h2x"), ("c", "h3")], "k string, h string")
+    got = {(r["k"], r["change"]) for r in changes_between(old, new, ["k"], "h").collect()}
+    assert got == {("a", "removed"), ("b", "changed"), ("c", "added")}
