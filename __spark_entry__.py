@@ -31,6 +31,7 @@ from kf_etl_clin_portal_spark.operators.enrich import (
     resolve_parent_chain,
     split_pair_join,
 )
+from kf_etl_clin_portal_spark.operators.closure import ancestor_closure
 from kf_etl_clin_portal_spark.operators.history import changes_between, scd2_history
 from kf_etl_clin_portal_spark.operators.nest import nest_two_level
 from kf_etl_clin_portal_spark.operators.rollup import group_rollup
@@ -560,6 +561,18 @@ def q_snapshot_diff(spark, sf):
     return changes_between(half, full, key_cols=["user_id"], hash_col="h")
 
 
+def q_part_ancestors(spark, sf):
+    """Full transitive ancestor closure (pointer doubling) — the ontology
+    expansion analog (`OntologyUtils.scala:65-99`) computed from raw edges."""
+    part = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") < 2, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("p_partkey") / 2).cast("long"))
+        .alias("parent_key"),
+    )
+    return ancestor_closure(part, "p_partkey", "parent_key", max_depth=12)
+
+
 def q_lang_sets(spark, sf):
     """§2.7 array set algebra: array_union of collected sets with a constant
     set, sorted + serialized (`OntologyUtils.scala:70` idiom)."""
@@ -643,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_sets": q_lang_sets,
         "scd2_history": q_scd2_history,
         "snapshot_diff": q_snapshot_diff,
+        "part_ancestors": q_part_ancestors,
         # rows-only (approximate / non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -940,6 +954,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.h <> n.h THEN 'changed' END AS change
             FROM half o FULL OUTER JOIN full_t n ON o.user_id = n.user_id
             WHERE (o.h IS NULL OR n.h IS NULL OR o.h <> n.h)
+        """,
+        "part_ancestors": """
+            WITH RECURSIVE p AS (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey < 2 THEN NULL ELSE p_partkey // 2 END AS parent_key
+              FROM part
+            ), walk AS (
+              SELECT p_partkey AS id, parent_key AS anc FROM p WHERE parent_key IS NOT NULL
+              UNION
+              SELECT w.id, p.parent_key
+              FROM walk w JOIN p ON w.anc = p.p_partkey
+              WHERE p.parent_key IS NOT NULL
+            )
+            SELECT DISTINCT id AS p_partkey, anc AS ancestor FROM walk
         """,
         "lang_sets": """
             WITH s AS (SELECT source, list(DISTINCT lang) AS langs,

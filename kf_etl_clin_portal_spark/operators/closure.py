@@ -1,0 +1,72 @@
+"""Transitive ancestor closure — the reference's ontology-expansion family
+(`prepared/clinical/OntologyUtils.scala:65-99`: explode `ancestors` arrays,
+join terms, array_union, re-nest) plus its 10-level parent-chain walk
+(`SpecimensTransformations.scala:19-51`) generalized to FULL closure.
+
+The reference gets its closure pre-computed (HPO/MONDO files ship an
+`ancestors` array per term). We compute it from raw (id, parent) edges with
+**pointer doubling**: each round joins the pair set with itself, so depth d
+closes in ceil(log2 d) shuffles instead of d — 4 rounds for the reference's
+10 levels, 34 rounds would cover 10^10-deep chains (never needed; code
+caps at max_depth).
+
+Scale notes: each round is one self equi-join on the ancestor column plus a
+distinct — both shuffle on a key that AQE skew-splits; the pair set can grow
+quadratically ONLY for DAGs with heavy fan-in (ontology DAGs are shallow and
+narrow; file trees are trees, pair count = n·depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_depth: int = 16,
+) -> DataFrame:
+    """(id, ancestor) for every ancestor at any distance ≥ 1.
+
+    ``edges``: one row per node with its direct parent (parent null = root).
+    Output columns: ``id_col``, ``ancestor``.
+    """
+    pairs = (
+        edges.where(F.col(parent_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(parent_col).alias("__anc"))
+        .distinct()
+    )
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        hop = pairs.select(
+            F.col("__id").alias("__anc"), F.col("__anc").alias("__anc2")
+        )
+        grown = (
+            pairs.join(hop, on="__anc", how="inner")
+            .select("__id", F.col("__anc2").alias("__anc"))
+        )
+        pairs = pairs.unionByName(grown).distinct()
+    return pairs.select(F.col("__id").alias(id_col), F.col("__anc").alias("ancestor"))
+
+
+def with_ancestor_array(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    parent_col: str,
+    alias: str = "ancestors",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Attach a sorted `ancestors` array column to each row — producing
+    exactly the shape the reference's ontology files ship pre-computed
+    (`mondo_terms.json` nested ancestors), so downstream explode+join
+    expansion (`OntologyUtils.scala:65-99`) works unchanged."""
+    closure = ancestor_closure(edges, id_col, parent_col, max_depth)
+    nested = closure.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("ancestor")).alias(alias)
+    )
+    out = df.join(nested, on=id_col, how="left_outer")
+    empty = F.array().cast(nested.schema[alias].dataType)
+    return out.withColumn(alias, F.coalesce(F.col(alias), empty))

@@ -1,0 +1,6 @@
+from kf_etl_clin_portal_spark.sources.formats import (  # noqa: F401
+    merged_schema,
+    paginated_source,
+    read_multi_version,
+    read_table,
+)

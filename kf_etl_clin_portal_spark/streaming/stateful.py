@@ -1,0 +1,83 @@
+"""Streaming-native stateful operators — the capabilities the reference's
+batch-rerun model cannot express at all (SURVEY.md §2.10: "late data = next
+release re-run") re-expressed with Structured Streaming state.
+
+- ``watermarked_window_counts``: event-time tumbling windows with a
+  watermark; in append mode a window emits once, when the watermark passes
+  its end — late events beyond the delay are dropped by the engine, not by
+  a re-run.
+- ``new_events_only``: cross-micro-batch dedup via per-key state
+  (max-seq-seen), an ``applyInPandasWithState`` operator (Arrow-batched —
+  the input_hint's no-per-row-Python rule applies to state functions too;
+  pandas ops inside are vectorized). Emits only events whose seq advances
+  their key's high-water mark: the streaming guard that makes a noisy
+  at-least-once feed safe to MERGE without re-reading the table.
+
+State scale: one (key → long) entry per key in the state store, hash
+partitioned by key across executors; RocksDB state backend recommended at
+10^8+ keys (`spark.sql.streaming.stateStore.providerClass`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def watermarked_window_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data cutoff."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def new_events_only(
+    stream: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Pass through only events that advance their key's max seq; duplicates
+    and out-of-order stragglers are swallowed statefully across batches."""
+    out_schema = T.StructType(list(stream.schema.fields))
+    state_schema = T.StructType([T.StructField("max_seq", T.LongType())])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (max_seq,) = state.get if state.exists else (None,)
+        hwm = -(1 << 62) if max_seq is None else max_seq
+        for pdf in pdfs:
+            pdf = pdf.sort_values(seq_col, kind="mergesort")
+            fresh = pdf[pdf[seq_col] > hwm]
+            if len(fresh):
+                hwm = int(fresh[seq_col].max())
+                yield fresh[out_cols]
+        state.update((hwm,))
+
+    return (
+        stream.groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,117 @@
+"""Sources (multi-format, multi-version union, paginated cursor) and the
+ancestor-closure operators."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.operators.closure import (
+    ancestor_closure,
+    with_ancestor_array,
+)
+from kf_etl_clin_portal_spark.sources import (
+    merged_schema,
+    paginated_source,
+    read_multi_version,
+    read_table,
+)
+
+
+def test_read_table_parquet_json_csv(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    pq, js, cs = (str(tmp_path / n) for n in ("t.parquet", "t.json", "t.csv"))
+    df.write.parquet(pq)
+    df.write.json(js)
+    df.write.option("header", "true").csv(cs)
+    assert read_table(spark, pq).count() == 2
+    got = read_table(spark, js, schema=df.schema)
+    assert {tuple(r) for r in got.collect()} == {(1, "a"), (2, "b")}
+    got = read_table(spark, cs, fmt="csv", schema=df.schema)
+    assert {tuple(r) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_read_table_avro_gated(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_table(spark, str(tmp_path / "x.avro"), fmt="avro")
+
+
+def test_merged_schema_widen_and_add():
+    s1 = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("a", T.StringType())]
+    )
+    s2 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("b", T.DoubleType())]
+    )
+    m = merged_schema([s1, s2])
+    by = {f.name: f.dataType.typeName() for f in m.fields}
+    assert by == {"id": "long", "a": "string", "b": "double"}
+
+
+def test_read_multi_version_union(spark, tmp_path):
+    """The KFVCFUtils multi-version normalization: v1 lacks size_bytes and
+    has int lines; v2 adds size_bytes and widens lines to long."""
+    v1 = spark.createDataFrame([(1, 10)], "id long, lines int")
+    v2 = spark.createDataFrame([(2, 20, 99)], "id long, lines long, size_bytes long")
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+    got = read_multi_version(spark, [p1, p2])
+    assert dict(got.dtypes)["lines"] == "bigint"
+    rows = {r["id"]: (r["lines"], r["size_bytes"]) for r in got.collect()}
+    assert rows == {1: (10, None), 2: (20, 99)}
+
+
+def test_paginated_source_cursor_and_retry(spark):
+    calls = {"n": 0}
+
+    def fetch(cursor):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise IOError("transient")  # must be retried
+        if cursor is None:
+            return [{"id": 1}], "p2"
+        if cursor == "p2":
+            return [{"id": 2}, {"id": 3}], None
+        raise AssertionError(cursor)
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    got = paginated_source(spark, fetch, schema, backoff_s=0.001)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+    assert calls["n"] >= 3  # initial + retry + second page
+
+
+# ----------------------------------------------------------------- closure
+def _edges(spark):
+    # 1 ← 2 ← 4, 1 ← 3, 5 root
+    return spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, None)],
+        "id long, parent long",
+    )
+
+
+def test_ancestor_closure_pairs(spark):
+    got = {
+        (r["id"], r["ancestor"])
+        for r in ancestor_closure(_edges(spark), "id", "parent").collect()
+    }
+    assert got == {(2, 1), (3, 1), (4, 2), (4, 1)}
+
+
+def test_with_ancestor_array(spark):
+    e = _edges(spark)
+    got = {
+        r["id"]: list(r["ancestors"])
+        for r in with_ancestor_array(e, e, "id", "parent").collect()
+    }
+    assert got == {1: [], 2: [1], 3: [1], 4: [1, 2], 5: []}
+
+
+def test_closure_deep_chain_within_rounds(spark):
+    # chain 0←1←2←...←15: depth 15 must close with max_depth=16
+    edges = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None) for i in range(16)], "id long, parent long"
+    )
+    got = ancestor_closure(edges, "id", "parent", max_depth=16)
+    assert got.where(F.col("id") == 15).count() == 15

@@ -1,0 +1,117 @@
+"""Streaming stateful operators: watermark late-drop and cross-batch
+stateful dedup (applyInPandasWithState), both exercised through real
+StreamingQuery runs with shared checkpoints (state survives restart)."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.streaming.stateful import (
+    new_events_only,
+    watermarked_window_counts,
+)
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _write_feed_file(spark, feed_dir, rows, name):
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(os.path.join(feed_dir, name))
+
+
+def _run_available_now(stream_out, out_dir, ckpt):
+    q = (
+        stream_out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime(2026, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s)
+
+
+def test_stateful_dedup_across_restarts(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    _write_feed_file(
+        spark,
+        feed,
+        [("a", 1, _ts(1)), ("a", 3, _ts(3)), ("b", 2, _ts(2))],
+        "f1",
+    )
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(feed + "/*")
+    _run_available_now(new_events_only(stream, ["key"], "seq"), out, ckpt)
+    got1 = {(r["key"], r["seq"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("a", 1), ("a", 3), ("b", 2)}
+
+    # second run, new file: duplicate (a,3), stale (a,2), fresh (a,5), (b,9)
+    _write_feed_file(
+        spark,
+        feed,
+        [("a", 3, _ts(3)), ("a", 2, _ts(2)), ("a", 5, _ts(5)), ("b", 9, _ts(9))],
+        "f2",
+    )
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(feed + "/*")
+    _run_available_now(new_events_only(stream, ["key"], "seq"), out, ckpt)
+    got2 = {(r["key"], r["seq"]) for r in spark.read.parquet(out).collect()}
+    # state remembered a→3, b→2 across the restart: only fresh rows added
+    assert got2 == got1 | {("a", 5), ("b", 9)}
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    # window 10s, watermark 5s. Batch 1: events in window [0,10) and one at
+    # t=30 that pushes the watermark to 25 on the next trigger.
+    _write_feed_file(
+        spark,
+        feed,
+        [("k", 1, _ts(1)), ("k", 2, _ts(2)), ("k", 3, _ts(30))],
+        "f1",
+    )
+    def mk_stream():
+        s = spark.readStream.schema(EV_SCHEMA).parquet(feed + "/*")
+        return watermarked_window_counts(
+            s, "ts", "key", window="10 seconds", watermark="5 seconds"
+        )
+
+    _run_available_now(mk_stream(), out, ckpt)
+    # watermark passed window [0,10) end → its count finalized at 2
+    done = {
+        (r["window_start"].second, r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (0, 2) in done
+
+    # Batch 2: a LATE event for the already-finalized [0,10) window → must be
+    # dropped, not re-emitted (the reference would need a full re-run here)
+    _write_feed_file(spark, feed, [("k", 4, _ts(4))], "f2")
+    _run_available_now(mk_stream(), out, ckpt)
+    counts = [
+        r["n"]
+        for r in spark.read.parquet(out).collect()
+        if r["window_start"].second == 0
+    ]
+    assert counts == [2]  # unchanged: late event discarded by watermark
