@@ -29,6 +29,7 @@ from kf_etl_clin_portal_spark.operators.enrich import (
     enrich_left,
     membership_join,
     resolve_parent_chain,
+    semi,
     split_pair_join,
 )
 from kf_etl_clin_portal_spark.operators.closure import ancestor_closure
@@ -221,6 +222,16 @@ def q_global_topk(spark, sf):
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+def q_customers_with_big_orders(spark, sf):
+    """J7 left_semi (the reference emulates with inner+select,
+    `FamilyEnricher.scala:54-57`)."""
+    customer = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").where(F.col("o_totalprice") >= 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return semi(customer, big, on="c_custkey").select("c_custkey", "c_name", "c_acctbal")
 
 
 def q_customers_without_orders(spark, sf):
@@ -630,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_orders": q_enrich_orders,
         "top_orders_per_customer": q_top_orders_per_customer,
         "global_topk": q_global_topk,
+        "customers_with_big_orders": q_customers_with_big_orders,
         "customers_without_orders": q_customers_without_orders,
         "nation_rollup": q_nation_rollup,
         "full_outer_counts": q_full_outer_counts,
@@ -752,6 +764,12 @@ def oracle_sql() -> dict[str, str]:
         "global_topk": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "customers_with_big_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice >= 400000)
         """,
         "customers_without_orders": """
             SELECT c.c_custkey, c.c_name, n.n_name AS nation_name

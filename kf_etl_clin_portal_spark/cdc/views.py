@@ -1,0 +1,74 @@
+"""Derived document views over the CDC current-state table — the reference's
+prepare stage (SURVEY.md §7.7) rebuilt as batch views over `pipe.current()`.
+
+The reference materializes five `*_centric` Parquet documents per release
+(`prepared/clinical/RunPrepareClinical.scala:25-31`) by join+nest chains.
+Here the equivalents are pure functions of the current table (and the
+manifest), recomputed or incrementally refreshed after each publish:
+
+- ``repo_centric``     — per-repo rollup: counts, language sets, content
+  bytes — the StudyCentric analog (`StudyCentric.scala:42-79`).
+- ``file_centric``     — per-file document with its repo rollup attached by
+  broadcast enrich — the FileCentric join shape
+  (`prepared/clinical/FileCentric.scala`).
+- ``lang_centric``     — per-language nested repo membership — the
+  two-level collect_list(struct) pivot (`prepared/clinical/Utils.scala:81-95`).
+
+All shapes are one hash-aggregate or one broadcast join; no UDFs. At
+10^10-row current tables each is a single shuffle keyed on a
+bounded-cardinality column (repo / lang), the same skew profile as the
+reference's study_id — AQE skew handling applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.enrich import enrich_left
+
+
+def repo_centric(current: DataFrame) -> DataFrame:
+    """Per-repo rollup document (StudyCentric analog)."""
+    return current.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sort_array(F.collect_set("lang")).alias("langs"),
+        F.countDistinct("content_sha256").alias("n_unique_contents"),
+        F.sum(F.length("content")).alias("content_chars"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+def file_centric(current: DataFrame, repos: DataFrame | None = None) -> DataFrame:
+    """Per-file document enriched with its repo's rollup (broadcast join —
+    repo cardinality is dimension-sized)."""
+    repos = repos if repos is not None else repo_centric(current)
+    dim = repos.select(
+        "repo",
+        F.col("n_files").alias("repo_n_files"),
+        F.col("n_langs").alias("repo_n_langs"),
+        F.col("last_seq").alias("repo_last_seq"),
+    )
+    return enrich_left(
+        current.select(
+            "repo", "path", "lang", "commit", "seq", "content_sha256",
+            F.length("content").alias("n_chars"),
+        ),
+        dim,
+        on="repo",
+    )
+
+
+def lang_centric(current: DataFrame, top_paths_per_repo: int = 5) -> DataFrame:
+    """Per-language document nesting its member repos (two-level pivot)."""
+    per_repo = current.groupBy("lang", "repo").agg(
+        F.count(F.lit(1)).alias("n_files"), F.max("seq").alias("last_seq")
+    )
+    return per_repo.groupBy("lang").agg(
+        F.sum("n_files").alias("n_files"),
+        F.count(F.lit(1)).alias("n_repos"),
+        F.sort_array(
+            F.collect_list(F.struct("repo", "n_files", "last_seq"))
+        ).alias("repos"),
+    )

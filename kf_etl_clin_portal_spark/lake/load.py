@@ -28,20 +28,43 @@ from pyspark.sql import functions as F
 from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, SnapshotTable, bucket_expr
 
 
-def _bucketed(df: DataFrame, table: SnapshotTable) -> DataFrame:
+def _bucketed(
+    df: DataFrame, table: SnapshotTable, cluster_by: list[str] | None = None
+) -> DataFrame:
     """Stamp the bucket column and land one shuffle partition per bucket so
     the partitionBy write emits one file per bucket (same trick as the MERGE
-    path: hashpartitioning(key, num_buckets) IS the bucket function)."""
+    path: hashpartitioning(key, num_buckets) IS the bucket function).
+
+    ``cluster_by`` sorts rows *within* each bucket file before writing — the
+    reference's RepartitionByRange write clustering
+    (`ConfigurationGenerator.scala:161`, chromosome/start → 100 files) as a
+    sortWithinPartitions: no extra shuffle, better parquet min/max pruning
+    and encoding on the clustered columns."""
     key, n = table.key_cols, table.num_buckets
-    return df.repartition(n, *[F.col(c) for c in key]).withColumn(
+    out = df.repartition(n, *[F.col(c) for c in key]).withColumn(
         BUCKET_COL, bucket_expr(key, n)
     )
+    if cluster_by:
+        # bucket col leads the sort: the partitionBy file writer requires
+        # its tasks sorted by the partition column and would otherwise
+        # insert its own (cluster-destroying) sort
+        out = out.sortWithinPartitions(
+            F.col(BUCKET_COL), *[F.col(c) for c in cluster_by]
+        )
+    return out
 
 
-def overwrite(spark: SparkSession, table: SnapshotTable, df: DataFrame) -> int:
+def overwrite(
+    spark: SparkSession,
+    table: SnapshotTable,
+    df: DataFrame,
+    cluster_by: list[str] | None = None,
+) -> int:
     """Full-table replace (`LoadType.OverWrite`, `ConfigurationGenerator.scala:62`)."""
     table.refresh()
-    new_files = table.write_data_files(_bucketed(df, table), table.state["current_schema_id"])
+    new_files = table.write_data_files(
+        _bucketed(df, table, cluster_by), table.state["current_schema_id"]
+    )
     commit = table.commit(
         operation="overwrite",
         new_files=new_files,

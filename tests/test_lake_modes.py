@@ -109,6 +109,29 @@ def test_pipeline_publish_roundtrip(spark, tmp_path):
     assert pipe.current(ref="published").count() == before
 
 
+def test_overwrite_cluster_by_sorts_files(spark, table, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = [(f"r{i % 3}", f"p{(97 * i) % 50:03d}", i, "c") for i in range(50)]
+    overwrite(spark, table, _df(spark, rows), cluster_by=["path"])
+    files = sorted(glob.glob(os.path.join(table.root, "data", "b=*", "*.parquet")))
+    assert files
+    live = {os.path.join("data", f"b={f['bucket']}", os.path.basename(f["path"]))
+            for f in table.state["files"]}
+    checked = 0
+    for f in files:
+        rel = os.path.relpath(f, table.root)
+        if rel not in live:
+            continue
+        paths = pq.read_table(f, columns=["path"]).column("path").to_pylist()
+        assert paths == sorted(paths), f
+        checked += 1
+    assert checked >= 1
+
+
 # ----------------------------------------------------------------- history
 def test_scd2_history_intervals(spark):
     df = spark.createDataFrame(

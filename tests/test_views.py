@@ -1,0 +1,54 @@
+"""Derived document views (repo/file/lang centric) over a replayed CDC
+table — replays a small feed then checks each view against plain-SQL facts
+computed on the same current state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.cdc.views import file_centric, lang_centric, repo_centric
+
+
+@pytest.fixture(scope="module")
+def current(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("views")
+    pipe = CDCPipeline(spark, str(root / "tbl"), num_buckets=4)
+    pipe.replay(generate_change_events(spark, 2_000, seed=3), n_batches=2, by="seq")
+    cur = pipe.current()
+    cur.cache()
+    cur.count()
+    return cur
+
+
+def test_repo_centric_counts(spark, current):
+    rc = repo_centric(current)
+    expected = {
+        r["repo"]: r["n"] for r in current.groupBy("repo").count().withColumnRenamed("count", "n").collect()
+    }
+    got = {r["repo"]: r["n_files"] for r in rc.collect()}
+    assert got == expected
+    row = rc.orderBy("repo").first()
+    assert sorted(row["langs"]) == list(row["langs"])
+    assert row["n_langs"] == len(row["langs"])
+
+
+def test_file_centric_enrich(spark, current):
+    fc = file_centric(current)
+    assert fc.count() == current.count()
+    # every file's repo_n_files equals its repo's row count
+    sample = fc.orderBy("repo", "path").limit(10).collect()
+    counts = {r["repo"]: r["n"] for r in current.groupBy("repo").count().withColumnRenamed("count", "n").collect()}
+    for r in sample:
+        assert r["repo_n_files"] == counts[r["repo"]]
+
+
+def test_lang_centric_nesting(spark, current):
+    lc = lang_centric(current)
+    total = sum(r["n_files"] for r in lc.collect())
+    assert total == current.count()
+    row = lc.first()
+    assert row["n_repos"] == len(row["repos"])
+    # nested array sorted by repo (struct sort on first field)
+    repos = [x["repo"] for x in row["repos"]]
+    assert repos == sorted(repos)
