@@ -375,8 +375,10 @@ def q_source_rollup(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    """Inverted-index Jaccard with the boilerplate df-cap engaged (the scale
+    path); the oracle applies the identical hash + cap, so parity holds."""
     return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), n=3, min_jaccard=0.05
+        _t(spark, sf, "documents"), n=3, min_jaccard=0.05, max_df=50
     )
 
 
@@ -845,12 +847,19 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id, {sh} AS shingles FROM documents
+            ), e0 AS (
+              SELECT doc_id, {OSQL.h60_sql('shingle')} AS h
+              FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+            ), e1 AS (
+              SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM e0
             ), e AS (
-              SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS shingle FROM sh
+              SELECT doc_id, h,
+                     count(*) OVER (PARTITION BY doc_id) AS ns
+              FROM e1 WHERE df <= 50
             ), pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
                      count(*) AS n_common
-              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2, 3, 4
             )
             SELECT id_a, id_b,

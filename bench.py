@@ -41,6 +41,9 @@ HEADLINE = [
     "ngram_jaccard",
     "embedding_topk",
     "embedding_neardup",
+    "latest_event_maxby",
+    "scd2_history",
+    "part_ancestors",
 ]
 
 

@@ -50,14 +50,21 @@ def lsh_candidate_pairs(
     max_bucket: int = 50,
 ) -> DataFrame:
     """Distinct candidate (a, b) id pairs (a < b) sharing ≥1 LSH band."""
+    from pyspark.sql import Window
+
     banded = signatures.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col("signature"), bands, rows_per_band)).alias("band_key"),
     )
-    # degenerate-bucket guard (join back is a broadcast of small bucket list)
-    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
-    ok = sizes.where((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band_key")
-    pruned = banded.join(F.broadcast(ok), on="band_key")
+    # degenerate-bucket guard via a window count over band_key: ONE shuffle,
+    # and nothing unbounded is broadcast (the valid-bucket set grows with
+    # the corpus — broadcasting it would OOM the driver at web scale)
+    wb = Window.partitionBy("band_key")
+    pruned = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(wb))
+        .where((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .drop("__n")
+    )
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (
@@ -70,6 +77,31 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Coverage report for the bucket-size guard (no silent truncation):
+    one row per band-bucket size class with bucket count and whether that
+    class is dropped by ``max_bucket``."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col("signature"), bands, rows_per_band)).alias(
+            "band_key"
+        ),
+    )
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .withColumn("dropped", F.col("bucket_size") > max_bucket)
+        .orderBy("bucket_size")
     )
 
 

@@ -2,17 +2,30 @@
 
 shingle-explode → equi-join on shingle → count common shingles → Jaccard =
 |A∩B| / (|A|+|B|-|A∩B|). The join is the inverted-index trick: only pairs
-sharing ≥1 shingle are ever materialized. A document-frequency cap on
-shingles (``max_df``) drops boilerplate shingles before the join — the
-skew guard at corpus scale.
+sharing ≥1 shingle are ever materialized.
+
+Scale design:
+
+- Join key is the 60-bit portable hash of the shingle, not the string —
+  3-4× less shuffle volume, and (since the oracle computes the identical
+  `int(md5[:15],16)` hash) bit-for-bit parity is preserved BY CONSTRUCTION,
+  collisions included.
+- ``max_df`` drops shingles whose document frequency exceeds the cap before
+  the join — the standard boilerplate/skew guard: a shingle appearing in m
+  docs contributes m² join rows, so ubiquitous shingles dominate cost
+  quadratically while carrying no near-dup signal. Per-doc set sizes are
+  recomputed AFTER the cap so the Jaccard stays self-consistent
+  ("similarity over the rare-shingle profile"). Dropped weight is
+  observable via `dedup.minhash.lsh_bucket_stats`-style df histograms —
+  never a silent truncation: the cap is an explicit argument.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kf_etl_clin_portal_spark.functions.hashing import word_shingles
+from kf_etl_clin_portal_spark.functions.hashing import h60, word_shingles
 
 
 def ngram_jaccard_pairs(
@@ -24,22 +37,28 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with Jaccard ≥ min_jaccard."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
-    exploded = sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
+    exploded = sh.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).select(F.col(id_col), h60(F.col("shingle")).alias("h"))
     if max_df is not None:
-        dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        keep = dfreq.where(F.col("df") <= max_df).select("shingle")
-        exploded = exploded.join(F.broadcast(keep), on="shingle")
+        wdf = Window.partitionBy("h")
+        exploded = (
+            exploded.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    # per-doc set size AFTER any df cap (shingles are distinct per doc)
+    wid = Window.partitionBy(id_col)
+    exploded = exploded.withColumn("__ns", F.count(F.lit(1)).over(wid))
     a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"), "shingle"
+        F.col(id_col).alias("id_a"), F.col("__ns").alias("na"), "h"
     )
     b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"), "shingle"
+        F.col(id_col).alias("id_b"), F.col("__ns").alias("nb"), "h"
     )
     common = (
-        a.join(b, on=["shingle"])
+        a.join(b, on=["h"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -39,7 +39,22 @@ def ancestor_closure(
         .distinct()
     )
     rounds = max(1, (max_depth - 1).bit_length())
+    prev = None
+    last_n = -1
     for _ in range(rounds):
+        # each round references `pairs` TWICE (left side + hop). Without a
+        # materialization barrier Spark recomputes the full prior lineage on
+        # both branches — work doubles per round. persist+count truncates
+        # lineage to one job per round (iterative-algorithm idiom; on a
+        # cluster use reliable checkpoint if executor loss matters).
+        pairs = pairs.persist()
+        n = pairs.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = pairs
+        if n == last_n:
+            break  # fixed point reached before the depth bound
+        last_n = n
         hop = pairs.select(
             F.col("__id").alias("__anc"), F.col("__anc").alias("__anc2")
         )

@@ -23,6 +23,11 @@ def words_sql(col: str) -> str:
     return WORDS.format(col=col)
 
 
+def h60_sql(expr: str) -> str:
+    """Portable 60-bit hash — mirrors hashing.h60."""
+    return H60.format(v=expr)
+
+
 def n_words_sql(col: str) -> str:
     return f"len({words_sql(col)})::BIGINT"
 
