@@ -1,0 +1,112 @@
+"""spark-submit entrypoint: replay a change feed into a CDC table.
+
+Cluster usage (the north-rule deployment shape)::
+
+    cd <repo> && zip -qr /tmp/engine.zip kf_etl_clin_portal_spark
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/run_replay.py --feed s3://.../feed --table s3://.../cdc_table \
+        --mode stream --checkpoint s3://.../ckpt
+
+Local smoke::
+
+    spark-submit --master 'local[8]' --py-files /tmp/engine.zip \
+        jobs/run_replay.py --generate 100000 --table /tmp/t --verify
+
+The script builds no SparkSession config of its own beyond the engine
+defaults — master/executors/memory come from spark-submit, so the same
+invocation runs at N and 4N executors for the scaling criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--feed", help="path of the change-feed parquet (or directory of files)")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="instead of --feed: generate N deterministic events")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--table", required=True, help="CDC table root")
+    ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    ap.add_argument("--by", choices=["seq", "delivery"], default="seq",
+                    help="batch mode: chunking strategy")
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--feed-id", default="replay")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--checkpoint", help="stream mode: checkpoint location")
+    ap.add_argument("--verify", action="store_true",
+                    help="after replay, check parity vs the DuckDB oracle (feed must be a local path)")
+    ap.add_argument("--publish", action="store_true",
+                    help="promote the final snapshot to the 'published' ref")
+    args = ap.parse_args(argv)
+
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.session import build_session
+
+    # "inherit" → never override spark-submit's --master; env var escape
+    # hatch for running as a plain python script
+    import os
+    spark = build_session(
+        app_name="cdc-replay",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "inherit"),
+    )
+
+    if args.generate:
+        feed_df = generate_change_events(spark, args.generate, seed=args.seed)
+        if args.feed:
+            feed_df.write.mode("overwrite").parquet(args.feed)
+            feed_df = spark.read.parquet(args.feed)
+    elif args.feed:
+        feed_df = spark.read.parquet(args.feed)
+    else:
+        ap.error("one of --feed / --generate is required")
+
+    pipe = CDCPipeline(spark, args.table, num_buckets=args.buckets)
+
+    if args.mode == "stream":
+        if not (args.checkpoint and args.feed):
+            ap.error("stream mode needs --feed (a directory) and --checkpoint")
+        from kf_etl_clin_portal_spark.streaming.micro_batch import (
+            stream_feed_into_table,
+        )
+        q = stream_feed_into_table(
+            spark, args.feed, feed_df.schema, pipe, args.checkpoint,
+            stream_id=args.feed_id,
+        )
+        q.awaitTermination()
+        report = {"mode": "stream", "table_version": pipe.table.refresh().version}
+    else:
+        stats = pipe.replay(
+            feed_df, n_batches=args.batches, by=args.by, feed_id=args.feed_id
+        )
+        report = {
+            "mode": "batch",
+            "batches": stats.n_batches,
+            "skipped": stats.n_skipped,
+            "events": stats.n_events,
+            "events_per_sec": round(stats.events_per_sec),
+            "table_version": pipe.table.refresh().version,
+        }
+
+    if args.verify:
+        from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+        rep = verify_parity(pipe.current(), args.feed)
+        report["parity_ok"] = rep["ok"]
+        if not rep["ok"]:
+            print(json.dumps(report))
+            return 1
+    if args.publish:
+        info = pipe.publish()
+        report["published_version"] = info.lineage["published_version"]
+
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,7 +45,20 @@ def main() -> None:
     # stream sustains. Batches 2+ also exercise the real merge (non-empty
     # target), unlike a single bulk load.
     n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "6"))
-    pipe = CDCPipeline(spark, os.path.join(root, "tbl"), num_buckets=64, prune=False)
+    # cow: every batch rewrites touched buckets (write amp ∝ table size —
+    # the worst case when keys spread over all buckets). mor (default):
+    # append-only delta commits + periodic compaction, write amp ∝ batch —
+    # the posture a production stream runs at; compaction time is INCLUDED
+    # in the measured wall (it is part of the steady-state cost).
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor")
+    compact_every = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_EVERY", "3"))
+    pipe = CDCPipeline(
+        spark,
+        os.path.join(root, "tbl"),
+        num_buckets=64,
+        prune=False,
+        merge_strategy="mor" if mode == "mor" else "union_agg",
+    )
     bounds = [round(i * n_events / n_batches) for i in range(n_batches + 1)]
     walls = []
     counts = []
@@ -57,6 +70,8 @@ def main() -> None:
         )
         t0 = time.monotonic()
         res = pipe.apply_batch(chunk, batch_id=f"bench-b{i:05d}")
+        if mode == "mor" and compact_every and (i + 1) % compact_every == 0:
+            pipe.compact()
         walls.append(time.monotonic() - t0)
         counts.append(res.n_events)
     # first batch = cold (JIT compile, cache); second still warming on some
@@ -67,6 +82,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "mode": mode,
                 "cores": cores,
                 "n_events": sum(counts),
                 "n_batches": n_batches,

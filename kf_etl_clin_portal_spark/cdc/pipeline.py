@@ -30,7 +30,10 @@ from pyspark.sql import types as T
 from kf_etl_clin_portal_spark.lake.merge import (
     TOMBSTONE_COL,
     MergeResult,
+    compact_deltas,
     merge_batch,
+    merge_batch_mor,
+    read_merged,
     vacuum_tombstones,
 )
 from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -121,6 +124,10 @@ class CDCPipeline:
     ) -> MergeResult:
         batch = self.prepare_batch(events)
         self.ensure_table(batch.schema)
+        if self.merge_strategy == "mor":
+            return merge_batch_mor(
+                self.spark, self.table, batch, seq_col="seq", batch_id=batch_id
+            )
         return merge_batch(
             self.spark,
             self.table,
@@ -185,10 +192,16 @@ class CDCPipeline:
     def current(
         self, include_tombstones: bool = False, ref: str | None = None
     ) -> DataFrame:
-        df = self.table.read(self.spark, ref=ref)
+        # read_merged resolves per-key winners when delta (MoR) files exist;
+        # degenerates to a plain snapshot read on an all-base table
+        df = read_merged(self.spark, self.table, seq_col="seq", ref=ref)
         if not include_tombstones:
             df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
         return df
+
+    def compact(self, min_delta_files: int = 1) -> int:
+        """Fold MoR delta files into base (read-path maintenance)."""
+        return compact_deltas(self.spark, self.table, min_delta_files)
 
     # -------------------------------------------------------------- publish
     def publish(self, ref: str = "published", version: int | None = None):

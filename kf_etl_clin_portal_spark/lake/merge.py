@@ -315,13 +315,187 @@ def _commit_merge(
     )
 
 
+def merge_batch_mor(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch: DataFrame,
+    seq_col: str = "seq",
+    batch_id: str | None = None,
+) -> MergeResult:
+    """Merge-on-read MERGE: append the batch as per-bucket DELTA files and
+    defer key resolution to read time (`read_merged`) — the Iceberg
+    MoR/position-delete analog, with max-seq row resolution instead of
+    delete files.
+
+    Write amplification is O(batch), not O(table): a copy-on-write MERGE
+    rewrites every touched bucket (at 10^10 rows with well-spread keys that
+    is the WHOLE table every batch), while MoR writes only the deduped batch
+    rows. The read-side cost (per-bucket max_by over base+deltas) is bounded
+    by `compact_deltas`, which folds deltas back into base files — the
+    background-maintenance pattern of every production MoR table.
+
+    Semantics are identical to the CoW path (same out-of-order guard: the
+    max_by comparator over (seq, commit) picks the winner at read time);
+    `tests` assert CoW and MoR replays produce byte-identical current state.
+    """
+    table.refresh()
+    if batch_id is not None and batch_id in table.applied_batches():
+        return MergeResult(skipped=True, batch_id=batch_id)
+    key_cols, num_buckets = table.key_cols, table.num_buckets
+    diff = schema_diff(table.schema, batch.schema)
+    target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    src = (
+        align_df(batch, target_schema)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min(seq_col).alias("seq_min"),
+            F.max(seq_col).alias("seq_max"),
+            F.sum(F.col(TOMBSTONE_COL).cast("int")).alias("n_del"),
+        )
+    )
+    # within-batch dedup via the same one-shuffle aggregate, then delta files
+    data_cols = [f.name for f in target_schema.fields]
+    row = F.struct(*[F.col(c) for c in data_cols])
+    order = _order_expr(seq_col, target_schema)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
+    try:
+        deduped = (
+            src.groupBy(*key_cols)
+            .agg(F.max_by(row, order).alias("__row"))
+            .select(F.col("__row.*"))
+            .withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
+        )
+        new_files = table.write_data_files(
+            deduped, schema_id=_next_schema_id(table, target_schema)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    for f in new_files:
+        f["kind"] = "delta"
+    got = obs.get
+    n_events, n_deletes = got["n"] or 0, got["n_del"] or 0
+    if n_events == 0:
+        for f in new_files:
+            _unlink(table.root, f["path"])
+        return MergeResult(skipped=True, batch_id=batch_id)
+    buckets_touched = len({f["bucket"] for f in new_files})
+    commit = table.commit(
+        operation="merge_mor",
+        new_files=new_files,
+        replaced_buckets=None,  # append-only commit
+        new_schema=target_schema if diff.changes_table else None,
+        batch_id=batch_id,
+        lineage={
+            "seq_min": got["seq_min"],
+            "seq_max": got["seq_max"],
+            "n_events": n_events,
+            "n_upserts": n_events - n_deletes,
+            "n_deletes": n_deletes,
+            "buckets_touched": buckets_touched,
+            "schema_evolved": diff.changes_table,
+        },
+    )
+    return MergeResult(
+        skipped=False,
+        batch_id=batch_id,
+        version=commit.version,
+        snapshot_id=commit.snapshot_id,
+        n_events=n_events,
+        n_upserts=n_events - n_deletes,
+        n_deletes=n_deletes,
+        buckets_touched=buckets_touched,
+        schema_evolved=diff.changes_table,
+    )
+
+
+def read_merged(
+    spark: SparkSession,
+    table: SnapshotTable,
+    seq_col: str = "seq",
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Current-state resolution for a table with delta files: max-seq row
+    per key over base ∪ deltas (one shuffle; same comparator as the write
+    path). For an all-base table this degenerates to a plain read."""
+    table.refresh()
+    st = table.state
+    if not any(f.get("kind") == "delta" for f in st["files"]):
+        if version is None and ref is None:
+            return table.read(spark)
+    df = table.read(spark, version=version, ref=ref)
+    key_cols = table.key_cols
+    data_cols = df.columns
+    row = F.struct(*[F.col(c) for c in data_cols])
+    order = _order_expr(seq_col, df.schema)
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(F.col("__row.*"))
+    )
+
+
+def compact_deltas(
+    spark: SparkSession, table: SnapshotTable, min_delta_files: int = 1
+) -> int:
+    """Fold delta files back into one base file per affected bucket (the
+    Iceberg rewrite_data_files / minor-compaction analog). Snapshot-atomic;
+    concurrent readers of old versions/refs are unaffected. Returns #buckets
+    compacted."""
+    table.refresh()
+    delta_buckets: dict[int, int] = {}
+    for f in table.state["files"]:
+        if f.get("kind") == "delta":
+            delta_buckets[f["bucket"]] = delta_buckets.get(f["bucket"], 0) + 1
+    victims = sorted(b for b, c in delta_buckets.items() if c >= min_delta_files)
+    if not victims:
+        return 0
+    key_cols, num_buckets = table.key_cols, table.num_buckets
+    df = table.read(spark, buckets=victims)
+    data_cols = df.columns
+    row = F.struct(*[F.col(c) for c in data_cols])
+    order = _order_expr("seq", df.schema)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
+    try:
+        merged = (
+            df.groupBy(*key_cols)
+            .agg(F.max_by(row, order).alias("__row"))
+            .select(F.col("__row.*"))
+            .withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
+        )
+        new_files = table.write_data_files(merged, schema_id=table.state["current_schema_id"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    table.commit(
+        operation="compact_deltas",
+        new_files=new_files,
+        replaced_buckets=set(victims),
+        lineage={"mode": "compact_deltas", "buckets_touched": len(victims)},
+    )
+    return len(victims)
+
+
 def vacuum_tombstones(
     spark: SparkSession, table: SnapshotTable, low_watermark_seq: int
 ) -> int:
     """Physically drop tombstones whose seq <= low_watermark_seq (no event
     older than the watermark can still arrive). Rewrites only buckets that
-    actually contain eligible tombstones. Returns #buckets rewritten."""
+    actually contain eligible tombstones. Returns #buckets rewritten.
+
+    MoR tables are compacted first: dropping a tombstone row from a delta
+    file while an older base row for the same key survives would resurrect
+    the key at read time."""
     table.refresh()
+    if any(f.get("kind") == "delta" for f in table.state["files"]):
+        compact_deltas(spark, table)
+        table.refresh()
     df = table.read(spark).withColumn(
         BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
     )

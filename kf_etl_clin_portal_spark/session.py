@@ -24,9 +24,10 @@ def build_session(
     """Build (or get) a SparkSession tuned for this engine.
 
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
-    same code path runs under the driver's bench harness and on a real
-    cluster (where ``master`` is supplied by spark-submit and this arg is
-    left None → builder inherits cluster master).
+    same code path runs under the driver's bench harness and in tests.
+    Pass ``master="inherit"`` to NOT set a master at all — the spark-submit
+    deployment shape, where ``--master``/executors/memory come from the
+    submit command and must not be overridden here.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -34,9 +35,11 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # AQE: runtime coalescing of small shuffle partitions + skew-join
         # splitting. The reference disabled AQE (spark-config-clinical.json);
         # on Spark 4.x AQE is strictly better for our merge-heavy plans.

@@ -1,0 +1,41 @@
+"""Smoke the spark-submit job entrypoint end-to-end in a subprocess (own
+JVM, as spark-submit would): generate → batch replay → verify → publish."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_run_replay_cli_batch_verify_publish(tmp_path):
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "run_replay.py"),
+            "--generate", "5000",
+            "--feed", feed,
+            "--table", table,
+            "--batches", "3",
+            "--verify",
+            "--publish",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert lines, out.stdout
+    rep = json.loads(lines[-1])
+    assert rep["parity_ok"] is True
+    assert rep["events"] == 5000 and rep["batches"] == 3
+    assert "published_version" in rep

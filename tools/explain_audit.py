@@ -111,6 +111,41 @@ def main():
     if "HashAggregate" not in p or "partial_sum" not in p:
         problems.append("q1: expected HashAggregate with partial_sum")
 
+    # 6. containment join rewrite: explode+equi, never BroadcastNestedLoopJoin
+    p = plan_of(E.q_member_top_custs(spark, sf))
+    if "BroadcastNestedLoopJoin" in p:
+        problems.append("member_top_custs: BNLJ survived the explode+equi rewrite")
+    print("== containment join rewrite ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l))
+
+    # 7. SCD2 window: exactly one exchange (hash by key), no extra sort jobs
+    p = plan_of(E.q_scd2_history(spark, sf))
+    n_ex = count_exchanges(p)
+    if n_ex != 1:
+        problems.append(f"scd2_history: {n_ex} exchanges, want 1")
+    if "Window" not in p:
+        problems.append("scd2_history: no Window operator")
+    print("== scd2 window ==")
+    print("\n".join(l for l in p.splitlines() if "Exchange" in l or "Window" in l))
+
+    # 8. LSH candidate pairs: bucket-size guard is a Window, and nothing
+    #    data-dependent is broadcast (the old valid-bucket broadcast would
+    #    show as a BroadcastExchange feeding a BroadcastHashJoin on band_key)
+    p = plan_of(E.q_minhash_lsh_pairs(spark, sf))
+    if "Window" not in p:
+        problems.append("minhash_lsh_pairs: bucket-size guard not window-based")
+    print("== lsh bucket guard ==")
+    print("\n".join(l for l in p.splitlines() if "Window" in l or "Broadcast" in l)[:600])
+
+    # 9. file_centric view: repo rollup joined by broadcast
+    from kf_etl_clin_portal_spark.cdc.views import file_centric
+    cur = pipe.current()
+    p = plan_of(file_centric(cur))
+    if "BroadcastHashJoin" not in p:
+        problems.append("file_centric: repo dim not broadcast")
+    print("== file_centric broadcast ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l))
+
     print()
     if problems:
         print("AUDIT FAILURES:")
