@@ -574,6 +574,31 @@ def q_snapshot_diff(spark, sf):
     return changes_between(half, full, key_cols=["user_id"], hash_col="h")
 
 
+def q_priority_rollup(spark, sf):
+    """Grouping sets: ROLLUP over (priority, status) — subtotal rows beyond
+    the reference's flat groupBys (SURVEY.md §2.4: "no grouping sets")."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q_status_cube(spark, sf):
+    """CUBE over (status, linestatus mix): all subtotal combinations."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def q_part_ancestors(spark, sf):
     """Full transitive ancestor closure (pointer doubling) — the ontology
     expansion analog (`OntologyUtils.scala:65-99`) computed from raw edges."""
@@ -671,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "snapshot_diff": q_snapshot_diff,
         "part_ancestors": q_part_ancestors,
+        "priority_rollup": q_priority_rollup,
+        "status_cube": q_status_cube,
         # rows-only (approximate / non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -981,6 +1008,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.h <> n.h THEN 'changed' END AS change
             FROM half o FULL OUTER JOIN full_t n ON o.user_id = n.user_id
             WHERE (o.h IS NULL OR n.h IS NULL OR o.h <> n.h)
+        """,
+        "priority_rollup": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "status_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "part_ancestors": """
             WITH RECURSIVE p AS (

@@ -1,0 +1,45 @@
+"""Extreme hot-key skew (monorepo owns 90% of the key space): parity must
+hold on every merge strategy, and the salted dedup must agree with the
+window spec on the skewed feed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.dedup import salted_latest, window_latest
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+
+@pytest.fixture(scope="module")
+def skewed_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("skew") / "events.parquet")
+    generate_change_events(
+        spark, 6_000, seed=21, hot_key_frac=0.9
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_hot_repo_dominates(spark, skewed_path):
+    ev = spark.read.parquet(skewed_path)
+    share = (
+        ev.where(F.col("repo") == "repo_0000").count() / ev.count()
+    )
+    assert share > 0.5, share  # the monorepo really is hot
+
+
+@pytest.mark.parametrize("strategy", ["union_agg", "join", "mor"])
+def test_skewed_replay_parity(spark, skewed_path, tmp_path, strategy):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / strategy), num_buckets=8, merge_strategy=strategy
+    )
+    pipe.replay(spark.read.parquet(skewed_path), by="delivery", feed_id=f"s-{strategy}")
+    report = verify_parity(pipe.current(), skewed_path)
+    assert report["ok"], report
+
+
+def test_salted_equals_window_on_skew(spark, skewed_path):
+    ev = spark.read.parquet(skewed_path).select("repo", "path", "seq", "commit")
+    a = {tuple(r) for r in salted_latest(ev, ["repo", "path"], "seq").collect()}
+    b = {tuple(r) for r in window_latest(ev, ["repo", "path"], "seq").collect()}
+    assert a == b
