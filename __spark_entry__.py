@@ -636,6 +636,14 @@ def q_ann_lsh_topk(spark, sf):
     return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=3)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF coarse-quantizer ANN (inverted lists, n_probes cells per query)."""
+    from kf_etl_clin_portal_spark.similarity.ivf import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_lists=8, n_probes=2)
+
+
 def q_shingle_profile(spark, sf):
     """Higher-order array fns (P-transform/size) without SQL counterpart."""
     docs = _t(spark, sf, "documents")
@@ -701,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (approximate / non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "shingle_profile": q_shingle_profile,
         "nested_type_sets": q_nested_type_sets,
     }

@@ -98,7 +98,9 @@ def main() -> None:
         env = dict(os.environ)
         env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
         # interleave N/4N runs, keep the best of each (filters host noise)
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))):
+        # 2 repeats by default: host CPU-steal swings single runs up to 2×;
+        # best-of interleaved pairs filters most of it (BASELINE.md)
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))):
             for cores in (n_big, n_small):
                 out = subprocess.run(
                     [

@@ -1,0 +1,90 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+scale path alongside the LSH variant (`similarity/ann.py`).
+
+Spark-first IVF without iterative k-means: centroids are a deterministic
+sample of the corpus itself (every ``n/k``-th vector by id — reproducible,
+no RNG, no training job; on real data swap in k-means|| centroids from
+`pyspark.ml.clustering.KMeans` without touching the search path). Corpus
+vectors are assigned to their nearest centroid (one broadcast of k
+centroids, JVM fold per row); a query probes its ``n_probes`` nearest
+centroid cells and scans only those inverted lists.
+
+Scale shape: assignment is a narrow map over the corpus (no shuffle);
+search shuffles only the probed cells' rows. Recall/cost trades via
+``n_lists`` × ``n_probes`` exactly like FAISS IVF-Flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.vectors import cosine, to_double_array
+
+
+def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_lists: int):
+    """Deterministic coarse centroids: first vector of each of n_lists
+    id-ordered strata. Returns a list of (cell_id, vector) on the driver —
+    k vectors only, dimension-bounded."""
+    w = Window.orderBy(F.col(id_col).asc())
+    strat = (
+        corpus.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("__v"))
+        .withColumn("__rn", F.row_number().over(w) - 1)
+    )
+    total = strat.count()
+    stride = max(1, total // n_lists)
+    rows = (
+        strat.where(F.col("__rn") % stride == 0)
+        .orderBy("__rn")
+        .limit(n_lists)
+        .collect()
+    )
+    return [(i, list(r["__v"])) for i, r in enumerate(rows)]
+
+
+def _nearest_cells(vec_col_expr, centroids, n: int):
+    """Array of the n nearest centroid cell ids (JVM-only expression)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine(vec_col_expr, F.array(*[F.lit(x) for x in v]))).alias("d"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, v in centroids
+        ]
+    )
+    top = F.slice(F.array_sort(scored), 1, n)
+    return F.transform(top, lambda s: s["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: (query_id, neighbor_id, cos, rank), scanning only
+    each query's ``n_probes`` nearest inverted lists."""
+    cents = _centroids(corpus, id_col, vec_col, n_lists)
+    cvec = to_double_array(F.col(vec_col))
+    assigned = corpus.withColumn(
+        "__cell", _nearest_cells(cvec, cents, 1)[0]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__cells", _nearest_cells(to_double_array(F.col("__qvec")), cents, n_probes))
+    qx = q.select("query_id", "__qvec", F.explode("__cells").alias("__cell"))
+    scored = (
+        assigned.join(F.broadcast(qx), on="__cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) — beyond the reference's example-only
+test style (SURVEY.md §5): randomized feeds and schema pairs, invariants
+checked against independent specs.
+
+One shared Spark session; hypothesis drives the DATA, examples stay small
+so each property runs in seconds. deadline=None: Spark job latency is not
+the property under test.
+"""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.cdc.dedup import salted_latest, window_latest
+from kf_etl_clin_portal_spark.lake.schema import align_df, evolve_schema, schema_diff
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["r1", "r2", "r3"]),          # repo (few keys → collisions)
+        st.sampled_from(["a", "b"]),                   # path
+        st.integers(min_value=0, max_value=50),        # seq (duplicates possible)
+        st.text(alphabet="xyz", min_size=0, max_size=3),  # content
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=events_strategy)
+def test_salted_latest_matches_pandas_spec(spark, rows):
+    """The salted two-phase dedup equals an independent pandas groupby spec:
+    max (seq, content) per key — including duplicate-seq ties broken on the
+    tiebreak column."""
+    df = spark.createDataFrame(rows, "repo string, path string, seq long, commit string")
+    got = {
+        (r["repo"], r["path"]): (r["seq"], r["commit"])
+        for r in salted_latest(df, ["repo", "path"], "seq", salt_buckets=3).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "seq", "commit"])
+    spec = {
+        k: max(zip(g["seq"], g["commit"]))
+        for k, g in pdf.groupby(["repo", "path"])
+    }
+    assert got == spec
+    # and the window variant agrees
+    got_w = {
+        (r["repo"], r["path"]): (r["seq"], r["commit"])
+        for r in window_latest(df, ["repo", "path"], "seq").collect()
+    }
+    assert got_w == spec
+
+
+field_strategy = st.sampled_from(
+    [("a", "integer"), ("a", "long"), ("b", "float"), ("b", "double"), ("c", "string")]
+)
+schema_strategy = st.lists(field_strategy, min_size=1, max_size=4).map(
+    lambda fields: T.StructType(
+        [
+            T.StructField(name, T._parse_datatype_string(tp))
+            for name, tp in dict(fields).items()
+        ]
+    )
+)
+
+
+@settings(**SETTINGS)
+@given(s1=schema_strategy, s2=schema_strategy)
+def test_evolution_lattice_properties(spark, s1, s2):
+    """evolve(s1, diff(s1, s2)) absorbs s2: every s2 column exists in the
+    result with an equal-or-wider type; s1 columns never narrow; evolution
+    is idempotent."""
+    order = {"integer": 0, "long": 1, "float": 0, "double": 1, "string": 0}
+    evolved = evolve_schema(s1, schema_diff(s1, s2))
+    e = {f.name: f.dataType.typeName() for f in evolved.fields}
+    for f in s2.fields:
+        assert f.name in e
+        assert order[e[f.name]] >= order[f.dataType.typeName()]
+    for f in s1.fields:
+        assert order[e[f.name]] >= order[f.dataType.typeName()]
+    evolved2 = evolve_schema(evolved, schema_diff(evolved, s2))
+    assert evolved2 == evolved
+
+
+@settings(**SETTINGS)
+@given(s1=schema_strategy, s2=schema_strategy)
+def test_align_df_roundtrip(spark, s1, s2):
+    """A one-row df of s1 aligns onto the evolved schema without loss:
+    shared columns keep their value (widened), new columns become null."""
+    evolved = evolve_schema(s1, schema_diff(s1, s2))
+    row = []
+    for f in s1.fields:
+        tp = f.dataType.typeName()
+        row.append("x" if tp == "string" else 1.5 if tp in ("float", "double") else 1)
+    df = spark.createDataFrame([tuple(row)], s1)
+    out = align_df(df, evolved).collect()[0]
+    s1_names = {f.name for f in s1.fields}
+    for f in evolved.fields:
+        if f.name in s1_names:
+            assert out[f.name] is not None
+        else:
+            assert out[f.name] is None

@@ -1,0 +1,37 @@
+"""ANN variants: IVF with full probing must equal the exact baseline;
+partial probing stays a subset of plausible neighbors with proper ranks."""
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.similarity.ann import brute_force_topk
+from kf_etl_clin_portal_spark.similarity.ivf import ivf_topk
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, k=3, n_lists=4, n_probes=4).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_shape(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    got = ivf_topk(emb, q, k=3, n_lists=8, n_probes=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
