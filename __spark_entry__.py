@@ -574,6 +574,22 @@ def q_snapshot_diff(spark, sf):
     return changes_between(half, full, key_cols=["user_id"], hash_col="h")
 
 
+def q_sql_segment_share(spark, sf):
+    """spark.sql front-end over registered views: window share-of-total —
+    the SQL API surface exercised end-to-end (not just DataFrame)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(round(count(*) * 1000.0 / sum(count(*)) OVER (), 0) AS BIGINT)
+                 AS share_permille
+        FROM v_customer
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 def q_priority_rollup(spark, sf):
     """Grouping sets: ROLLUP over (priority, status) — subtotal rows beyond
     the reference's flat groupBys (SURVEY.md §2.4: "no grouping sets")."""
@@ -706,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_ancestors": q_part_ancestors,
         "priority_rollup": q_priority_rollup,
         "status_cube": q_status_cube,
+        "sql_segment_share": q_sql_segment_share,
         # rows-only (approximate / non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1017,6 +1034,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.h <> n.h THEN 'changed' END AS change
             FROM half o FULL OUTER JOIN full_t n ON o.user_id = n.user_id
             WHERE (o.h IS NULL OR n.h IS NULL OR o.h <> n.h)
+        """,
+        "sql_segment_share": """
+            SELECT c_mktsegment, count(*) AS n,
+                   CAST(round(count(*) * 1000.0 / sum(count(*)) OVER (), 0) AS BIGINT)
+                     AS share_permille
+            FROM customer GROUP BY c_mktsegment
         """,
         "priority_rollup": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n,

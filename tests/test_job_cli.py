@@ -39,3 +39,33 @@ def test_run_replay_cli_batch_verify_publish(tmp_path):
     assert rep["parity_ok"] is True
     assert rep["events"] == 5000 and rep["batches"] == 3
     assert "published_version" in rep
+
+
+def test_run_replay_cli_stream_mode(tmp_path):
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "run_replay.py"),
+            "--generate", "3000",
+            "--feed", feed,
+            "--table", table,
+            "--mode", "stream",
+            "--checkpoint", ckpt,
+            "--verify",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(lines[-1])
+    assert rep["mode"] == "stream" and rep["parity_ok"] is True
