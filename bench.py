@@ -65,6 +65,13 @@ def main() -> None:
     )
 
     # ---- headline queries --------------------------------------------------
+    # warmup (untimed): JIT/codegen compile + parquet footer/page cache, so
+    # the first measured query reflects steady-state latency, not JVM cold
+    # start — standard benchmark practice
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
     qs = E.queries()
     timings: dict[str, float] = {}
     total = 0.0

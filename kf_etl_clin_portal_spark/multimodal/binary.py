@@ -113,3 +113,127 @@ def decode_and_featurize(
             yield out
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: size-tagged prefix + truncated/padded
+    payload proportional to the target pixel count (keeps byte volume
+    realistic so partition-sizing behavior is exercised)."""
+    if payload is None:
+        return b""
+    target = max(16, (width * height) // 64)
+    body = (payload * (target // max(len(payload), 1) + 1))[:target]
+    return b"RSZ:%dx%d:" % (width, height) + body
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer=None,
+    payload_col: str = "payload",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize via mapInPandas. ``resizer(payload, w, h)
+    -> bytes``; None → DecoderUnavailable (pass ``fake_resize`` in tests,
+    a PIL/libvips-backed callable in production)."""
+    if resizer is None:
+        raise DecoderUnavailable(
+            "no image codec installed; pass resizer=fake_resize or a real "
+            "PIL/libvips-backed callable"
+        )
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf[payload_col].map(lambda p: resizer(p, width, height)),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def fake_extract_frames(payload: bytes, every_ms: int, duration_ms: int) -> list[bytes]:
+    """Deterministic frame-extraction stand-in: one pseudo-frame per
+    ``every_ms`` of duration, content sliced from the payload."""
+    if payload is None or duration_ms <= 0:
+        return []
+    n = max(1, duration_ms // max(every_ms, 1))
+    frames = []
+    for i in range(int(n)):
+        off = (i * 97) % max(len(payload), 1)
+        frames.append(b"FRM%d:" % i + payload[off : off + 32])
+    return frames
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    extractor=None,
+    payload_col: str = "payload",
+    duration_col: str = "meta.duration_ms",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Video → one row per sampled frame (mapInPandas; a Python-side
+    explode, because frame decode must happen where the codec runs).
+    ``extractor(payload, every_ms, duration_ms) -> list[bytes]``; None →
+    DecoderUnavailable (pass ``fake_extract_frames`` in tests, an
+    ffmpeg/pyav-backed callable in production)."""
+    if extractor is None:
+        raise DecoderUnavailable(
+            "no video codec installed; pass extractor=fake_extract_frames "
+            "or a real ffmpeg/pyav-backed callable"
+        )
+    src = df.select(
+        F.col("media_id"),
+        F.col(payload_col).alias("__payload"),
+        F.col(duration_col).cast("long").alias("__dur"),
+    )
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for _, row in pdf.iterrows():
+                frames = extractor(row["__payload"], every_ms, row["__dur"] or 0)
+                for i, fr in enumerate(frames):
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    payloads.append(fr)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -130,3 +130,57 @@ def test_decode_and_featurize_with_fake_decoder(spark):
 def test_decode_without_decoder_raises(spark):
     with pytest.raises(DecoderUnavailable):
         decode_and_featurize(_media_df(spark), decoder=None)
+
+
+def test_resize_images_plumbing(spark):
+    from kf_etl_clin_portal_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        fake_resize,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", "image/png", b"abcdef" * 10, (64, 48, None, 60)),
+        (2, "image", "image/png", b"zz", (8, 8, None, 2)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 32, 32, resizer=fake_resize).collect()}
+    assert out[1]["width"] == 32 and out[1]["payload"].startswith(b"RSZ:32x32:")
+    assert len(out[1]["payload"]) == len(out[2]["payload"])  # size set by target dims
+
+
+def test_sample_frames_plumbing(spark):
+    from kf_etl_clin_portal_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        fake_extract_frames,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "video", "video/mp4", b"videobytes" * 20, (None, None, 3500, 200)),
+        (2, "video", "video/mp4", b"short", (None, None, 0, 5)),  # zero duration
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frames(df, every_ms=1000, extractor=fake_extract_frames).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append((r["frame_index"], r["frame_ts_ms"]))
+    assert sorted(by_media[1]) == [(0, 0), (1, 1000), (2, 2000)]
+    assert 2 not in by_media  # zero-duration media yields no frames
+
+
+def test_resize_without_codec_raises(spark):
+    import pytest as _pytest
+
+    from kf_etl_clin_portal_spark.multimodal.binary import (
+        DecoderUnavailable,
+        MEDIA_SCHEMA,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([], MEDIA_SCHEMA)
+    with _pytest.raises(DecoderUnavailable):
+        resize_images(df, 8, 8)
+    with _pytest.raises(DecoderUnavailable):
+        sample_frames(df)
