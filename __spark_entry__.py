@@ -356,6 +356,12 @@ def q_doc_quality_lang(spark, sf):
     )
 
 
+def q_doc_rolling_hash(spark, sf):
+    """Rabin-Karp rolling-hash fingerprint (per-char JVM fold)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TX.rolling_hash(F.col("text")).alias("rhash"))
+
+
 def q_doc_fingerprint_dedup(spark, sf):
     docs = _t(spark, sf, "documents")
     return exact_dedup(docs, text_col="text", id_col="doc_id").select(
@@ -701,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_orders": q_nested_orders,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality_lang": q_doc_quality_lang,
+        "doc_rolling_hash": q_doc_rolling_hash,
         "doc_fingerprint_dedup": q_doc_fingerprint_dedup,
         "source_rollup": q_source_rollup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -885,6 +892,9 @@ def oracle_sql() -> dict[str, str]:
                    {OSQL.quality_score_sql('text')} AS quality,
                    {OSQL.lang_id_sql('text')} AS lang_pred
             FROM documents
+        """,
+        "doc_rolling_hash": f"""
+            SELECT doc_id, {OSQL.rolling_hash_sql('text')} AS rhash FROM documents
         """,
         "doc_fingerprint_dedup": f"""
             SELECT {OSQL.fingerprint_sql('text')} AS fingerprint,

@@ -128,3 +128,17 @@ def normalize_text_pandas(s: pd.Series) -> pd.Series:
 def token_count_pandas(s: pd.Series) -> pd.Series:
     """Arrow-vectorized token counter (same TOKEN_RE as n_tokens)."""
     return s.str.count(TOKEN_RE).astype("int64")
+
+
+def rolling_hash(col: Column, base: int = 31, mod: int = 2_147_483_647) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over the text's characters —
+    the brief's document-fingerprint variant that supports incremental
+    window updates at ingest time. Pure JVM fold: h = (h*base + ascii(c))
+    mod p per char; int64 intermediates never overflow (h < 2^31, *31 +
+    255 < 2^36). Bit-identical in the DuckDB oracle (same integer math)."""
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(base) + F.ascii(c), F.lit(mod)),
+    )

@@ -147,3 +147,12 @@ def cosine_sql(a: str, b: str) -> str:
         f"(list_dot_product({a}, {b}) / "
         f"nullif(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 0.0))"
     )
+
+
+def rolling_hash_sql(col: str, base: int = 31, mod: int = 2_147_483_647) -> str:
+    """Rabin-Karp rolling hash — mirrors functions.text.rolling_hash."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(split({col}, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, c) -> (acc * {base} + c) % {mod})"
+    )
