@@ -1,0 +1,78 @@
+"""Dataset catalog — the reference's generated `DatasetConf` catalog
+(`config/src/main/scala/bio/ferlab/fhir/etl/config/ConfigurationGenerator.scala:49-67`:
+every table declared once with id/path/format/loadtype/partitioning)
+re-expressed as a small typed registry over SnapshotTable.
+
+One declaration per table; jobs look tables up by id instead of hard-coding
+paths, and `ensure()` creates the physical table idempotently. Keeps the
+reference's separation of catalog (what tables exist, how they're laid
+out) from jobs (how data flows between them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+@dataclass(frozen=True)
+class TableDescriptor:
+    """One catalog entry (the `DatasetConf` analog).
+
+    load modes (SURVEY.md §2.11): "merge" (CDC upsert), "overwrite",
+    "overwrite_where", "append" — advisory: jobs read it to pick the write
+    path; the storage layer enforces nothing beyond key/bucket layout.
+    """
+
+    table_id: str
+    root: str
+    schema: T.StructType
+    key_cols: tuple[str, ...]
+    num_buckets: int = 16
+    load_mode: str = "merge"
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def ensure(self) -> SnapshotTable:
+        """Create-if-absent, then return a handle (idempotent)."""
+        if SnapshotTable.exists(self.root):
+            return SnapshotTable(self.root).refresh()
+        return SnapshotTable.create(
+            self.root,
+            self.schema,
+            key_cols=list(self.key_cols),
+            num_buckets=self.num_buckets,
+            properties={"table_id": self.table_id, **self.properties},
+        )
+
+
+class Catalog:
+    """Registry of TableDescriptors, id → descriptor."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, TableDescriptor] = {}
+
+    def register(self, desc: TableDescriptor) -> TableDescriptor:
+        if desc.table_id in self._tables:
+            raise ValueError(f"duplicate table id {desc.table_id!r}")
+        self._tables[desc.table_id] = desc
+        return desc
+
+    def get(self, table_id: str) -> TableDescriptor:
+        if table_id not in self._tables:
+            raise KeyError(
+                f"unknown table {table_id!r}; known: {sorted(self._tables)}"
+            )
+        return self._tables[table_id]
+
+    def ids(self) -> list[str]:
+        return sorted(self._tables)
+
+    def ensure_all(self) -> dict[str, SnapshotTable]:
+        return {tid: self._tables[tid].ensure() for tid in self.ids()}
+
+    def read(self, spark: SparkSession, table_id: str, **kwargs) -> DataFrame:
+        return self.get(table_id).ensure().read(spark, **kwargs)

@@ -162,3 +162,33 @@ def test_changes_between(spark):
     new = spark.createDataFrame([("b", "h2x"), ("c", "h3")], "k string, h string")
     got = {(r["k"], r["change"]) for r in changes_between(old, new, ["k"], "h").collect()}
     assert got == {("a", "removed"), ("b", "changed"), ("c", "added")}
+
+
+# ----------------------------------------------------------------- catalog
+def test_catalog_register_ensure_read(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.catalog import Catalog, TableDescriptor
+    from kf_etl_clin_portal_spark.lake.load import overwrite
+
+    cat = Catalog()
+    desc = cat.register(
+        TableDescriptor(
+            table_id="files_current",
+            root=str(tmp_path / "fc"),
+            schema=SCHEMA,
+            key_cols=("repo", "path"),
+            num_buckets=4,
+        )
+    )
+    t1 = desc.ensure()
+    t2 = desc.ensure()  # idempotent
+    assert t2.version == t1.version
+    assert t1.state["properties"]["table_id"] == "files_current"
+    overwrite(spark, t1, _df(spark, [("r1", "a", 1, "x")]))
+    assert cat.read(spark, "files_current").count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cat.register(desc)
+    with _pytest.raises(KeyError):
+        cat.get("nope")
+    assert cat.ids() == ["files_current"]

@@ -1,0 +1,31 @@
+"""Opt-in large replay: 10^7 events through the MoR pipeline to exact
+DuckDB-oracle parity. Excluded from the default suite (several minutes);
+run with SPARK_GRAFT_SLOW=1. Evidence recorded in BASELINE.md."""
+
+import os
+
+import pytest
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="10M-event replay; set SPARK_GRAFT_SLOW=1 to run",
+)
+
+
+def test_ten_million_event_replay_parity(spark, tmp_path):
+    n = int(os.environ.get("SPARK_GRAFT_SLOW_EVENTS", "10000000"))
+    feed_path = str(tmp_path / "feed")
+    generate_change_events(spark, n, seed=42, partitions=64).write.parquet(feed_path)
+    feed = spark.read.parquet(feed_path)
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), num_buckets=64, merge_strategy="mor"
+    )
+    stats = pipe.replay(feed, n_batches=8, by="seq", feed_id="big")
+    assert stats.n_events == n
+    pipe.compact()
+    report = verify_parity(pipe.current(), feed_path)
+    assert report["ok"], report
