@@ -33,7 +33,7 @@ def main() -> None:
     spark = build_session(
         app_name=f"bench-scaling-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=64,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64")),
     )
     feed = spark.read.parquet(feed_dir)
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -55,7 +55,7 @@ def main() -> None:
     pipe = CDCPipeline(
         spark,
         os.path.join(root, "tbl"),
-        num_buckets=64,
+        num_buckets=int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64")),
         prune=False,
         merge_strategy="mor" if mode == "mor" else "union_agg",
     )
