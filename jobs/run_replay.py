@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="after replay, check parity vs the DuckDB oracle (feed must be a local path)")
     ap.add_argument("--publish", action="store_true",
                     help="promote the final snapshot to the 'published' ref")
+    ap.add_argument("--merge-strategy", choices=["union_agg", "join", "mor"],
+                    default="union_agg")
+    ap.add_argument("--compact-after", action="store_true",
+                    help="fold MoR delta files into base after the replay")
+    ap.add_argument("--vacuum-watermark", type=int, default=None,
+                    help="physically drop tombstones with seq <= this low watermark")
     args = ap.parse_args(argv)
 
     from kf_etl_clin_portal_spark.cdc.events import generate_change_events
@@ -66,7 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("one of --feed / --generate is required")
 
-    pipe = CDCPipeline(spark, args.table, num_buckets=args.buckets)
+    pipe = CDCPipeline(
+        spark, args.table, num_buckets=args.buckets,
+        merge_strategy=args.merge_strategy,
+    )
 
     if args.mode == "stream":
         if not (args.checkpoint and args.feed):
@@ -93,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
             "table_version": pipe.table.refresh().version,
         }
 
+    if args.compact_after:
+        report["buckets_compacted"] = pipe.compact()
+    if args.vacuum_watermark is not None:
+        report["buckets_vacuumed"] = pipe.vacuum(args.vacuum_watermark)
     if args.verify:
         from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
         rep = verify_parity(pipe.current(), args.feed)
