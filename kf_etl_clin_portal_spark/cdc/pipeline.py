@@ -125,8 +125,16 @@ class CDCPipeline:
         batch = self.prepare_batch(events)
         self.ensure_table(batch.schema)
         if self.merge_strategy == "mor":
+            # prune=True (the streaming foreachBatch path) doubles as "no
+            # Observation": listener events never reach obs.get there
+            effective_prune = self.prune if prune is None else prune
             return merge_batch_mor(
-                self.spark, self.table, batch, seq_col="seq", batch_id=batch_id
+                self.spark,
+                self.table,
+                batch,
+                seq_col="seq",
+                batch_id=batch_id,
+                use_observe=not effective_prune,
             )
         return merge_batch(
             self.spark,

@@ -321,6 +321,7 @@ def merge_batch_mor(
     batch: DataFrame,
     seq_col: str = "seq",
     batch_id: str | None = None,
+    use_observe: bool = True,
 ) -> MergeResult:
     """Merge-on-read MERGE: append the batch as per-bucket DELTA files and
     defer key resolution to read time (`read_merged`) — the Iceberg
@@ -345,19 +346,35 @@ def merge_batch_mor(
     diff = schema_diff(table.schema, batch.schema)
     target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema
 
-    from pyspark.sql import Observation
+    # use_observe=False forces an explicit stats job: Observation results
+    # never arrive inside a streaming foreachBatch callback (QueryExecution
+    # listener events don't fire there — same constraint as the CoW path,
+    # `streaming/micro_batch.py`), so obs.get would deadlock the stream.
+    obs = None
+    if use_observe:
+        from pyspark.sql import Observation
 
-    obs = Observation()
-    src = (
-        align_df(batch, target_schema)
-        .observe(
-            obs,
+        obs = Observation()
+        src = (
+            align_df(batch, target_schema)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.min(seq_col).alias("seq_min"),
+                F.max(seq_col).alias("seq_max"),
+                F.sum(F.col(TOMBSTONE_COL).cast("int")).alias("n_del"),
+            )
+        )
+    else:
+        stats = batch.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(seq_col).alias("seq_min"),
             F.max(seq_col).alias("seq_max"),
             F.sum(F.col(TOMBSTONE_COL).cast("int")).alias("n_del"),
-        )
-    )
+        ).first()
+        if (stats["n"] or 0) == 0:
+            return MergeResult(skipped=True, batch_id=batch_id)
+        src = align_df(batch, target_schema)
     # within-batch dedup via the same one-shuffle aggregate, then delta files
     data_cols = [f.name for f in target_schema.fields]
     row = F.struct(*[F.col(c) for c in data_cols])
@@ -378,7 +395,7 @@ def merge_batch_mor(
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     for f in new_files:
         f["kind"] = "delta"
-    got = obs.get
+    got = obs.get if obs is not None else stats
     n_events, n_deletes = got["n"] or 0, got["n_del"] or 0
     if n_events == 0:
         for f in new_files:
@@ -442,7 +459,10 @@ def read_merged(
 
 
 def compact_deltas(
-    spark: SparkSession, table: SnapshotTable, min_delta_files: int = 1
+    spark: SparkSession,
+    table: SnapshotTable,
+    min_delta_files: int = 1,
+    seq_col: str = "seq",
 ) -> int:
     """Fold delta files back into one base file per affected bucket (the
     Iceberg rewrite_data_files / minor-compaction analog). Snapshot-atomic;
@@ -460,7 +480,7 @@ def compact_deltas(
     df = table.read(spark, buckets=victims)
     data_cols = df.columns
     row = F.struct(*[F.col(c) for c in data_cols])
-    order = _order_expr("seq", df.schema)
+    order = _order_expr(seq_col, df.schema)
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
     try:

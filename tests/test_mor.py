@@ -76,3 +76,33 @@ def test_mor_fence_and_vacuum_guard(spark, events_path, tmp_path):
     assert report["ok"], report
     cur = pipe.current(include_tombstones=True)
     assert cur.where(F.col("is_deleted")).count() == 0  # tombstones gone
+
+
+def test_mor_through_streaming_foreachbatch(spark, events_path, tmp_path):
+    """Regression: MoR inside a streaming foreachBatch must not use
+    DataFrame.observe (listener events never arrive there — the stream
+    would hang on obs.get). availableNow drain must finish and reach
+    parity."""
+    import os
+
+    from kf_etl_clin_portal_spark.streaming.micro_batch import stream_feed_into_table
+
+    feed_dir = str(tmp_path / "feed_dir")
+    os.makedirs(feed_dir)
+    feed = spark.read.parquet(events_path)
+    feed.write.mode("overwrite").parquet(os.path.join(feed_dir, "f1.parquet"))
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), num_buckets=8, merge_strategy="mor"
+    )
+    q = stream_feed_into_table(
+        spark,
+        feed_dir + "/*",
+        feed.schema,
+        pipe,
+        str(tmp_path / "ckpt"),
+        stream_id="mor-stream",
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    report = verify_parity(pipe.current(), events_path)
+    assert report["ok"], report
