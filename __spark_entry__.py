@@ -439,7 +439,9 @@ def q_part_root_chain(spark, sf):
         .otherwise(F.floor(F.col("p_partkey") / 2).cast("long"))
         .alias("parent_key"),
     )
-    out = resolve_parent_chain(part, "p_partkey", "parent_key", max_depth=12)
+    # depth of the synthetic p/2 chain is floor(log2 max_key)+1 ≈ 17 at sf1;
+    # 32 covers sf ≤ ~100 (pointer jumping: one extra iteration per doubling)
+    out = resolve_parent_chain(part, "p_partkey", "parent_key", max_depth=32)
     return out.select("p_partkey", "root_id")
 
 
@@ -630,7 +632,9 @@ def q_part_ancestors(spark, sf):
         .otherwise(F.floor(F.col("p_partkey") / 2).cast("long"))
         .alias("parent_key"),
     )
-    return ancestor_closure(part, "p_partkey", "parent_key", max_depth=12)
+    # 32 covers sf ≤ ~100 (chain depth ≈ log2 #parts); the fixpoint early-
+    # exit means unused extra rounds cost nothing at small sf
+    return ancestor_closure(part, "p_partkey", "parent_key", max_depth=32)
 
 
 def q_lang_sets(spark, sf):
@@ -648,7 +652,21 @@ def q_lang_sets(spark, sf):
     )
 
 
-# ---- weaker (rows-only) checks: approximate / non-SQL-expressible ops ----
+def q_orders_sample(spark, sf):
+    """§2.6 sampling (RunIndexGenomic.scala:86-89) — the engine-portable
+    hash-mod variant so the sample itself is oracle-checkable; `df.sample`
+    is covered by the determinism tests in tests/test_operators.py."""
+    from kf_etl_clin_portal_spark.operators.sample import hash_sample
+
+    orders = _t(spark, sf, "orders")
+    return hash_sample(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_orderkey",
+        numerator=1,
+        denominator=10,
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf):
     return minhash_near_dups(_t(spark, sf, "documents"), min_agreement=0.3)
 
@@ -675,14 +693,38 @@ def q_shingle_profile(spark, sf):
 
 
 def q_nested_type_sets(spark, sf):
-    """A6 nested structure kept nested (rows-only check on shape)."""
+    """A6 nested structure, serialized deterministically for the value gate.
+
+    The nest itself stays `array<struct<event_type, items:array<ts>>>`
+    (exercising nest_two_level); the final projection flattens it to one
+    canonical string per user so both the driver's canonicalizer and the
+    DuckDB oracle can compare values (nested Python lists are unhashable
+    in the pandas sort the driver uses).
+    """
     ev = _t(spark, sf, "events")
-    return nest_two_level(
+    nested = nest_two_level(
         ev.withColumn("hour", F.date_trunc("hour", "ts")),
         outer_keys=["user_id"],
         inner_keys=["event_type"],
         agg_col="hour",
     )
+    ser = F.concat_ws(
+        ";",
+        F.transform(
+            "groups",
+            lambda g: F.concat(
+                g["event_type"],
+                F.lit("="),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        g["items"], lambda h: F.date_format(h, "yyyy-MM-dd HH:mm:ss")
+                    ),
+                ),
+            ),
+        ),
+    )
+    return nested.select("user_id", ser.alias("groups"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -730,7 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_rollup": q_priority_rollup,
         "status_cube": q_status_cube,
         "sql_segment_share": q_sql_segment_share,
-        # rows-only (approximate / non-SQL-expressible)
+        "orders_sample": q_orders_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -748,6 +790,12 @@ def oracle_sql() -> dict[str, str]:
         f"{OSQL.minhash_sig_sql('shingles', j)} AS sig_{j}" for j in range(16)
     )
     cos = OSQL.cosine_sql("qv", "v")
+    sig_list = "[" + ", ".join(OSQL.minhash_sig_sql("shingles", j) for j in range(16)) + "]"
+    band_keys = OSQL.lsh_band_keys_sql("sig", bands=4, rows_per_band=4)
+    agree = "len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0"
+    lsh_bucket = OSQL.hyperplane_bucket_sql("v", dim=64, n_planes=3, seed=42)
+    h60_id = OSQL.h60_sql("CAST(vec_id AS VARCHAR)")
+    cell_cos = OSQL.cosine_exact_sql("e.v", "cent.cv")
     return {
         "cdc_latest_state": """
             SELECT user_id, event_id, event_type, value, ts_str FROM (
@@ -792,7 +840,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id,
                    string_agg(event_type || ':' || n, ';' ORDER BY event_type || ':' || n) AS type_counts,
-                   sum(n) AS total
+                   CAST(sum(n) AS BIGINT) AS total
             FROM per_type GROUP BY user_id
         """,
         "q1_pricing_summary": """
@@ -1074,6 +1122,95 @@ def oracle_sql() -> dict[str, str]:
               WHERE p.parent_key IS NOT NULL
             )
             SELECT DISTINCT id AS p_partkey, anc AS ancestor FROM walk
+        """,
+        "orders_sample": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE {OSQL.h60_sql("CAST(o_orderkey AS VARCHAR)")} % 10 < 1
+        """,
+        "shingle_profile": f"""
+            SELECT doc_id, len({sh})::BIGINT AS n_shingles FROM documents
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS (SELECT doc_id, {sh} AS shingles FROM documents),
+            sig AS (SELECT doc_id, {sig_list} AS sig FROM sh),
+            banded AS (SELECT doc_id, unnest({band_keys}) AS band_key FROM sig),
+            pruned AS (
+              SELECT doc_id, band_key FROM (
+                SELECT doc_id, band_key,
+                       count(*) OVER (PARTITION BY band_key) AS n
+                FROM banded)
+              WHERE n > 1 AND n <= 50
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pruned a JOIN pruned b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b, round({agree}, 4) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
+            WHERE {agree} >= 0.3
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id, v, {lsh_bucket} AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv, {lsh_bucket} AS bucket
+                  FROM e WHERE vec_id < 10),
+            s AS (SELECT query_id, c.vec_id AS vec_id, round({cos}, 6) AS cos
+                  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+            r AS (SELECT query_id, vec_id AS neighbor_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+              SELECT (row_number() OVER (ORDER BY h, vec_id) - 1) AS cell, v AS cv
+              FROM (SELECT vec_id, v, {h60_id} AS h FROM e)
+              QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8
+            ),
+            assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, cent.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cell_cos} DESC, cent.cell ASC)
+                         AS rn
+                FROM e CROSS JOIN cent)
+              WHERE rn = 1
+            ),
+            q AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, cent.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cell_cos} DESC, cent.cell ASC)
+                         AS rn
+                FROM e CROSS JOIN cent WHERE e.vec_id < 10)
+              WHERE rn <= 2
+            ),
+            s AS (SELECT query_id, a.vec_id AS vec_id, round({cos}, 6) AS cos
+                  FROM assign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id),
+            r AS (SELECT query_id, vec_id AS neighbor_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+        """,
+        "nested_type_sets": """
+            WITH hours AS (
+              SELECT DISTINCT user_id, event_type,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h
+              FROM events
+            ), inner_t AS (
+              SELECT user_id, event_type, string_agg(h, ',' ORDER BY h) AS items
+              FROM hours GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   string_agg(event_type || '=' || items, ';' ORDER BY event_type)
+                     AS groups
+            FROM inner_t GROUP BY user_id
         """,
         "lang_sets": """
             WITH s AS (SELECT source, list(DISTINCT lang) AS langs,

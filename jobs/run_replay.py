@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.generate:
         feed_df = generate_change_events(spark, args.generate, seed=args.seed)
+        if args.verify and not args.feed:
+            # the oracle replays the feed from disk — a generated feed gets
+            # a temp path so `--generate … --verify` works standalone
+            import tempfile
+
+            args.feed = tempfile.mkdtemp(prefix="cdc_feed_") + "/feed"
         if args.feed:
             feed_df.write.mode("overwrite").parquet(args.feed)
             feed_df = spark.read.parquet(args.feed)
@@ -71,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         feed_df = spark.read.parquet(args.feed)
     else:
         ap.error("one of --feed / --generate is required")
+    if args.verify and not args.feed:
+        ap.error("--verify needs --feed (a local path the oracle can read)")
 
     pipe = CDCPipeline(
         spark, args.table, num_buckets=args.buckets,

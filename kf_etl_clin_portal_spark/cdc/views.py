@@ -60,15 +60,35 @@ def file_centric(current: DataFrame, repos: DataFrame | None = None) -> DataFram
     )
 
 
-def lang_centric(current: DataFrame, top_paths_per_repo: int = 5) -> DataFrame:
-    """Per-language document nesting its member repos (two-level pivot)."""
+def lang_centric(current: DataFrame, top_repos_per_lang: int | None = None) -> DataFrame:
+    """Per-language document nesting its member repos (two-level pivot).
+
+    ``top_repos_per_lang`` truncates the nested array to the N largest repos
+    per language (by file count, repo name tiebreak) — the ES-document size
+    guard; the scalar rollups (`n_files`, `n_repos`) still cover ALL repos.
+    """
     per_repo = current.groupBy("lang", "repo").agg(
         F.count(F.lit(1)).alias("n_files"), F.max("seq").alias("last_seq")
     )
-    return per_repo.groupBy("lang").agg(
+    nested_src = per_repo
+    if top_repos_per_lang is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n_files").desc(), F.col("repo").asc()
+        )
+        nested_src = (
+            per_repo.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= top_repos_per_lang)
+            .drop("__rn")
+        )
+    totals = per_repo.groupBy("lang").agg(
         F.sum("n_files").alias("n_files"),
         F.count(F.lit(1)).alias("n_repos"),
+    )
+    nested = nested_src.groupBy("lang").agg(
         F.sort_array(
             F.collect_list(F.struct("repo", "n_files", "last_seq"))
         ).alias("repos"),
     )
+    return totals.join(nested, on="lang")

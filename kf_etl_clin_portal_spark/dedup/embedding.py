@@ -4,6 +4,11 @@ Blocking strategy instead of all-pairs: candidates are generated within a
 blocking key (default: the ``label`` column if present, else an LSH sign
 bucket from `similarity.ann`), then verified by exact cosine. All-pairs mode
 (`block_col=None, lsh_planes=None`) exists for oracle-checkable small sets.
+
+``max_block`` bounds the quadratic blow-up of a degenerate block (one giant
+label at web scale = O(b²) pairs): blocks larger than the cap are dropped
+before the self-join — same guard pattern as `dedup.minhash.max_bucket`,
+observable via `block_stats`, never silent.
 """
 
 from __future__ import annotations
@@ -15,6 +20,50 @@ from kf_etl_clin_portal_spark.functions.vectors import cosine
 from kf_etl_clin_portal_spark.similarity.ann import _bucket_expr
 
 
+def _blocked(
+    df: DataFrame,
+    vec_col: str,
+    block_col: str | None,
+    lsh_planes: int | None,
+    dim: int | None,
+) -> tuple[DataFrame, list[str]]:
+    if block_col is not None and block_col in df.columns:
+        return df, [block_col]
+    if lsh_planes is not None:
+        if dim is None:
+            raise ValueError("dim required for LSH blocking")
+        return (
+            df.withColumn("__block", _bucket_expr(vec_col, dim, lsh_planes, seed=42)),
+            ["__block"],
+        )
+    return df.withColumn("__block", F.lit(0)), ["__block"]
+
+
+def block_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    lsh_planes: int | None = None,
+    dim: int | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Block-size histogram + dropped flag (the `lsh_bucket_stats` analog):
+    one row per block-size class so a capped run reports exactly what the
+    ``max_block`` guard discarded."""
+    base, block = _blocked(df, vec_col, block_col, lsh_planes, dim)
+    sizes = base.groupBy(*block).agg(F.count(F.lit(1)).alias("block_size"))
+    return (
+        sizes.groupBy("block_size")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .withColumn(
+            "dropped",
+            F.lit(False) if max_block is None else F.col("block_size") > max_block,
+        )
+        .orderBy("block_size")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     min_cos: float = 0.95,
@@ -23,19 +72,21 @@ def cosine_near_dup_pairs(
     block_col: str | None = "label",
     lsh_planes: int | None = None,
     dim: int | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ min_cos, a < b."""
-    base = df
-    if block_col is not None and block_col in df.columns:
-        block = [block_col]
-    elif lsh_planes is not None:
-        if dim is None:
-            raise ValueError("dim required for LSH blocking")
-        base = df.withColumn("__block", _bucket_expr(vec_col, dim, lsh_planes, seed=42))
-        block = ["__block"]
-    else:
-        base = df.withColumn("__block", F.lit(0))
-        block = ["__block"]
+    base, block = _blocked(df, vec_col, block_col, lsh_planes, dim)
+    if max_block is not None:
+        # hash-agg the block sizes, then inner-join the allowed block keys
+        # back in (nothing broadcast/collected: the key set grows with the
+        # corpus; Spark may still broadcast it when it's small — AQE's call)
+        ok = (
+            base.groupBy(*block)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") <= max_block)
+            .select(*block)
+        )
+        base = base.join(ok, on=block)
     a = base.select(
         *block, F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )

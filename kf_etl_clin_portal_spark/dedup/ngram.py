@@ -22,7 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kf_etl_clin_portal_spark.functions.hashing import h60, word_shingles
@@ -36,33 +36,39 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for all pairs with Jaccard ≥ min_jaccard."""
+    """(id_a, id_b, jaccard) for all pairs with Jaccard ≥ min_jaccard.
+
+    All counts are hash aggregations (map-side partial combine), not
+    sort-based window functions: the df cap is a groupBy(h) count inner-
+    joined back, and the per-doc set sizes join onto the (far smaller)
+    candidate-pair set AFTER the pair aggregation — the exploded postings
+    table never carries the size columns through the self-join shuffle.
+    """
     sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
     exploded = sh.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).select(F.col(id_col), h60(F.col("shingle")).alias("h"))
     if max_df is not None:
-        wdf = Window.partitionBy("h")
-        exploded = (
-            exploded.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        ok = (
+            exploded.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") <= max_df)
-            .drop("__df")
+            .select("h")
         )
+        exploded = exploded.join(ok, on="h")
     # per-doc set size AFTER any df cap (shingles are distinct per doc)
-    wid = Window.partitionBy(id_col)
-    exploded = exploded.withColumn("__ns", F.count(F.lit(1)).over(wid))
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("__ns").alias("na"), "h"
-    )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("__ns").alias("nb"), "h"
-    )
+    ns = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("__ns"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "h")
+    b = exploded.select(F.col(id_col).alias("id_b"), "h")
     common = (
         a.join(b, on=["h"])
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    common = common.join(
+        ns.select(F.col(id_col).alias("id_a"), F.col("__ns").alias("na")), on="id_a"
+    ).join(ns.select(F.col(id_col).alias("id_b"), F.col("__ns").alias("nb")), on="id_b")
     return (
         common.withColumn(
             "jaccard",

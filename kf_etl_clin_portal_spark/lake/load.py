@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kf_etl_clin_portal_spark.lake.schema import align_df
 from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, SnapshotTable, bucket_expr
 
 
@@ -39,7 +40,14 @@ def _bucketed(
     reference's RepartitionByRange write clustering
     (`ConfigurationGenerator.scala:161`, chromosome/start → 100 files) as a
     sortWithinPartitions: no extra shuffle, better parquet min/max pruning
-    and encoding on the clustered columns."""
+    and encoding on the clustered columns.
+
+    The input is first aligned onto the table's registered schema (cast
+    widenable columns, null-fill missing ones) exactly like the MERGE path —
+    otherwise extra columns would be silently dropped by readers and
+    re-typed ones would commit files diverging from the registered schema.
+    Genuinely new columns should go through MERGE's schema evolution."""
+    df = align_df(df, table.schema)
     key, n = table.key_cols, table.num_buckets
     out = df.repartition(n, *[F.col(c) for c in key]).withColumn(
         BUCKET_COL, bucket_expr(key, n)

@@ -100,7 +100,7 @@ class SnapshotTable:
             "operation": "create",
             "current_schema_id": 0,
             "schemas": {"0": schema.jsonValue()},
-            "partition": {"kind": "bucket", "key": key_cols, "num_buckets": num_buckets, "hash": "xxhash64"},
+            "partition": {"kind": "bucket", "key": key_cols, "num_buckets": num_buckets, "hash": "murmur3"},
             "files": [],
             "applied_batches": {},
             "refs": {},

@@ -39,19 +39,18 @@ def ancestor_closure(
         .distinct()
     )
     rounds = max(1, (max_depth - 1).bit_length())
-    prev = None
     last_n = -1
     for _ in range(rounds):
         # each round references `pairs` TWICE (left side + hop). Without a
         # materialization barrier Spark recomputes the full prior lineage on
-        # both branches — work doubles per round. persist+count truncates
-        # lineage to one job per round (iterative-algorithm idiom; on a
-        # cluster use reliable checkpoint if executor loss matters).
-        pairs = pairs.persist()
-        n = pairs.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = pairs
+        # both branches — work doubles per round. localCheckpoint(eager)
+        # materializes AND truncates lineage to the stored blocks; unlike
+        # persist() (pinned in the CacheManager until an explicit unpersist,
+        # i.e. a storage leak in long-lived sessions) checkpoint blocks are
+        # freed by the ContextCleaner when the DataFrame is GC'd. On a
+        # cluster use reliable checkpoint if executor loss matters.
+        pairs = pairs.localCheckpoint(eager=True)
+        n = pairs.count()  # cheap: counts the checkpointed blocks
         if n == last_n:
             break  # fixed point reached before the depth bound
         last_n = n

@@ -71,6 +71,11 @@ def resolve_parent_chain(
     links = cur
     iters = max(1, (max_depth - 1).bit_length())
     for _ in range(iters):
+        # links feeds BOTH join sides; without a materialization barrier the
+        # plan tree doubles per iteration (2^iters base scans). Same idiom
+        # as ancestor_closure: eager localCheckpoint truncates lineage and
+        # its blocks are context-cleaned on GC (no persist-registry leak).
+        links = links.localCheckpoint(eager=True)
         hop = links.select(
             F.col("__id").alias("__anc"), F.col("__anc").alias("__anc2")
         )

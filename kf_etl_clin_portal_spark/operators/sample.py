@@ -1,0 +1,48 @@
+"""Sampling — SURVEY.md §2.6 (the reference smoke-samples its genomic index
+output, `etl/src/main/scala/bio/ferlab/etl/indexed/genomic/RunIndexGenomic.scala:86-89`,
+via `df.sample`).
+
+Two variants:
+
+- ``seeded_sample`` — the `df.sample` API itself: per-partition Bernoulli,
+  reproducible for a fixed seed AND partitioning, but not portable across
+  engines (tested for determinism + fraction tolerance in pytest).
+- ``hash_sample`` — content-hash sampling: keep rows whose portable 60-bit
+  key hash lands in ``numerator/denominator`` of the hash space. Fully
+  deterministic across engines/partitionings (DuckDB-oracle-checkable) and
+  stable under repartition — the variant to use when a sample must be
+  reproducible in a lineage (e.g. a held-out eval split of a training
+  corpus). Pure JVM filter, pushes nothing extra through a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.hashing import h60
+
+
+def seeded_sample(
+    df: DataFrame,
+    fraction: float,
+    seed: int = 42,
+    with_replacement: bool = False,
+) -> DataFrame:
+    """`df.sample` passthrough (§2.6) with the engine's default seed."""
+    return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str | Column,
+    numerator: int = 1,
+    denominator: int = 10,
+) -> DataFrame:
+    """Deterministic sample of ≈ numerator/denominator of rows by key hash."""
+    if not 0 < numerator <= denominator:
+        raise ValueError("need 0 < numerator <= denominator")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.where(
+        F.pmod(h60(key.cast("string")), F.lit(denominator)) < F.lit(numerator)
+    )

@@ -149,6 +149,66 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+def dot_fold_sql(a: str, b: str) -> str:
+    """Dot product as the EXACT left fold vectors.dot performs:
+    ((0.0 + a1*b1) + a2*b2) + ... — bit-identical by IEEE-754 semantics,
+    needed where an unrounded comparison (argmax) crosses engines."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> ({a})[i] * ({b})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def norm_fold_sql(a: str) -> str:
+    """sqrt of the exact left fold of squares — mirrors vectors.norm."""
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({a}, v -> v * v)), (acc, x) -> acc + x))"
+    )
+
+
+def cosine_exact_sql(a: str, b: str) -> str:
+    """Bit-exact replica of vectors.cosine (fold-based, same operand order)."""
+    return (
+        f"({dot_fold_sql(a, b)} / "
+        f"nullif({norm_fold_sql(a)} * {norm_fold_sql(b)}, 0.0))"
+    )
+
+
+def _sql_double_list(values: list[float]) -> str:
+    # repr() is the shortest round-trip decimal; DuckDB's strtod restores
+    # the identical double
+    return "[" + ", ".join(repr(v) for v in values) + "]::DOUBLE[]"
+
+
+def hyperplane_bucket_sql(vec: str, dim: int, n_planes: int, seed: int = 42) -> str:
+    """Sign-bit LSH bucket id — mirrors similarity.ann._bucket_expr using
+    the SAME Python-generated hyperplane constants and the exact dot fold."""
+    from kf_etl_clin_portal_spark.similarity.ann import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        plane = _sql_double_list(_hyperplane(dim, p, seed))
+        terms.append(
+            f"(CASE WHEN {dot_fold_sql(vec, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_band_keys_sql(sig: str, bands: int, rows_per_band: int) -> str:
+    """List of band bucket keys 'i:sha256(sig slice)' — mirrors
+    hashing.lsh_band_keys (same separator/format, same sha256 hex)."""
+    keys = []
+    for i in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST({sig}[{i * rows_per_band + j + 1}] AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+        keys.append(f"'{i}:' || sha256({parts})")
+    return "[" + ", ".join(keys) + "]"
+
+
 def rolling_hash_sql(col: str, base: int = 31, mod: int = 2_147_483_647) -> str:
     """Rabin-Karp rolling hash — mirrors functions.text.rolling_hash."""
     return (

@@ -2,9 +2,10 @@
 scale path alongside the LSH variant (`similarity/ann.py`).
 
 Spark-first IVF without iterative k-means: centroids are a deterministic
-sample of the corpus itself (every ``n/k``-th vector by id — reproducible,
-no RNG, no training job; on real data swap in k-means|| centroids from
-`pyspark.ml.clustering.KMeans` without touching the search path). Corpus
+sample of the corpus itself (the ``n_lists`` rows with the smallest portable
+60-bit hash of their id — reproducible, no RNG, no training job; on real
+data swap in k-means|| centroids from `pyspark.ml.clustering.KMeans`
+without touching the search path). Corpus
 vectors are assigned to their nearest centroid (one broadcast of k
 centroids, JVM fold per row); a query probes its ``n_probes`` nearest
 centroid cells and scans only those inverted lists.
@@ -19,23 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kf_etl_clin_portal_spark.functions.hashing import h60
 from kf_etl_clin_portal_spark.functions.vectors import cosine, to_double_array
 
 
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_lists: int):
-    """Deterministic coarse centroids: first vector of each of n_lists
-    id-ordered strata. Returns a list of (cell_id, vector) on the driver —
-    k vectors only, dimension-bounded."""
-    w = Window.orderBy(F.col(id_col).asc())
-    strat = (
-        corpus.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("__v"))
-        .withColumn("__rn", F.row_number().over(w) - 1)
-    )
-    total = strat.count()
-    stride = max(1, total // n_lists)
+    """Deterministic coarse centroids: the ``n_lists`` corpus rows with the
+    smallest portable 60-bit hash of their id (hash ≈ uniform random sample,
+    but reproducible across engines). The global orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition partial top-k merged on the
+    driver, NO single-partition sort exchange (the round-1 version's
+    `Window.orderBy` funneled the whole corpus through one task). Only
+    ``n_lists`` dimension-bounded vectors ever reach the driver."""
     rows = (
-        strat.where(F.col("__rn") % stride == 0)
-        .orderBy("__rn")
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            to_double_array(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__h", h60(F.col("__id").cast("string")))
+        .orderBy(F.col("__h").asc(), F.col("__id").asc())
         .limit(n_lists)
         .collect()
     )

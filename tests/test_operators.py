@@ -130,3 +130,33 @@ def test_group_rollup(spark):
     assert got["a"]["n_rows"] == 2 and got["a"]["n_v"] == 2 and got["a"]["sum_w"] == 5.0
     assert got["a"]["set_v"] == [1, 2]
     assert got["b"]["n_rows"] == 1
+
+
+def test_seeded_sample_deterministic_and_fraction(spark, sf_dir):
+    from kf_etl_clin_portal_spark.operators.sample import hash_sample, seeded_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    total = orders.count()
+    s1 = seeded_sample(orders, 0.2, seed=7)
+    s2 = seeded_sample(orders, 0.2, seed=7)
+    n1 = s1.count()
+    assert n1 == s2.count()  # same seed + partitioning → identical sample
+    assert 0.1 * total < n1 < 0.35 * total  # Bernoulli tolerance
+
+    hs = hash_sample(orders, "o_orderkey", 1, 10)
+    n_h = hs.count()
+    assert 0.05 * total < n_h < 0.2 * total
+    # stable under repartition (content-hash, not partition-dependent)
+    assert hash_sample(orders.repartition(13), "o_orderkey", 1, 10).count() == n_h
+
+
+def test_hash_sample_validates_ratio(spark):
+    import pytest as _pytest
+
+    from kf_etl_clin_portal_spark.operators.sample import hash_sample
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError):
+        hash_sample(df, "id", 0, 10)
+    with _pytest.raises(ValueError):
+        hash_sample(df, "id", 11, 10)

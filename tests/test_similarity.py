@@ -35,3 +35,46 @@ def test_ivf_partial_probe_shape(spark, sf_dir):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_embedding_neardup_max_block_guard(spark):
+    """One giant degenerate block must be dropped by max_block, small blocks
+    kept — and block_stats reports the drop."""
+    import pyspark.sql.functions as F
+
+    from kf_etl_clin_portal_spark.dedup.embedding import (
+        block_stats,
+        cosine_near_dup_pairs,
+    )
+
+    # 40 vectors in one giant label, 3 in a small one; identical vectors so
+    # every within-block pair passes min_cos
+    rows = [(i, "big", [1.0, 0.0]) for i in range(40)] + [
+        (100 + i, "small", [0.0, 1.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    uncapped = cosine_near_dup_pairs(df, min_cos=0.9)
+    assert uncapped.count() == 40 * 39 // 2 + 3
+    capped = cosine_near_dup_pairs(df, min_cos=0.9, max_block=10)
+    assert capped.count() == 3  # only the small block survives
+    stats = {r["block_size"]: r["dropped"] for r in block_stats(df, max_block=10).collect()}
+    assert stats == {3: False, 40: True}
+
+
+def test_ivf_centroids_no_global_sort(spark, sf_dir):
+    """The centroid pick must compile to a take-ordered (partial top-k),
+    never a single-partition global sort exchange."""
+    from kf_etl_clin_portal_spark.functions.hashing import h60
+    from kf_etl_clin_portal_spark.functions.vectors import to_double_array
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan_df = (
+        emb.select(F.col("vec_id").alias("__id"), to_double_array(F.col("embedding")).alias("__v"))
+        .withColumn("__h", h60(F.col("__id").cast("string")))
+        .orderBy(F.col("__h").asc(), F.col("__id").asc())
+        .limit(8)
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
