@@ -65,6 +65,7 @@ class CDCPipeline:
         salt_buckets: int = 8,
         merge_strategy: str = "union_agg",
         prune: bool | None = None,
+        table_properties: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -73,6 +74,7 @@ class CDCPipeline:
         self.salt_buckets = salt_buckets
         self.merge_strategy = merge_strategy
         self.prune = prune
+        self.table_properties = table_properties
         self._table: SnapshotTable | None = None
 
     # ---------------------------------------------------------------- table
@@ -84,7 +86,13 @@ class CDCPipeline:
 
     def ensure_table(self, events_schema: T.StructType) -> SnapshotTable:
         """Create the current-state table if absent; schema = event payload
-        columns + content_sha256 (op/delivery_batch are feed-only)."""
+        columns + content_sha256 (op/delivery_batch are feed-only).
+
+        A warm handle is kept across batches: its refresh() is incremental
+        (replays only new deltas), so the per-batch driver cost stays
+        O(commits since last batch), not O(log)."""
+        if self._table is not None:
+            return self._table
         if SnapshotTable.exists(self.root):
             self._table = SnapshotTable(self.root).refresh()
             return self._table
@@ -98,6 +106,7 @@ class CDCPipeline:
             T.StructType(fields),
             key_cols=self.key_cols,
             num_buckets=self.num_buckets,
+            properties=self.table_properties,
         )
         return self._table
 

@@ -88,7 +88,7 @@ def merge_batch(
     """
     table.refresh()
     # 1. epoch fence — replayed batch (driver restart, at-least-once source)
-    if batch_id is not None and batch_id in table.applied_batches():
+    if batch_id is not None and table.is_batch_applied(batch_id):
         return MergeResult(skipped=True, batch_id=batch_id)
 
     key_cols = table.key_cols
@@ -340,7 +340,7 @@ def merge_batch_mor(
     `tests` assert CoW and MoR replays produce byte-identical current state.
     """
     table.refresh()
-    if batch_id is not None and batch_id in table.applied_batches():
+    if batch_id is not None and table.is_batch_applied(batch_id):
         return MergeResult(skipped=True, batch_id=batch_id)
     key_cols, num_buckets = table.key_cols, table.num_buckets
     diff = schema_diff(table.schema, batch.schema)

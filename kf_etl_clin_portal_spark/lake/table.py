@@ -4,16 +4,34 @@ Layout::
 
     <root>/
       _log/
-        00000000000.json      # commit 0 (create)
-        00000000001.json      # commit 1 (merge ...)
+        00000000000.json      # commit 0 (create: full state)
+        00000000001.json      # commit 1 (delta: what this commit changed)
+        00000000025.ckpt.json # derived checkpoint cache (full state at v25)
       data/
         b=<bucket>/part-<uuid>.parquet
 
-Each commit JSON is the FULL table state (file list, schema registry,
-partition spec, cumulative applied-batch fence map, lineage of that commit) —
-the simplified equivalent of an Iceberg snapshot + manifest list. Commit
-atomicity comes from exclusive-create (``open(..., 'x')``) of the next
-numbered log file; a losing concurrent writer gets FileExistsError and
+Commits are **deltas**, not full states: each log entry records only what
+the commit changed (files added, buckets replaced, schema added, batch
+fenced, refs moved) — the Iceberg snapshot+manifest-delta model. Full state
+at any version is reconstructed by replaying deltas forward from the
+nearest checkpoint; every K commits (``log.checkpoint_interval`` property)
+a full-state checkpoint cache (``.ckpt.json``, atomic tmp+rename, derived
+and deterministic from the log) bounds replay length. This keeps per-commit
+driver I/O O(delta), not O(table): a long stream's commit cost no longer
+grows with the file count and fence-map size (the round-1 full-state log
+was O(batches²) cumulative driver I/O — measurable serial time per batch
+at high core counts, i.e. lost scaling efficiency).
+
+The exactly-once batch fence is similarly bounded: batch ids of the form
+``<feed>-b<NN>`` / ``<stream>-e<NN>`` parse into (feed, epoch); a per-feed
+**contiguous epoch watermark** advances as epochs apply, entries at or
+below ``watermark - fence.keep_epochs`` are dropped from the map, and the
+fence check becomes ``id in map OR epoch <= watermark`` — so a 10^6-batch
+stream carries a bounded map instead of 10^6 entries per commit.
+Non-parseable batch ids are never truncated (documented contract).
+
+Commit atomicity comes from exclusive-create (``open(..., 'x')``) of the
+next numbered log file; a losing concurrent writer gets FileExistsError and
 retries against the new state (optimistic concurrency, Iceberg-style). On a
 real deployment this seam is replaced by an Iceberg REST catalog commit.
 
@@ -33,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -71,6 +90,97 @@ class CommitInfo:
     lineage: dict[str, Any]
 
 
+# batch ids minted by CDCPipeline.replay ("<feed>-b00001") and the streaming
+# sink ("<stream>-e000001"): prefix + monotone epoch number
+_FENCE_RE = re.compile(r"^(.*-[be])(\d+)$")
+
+_DEFAULT_CKPT_INTERVAL = 25
+_DEFAULT_FENCE_KEEP = 64
+
+
+def _parse_fence(batch_id: str) -> tuple[str, int] | None:
+    m = _FENCE_RE.match(batch_id)
+    return (m.group(1), int(m.group(2))) if m else None
+
+
+def _truncate_fence(
+    applied: dict[str, Any], watermarks: dict[str, int], keep: int
+) -> tuple[dict[str, Any], dict[str, int]]:
+    """Advance each feed's contiguous epoch watermark and drop map entries
+    at or below ``watermark - keep``. Pure; correctness does NOT assume
+    in-order application: the watermark only advances over a gap-free run
+    of applied epochs, so ``epoch <= watermark`` always implies applied."""
+    parsed: dict[str, tuple[str, int]] = {}
+    by_feed: dict[str, set[int]] = {}
+    for bid in applied:
+        p = _parse_fence(bid)
+        if p:
+            parsed[bid] = p
+            by_feed.setdefault(p[0], set()).add(p[1])
+    watermarks = dict(watermarks)
+    for feed, epochs in by_feed.items():
+        w = watermarks.get(feed, -1)
+        while w + 1 in epochs:
+            w += 1
+        watermarks[feed] = w
+    applied = {
+        bid: v
+        for bid, v in applied.items()
+        if bid not in parsed
+        or parsed[bid][1] > watermarks[parsed[bid][0]] - keep
+    }
+    return applied, watermarks
+
+
+def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]:
+    """Pure state transition: full state at v-1 + delta -> full state at v.
+    Both the committer and every log replayer run exactly this function, so
+    checkpoint caches are deterministic given the log."""
+    files = state["files"]
+    replaced = set(delta.get("replaced_buckets") or [])
+    if replaced:
+        files = [f for f in files if f["bucket"] not in replaced]
+    files = files + list(delta.get("new_files") or [])
+
+    schemas = dict(state["schemas"])
+    if delta.get("schema_add"):
+        schemas[str(delta["schema_add"]["id"])] = delta["schema_add"]["schema"]
+
+    applied = dict(state["applied_batches"])
+    watermarks = dict(state.get("fence_watermarks", {}))
+    if delta.get("applied_batch"):
+        bid, info = delta["applied_batch"]
+        applied[bid] = info
+        keep = int(state["properties"].get("fence.keep_epochs", _DEFAULT_FENCE_KEEP))
+        applied, watermarks = _truncate_fence(applied, watermarks, keep)
+
+    refs = dict(state.get("refs", {}))
+    if delta.get("refs_set"):
+        refs.update(delta["refs_set"])
+
+    return {
+        "version": delta["version"],
+        "snapshot_id": delta["snapshot_id"],
+        "parent_snapshot_id": delta["parent_snapshot_id"],
+        "ts": delta["ts"],
+        "operation": delta["operation"],
+        "current_schema_id": delta.get("current_schema_id", state["current_schema_id"]),
+        "schemas": schemas,
+        "partition": state["partition"],
+        "files": files,
+        "applied_batches": applied,
+        "fence_watermarks": watermarks,
+        "refs": refs,
+        "properties": state["properties"],
+        "lineage": delta.get("lineage") or {},
+        "summary": {
+            "total_rows": sum(f["rows"] for f in files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "total_files": len(files),
+        },
+    }
+
+
 class SnapshotTable:
     """Handle to a snapshot-committed table rooted at ``root``."""
 
@@ -103,6 +213,7 @@ class SnapshotTable:
             "partition": {"kind": "bucket", "key": key_cols, "num_buckets": num_buckets, "hash": "murmur3"},
             "files": [],
             "applied_batches": {},
+            "fence_watermarks": {},
             "refs": {},
             "properties": properties or {},
             "lineage": {"operation": "create"},
@@ -120,17 +231,43 @@ class SnapshotTable:
     def _log_path(self, version: int) -> str:
         return os.path.join(self.root, _LOG_DIR, f"{version:011d}.json")
 
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:011d}.ckpt.json")
+
     def _latest_version(self) -> int:
         log = os.path.join(self.root, _LOG_DIR)
-        versions = [int(f[:-5]) for f in os.listdir(log) if f.endswith(".json")]
+        versions = [
+            int(f[:-5])
+            for f in os.listdir(log)
+            if f.endswith(".json") and not f.endswith(".ckpt.json") and not f.endswith(".tmp.json")
+        ]
         if not versions:
             raise FileNotFoundError(f"no commits in {log}")
         return max(versions)
 
+    def _read_entry(self, version: int) -> dict[str, Any]:
+        with open(self._log_path(version)) as fh:
+            return json.load(fh)
+
     def refresh(self) -> "SnapshotTable":
-        self._version = self._latest_version()
-        with open(self._log_path(self._version)) as fh:
-            self._state = json.load(fh)
+        """Sync to the latest committed version. Incremental: a cached state
+        only replays the deltas committed since — O(new commits), not
+        O(table) — so a long-running writer's per-batch refresh cost is a
+        handful of small JSON reads."""
+        latest = self._latest_version()
+        if (
+            self._state is not None
+            and self._version is not None
+            and self._version <= latest
+        ):
+            state = self._state
+            for v in range(self._version + 1, latest + 1):
+                entry = self._read_entry(v)
+                state = _apply_delta(state, entry) if entry.get("type") == "delta" else entry
+            self._state, self._version = state, latest
+        else:
+            self._state = self._reconstruct(latest)
+            self._version = latest
         return self
 
     @property
@@ -145,12 +282,52 @@ class SnapshotTable:
             self.refresh()
         return self._version  # type: ignore[return-value]
 
+    def _reconstruct(self, version: int) -> dict[str, Any]:
+        """Full state at ``version``: walk back to the nearest checkpoint
+        cache or full-state entry (v0 create; pre-delta-log commits are full
+        states too), then replay deltas forward."""
+        deltas: list[dict[str, Any]] = []
+        cur = version
+        state: dict[str, Any] | None = None
+        while cur >= 0:
+            ck = self._ckpt_path(cur)
+            if os.path.exists(ck):
+                with open(ck) as fh:
+                    state = json.load(fh)
+                break
+            entry = self._read_entry(cur)
+            if entry.get("type") != "delta":
+                state = entry
+                break
+            deltas.append(entry)
+            cur -= 1
+        if state is None:
+            raise FileNotFoundError(f"no full state at or below version {version}")
+        for d in reversed(deltas):
+            state = _apply_delta(state, d)
+        return state
+
     def state_at(self, version: int) -> dict[str, Any]:
-        with open(self._log_path(version)) as fh:
-            return json.load(fh)
+        if self._version == version and self._state is not None:
+            return self._state
+        return self._reconstruct(version)
 
     def history(self) -> list[dict[str, Any]]:
-        return [self.state_at(v) for v in range(self._latest_version() + 1)]
+        """Per-commit metadata (version/snapshot/operation/lineage), one log
+        read per commit — NOT full states (reconstructing every version
+        would be quadratic)."""
+        out = []
+        for v in range(self._latest_version() + 1):
+            e = self._read_entry(v)
+            out.append(
+                {
+                    "version": e["version"],
+                    "snapshot_id": e["snapshot_id"],
+                    "operation": e["operation"],
+                    "lineage": e.get("lineage") or {},
+                }
+            )
+        return out
 
     # ------------------------------------------------------------ metadata
     @property
@@ -172,6 +349,17 @@ class SnapshotTable:
     def applied_batches(self) -> dict[str, Any]:
         return self.state["applied_batches"]
 
+    def is_batch_applied(self, batch_id: str) -> bool:
+        """Exactly-once fence: in the bounded map, OR at/below the feed's
+        contiguous epoch watermark (entries truncated from the map are
+        still fenced — the watermark proves they applied)."""
+        if batch_id in self.state["applied_batches"]:
+            return True
+        p = _parse_fence(batch_id)
+        if p is None:
+            return False
+        return p[1] <= self.state.get("fence_watermarks", {}).get(p[0], -1)
+
     def refs(self) -> dict[str, Any]:
         return self.state.get("refs", {})
 
@@ -191,37 +379,41 @@ class SnapshotTable:
         target_state = self.state_at(target_version)
         for _ in range(20):
             self.refresh()
-            st = dict(self.state)
-            refs = dict(st.get("refs", {}))
-            refs[name] = {
-                "version": target_version,
-                "snapshot_id": target_state["snapshot_id"],
-                "ts": _now(),
-            }
+            st = self.state
             version_new = self.version + 1
             snapshot_id = uuid.uuid4().hex
-            new_state = dict(
-                st,
-                version=version_new,
-                snapshot_id=snapshot_id,
-                parent_snapshot_id=st["snapshot_id"],
-                ts=_now(),
-                operation="publish",
-                refs=refs,
-                lineage={
+            ts = _now()
+            delta = {
+                "type": "delta",
+                "version": version_new,
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": st["snapshot_id"],
+                "ts": ts,
+                "operation": "publish",
+                "refs_set": {
+                    name: {
+                        "version": target_version,
+                        "snapshot_id": target_state["snapshot_id"],
+                        "ts": ts,
+                    }
+                },
+                "lineage": {
                     "operation": "publish",
                     "ref": name,
                     "published_version": target_version,
                     "version": version_new,
                     "snapshot_id": snapshot_id,
-                    "ts": _now(),
+                    "ts": ts,
                 },
-            )
+            }
+            new_state = _apply_delta(st, delta)
             try:
-                self._write_commit(new_state, expected_version=version_new)
+                self._write_log(delta, expected_version=version_new)
             except FileExistsError:
                 continue
-            return CommitInfo(version_new, snapshot_id, "publish", new_state["lineage"])
+            self._state, self._version = new_state, version_new
+            self._maybe_checkpoint()
+            return CommitInfo(version_new, snapshot_id, "publish", delta["lineage"])
         raise RuntimeError("publish contention: gave up after 20 retries")
 
     def resolve_ref(self, name: str) -> int:
@@ -332,26 +524,24 @@ class SnapshotTable:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
         batch fence + lineage. Optimistic-retry on concurrent commit.
+
+        The log entry is a DELTA (what changed); the full state is derived
+        via `_apply_delta` — the same pure function every reader replays —
+        so per-commit driver I/O is O(delta) regardless of table size.
         """
         for _ in range(max_retries):
             self.refresh()
-            st = dict(self.state)
-            if batch_id is not None and batch_id in st["applied_batches"]:
+            st = self.state
+            if batch_id is not None and self.is_batch_applied(batch_id):
                 raise BatchAlreadyApplied(batch_id)
-            prev_files = st["files"]
-            if replaced_buckets:
-                kept = [f for f in prev_files if f["bucket"] not in replaced_buckets]
-            else:
-                kept = list(prev_files)
-            files = kept + new_files
 
-            schemas = dict(st["schemas"])
+            schema_add = None
             schema_id = st["current_schema_id"]
             if new_schema is not None:
-                current = T.StructType.fromJson(schemas[str(schema_id)])
+                current = T.StructType.fromJson(st["schemas"][str(schema_id)])
                 if new_schema != current:
-                    schema_id = max(int(k) for k in schemas) + 1
-                    schemas[str(schema_id)] = new_schema.jsonValue()
+                    schema_id = max(int(k) for k in st["schemas"]) + 1
+                    schema_add = {"id": schema_id, "schema": new_schema.jsonValue()}
 
             version = self.version + 1
             snapshot_id = uuid.uuid4().hex
@@ -368,47 +558,47 @@ class SnapshotTable:
                     "bytes_written": sum(f["bytes"] for f in new_files),
                 }
             )
-            applied = dict(st["applied_batches"])
-            if batch_id is not None:
-                applied[batch_id] = {
-                    "version": version,
-                    "snapshot_id": snapshot_id,
-                    "seq_min": lineage_row.get("seq_min"),
-                    "seq_max": lineage_row.get("seq_max"),
-                }
-            new_state = {
+            delta = {
+                "type": "delta",
                 "version": version,
                 "snapshot_id": snapshot_id,
                 "parent_snapshot_id": st["snapshot_id"],
-                "ts": _now(),
+                "ts": lineage_row["ts"],
                 "operation": operation,
                 "current_schema_id": schema_id,
-                "schemas": schemas,
-                "partition": st["partition"],
-                "files": files,
-                "applied_batches": applied,
-                "refs": st.get("refs", {}),
-                "properties": st["properties"],
+                "schema_add": schema_add,
+                "new_files": new_files,
+                "replaced_buckets": sorted(replaced_buckets) if replaced_buckets else [],
+                "applied_batch": (
+                    [
+                        batch_id,
+                        {
+                            "version": version,
+                            "snapshot_id": snapshot_id,
+                            "seq_min": lineage_row.get("seq_min"),
+                            "seq_max": lineage_row.get("seq_max"),
+                        },
+                    ]
+                    if batch_id is not None
+                    else None
+                ),
                 "lineage": lineage_row,
-                "summary": {
-                    "total_rows": sum(f["rows"] for f in files),
-                    "total_bytes": sum(f["bytes"] for f in files),
-                    "total_files": len(files),
-                },
             }
+            new_state = _apply_delta(st, delta)
             try:
-                self._write_commit(new_state, expected_version=version)
+                self._write_log(delta, expected_version=version)
             except FileExistsError:
                 continue  # another writer won; re-read state and retry
             self._state, self._version = new_state, version
+            self._maybe_checkpoint()
             return CommitInfo(version, snapshot_id, operation, lineage_row)
         raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
 
-    def _write_commit(self, state: dict[str, Any], expected_version: int) -> None:
+    def _write_log(self, entry: dict[str, Any], expected_version: int) -> None:
         path = self._log_path(expected_version)
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump(state, fh)
+            json.dump(entry, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -420,7 +610,30 @@ class SnapshotTable:
                 os.fsync(fh.fileno())
         finally:
             os.unlink(tmp)
+
+    def _write_commit(self, state: dict[str, Any], expected_version: int) -> None:
+        """Write a FULL-state entry (create / pre-delta-log compatibility)."""
+        self._write_log(state, expected_version)
         self._state, self._version = state, expected_version
+
+    def _maybe_checkpoint(self) -> None:
+        """Every ``log.checkpoint_interval`` commits, cache the full state as
+        ``<v>.ckpt.json`` (atomic tmp+rename; derived + deterministic from
+        the log, so racing writers produce identical bytes — last rename
+        wins harmlessly). Bounds reconstruct/replay length for cold readers."""
+        st, version = self._state, self._version
+        if st is None or version is None:
+            return
+        interval = int(
+            st["properties"].get("log.checkpoint_interval", _DEFAULT_CKPT_INTERVAL)
+        )
+        if interval <= 0 or version == 0 or version % interval != 0:
+            return
+        path = self._ckpt_path(version)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(st, fh)
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------ manifest
     def manifest_df(self, spark: SparkSession) -> DataFrame:

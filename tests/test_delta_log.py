@@ -1,0 +1,128 @@
+"""Delta-log commit layer: bounded per-commit I/O, checkpoint reconstruction,
+epoch-watermark fence truncation (lake/table.py round-2 redesign)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable, _apply_delta, _truncate_fence
+
+
+def _replay(spark, tmp_path, n_batches=6, n_events=3000, **kw):
+    events = generate_change_events(spark, n_events, seed=11)
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8, **kw)
+    pipe.replay(events, n_batches=n_batches, by="seq", feed_id="dl")
+    return pipe, events
+
+
+def test_commits_are_deltas_and_small(spark, tmp_path):
+    pipe, _ = _replay(spark, tmp_path)
+    log = os.path.join(pipe.root, "_log")
+    entries = sorted(f for f in os.listdir(log) if not f.endswith(".ckpt.json"))
+    # v0 = full create state; every subsequent commit a delta
+    first = json.load(open(os.path.join(log, entries[0])))
+    assert first.get("type") != "delta"
+    for fn in entries[1:]:
+        e = json.load(open(os.path.join(log, fn)))
+        assert e["type"] == "delta"
+        assert "files" not in e  # no cumulative file list in the entry
+        assert "applied_batches" not in e  # no cumulative fence map either
+
+
+def test_cold_reader_reconstructs_and_time_travels(spark, tmp_path):
+    pipe, _ = _replay(spark, tmp_path)
+    v = pipe.table.version
+    cold = SnapshotTable(pipe.root).refresh()  # fresh handle: replays the log
+    assert cold.version == v
+    assert cold.state == pipe.table.state
+    # time travel to a mid-log version still reconstructs
+    mid = v // 2
+    st_mid = cold.state_at(mid)
+    assert st_mid["version"] == mid
+    assert cold.read(spark, version=mid).count() >= 0
+    # current read equals the warm writer's view
+    assert cold.read(spark).count() == pipe.table.read(spark).count()
+
+
+def test_checkpoint_cache_written_and_used(spark, tmp_path):
+    events = generate_change_events(spark, 2000, seed=3)
+    root = str(tmp_path / "tbl")
+    # tighten the interval so a short replay crosses it
+    pipe = CDCPipeline(
+        spark, root, num_buckets=4,
+        table_properties={"log.checkpoint_interval": 3},
+    )
+    pipe.replay(events, n_batches=7, by="seq", feed_id="ck")
+    log = os.path.join(root, "_log")
+    ckpts = [f for f in os.listdir(log) if f.endswith(".ckpt.json")]
+    assert ckpts, "no checkpoint cache written"
+    # checkpoint content equals the log-replayed state at that version
+    v = max(int(f.split(".")[0]) for f in ckpts)
+    ck_state = json.load(open(os.path.join(log, f"{v:011d}.ckpt.json")))
+    fresh = SnapshotTable(root)
+    # force a from-scratch walk that may use the checkpoint
+    assert fresh.state_at(v) == ck_state
+
+
+def test_fence_watermark_truncates_but_still_fences(spark, tmp_path):
+    events = generate_change_events(spark, 4000, seed=5)
+    root = str(tmp_path / "tbl")
+    pipe = CDCPipeline(
+        spark, root, num_buckets=4, table_properties={"fence.keep_epochs": 2}
+    )
+    pipe.replay(events, n_batches=8, by="seq", feed_id="fw")
+    st = pipe.table.state
+    # map truncated behind the watermark: 8 epochs applied, keep=2
+    assert st["fence_watermarks"] == {"fw-b": 7}
+    assert len(st["applied_batches"]) <= 3
+    # a truncated epoch must STILL fence (watermark proves it applied)
+    assert pipe.table.is_batch_applied("fw-b00000")
+    assert pipe.table.is_batch_applied("fw-b00005")
+    assert not pipe.table.is_batch_applied("fw-b00099")
+    assert not pipe.table.is_batch_applied("other-b00000")
+    # full re-offer: every batch must skip, version unchanged
+    v = pipe.table.version
+    stats = pipe.replay(events, n_batches=8, by="seq", feed_id="fw")
+    assert stats.n_skipped == 8
+    assert pipe.table.refresh().version == v
+
+
+def test_truncate_fence_respects_gaps():
+    applied = {f"s-e{i:06d}": {"version": i} for i in (0, 1, 2, 5, 6)}
+    out, wm = _truncate_fence(applied, {}, keep=0)
+    # watermark stops at the gap: 3 never applied
+    assert wm == {"s-e": 2}
+    # entries above the watermark survive regardless of keep
+    assert set(out) == {"s-e000005", "s-e000006"}
+
+
+def test_non_parseable_batch_ids_never_truncated():
+    applied = {"adhoc_load": {"version": 1}, "x-b00000": {"version": 2}}
+    out, wm = _truncate_fence(applied, {}, keep=0)
+    assert "adhoc_load" in out
+    assert wm == {"x-b": 0}
+
+
+def test_apply_delta_matches_committed_state(spark, tmp_path):
+    """The committer's in-memory state must equal a cold log replay after
+    every kind of commit (merge, publish, schema evolution)."""
+    events = generate_change_events(spark, 2000, seed=7)
+    root = str(tmp_path / "tbl")
+    pipe = CDCPipeline(spark, root, num_buckets=4)
+    pipe.replay(events, n_batches=3, by="seq", feed_id="ad")
+    pipe.publish()
+    evolved = pipe.prepare_batch(events.where(F.col("seq") > 1900)).withColumn(
+        "extra_col", F.lit(1).cast("long")
+    )
+    from kf_etl_clin_portal_spark.lake.merge import merge_batch
+
+    merge_batch(spark, pipe.table, evolved, batch_id="ad-b00099")
+    warm = pipe.table.state
+    cold = SnapshotTable(root).refresh().state
+    assert warm == cold
+    assert cold["refs"]["published"]["version"] >= 3
+    assert len(cold["schemas"]) == 2  # evolved schema registered via delta
