@@ -34,6 +34,22 @@ def main() -> None:
         app_name=f"bench-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64")),
+        extra_conf={
+            # 6M-row batches × partitionBy writers need heap headroom; 8g
+            # starves into full-GC storms (write tasks at ~35% CPU). Same
+            # heap at every core count — a normal executor shape either way.
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_BENCH_MEM", "16g"),
+            # GC knob (default: G1). ParallelGC looked 15-25% faster on
+            # single-batch probes but DEGRADES across a long-lived replay
+            # JVM (batch walls grew 5-7× by batch 4 — old-gen churn from
+            # accumulated shuffle/broadcast state that G1's concurrent
+            # collection absorbs); G1 holds batch walls flat.
+            "spark.driver.extraJavaOptions": os.environ.get("SPARK_GRAFT_BENCH_GC", ""),
+            # the 12-24M-event feeds pack into ~11 default 128MB splits —
+            # a 2.75-wave tail at 4 cores; 32MB splits give ~8x more map
+            # tasks and near-full utilization at every measured core count
+            "spark.sql.files.maxPartitionBytes": "33554432",
+        },
     )
     feed = spark.read.parquet(feed_dir)
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -64,15 +80,19 @@ def main() -> None:
     counts = []
     from pyspark.sql import functions as Fn
 
+    compact_walls = []
     for i in range(n_batches):
         chunk = feed.where(
             (Fn.col("seq") > bounds[i]) & (Fn.col("seq") <= bounds[i + 1])
         )
         t0 = time.monotonic()
         res = pipe.apply_batch(chunk, batch_id=f"bench-b{i:05d}")
+        t1 = time.monotonic()
         if mode == "mor" and compact_every and (i + 1) % compact_every == 0:
             pipe.compact()
-        walls.append(time.monotonic() - t0)
+        t2 = time.monotonic()
+        walls.append(t2 - t0)
+        compact_walls.append(round(t2 - t1, 2))
         counts.append(res.n_events)
     # first batch = cold (JIT compile, cache); second still warming on some
     # hosts — steady state is batches 3+
@@ -87,6 +107,7 @@ def main() -> None:
                 "n_events": sum(counts),
                 "n_batches": n_batches,
                 "batch_walls": [round(w, 2) for w in walls],
+                "compact_walls": compact_walls,
                 "steady_events": steady_events,
                 "wall_secs": round(steady_wall, 2),
                 "events_per_sec": round(steady_events / steady_wall),

@@ -232,5 +232,15 @@ class CDCPipeline:
     def vacuum(self, low_watermark_seq: int) -> int:
         return vacuum_tombstones(self.spark, self.table, low_watermark_seq)
 
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Grow (or shrink) the table's bucket count mid-stream — the 100×
+        growth path: merge parallelism and file granularity scale with the
+        bucket count, which is otherwise fixed at table creation."""
+        from kf_etl_clin_portal_spark.lake.load import rebucket as _rebucket
+
+        v = _rebucket(self.spark, self.table, new_num_buckets)
+        self.num_buckets = new_num_buckets
+        return v
+
     def manifest(self) -> DataFrame:
         return self.table.manifest_df(self.spark)

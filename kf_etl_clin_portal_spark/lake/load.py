@@ -135,6 +135,61 @@ def append(spark: SparkSession, table: SnapshotTable, df: DataFrame) -> int:
     return commit.version
 
 
+def rebucket(
+    spark: SparkSession,
+    table: SnapshotTable,
+    new_num_buckets: int,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Change the table's bucket count — the Iceberg partition-spec-evolution
+    analog for the bucket transform (`bucket(N, key)` → `bucket(M, key)`).
+
+    A table created at 64 buckets caps merge parallelism and file granularity
+    at 64 forever; at a 100× data scale the right bucket count is 100× larger.
+    This rewrites every row under the new bucket function in ONE snapshot-
+    atomic commit that also swaps the partition spec: readers of older
+    versions/refs still see the old layout (their snapshots reference the old
+    spec + files); merges after the commit shuffle straight into the new
+    layout. MoR delta files are compacted first so exactly one (key → row)
+    resolution discipline survives the rewrite.
+
+    Returns the new commit version. Cost: one full-table shuffle + rewrite —
+    the same as a major compaction; schedule it like one.
+    """
+    if new_num_buckets < 1:
+        raise ValueError("new_num_buckets must be >= 1")
+    table.refresh()
+    if any(f.get("kind") == "delta" for f in table.state["files"]):
+        from kf_etl_clin_portal_spark.lake.merge import compact_deltas
+
+        compact_deltas(spark, table)
+        table.refresh()
+    old_n = table.num_buckets
+    key = table.key_cols
+    df = table.read(spark)
+    out = df.repartition(new_num_buckets, *[F.col(c) for c in key]).withColumn(
+        BUCKET_COL, bucket_expr(key, new_num_buckets)
+    )
+    if cluster_by:
+        out = out.sortWithinPartitions(F.col(BUCKET_COL), *[F.col(c) for c in cluster_by])
+    new_files = table.write_data_files(out, table.state["current_schema_id"])
+    new_spec = dict(table.state["partition"], num_buckets=new_num_buckets)
+    commit = table.commit(
+        operation="rebucket",
+        new_files=new_files,
+        # replace every file of the old layout (the replaced filter applies
+        # only to pre-commit files; the new files are appended after it)
+        replaced_buckets=set(range(old_n)),
+        new_partition=new_spec,
+        lineage={
+            "mode": "rebucket",
+            "old_num_buckets": old_n,
+            "new_num_buckets": new_num_buckets,
+        },
+    )
+    return commit.version
+
+
 def compact_buckets(
     spark: SparkSession, table: SnapshotTable, min_files_per_bucket: int = 2
 ) -> int:

@@ -1,0 +1,60 @@
+"""Bucket-count evolution (`lake/load.py:rebucket`) — a table created small
+must be able to grow its bucket count mid-stream with full replay parity
+(VERDICT round-1 #7: the 100× growth path)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, SnapshotTable, bucket_expr
+
+
+def _feed(spark, tmp_path, n=6000, seed=13):
+    path = str(tmp_path / "feed")
+    generate_change_events(spark, n, seed=seed).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), path
+
+
+def test_rebucket_mid_replay_parity(spark, tmp_path):
+    events, feed_path = _feed(spark, tmp_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4, merge_strategy="mor")
+    pipe.replay(events, by="delivery", feed_id="rb", stop_after=3)
+    v_before = pipe.table.version
+
+    assert pipe.rebucket(16) > v_before
+    st = pipe.table.state
+    assert st["partition"]["num_buckets"] == 16
+    assert all(f["bucket"] < 16 for f in st["files"])
+    # every row sits in the bucket the NEW spec assigns it
+    placed = pipe.table.read(spark).withColumn(
+        "__expect", bucket_expr(pipe.table.key_cols, 16)
+    )
+    for f in st["files"]:
+        part = spark.read.parquet(os.path.join(pipe.root, f["path"]))
+        got = part.withColumn("__expect", bucket_expr(pipe.table.key_cols, 16))
+        assert got.where(F.col("__expect") != f["bucket"]).count() == 0
+    assert placed.count() > 0
+
+    # resume the replay on the new layout: applied batches fence, the rest land
+    pipe.replay(events, by="delivery", feed_id="rb")
+    rep = verify_parity(pipe.current(), feed_path)
+    assert rep["ok"], rep
+
+    # time travel to the pre-rebucket snapshot still reads the OLD layout
+    old = SnapshotTable(pipe.root)
+    assert old.read(spark, version=v_before).count() > 0
+    assert old.state_at(v_before)["partition"]["num_buckets"] == 4
+
+
+def test_rebucket_shrink_and_cow(spark, tmp_path):
+    events, feed_path = _feed(spark, tmp_path, n=3000, seed=17)
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    pipe.replay(events, n_batches=2, by="seq", feed_id="rs")
+    pipe.rebucket(2)
+    assert pipe.table.num_buckets == 2
+    assert {f["bucket"] for f in pipe.table.state["files"]} <= {0, 1}
+    rep = verify_parity(pipe.current(), feed_path)
+    assert rep["ok"], rep
