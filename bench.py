@@ -139,28 +139,74 @@ def main() -> None:
         # interference is strictly additive, min-per-batch-index across
         # repeats is an unbiased estimator of the quiet-host wall (whole-run
         # best-of is not: one polluted batch poisons a whole run's rate).
+        def run_once(cores: int):
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    "-m",
+                    "kf_etl_clin_portal_spark.bench_scaling",
+                    str(cores),
+                    str(n_events),
+                    feed_dir,
+                ],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if not line:
+                print(f"# scaling run {cores} failed: {out.stderr[-500:]}", file=sys.stderr)
+                return
+            r = json.loads(line[-1])
+            print(f"# scaling: {r}", file=sys.stderr)
+            runs.setdefault(cores, []).append(r)
+
         for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))):
             for cores in (n_big, n_small):
-                out = subprocess.run(
-                    [
-                        sys.executable,
-                        "-m",
-                        "kf_etl_clin_portal_spark.bench_scaling",
-                        str(cores),
-                        str(n_events),
-                        feed_dir,
-                    ],
-                    capture_output=True,
-                    text=True,
-                    env=env,
+                run_once(cores)
+
+        # noise-aware retries. Two independent contamination signals on this
+        # shared VM (both observed as multi-minute episodes):
+        #  - CPU steal: bench_scaling reports per-batch hypervisor steal over
+        #    its pinned CPUs; a steady batch with steal > 5% of its CPU
+        #    budget is dirty.
+        #  - memory-bandwidth contention from co-tenants: invisible to steal
+        #    (threads run, memcpy crawls — shuffle/parquet walls grow 2-6×
+        #    while a scalar CPU probe moves ~15%). Detected statistically:
+        #    the per-index MIN wall must be corroborated by a second sample
+        #    within 30%, else we haven't observed the quiet-host value twice.
+        # Re-run a core count (bounded) until both conditions clear.
+        def _dirty(r, i: int) -> bool:
+            steal = r.get("steal_secs") or []
+            if i >= len(steal):
+                return False
+            return steal[i] > max(0.05 * r["batch_walls"][i] * r["cores"], 0.5)
+
+        def _needs_retry(rs) -> bool:
+            if not rs:
+                return False
+            if len(rs) < 2:
+                return True
+            nb = rs[0]["n_batches"]
+            skip = nb // 2 if nb >= 4 else 1
+            for i in range(skip, nb):
+                if all(_dirty(r, i) for r in rs):
+                    return True
+                walls = sorted(r["batch_walls"][i] for r in rs)
+                if walls[1] > 1.3 * walls[0]:
+                    return True  # min uncorroborated — keep sampling
+            return False
+
+        max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+        for cores in (n_big, n_small):
+            tries = 0
+            while tries < max_extra and _needs_retry(runs.get(cores, [])):
+                print(
+                    f"# steal-contaminated {cores}-core steady batches; re-running",
+                    file=sys.stderr,
                 )
-                line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-                if not line:
-                    print(f"# scaling run {cores} failed: {out.stderr[-500:]}", file=sys.stderr)
-                    continue
-                r = json.loads(line[-1])
-                print(f"# scaling: {r}", file=sys.stderr)
-                runs.setdefault(cores, []).append(r)
+                run_once(cores)
+                tries += 1
 
         def merged_rate(rs: list[dict]) -> tuple[int, list[float]]:
             walls = [round(min(w), 2) for w in zip(*[r["batch_walls"] for r in rs])]

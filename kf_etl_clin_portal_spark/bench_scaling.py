@@ -17,6 +17,26 @@ import tempfile
 import time
 
 
+def _steal_secs(cores: int) -> float:
+    """Cumulative hypervisor steal time (s) over the pinned CPUs 0..cores-1.
+    This host is a shared VM: bursts of CPU-steal (observed: up to ~70% of a
+    core while otherwise idle) contaminate individual batch walls; reporting
+    per-batch steal lets the caller identify and re-run dirty measurements
+    instead of averaging contamination into the scaling ratio."""
+    total = 0.0
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu") and not line.startswith("cpu "):
+                    parts = line.split()
+                    idx = int(parts[0][3:])
+                    if idx < cores and len(parts) > 8:
+                        total += int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except OSError:
+        pass
+    return total
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     n_events = int(sys.argv[2])
@@ -81,10 +101,12 @@ def main() -> None:
     from pyspark.sql import functions as Fn
 
     compact_walls = []
+    steal_secs = []
     for i in range(n_batches):
         chunk = feed.where(
             (Fn.col("seq") > bounds[i]) & (Fn.col("seq") <= bounds[i + 1])
         )
+        s0 = _steal_secs(cores)
         t0 = time.monotonic()
         res = pipe.apply_batch(chunk, batch_id=f"bench-b{i:05d}")
         t1 = time.monotonic()
@@ -93,6 +115,7 @@ def main() -> None:
         t2 = time.monotonic()
         walls.append(t2 - t0)
         compact_walls.append(round(t2 - t1, 2))
+        steal_secs.append(round(_steal_secs(cores) - s0, 2))
         counts.append(res.n_events)
     # first batch = cold (JIT compile, cache); second still warming on some
     # hosts — steady state is batches 3+
@@ -108,6 +131,7 @@ def main() -> None:
                 "n_batches": n_batches,
                 "batch_walls": [round(w, 2) for w in walls],
                 "compact_walls": compact_walls,
+                "steal_secs": steal_secs,
                 "steady_events": steady_events,
                 "wall_secs": round(steady_wall, 2),
                 "events_per_sec": round(steady_events / steady_wall),

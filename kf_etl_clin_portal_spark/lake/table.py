@@ -464,15 +464,25 @@ class SnapshotTable:
         """Write df (which must carry BUCKET_COL) as parquet files laid out
         by bucket; returns file entries for a subsequent commit().
 
-        One output file per bucket (the merge path repartitions by bucket
-        first); file stats (rows/bytes) read from parquet footers via
-        pyarrow — no extra Spark job.
+        One output file per bucket per writer task (the merge path
+        repartitions by bucket first, so normally exactly one); the
+        ``write.target_rows_per_file`` table property additionally splits
+        oversized buckets into multiple files (Spark's maxRecordsPerFile) —
+        at 100 TB a 64-bucket table would otherwise mean ~1.5 TB parquet
+        files; readers handle any number of files per bucket, so splitting
+        is purely a file-granularity knob (combine with `rebucket` for the
+        parallelism knob). File stats (rows/bytes) read from parquet
+        footers via pyarrow — no extra Spark job.
         """
         import pyarrow.parquet as pq
 
         staging = os.path.join(self.root, _DATA_DIR, f"_staging_{uuid.uuid4().hex}")
+        target_rows = int(self.state["properties"].get("write.target_rows_per_file", 0))
+        writer = df.write.mode("overwrite")
+        if target_rows > 0:
+            writer = writer.option("maxRecordsPerFile", target_rows)
         (
-            df.write.mode("overwrite")
+            writer
             # dictionary encoding is pure overhead for this table shape: the
             # dominant column (content) is high-cardinality long text, so
             # every writer builds a dictionary to the page limit, falls back

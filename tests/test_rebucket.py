@@ -58,3 +58,24 @@ def test_rebucket_shrink_and_cow(spark, tmp_path):
     assert {f["bucket"] for f in pipe.table.state["files"]} <= {0, 1}
     rep = verify_parity(pipe.current(), feed_path)
     assert rep["ok"], rep
+
+
+def test_target_rows_per_file_splits_buckets(spark, tmp_path):
+    """write.target_rows_per_file splits oversized buckets into multiple
+    files (file-granularity knob for the 100-TB case); readers and MERGE
+    handle multi-file buckets transparently."""
+    events, feed_path = _feed(spark, tmp_path, n=4000, seed=23)
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), num_buckets=2,
+        table_properties={"write.target_rows_per_file": 200},
+    )
+    pipe.replay(events, n_batches=2, by="seq", feed_id="tf")
+    st = pipe.table.state
+    per_bucket = {}
+    for f in st["files"]:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    # ~2000 live keys over 2 buckets at 200 rows/file → several files each
+    assert all(len(fs) > 1 for fs in per_bucket.values())
+    assert all(f["rows"] <= 200 for f in st["files"])
+    rep = verify_parity(pipe.current(), feed_path)
+    assert rep["ok"], rep
