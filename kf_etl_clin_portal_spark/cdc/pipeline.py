@@ -216,9 +216,13 @@ class CDCPipeline:
             df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
         return df
 
-    def compact(self, min_delta_files: int = 1) -> int:
-        """Fold MoR delta files into base (read-path maintenance)."""
-        return compact_deltas(self.spark, self.table, min_delta_files)
+    def compact(self, min_delta_files: int = 1, strategy: str = "local") -> int:
+        """Fold MoR delta files into base (read-path maintenance).
+        strategy: "local" (bucket-local, shuffle-free — default) or
+        "shuffle" (one wide groupBy for buckets too big for one task)."""
+        return compact_deltas(
+            self.spark, self.table, min_delta_files, strategy=strategy
+        )
 
     # -------------------------------------------------------------- publish
     def publish(self, ref: str = "published", version: int | None = None):

@@ -463,11 +463,29 @@ def compact_deltas(
     table: SnapshotTable,
     min_delta_files: int = 1,
     seq_col: str = "seq",
+    strategy: str = "local",
+    max_concurrent: int = 8,
 ) -> int:
     """Fold delta files back into one base file per affected bucket (the
     Iceberg rewrite_data_files / minor-compaction analog). Snapshot-atomic;
     concurrent readers of old versions/refs are unaffected. Returns #buckets
-    compacted."""
+    compacted.
+
+    strategy="local" (default): bucket-local, SHUFFLE-FREE. Every row of a
+    bucket's base+delta files already belongs to that bucket (the write
+    paths partition by ``bucket_expr`` by construction), so the per-key
+    winner resolution needs no data movement at all — a groupBy would
+    shuffle the full table's bytes purely to land each row where it already
+    is. Per bucket: aligned read → coalesce(1) → Arrow-batched mapInPandas
+    dedup → one file; buckets are independent driver-submitted jobs (the
+    Iceberg rewrite-file-group pattern), ``max_concurrent`` in flight.
+    Memory bound: one bucket's live rows in one Arrow/pandas batch — size
+    buckets accordingly (``rebucket`` / ``write.target_rows_per_file``).
+
+    strategy="shuffle": the one-wide-shuffle groupBy/max_by variant (same
+    semantics, tested equal) — for when buckets are too large to dedup in
+    memory but the cluster has shuffle bandwidth to spare.
+    """
     table.refresh()
     delta_buckets: dict[int, int] = {}
     for f in table.state["files"]:
@@ -477,29 +495,76 @@ def compact_deltas(
     if not victims:
         return 0
     key_cols, num_buckets = table.key_cols, table.num_buckets
-    df = table.read(spark, buckets=victims)
-    data_cols = df.columns
-    row = F.struct(*[F.col(c) for c in data_cols])
-    order = _order_expr(seq_col, df.schema)
-    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
-    try:
-        merged = (
-            df.groupBy(*key_cols)
-            .agg(F.max_by(row, order).alias("__row"))
-            .select(F.col("__row.*"))
-            .withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
+    schema_id = table.state["current_schema_id"]
+
+    if strategy == "local":
+        new_files = _compact_local(
+            spark, table, victims, seq_col, schema_id, max_concurrent
         )
-        new_files = table.write_data_files(merged, schema_id=table.state["current_schema_id"])
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    else:
+        df = table.read(spark, buckets=victims)
+        data_cols = df.columns
+        row = F.struct(*[F.col(c) for c in data_cols])
+        order = _order_expr(seq_col, df.schema)
+        old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
+        try:
+            merged = (
+                df.groupBy(*key_cols)
+                .agg(F.max_by(row, order).alias("__row"))
+                .select(F.col("__row.*"))
+                .withColumn(BUCKET_COL, bucket_expr(key_cols, num_buckets))
+            )
+            new_files = table.write_data_files(merged, schema_id=schema_id)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     table.commit(
         operation="compact_deltas",
         new_files=new_files,
         replaced_buckets=set(victims),
-        lineage={"mode": "compact_deltas", "buckets_touched": len(victims)},
+        lineage={
+            "mode": f"compact_deltas:{strategy}",
+            "buckets_touched": len(victims),
+        },
     )
     return len(victims)
+
+
+def _compact_local(
+    spark, table, victims, seq_col, schema_id, max_concurrent
+) -> list:
+    """Per-bucket shuffle-free winner resolution (see compact_deltas)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    key_cols = list(table.key_cols)
+
+    def one_bucket(bucket: int) -> list:
+        df = table.read(spark, buckets=[bucket])  # schema-aligned union
+        tie = ["commit"] if "commit" in df.columns else []
+        sort_cols = [*key_cols, seq_col, *tie]
+        out_schema = df.schema
+
+        def dedup(batches):
+            import pandas as pd
+
+            frames = list(batches)
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            # ascending sort + keep-last == max_by(struct(seq, commit)):
+            # identical comparator (numeric seq, codepoint-ordered commit)
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            yield pdf.drop_duplicates(subset=key_cols, keep="last")
+
+        ded = (
+            df.coalesce(1)
+            .mapInPandas(dedup, schema=out_schema)
+            .withColumn(BUCKET_COL, F.lit(bucket).cast("int"))
+        )
+        return table.write_data_files(ded, schema_id=schema_id)
+
+    with ThreadPoolExecutor(max_workers=max(1, min(max_concurrent, len(victims)))) as pool:
+        return [f for fs in pool.map(one_bucket, victims) for f in fs]
 
 
 def vacuum_tombstones(

@@ -61,6 +61,37 @@ def test_mor_compaction_preserves_state_and_drops_deltas(spark, events_path, tmp
     assert report["ok"], report
 
 
+def test_compact_local_equals_shuffle(spark, events_path, tmp_path):
+    """strategy="local" (bucket-local, shuffle-free) and strategy="shuffle"
+    (one wide groupBy/max_by) must produce identical table state — same
+    winners under the (seq, commit) comparator, including multi-file
+    buckets from write.target_rows_per_file."""
+    from kf_etl_clin_portal_spark.lake.merge import compact_deltas
+
+    feed = spark.read.parquet(events_path)
+    pipes = {}
+    for name in ("loc", "shf"):
+        pipes[name] = CDCPipeline(
+            spark,
+            str(tmp_path / name),
+            num_buckets=8,
+            merge_strategy="mor",
+            table_properties={"write.target_rows_per_file": 150},
+        )
+        pipes[name].replay(feed, n_batches=4, by="delivery", feed_id="p")
+    assert _hash_state(pipes["loc"].current()) == _hash_state(pipes["shf"].current())
+
+    n_loc = compact_deltas(spark, pipes["loc"].table, strategy="local")
+    n_shf = compact_deltas(spark, pipes["shf"].table, strategy="shuffle")
+    assert n_loc == n_shf > 0
+    for pipe in pipes.values():
+        pipe.table.refresh()
+        assert not any(f.get("kind") == "delta" for f in pipe.table.state["files"])
+    assert _hash_state(pipes["loc"].current()) == _hash_state(pipes["shf"].current())
+    report = verify_parity(pipes["loc"].current(), events_path)
+    assert report["ok"], report
+
+
 def test_mor_fence_and_vacuum_guard(spark, events_path, tmp_path):
     pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=8, merge_strategy="mor")
     feed = spark.read.parquet(events_path)
