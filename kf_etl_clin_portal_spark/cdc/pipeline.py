@@ -216,10 +216,10 @@ class CDCPipeline:
             df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
         return df
 
-    def compact(self, min_delta_files: int = 1, strategy: str = "local") -> int:
+    def compact(self, min_delta_files: int = 1, strategy: str = "shuffle") -> int:
         """Fold MoR delta files into base (read-path maintenance).
-        strategy: "local" (bucket-local, shuffle-free — default) or
-        "shuffle" (one wide groupBy for buckets too big for one task)."""
+        strategy: "shuffle" (default; fastest measured — see
+        lake/merge.py:compact_deltas), "local", or "auto"."""
         return compact_deltas(
             self.spark, self.table, min_delta_files, strategy=strategy
         )

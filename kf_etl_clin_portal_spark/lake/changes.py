@@ -1,0 +1,147 @@
+"""Change data feed — tail a SnapshotTable's own committed changes.
+
+The Delta Lake CDF / Iceberg incremental-scan analog, and the piece that
+lets one lake table feed the next pipeline stage without re-reading the
+world: ``read_changes(spark, table, since_version)`` returns exactly the
+row-level changes committed after ``since_version``, with commit metadata
+columns, by reading ONLY the delta files those commits added — I/O is
+O(changed bytes), never O(table).
+
+Which commits carry row-isolated changes:
+
+- ``merge_mor``: its new files are per-batch winner rows (upserts +
+  tombstones) flagged ``kind="delta"`` — the change rows, verbatim.
+- ``append``: its new files are exactly the appended rows.
+- maintenance (``compact*``, ``rebucket``, ``vacuum``, ``publish``):
+  rewrites bytes, changes nothing logically — contributes no rows.
+- ``merge`` (copy-on-write) and ``overwrite*``: rewrite whole buckets, so
+  the changed rows are not isolated in the added files. ``strict=True``
+  (default) raises — silently returning a wrong/partial feed would be a
+  correctness bug; pass ``strict=False`` to skip them (the returned frame
+  is then explicitly partial). Streams that need a CDF run MoR
+  (``merge_strategy="mor"``) — write amplification ∝ batch is what makes
+  the feed cheap in the first place.
+
+Downstream consumers re-apply the feed with the engine's own comparator
+(max seq, commit tiebreak) — multiple emissions of a key across commits
+resolve identically to reading the table, so chaining
+``table A --read_changes--> merge into table B`` reproduces A's state in B.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.lake.schema import align_df
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+CHANGE_VERSION_COL = "_change_version"
+CHANGE_TS_COL = "_change_ts"
+CHANGE_OP_COL = "_change_op"
+
+# commits whose added files ARE the row-level changes
+_ROW_CHANGE_OPS = {"merge_mor", "append"}
+# commits that move bytes but change no logical rows
+_MAINTENANCE_OPS = {"compact_deltas", "compact", "rebucket", "vacuum", "publish", "create"}
+
+
+def read_changes(
+    spark: SparkSession,
+    table: SnapshotTable,
+    since_version: int,
+    until_version: int | None = None,
+    strict: bool = True,
+    tombstone_col: str = "is_deleted",
+) -> DataFrame:
+    """Row-level changes committed in versions (since_version, until_version],
+    as the current table schema plus ``_change_version`` / ``_change_ts`` /
+    ``_change_op`` ("upsert" | "delete")."""
+    table.refresh()
+    until = table.version if until_version is None else until_version
+    if not 0 <= since_version <= until <= table.version:
+        raise ValueError(
+            f"bad version range ({since_version}, {until}] for table at v{table.version}"
+        )
+    st = table.state_at(until)
+    current = T.StructType.fromJson(st["schemas"][str(st["current_schema_id"])])
+
+    parts: list[DataFrame] = []
+    for v in range(since_version + 1, until + 1):
+        entry = table._read_entry(v)
+        op = entry["operation"]
+        if op in _MAINTENANCE_OPS:
+            continue
+        if op not in _ROW_CHANGE_OPS:
+            if strict:
+                raise ValueError(
+                    f"version {v} is a {op!r} commit: its added files are "
+                    "rewritten buckets, not isolated change rows — no exact "
+                    "change feed exists for it. Use merge_strategy='mor' for "
+                    "CDF-capable streams, or pass strict=False to skip."
+                )
+            continue
+        if entry.get("type") != "delta" and "new_files" not in entry:
+            # pre-delta-log full-state commit: added files not recorded
+            if strict:
+                raise ValueError(
+                    f"version {v} is a legacy full-state commit with no "
+                    "added-files record; change feed starts after the "
+                    "table's first delta-format commit"
+                )
+            continue
+        new_files = entry.get("new_files") or []
+        if not new_files:
+            continue
+        by_schema: dict[int, list[str]] = {}
+        for f in new_files:
+            by_schema.setdefault(f["schema_id"], []).append(
+                os.path.join(table.root, f["path"])
+            )
+        for schema_id, paths in by_schema.items():
+            group_schema = T.StructType.fromJson(st["schemas"][str(schema_id)])
+            df = spark.read.schema(group_schema).parquet(*paths)
+            parts.append(
+                align_df(df, current).withColumn(
+                    CHANGE_VERSION_COL, F.lit(v).cast("long")
+                ).withColumn(CHANGE_TS_COL, F.lit(entry["ts"]))
+            )
+    if not parts:
+        out_schema = T.StructType(
+            list(current.fields)
+            + [
+                T.StructField(CHANGE_VERSION_COL, T.LongType()),
+                T.StructField(CHANGE_TS_COL, T.StringType()),
+                T.StructField(CHANGE_OP_COL, T.StringType()),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+    out = reduce(DataFrame.unionByName, parts)
+    if tombstone_col in out.columns:
+        op_col = F.when(F.col(tombstone_col), F.lit("delete")).otherwise(
+            F.lit("upsert")
+        )
+    else:
+        op_col = F.lit("upsert")
+    return out.withColumn(CHANGE_OP_COL, op_col)
+
+
+def changed_buckets(
+    table: SnapshotTable, since_version: int, until_version: int | None = None
+) -> set[int]:
+    """Buckets touched by row-change commits in the range — lets a
+    downstream incremental job prune its own work to affected buckets
+    before reading a single data byte."""
+    table.refresh()
+    until = table.version if until_version is None else until_version
+    out: set[int] = set()
+    for v in range(since_version + 1, until + 1):
+        entry = table._read_entry(v)
+        if entry["operation"] in _ROW_CHANGE_OPS:
+            out.update(f["bucket"] for f in entry.get("new_files") or [])
+    return out

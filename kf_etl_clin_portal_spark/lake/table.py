@@ -98,6 +98,63 @@ _DEFAULT_CKPT_INTERVAL = 25
 _DEFAULT_FENCE_KEEP = 64
 
 
+def _footer_zone_maps(md, cols: list[str]) -> dict[str, list]:
+    """Per-column [min, max] over a parquet file's row-group statistics.
+    Only JSON-representable scalar types are kept (int/float/str/bool);
+    columns without complete min/max stats are omitted — pruning treats a
+    missing entry as "may match" (always safe)."""
+    if not cols:
+        return {}
+    wanted = set(cols)
+    lo: dict[str, Any] = {}
+    hi: dict[str, Any] = {}
+    complete: dict[str, bool] = {c: True for c in wanted}
+    seen: set[str] = set()
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for col_i in range(rg.num_columns):
+            chunk = rg.column(col_i)
+            name = chunk.path_in_schema
+            if name not in wanted:
+                continue
+            seen.add(name)
+            st = chunk.statistics
+            if st is None or not st.has_min_max:
+                complete[name] = False
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str, bool)) or not isinstance(
+                mx, (int, float, str, bool)
+            ):
+                complete[name] = False
+                continue
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
+    return {
+        c: [lo[c], hi[c]]
+        for c in wanted
+        if c in seen and complete[c] and c in lo
+    }
+
+
+def _file_may_match(
+    f: dict[str, Any], stats_filter: dict[str, tuple[Any, Any]]
+) -> bool:
+    """Metadata-only range check: False only when the file's zone map PROVES
+    no row can satisfy every (lo, hi) bound. Files without stats for a
+    filtered column always pass (never prune on absent evidence)."""
+    zones = f.get("stats") or {}
+    for col, (lo, hi) in stats_filter.items():
+        z = zones.get(col)
+        if z is None:
+            continue
+        if lo is not None and z[1] < lo:
+            return False
+        if hi is not None and z[0] > hi:
+            return False
+    return True
+
+
 def _parse_fence(batch_id: str) -> tuple[str, int] | None:
     m = _FENCE_RE.match(batch_id)
     return (m.group(1), int(m.group(2))) if m else None
@@ -429,9 +486,18 @@ class SnapshotTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         ref: str | None = None,
+        stats_filter: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset, optionally
         at a published ref (``ref="published"``) or explicit version.
+
+        ``stats_filter={col: (lo, hi)}`` additionally skips files whose zone
+        map proves no row in [lo, hi] (either bound may be None) — manifest
+        metadata only, no file I/O for skipped files. It is a FILE filter,
+        not a row filter: surviving files still contain out-of-range rows,
+        so callers apply the row predicate too (and should — Spark then
+        pushes it into the parquet scan for row-group skipping within the
+        surviving files).
 
         Files are grouped by schema_id; each group is read with its own
         schema then aligned to the snapshot's current schema (cast +
@@ -447,6 +513,8 @@ class SnapshotTable:
         if buckets is not None:
             wanted = set(buckets)
             files = [f for f in files if f["bucket"] in wanted]
+        if stats_filter:
+            files = [f for f in files if _file_may_match(f, stats_filter)]
         if not files:
             return spark.createDataFrame([], current)
         by_schema: dict[int, list[str]] = {}
@@ -473,6 +541,14 @@ class SnapshotTable:
         is purely a file-granularity knob (combine with `rebucket` for the
         parallelism knob). File stats (rows/bytes) read from parquet
         footers via pyarrow — no extra Spark job.
+
+        Zone maps: per-file [min, max] for the columns named by the
+        ``stats.columns`` table property (default ``seq``) are lifted from
+        the same footer read into the manifest entry (``"stats"``), so
+        range-predicate reads (`read(stats_filter=...)`) skip whole files
+        from metadata alone — the Iceberg manifest-stats / Delta data-skipping
+        analog. Costs zero extra I/O: the parquet writer already computed
+        row-group statistics and the footer is already being parsed.
         """
         import pyarrow.parquet as pq
 
@@ -513,15 +589,26 @@ class SnapshotTable:
         # Amdahl bottleneck of the whole merge at high core counts
         from concurrent.futures import ThreadPoolExecutor
 
+        stats_cols = [
+            c.strip()
+            for c in self.state["properties"].get("stats.columns", "seq").split(",")
+            if c.strip()
+        ]
+
         def stat_one(item: tuple[int, str, str]) -> dict[str, Any]:
             bucket, rel, dst = item
-            return {
+            md = pq.read_metadata(dst)
+            entry: dict[str, Any] = {
                 "path": rel,
                 "bucket": bucket,
                 "schema_id": schema_id,
-                "rows": pq.read_metadata(dst).num_rows,
+                "rows": md.num_rows,
                 "bytes": os.path.getsize(dst),
             }
+            zones = _footer_zone_maps(md, stats_cols)
+            if zones:
+                entry["stats"] = zones
+            return entry
 
         with ThreadPoolExecutor(max_workers=16) as pool:
             entries = list(pool.map(stat_one, moved))

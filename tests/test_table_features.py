@@ -1,0 +1,154 @@
+"""Manifest zone maps (file skipping), change-data-feed reads, and the
+auto compaction strategy — the lakehouse metadata features that keep
+incremental work O(changed bytes) at 100-TB table sizes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    CHANGE_VERSION_COL,
+    changed_buckets,
+    read_changes,
+)
+from kf_etl_clin_portal_spark.lake.merge import compact_deltas
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("feat_feed") / "events.parquet")
+    generate_change_events(spark, 6_000, seed=31).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _state_set(df):
+    cols = sorted(c for c in df.columns if not c.startswith("_change"))
+    return {
+        tuple(r)
+        for r in df.select(*[F.col(c).cast("string") for c in cols]).collect()
+    }
+
+
+# --------------------------------------------------------------- zone maps
+def test_zone_maps_recorded_and_prune_files(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4, merge_strategy="mor")
+    pipe.replay(feed, n_batches=4, by="seq", feed_id="zm")
+    st = pipe.table.state
+    # every data file carries a seq zone map lifted from its parquet footer
+    assert all("stats" in f and "seq" in f["stats"] for f in st["files"])
+    for f in st["files"]:
+        lo, hi = f["stats"]["seq"]
+        assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
+
+    max_seq = feed.agg(F.max("seq")).first()[0]
+    cut = int(max_seq * 0.75)  # only the last seq-range batch qualifies
+    pruned = pipe.table.read(spark, stats_filter={"seq": (cut + 1, None)})
+    full = pipe.table.read(spark)
+    n_pruned_files = len(
+        [f for f in st["files"] if f["stats"]["seq"][1] > cut]
+    )
+    assert n_pruned_files < len(st["files"])
+    # file filter + row predicate == full scan + row predicate
+    a = _state_set(pruned.where(F.col("seq") > cut))
+    b = _state_set(full.where(F.col("seq") > cut))
+    assert a == b and len(a) > 0
+
+
+def test_zone_map_prune_never_loses_rows_without_stats(spark, tmp_path):
+    """Files lacking stats for a filtered column must always survive."""
+    from kf_etl_clin_portal_spark.lake.table import _file_may_match
+
+    assert _file_may_match({"stats": {}}, {"seq": (10, 20)})
+    assert _file_may_match({}, {"seq": (10, 20)})
+    assert not _file_may_match({"stats": {"seq": [0, 9]}}, {"seq": (10, None)})
+    assert not _file_may_match({"stats": {"seq": [21, 30]}}, {"seq": (None, 20)})
+    assert _file_may_match({"stats": {"seq": [5, 15]}}, {"seq": (10, 20)})
+
+
+# --------------------------------------------------------- change data feed
+def test_read_changes_replays_into_downstream_table(spark, events_path, tmp_path):
+    """Chaining: tailing table A's change feed and merging it into table B
+    must reproduce A's current state — the CDF contract."""
+    feed = spark.read.parquet(events_path)
+    a = CDCPipeline(spark, str(tmp_path / "a"), num_buckets=4, merge_strategy="mor")
+    a.replay(feed, n_batches=3, by="delivery", feed_id="cdf")
+
+    changes = read_changes(spark, a.table, since_version=0)
+    assert CHANGE_VERSION_COL in changes.columns
+    assert set(
+        r[0] for r in changes.select(CHANGE_OP_COL).distinct().collect()
+    ) <= {"upsert", "delete"}
+    # feed had deletes, so the CDF must expose them
+    assert changes.where(F.col(CHANGE_OP_COL) == "delete").count() > 0
+
+    b = CDCPipeline(spark, str(tmp_path / "b"), num_buckets=8, merge_strategy="mor")
+    b.apply_batch(
+        changes.drop(CHANGE_VERSION_COL, "_change_ts", CHANGE_OP_COL),
+        batch_id="from-cdf-b00000",
+    )
+    assert _state_set(a.current()) == _state_set(b.current())
+    rep = verify_parity(b.current(), events_path)
+    assert rep["ok"], rep
+
+
+def test_read_changes_incremental_window_and_buckets(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4, merge_strategy="mor")
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="w", stop_after=1)
+    v1 = pipe.table.refresh().version
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="w")
+    # only the second batch's rows appear in the (v1, latest] window
+    inc = read_changes(spark, pipe.table, since_version=v1)
+    assert inc.count() > 0
+    versions = {r[0] for r in inc.select(CHANGE_VERSION_COL).distinct().collect()}
+    assert all(v > v1 for v in versions)
+    assert changed_buckets(pipe.table, v1) == {
+        r[0]
+        for r in inc.select(
+            F.pmod(F.hash("repo", "path"), F.lit(4)).cast("int")
+        ).distinct().collect()
+    }
+    # maintenance commits contribute nothing
+    v2 = pipe.table.version
+    pipe.compact()
+    assert read_changes(spark, pipe.table, since_version=v2).count() == 0
+
+
+def test_read_changes_strict_on_cow(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)  # CoW
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="cw")
+    with pytest.raises(ValueError, match="merge"):
+        read_changes(spark, pipe.table, since_version=0)
+    # non-strict skips, returns the empty (explicitly partial) frame
+    assert read_changes(spark, pipe.table, since_version=0, strict=False).count() == 0
+
+
+# ------------------------------------------------------- auto compaction
+def test_compact_auto_splits_by_bucket_bytes(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(
+        spark,
+        str(tmp_path / "t"),
+        num_buckets=4,
+        merge_strategy="mor",
+        # cap low enough that some buckets exceed it → go the shuffle path
+        table_properties={"compact.local_max_bytes": "40000"},
+    )
+    pipe.replay(feed, n_batches=4, by="seq", feed_id="au")
+    before = _state_set(pipe.current())
+    n = compact_deltas(spark, pipe.table, strategy="auto")
+    assert n > 0
+    pipe.table.refresh()
+    lin = pipe.table.state["lineage"]
+    assert lin["mode"] == "compact_deltas:auto"
+    assert lin["buckets_local"] + lin["buckets_shuffle"] == lin["buckets_touched"]
+    assert lin["buckets_shuffle"] > 0  # the byte cap actually routed some
+    assert not any(f.get("kind") == "delta" for f in pipe.table.state["files"])
+    assert _state_set(pipe.current()) == before
+    rep = verify_parity(pipe.current(), events_path)
+    assert rep["ok"], rep
