@@ -46,8 +46,15 @@ def main(argv: list[str] | None = None) -> int:
                     default="union_agg")
     ap.add_argument("--compact-after", action="store_true",
                     help="fold MoR delta files into base after the replay")
+    ap.add_argument("--compact-strategy", choices=["shuffle", "local", "auto"],
+                    default="shuffle",
+                    help="compaction plan: one wide shuffle (default), "
+                         "bucket-local shuffle-free, or per-bucket auto routing")
     ap.add_argument("--vacuum-watermark", type=int, default=None,
                     help="physically drop tombstones with seq <= this low watermark")
+    ap.add_argument("--changes-since", type=int, default=None,
+                    help="after replay, report the change-data-feed row count "
+                         "committed after this table version (MoR tables)")
     args = ap.parse_args(argv)
 
     from kf_etl_clin_portal_spark.cdc.events import generate_change_events
@@ -110,8 +117,14 @@ def main(argv: list[str] | None = None) -> int:
             "table_version": pipe.table.refresh().version,
         }
 
+    if args.changes_since is not None:
+        from kf_etl_clin_portal_spark.lake.changes import read_changes
+        report["changes_since"] = args.changes_since
+        report["change_rows"] = read_changes(
+            spark, pipe.table, since_version=args.changes_since
+        ).count()
     if args.compact_after:
-        report["buckets_compacted"] = pipe.compact()
+        report["buckets_compacted"] = pipe.compact(strategy=args.compact_strategy)
     if args.vacuum_watermark is not None:
         report["buckets_vacuumed"] = pipe.vacuum(args.vacuum_watermark)
     if args.verify:

@@ -224,6 +224,11 @@ class CDCPipeline:
             self.spark, self.table, min_delta_files, strategy=strategy
         )
 
+    def expire(self, keep_last: int = 1) -> dict:
+        """Physically reclaim data files only old snapshots reference
+        (ref targets kept). See SnapshotTable.expire_snapshots."""
+        return self.table.expire_snapshots(keep_last=keep_last)
+
     # -------------------------------------------------------------- publish
     def publish(self, ref: str = "published", version: int | None = None):
         """Promote the current (or given) snapshot to a named ref — the

@@ -48,7 +48,9 @@ CHANGE_OP_COL = "_change_op"
 # commits whose added files ARE the row-level changes
 _ROW_CHANGE_OPS = {"merge_mor", "append"}
 # commits that move bytes but change no logical rows
-_MAINTENANCE_OPS = {"compact_deltas", "compact", "rebucket", "vacuum", "publish", "create"}
+_MAINTENANCE_OPS = {
+    "compact_deltas", "compact", "rebucket", "vacuum", "publish", "create", "expire",
+}
 
 
 def read_changes(

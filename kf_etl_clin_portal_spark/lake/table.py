@@ -215,7 +215,12 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
     if delta.get("refs_set"):
         refs.update(delta["refs_set"])
 
+    expire_below = max(
+        state.get("expire_below", 0), delta.get("expire_below") or 0
+    )
+
     return {
+        "expire_below": expire_below,
         "version": delta["version"],
         "snapshot_id": delta["snapshot_id"],
         "parent_snapshot_id": delta["parent_snapshot_id"],
@@ -479,6 +484,71 @@ class SnapshotTable:
             raise KeyError(f"unknown ref {name!r}; known: {sorted(refs)}")
         return refs[name]["version"]
 
+    # ---------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
+        """Physically reclaim data files referenced ONLY by snapshots older
+        than the last ``keep_last`` versions — the Iceberg expire_snapshots
+        maintenance action, and the thing that bounds storage over a
+        long-lived stream (every CoW merge / compaction / rebucket strands
+        the files it replaced for time travel; without expiry a stream's
+        storage grows with write amplification forever).
+
+        Ref targets (published snapshots) are always retained, so the floor
+        never rises past a live ref. Order is metadata-first: the ``expire``
+        commit advances ``expire_below`` (readers of older versions now get
+        an actionable error instead of missing-file scans), THEN files
+        unreferenced by any retained version are deleted — a crash between
+        the two leaves harmless stranded files that the next expiry sweeps.
+        The JSON log itself is never truncated (it is O(KB)/commit and the
+        checkpoint caches bound replay; data bytes are what matter).
+
+        Single-maintainer action (like compaction); returns
+        {expired_below, files_deleted, bytes_reclaimed}.
+        """
+        self.refresh()
+        latest = self.version
+        floor = max(0, latest - keep_last + 1)
+        for r in self.refs().values():
+            floor = min(floor, r["version"])
+        floor = max(floor, self.state.get("expire_below", 0))  # never regress
+        if floor > self.state.get("expire_below", 0):
+            self.commit(
+                operation="expire",
+                new_files=[],
+                lineage={"mode": "expire", "expired_below": floor,
+                         "keep_last": keep_last},
+                expire_below=floor,
+            )
+        # sweep always runs (floor unchanged ⇒ deletes only files a crashed
+        # earlier expiry or writer left stranded)
+
+        # live = files referenced by ANY retained version [floor, latest+1]
+        live = {f["path"] for f in self.state_at(floor)["files"]}
+        for v in range(floor + 1, self.version + 1):
+            e = self._read_entry(v)
+            if e.get("type") == "delta":
+                live.update(f["path"] for f in e.get("new_files") or [])
+            else:
+                live.update(f["path"] for f in e["files"])
+
+        deleted, reclaimed = 0, 0
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for dirpath, dirnames, filenames in os.walk(data_root):
+            dirnames[:] = [d for d in dirnames if not d.startswith("_staging_")]
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                abs_p = os.path.join(dirpath, fn)
+                if os.path.relpath(abs_p, self.root) not in live:
+                    reclaimed += os.path.getsize(abs_p)
+                    os.unlink(abs_p)
+                    deleted += 1
+        return {
+            "expired_below": floor,
+            "files_deleted": deleted,
+            "bytes_reclaimed": reclaimed,
+        }
+
     # ------------------------------------------------------------- reading
     def read(
         self,
@@ -507,6 +577,13 @@ class SnapshotTable:
             if version is not None:
                 raise ValueError("pass either version or ref, not both")
             version = self.resolve_ref(ref)
+        if version is not None:
+            floor = self.state.get("expire_below", 0)
+            if version < floor:
+                raise ValueError(
+                    f"version {version} was expired by expire_snapshots "
+                    f"(oldest readable: {floor}); its data files are deleted"
+                )
         st = self.state if version is None else self.state_at(version)
         current = T.StructType.fromJson(st["schemas"][str(st["current_schema_id"])])
         files = st["files"]
@@ -625,6 +702,7 @@ class SnapshotTable:
         lineage: dict[str, Any] | None = None,
         new_partition: dict[str, Any] | None = None,
         max_retries: int = 20,
+        expire_below: int | None = None,
     ) -> CommitInfo:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
@@ -675,6 +753,7 @@ class SnapshotTable:
                 "new_files": new_files,
                 "replaced_buckets": sorted(replaced_buckets) if replaced_buckets else [],
                 "partition_set": new_partition,
+                "expire_below": expire_below,
                 "applied_batch": (
                     [
                         batch_id,

@@ -41,6 +41,44 @@ def test_run_replay_cli_batch_verify_publish(tmp_path):
     assert "published_version" in rep
 
 
+def test_run_replay_cli_mor_maintenance_flags(tmp_path):
+    """MoR replay + --changes-since + --compact-after with explicit
+    strategy; parity must hold after compaction and the change feed must
+    cover the whole replay."""
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "run_replay.py"),
+            "--generate", "4000",
+            "--feed", feed,
+            "--table", table,
+            "--batches", "2",
+            "--merge-strategy", "mor",
+            "--changes-since", "0",
+            "--compact-after",
+            "--compact-strategy", "auto",
+            "--verify",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(lines[-1])
+    assert rep["parity_ok"] is True
+    assert rep["buckets_compacted"] > 0
+    # per-batch dedup means change rows <= events but >= final live keys
+    assert 0 < rep["change_rows"] <= rep["events"]
+
+
 def test_run_replay_cli_stream_mode(tmp_path):
     feed = str(tmp_path / "feed")
     table = str(tmp_path / "table")

@@ -128,6 +128,49 @@ def test_read_changes_strict_on_cow(spark, events_path, tmp_path):
     assert read_changes(spark, pipe.table, since_version=0, strict=False).count() == 0
 
 
+# --------------------------------------------------------- expiration
+def test_expire_snapshots_reclaims_and_guards(spark, events_path, tmp_path):
+    """CoW merges strand replaced files for time travel; expire_snapshots
+    must reclaim them, keep ref targets readable, and turn reads of
+    expired versions into an actionable error (not missing-file scans)."""
+    import os
+
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)  # CoW
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="ex", stop_after=1)
+    pipe.publish("keepme")
+    ref_target = pipe.table.refs()["keepme"]["version"]
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="ex")
+
+    def n_disk_files():
+        return sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(os.path.join(pipe.root, "data"))
+        )
+
+    before_disk = n_disk_files()
+    rep = pipe.expire(keep_last=1)
+    # the published ref target is older than keep_last=1 → floor clamps to it
+    assert rep["expired_below"] <= ref_target
+    # second expire on same state: no new commit, sweep finds nothing
+    again = pipe.table.expire_snapshots(keep_last=1)
+    assert again["files_deleted"] == 0
+
+    # now drop the ref pin by publishing at current, expire again
+    pipe.publish("keepme")
+    rep2 = pipe.expire(keep_last=1)
+    assert rep2["files_deleted"] > 0 and rep2["bytes_reclaimed"] > 0
+    assert n_disk_files() < before_disk
+
+    # current read + parity unaffected
+    parity = verify_parity(pipe.current(), events_path)
+    assert parity["ok"], parity
+    # ref target (current) still readable; expired old version raises
+    assert pipe.current(ref="keepme").count() > 0
+    with pytest.raises(ValueError, match="expired"):
+        pipe.table.read(spark, version=max(0, rep2["expired_below"] - 1))
+
+
 # ------------------------------------------------------- auto compaction
 def test_compact_auto_splits_by_bucket_bytes(spark, events_path, tmp_path):
     feed = spark.read.parquet(events_path)
