@@ -129,7 +129,11 @@ class CDCPipeline:
 
     # ---------------------------------------------------------------- apply
     def apply_batch(
-        self, events: DataFrame, batch_id: str, prune: bool | None = None
+        self,
+        events: DataFrame,
+        batch_id: str,
+        prune: bool | None = None,
+        extra_lineage: dict | None = None,
     ) -> MergeResult:
         batch = self.prepare_batch(events)
         self.ensure_table(batch.schema)
@@ -144,6 +148,7 @@ class CDCPipeline:
                 seq_col="seq",
                 batch_id=batch_id,
                 use_observe=not effective_prune,
+                extra_lineage=extra_lineage,
             )
         return merge_batch(
             self.spark,
@@ -154,6 +159,7 @@ class CDCPipeline:
             salt_buckets=self.salt_buckets,
             strategy=self.merge_strategy,
             prune=self.prune if prune is None else prune,
+            extra_lineage=extra_lineage,
         )
 
     def replay(
@@ -223,6 +229,18 @@ class CDCPipeline:
         return compact_deltas(
             self.spark, self.table, min_delta_files, strategy=strategy
         )
+
+    def mirror_from(
+        self, src: SnapshotTable, source_id: str = "mirror", strict: bool = True
+    ) -> dict:
+        """Poll ``src``'s change feed once and merge the delta into this
+        pipeline's table — exactly-once incremental table→table replication
+        (cursor lives in this table's commit lineage). See
+        `lake/changes.py:mirror_changes`."""
+        from kf_etl_clin_portal_spark.lake.changes import mirror_changes
+
+        return mirror_changes(self.spark, src, self, source_id=source_id,
+                              strict=strict)
 
     def expire(self, keep_last: int = 1) -> dict:
         """Physically reclaim data files only old snapshots reference

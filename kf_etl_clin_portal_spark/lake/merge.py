@@ -73,6 +73,7 @@ def merge_batch(
     salt_buckets: int = 8,
     strategy: str = "union_agg",
     prune: bool | None = None,
+    extra_lineage: dict | None = None,
 ) -> MergeResult:
     """Apply one micro-batch (already carrying TOMBSTONE_COL) to ``table``.
 
@@ -100,10 +101,12 @@ def merge_batch(
 
     if strategy == "union_agg":
         return _merge_union_agg(
-            spark, table, batch, seq_col, batch_id, diff, target_schema, prune=prune
+            spark, table, batch, seq_col, batch_id, diff, target_schema,
+            prune=prune, extra_lineage=extra_lineage,
         )
     return _merge_join(
-        spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema
+        spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema,
+        extra_lineage=extra_lineage,
     )
 
 
@@ -126,7 +129,8 @@ def _order_expr(seq_col: str, schema) -> F.Column:
 
 
 def _merge_union_agg(
-    spark, table, batch, seq_col, batch_id, diff, target_schema, prune=None
+    spark, table, batch, seq_col, batch_id, diff, target_schema, prune=None,
+    extra_lineage=None,
 ) -> MergeResult:
     key_cols, num_buckets = table.key_cols, table.num_buckets
 
@@ -203,7 +207,7 @@ def _merge_union_agg(
             return MergeResult(skipped=True, batch_id=batch_id)
     return _commit_merge(
         table, new_files, affected, diff, target_schema, batch_id,
-        n_events, n_deletes, seq_min, seq_max,
+        n_events, n_deletes, seq_min, seq_max, extra_lineage=extra_lineage,
     )
 
 
@@ -217,7 +221,8 @@ def _unlink(root: str, rel_path: str) -> None:
 
 
 def _merge_join(
-    spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema
+    spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema,
+    extra_lineage=None,
 ) -> MergeResult:
     from kf_etl_clin_portal_spark.cdc.dedup import salted_latest
 
@@ -276,7 +281,7 @@ def _merge_join(
         new_files = table.write_data_files(merged, schema_id=_next_schema_id(table, target_schema))
         return _commit_merge(
             table, new_files, affected, diff, target_schema, batch_id,
-            n_events, n_deletes, seq_min, seq_max,
+            n_events, n_deletes, seq_min, seq_max, extra_lineage=extra_lineage,
         )
     finally:
         latest.unpersist()
@@ -284,7 +289,7 @@ def _merge_join(
 
 def _commit_merge(
     table, new_files, affected, diff, target_schema, batch_id,
-    n_events, n_deletes, seq_min, seq_max,
+    n_events, n_deletes, seq_min, seq_max, extra_lineage=None,
 ) -> MergeResult:
     commit = table.commit(
         operation="merge",
@@ -300,6 +305,7 @@ def _commit_merge(
             "n_deletes": n_deletes,
             "buckets_touched": len(affected),
             "schema_evolved": diff.changes_table,
+            **(extra_lineage or {}),
         },
     )
     return MergeResult(
@@ -322,6 +328,7 @@ def merge_batch_mor(
     seq_col: str = "seq",
     batch_id: str | None = None,
     use_observe: bool = True,
+    extra_lineage: dict | None = None,
 ) -> MergeResult:
     """Merge-on-read MERGE: append the batch as per-bucket DELTA files and
     defer key resolution to read time (`read_merged`) — the Iceberg
@@ -416,6 +423,7 @@ def merge_batch_mor(
             "n_deletes": n_deletes,
             "buckets_touched": buckets_touched,
             "schema_evolved": diff.changes_table,
+            **(extra_lineage or {}),
         },
     )
     return MergeResult(

@@ -1,0 +1,158 @@
+"""Incremental table→table mirroring over the change feed.
+
+`mirror_changes` turns a MoR source table into an exactly-once upstream for
+a downstream CDCPipeline: each poll reads only the source commits past the
+durable cursor (stored in the destination's own commit lineage) and merges
+them. This is the engine's replacement for the reference's staged full
+re-export jobs (fhavro-export re-reads the world each run) — downstream
+stages follow upstream at O(delta) cost.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.changes import mirror_cursor
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mirror_feed") / "events.parquet")
+    generate_change_events(spark, 6_000, seed=47).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _state_set(df):
+    cols = sorted(df.columns)
+    return {
+        tuple(r)
+        for r in df.select(*[F.col(c).cast("string") for c in cols]).collect()
+    }
+
+
+def test_mirror_follows_source_incrementally(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=8, merge_strategy="mor")
+
+    # batch 1 lands in src; first poll applies exactly that delta
+    src.replay(feed, n_batches=3, by="delivery", feed_id="m", stop_after=1)
+    r1 = dst.mirror_from(src.table, source_id="srcA")
+    assert r1["applied"] and r1["rows"] > 0 and r1["epoch"] == 0
+    assert r1["since"] == 0 and r1["until"] == src.table.refresh().version
+    assert _state_set(dst.current()) == _state_set(src.current())
+
+    # no new source commits → poll is a metadata-only no-op
+    r_noop = dst.mirror_from(src.table, source_id="srcA")
+    assert not r_noop["applied"] and r_noop["rows"] == 0
+
+    # batches 2..3 land; second poll reads ONLY the new range
+    src.replay(feed, n_batches=3, by="delivery", feed_id="m")
+    r2 = dst.mirror_from(src.table, source_id="srcA")
+    assert r2["applied"] and r2["since"] == r1["until"]
+    assert r2["epoch"] == 1
+    assert _state_set(dst.current()) == _state_set(src.current())
+    rep = verify_parity(dst.current(), events_path)
+    assert rep["ok"], rep
+
+
+def test_mirror_cursor_survives_replayed_poll(spark, events_path, tmp_path):
+    """Crash-after-commit: re-offering the identical range is fenced to a
+    no-op and the cursor (recovered from dst lineage) already covers it."""
+    feed = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=4, merge_strategy="mor")
+    src.replay(feed, n_batches=2, by="seq", feed_id="m", stop_after=1)
+    r1 = dst.mirror_from(src.table, source_id="s")
+    assert r1["applied"]
+
+    cur, epoch = mirror_cursor(dst.table, "s")
+    assert (cur, epoch) == (r1["until"], r1["epoch"])
+
+    # a "crashed then restarted" follower re-polls: cursor already durable
+    r_again = dst.mirror_from(src.table, source_id="s")
+    assert not r_again["applied"]
+    v_before = dst.table.refresh().version
+
+    # even a forced re-offer of the fenced batch id is a no-op commit-wise
+    from kf_etl_clin_portal_spark.lake.changes import read_changes
+
+    ch = read_changes(spark, src.table, since_version=0, until_version=r1["until"])
+    res = dst.apply_batch(
+        ch.drop("_change_version", "_change_ts", "_change_op"),
+        batch_id=f"cdf.s-b{r1['epoch']:05d}",
+    )
+    assert res.skipped
+    assert dst.table.refresh().version == v_before
+
+
+def test_mirror_skips_maintenance_only_ranges(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=4, merge_strategy="mor")
+    src.replay(feed, n_batches=2, by="seq", feed_id="m", stop_after=1)
+    r1 = dst.mirror_from(src.table, source_id="s")
+    assert r1["applied"]
+
+    # maintenance advances the source version but changes no logical rows
+    src.compact()
+    assert src.table.refresh().version > r1["until"]
+    r2 = dst.mirror_from(src.table, source_id="s")
+    assert not r2["applied"] and r2["rows"] == 0
+    # cursor intentionally parked at the last data commit
+    assert mirror_cursor(dst.table, "s")[0] == r1["until"]
+
+    # next data commit flows through; the poll range re-walks the
+    # maintenance entries (metadata-only) and applies just the new rows
+    src.replay(feed, n_batches=2, by="seq", feed_id="m")
+    r3 = dst.mirror_from(src.table, source_id="s")
+    assert r3["applied"] and r3["epoch"] == r1["epoch"] + 1
+    assert _state_set(dst.current()) == _state_set(src.current())
+    rep = verify_parity(dst.current(), events_path)
+    assert rep["ok"], rep
+
+
+def test_two_mirrors_fan_out_independently(spark, events_path, tmp_path):
+    """Distinct source_ids keep independent cursors in the same dst chain —
+    here: two destinations tailing one source at different cadences."""
+    feed = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    d1 = CDCPipeline(spark, str(tmp_path / "d1"), num_buckets=4, merge_strategy="mor")
+    d2 = CDCPipeline(spark, str(tmp_path / "d2"), num_buckets=2, merge_strategy="mor")
+
+    src.replay(feed, n_batches=3, by="seq", feed_id="m", stop_after=1)
+    d1.mirror_from(src.table)
+    src.replay(feed, n_batches=3, by="seq", feed_id="m", stop_after=2)
+    d1.mirror_from(src.table)
+    src.replay(feed, n_batches=3, by="seq", feed_id="m")
+    d1.mirror_from(src.table)
+    # d2 catches the whole history in one poll
+    r = d2.mirror_from(src.table)
+    assert r["applied"] and r["since"] == 0
+
+    want = _state_set(src.current())
+    assert _state_set(d1.current()) == want
+    assert _state_set(d2.current()) == want
+
+
+def test_mirror_chain_src_to_mid_to_leaf(spark, events_path, tmp_path):
+    """A→B→C chaining: B is itself MoR, so its merge commits feed C."""
+    feed = spark.read.parquet(events_path)
+    a = CDCPipeline(spark, str(tmp_path / "a"), num_buckets=4, merge_strategy="mor")
+    b = CDCPipeline(spark, str(tmp_path / "b"), num_buckets=2, merge_strategy="mor")
+    c = CDCPipeline(spark, str(tmp_path / "c"), num_buckets=2, merge_strategy="mor")
+
+    a.replay(feed, n_batches=2, by="delivery", feed_id="m", stop_after=1)
+    b.mirror_from(a.table, source_id="a")
+    c.mirror_from(b.table, source_id="b")
+    a.replay(feed, n_batches=2, by="delivery", feed_id="m")
+    b.mirror_from(a.table, source_id="a")
+    c.mirror_from(b.table, source_id="b")
+
+    want = _state_set(a.current())
+    assert _state_set(b.current()) == want
+    assert _state_set(c.current()) == want
+    rep = verify_parity(c.current(), events_path)
+    assert rep["ok"], rep
