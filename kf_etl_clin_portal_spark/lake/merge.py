@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kf_etl_clin_portal_spark.lake.schema import align_df, evolve_schema, schema_diff
-from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, SnapshotTable, bucket_expr
+from kf_etl_clin_portal_spark.lake.table import (
+    BUCKET_COL,
+    CommitConflict,
+    SnapshotTable,
+    bucket_expr,
+)
 
 TOMBSTONE_COL = "is_deleted"
 
@@ -87,27 +92,38 @@ def merge_batch(
     two-phase dedup — the didactic/audit path, semantically identical
     (tested equal), ~2 extra shuffles.
     """
-    table.refresh()
-    # 1. epoch fence — replayed batch (driver restart, at-least-once source)
-    if batch_id is not None and table.is_batch_applied(batch_id):
-        return MergeResult(skipped=True, batch_id=batch_id)
+    # CoW merge rewrites whole buckets from a snapshot read, so a concurrent
+    # writer touching the same buckets invalidates the computed output —
+    # commit() detects it via the basis version (CommitConflict) and the
+    # merge recomputes from the fresh snapshot. Bounded: conflicts need a
+    # concurrent bucket-replacing writer, which table maintenance runs
+    # single-flighted; 3 recomputes covers any realistic interleaving.
+    last_exc: Exception | None = None
+    for _ in range(3):
+        table.refresh()
+        # 1. epoch fence — replayed batch (driver restart, at-least-once source)
+        if batch_id is not None and table.is_batch_applied(batch_id):
+            return MergeResult(skipped=True, batch_id=batch_id)
+        basis = table.version
 
-    key_cols = table.key_cols
-    num_buckets = table.num_buckets
+        # 2. schema evolution
+        diff = schema_diff(table.schema, batch.schema)
+        target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema
 
-    # 2. schema evolution
-    diff = schema_diff(table.schema, batch.schema)
-    target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema
-
-    if strategy == "union_agg":
-        return _merge_union_agg(
-            spark, table, batch, seq_col, batch_id, diff, target_schema,
-            prune=prune, extra_lineage=extra_lineage,
-        )
-    return _merge_join(
-        spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema,
-        extra_lineage=extra_lineage,
-    )
+        try:
+            if strategy == "union_agg":
+                return _merge_union_agg(
+                    spark, table, batch, seq_col, batch_id, diff, target_schema,
+                    prune=prune, extra_lineage=extra_lineage, basis=basis,
+                )
+            return _merge_join(
+                spark, table, batch, seq_col, batch_id, salt_buckets, diff,
+                target_schema, extra_lineage=extra_lineage, basis=basis,
+            )
+        except CommitConflict as e:
+            last_exc = e
+            continue
+    raise last_exc
 
 
 def _batch_stats(batch: DataFrame, seq_col: str, key_cols: list[str], num_buckets: int):
@@ -130,7 +146,7 @@ def _order_expr(seq_col: str, schema) -> F.Column:
 
 def _merge_union_agg(
     spark, table, batch, seq_col, batch_id, diff, target_schema, prune=None,
-    extra_lineage=None,
+    extra_lineage=None, basis=None,
 ) -> MergeResult:
     key_cols, num_buckets = table.key_cols, table.num_buckets
 
@@ -208,6 +224,7 @@ def _merge_union_agg(
     return _commit_merge(
         table, new_files, affected, diff, target_schema, batch_id,
         n_events, n_deletes, seq_min, seq_max, extra_lineage=extra_lineage,
+        basis=basis,
     )
 
 
@@ -222,7 +239,7 @@ def _unlink(root: str, rel_path: str) -> None:
 
 def _merge_join(
     spark, table, batch, seq_col, batch_id, salt_buckets, diff, target_schema,
-    extra_lineage=None,
+    extra_lineage=None, basis=None,
 ) -> MergeResult:
     from kf_etl_clin_portal_spark.cdc.dedup import salted_latest
 
@@ -282,6 +299,7 @@ def _merge_join(
         return _commit_merge(
             table, new_files, affected, diff, target_schema, batch_id,
             n_events, n_deletes, seq_min, seq_max, extra_lineage=extra_lineage,
+            basis=basis,
         )
     finally:
         latest.unpersist()
@@ -289,25 +307,33 @@ def _merge_join(
 
 def _commit_merge(
     table, new_files, affected, diff, target_schema, batch_id,
-    n_events, n_deletes, seq_min, seq_max, extra_lineage=None,
+    n_events, n_deletes, seq_min, seq_max, extra_lineage=None, basis=None,
 ) -> MergeResult:
-    commit = table.commit(
-        operation="merge",
-        new_files=new_files,
-        replaced_buckets=set(affected),
-        new_schema=target_schema if diff.changes_table else None,
-        batch_id=batch_id,
-        lineage={
-            "seq_min": seq_min,
-            "seq_max": seq_max,
-            "n_events": n_events,
-            "n_upserts": n_events - n_deletes,
-            "n_deletes": n_deletes,
-            "buckets_touched": len(affected),
-            "schema_evolved": diff.changes_table,
-            **(extra_lineage or {}),
-        },
-    )
+    try:
+        commit = table.commit(
+            operation="merge",
+            new_files=new_files,
+            replaced_buckets=set(affected),
+            basis_version=basis,
+            new_schema=target_schema if diff.changes_table else None,
+            batch_id=batch_id,
+            lineage={
+                "seq_min": seq_min,
+                "seq_max": seq_max,
+                "n_events": n_events,
+                "n_upserts": n_events - n_deletes,
+                "n_deletes": n_deletes,
+                "buckets_touched": len(affected),
+                "schema_evolved": diff.changes_table,
+                **(extra_lineage or {}),
+            },
+        )
+    except CommitConflict:
+        # computed output is stale — drop the orphaned parquet before the
+        # caller recomputes, or every conflict leaks a bucket rewrite
+        for f in new_files:
+            _unlink(table.root, f["path"])
+        raise
     return MergeResult(
         skipped=False,
         batch_id=batch_id,

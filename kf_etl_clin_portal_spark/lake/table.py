@@ -703,6 +703,7 @@ class SnapshotTable:
         new_partition: dict[str, Any] | None = None,
         max_retries: int = 20,
         expire_below: int | None = None,
+        basis_version: int | None = None,
     ) -> CommitInfo:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
@@ -711,12 +712,30 @@ class SnapshotTable:
         The log entry is a DELTA (what changed); the full state is derived
         via `_apply_delta` — the same pure function every reader replays —
         so per-commit driver I/O is O(delta) regardless of table size.
+
+        ``basis_version``: the snapshot version the writer READ to compute
+        ``new_files``. Required for correctness whenever the commit replaces
+        buckets: a bucket-replacing commit whose inputs are stale would
+        silently drop rows another writer added to those buckets in between
+        (lost update). With a basis set, intervening commits that touched
+        any replaced bucket (or changed the partition spec) raise
+        ``CommitConflict`` — the Iceberg/Delta validation step — and the
+        caller recomputes from the new snapshot. Append-only commits
+        (``replaced_buckets`` empty) compose with anything and need no
+        basis; the blind optimistic retry remains correct for them.
         """
         for _ in range(max_retries):
             self.refresh()
             st = self.state
             if batch_id is not None and self.is_batch_applied(batch_id):
                 raise BatchAlreadyApplied(batch_id)
+            if basis_version is not None and replaced_buckets:
+                v = self._conflicting_version(basis_version, set(replaced_buckets))
+                if v is not None:
+                    raise CommitConflict(
+                        f"{operation} computed on snapshot v{basis_version}, but "
+                        f"v{v} touched replaced bucket(s) — recompute on v{self.version}"
+                    )
 
             schema_add = None
             schema_id = st["current_schema_id"]
@@ -778,6 +797,25 @@ class SnapshotTable:
             self._maybe_checkpoint()
             return CommitInfo(version, snapshot_id, operation, lineage_row)
         raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
+
+    def _conflicting_version(
+        self, basis_version: int, buckets: set[int]
+    ) -> int | None:
+        """First version in (basis, current] whose commit touched any of
+        ``buckets`` — added files to them, replaced them, or changed the
+        partition spec (rebucket invalidates every bucket id). Walks only
+        the intervening log entries: O(commits since basis), metadata-only."""
+        for v in range(basis_version + 1, self.version + 1):
+            entry = self._read_entry(v)
+            if entry.get("type") != "delta":
+                return v  # legacy full-state commit: can't prove disjointness
+            if entry.get("partition_set"):
+                return v
+            touched = set(entry.get("replaced_buckets") or [])
+            touched.update(f["bucket"] for f in entry.get("new_files") or [])
+            if touched & buckets:
+                return v
+        return None
 
     def _write_log(self, entry: dict[str, Any], expected_version: int) -> None:
         path = self._log_path(expected_version)
@@ -865,6 +903,13 @@ class SnapshotTable:
 
 class BatchAlreadyApplied(Exception):
     """Raised when an epoch-fenced batch_id is committed twice (exactly-once)."""
+
+
+class CommitConflict(Exception):
+    """Raised when a bucket-replacing commit's basis snapshot is stale: an
+    intervening commit touched the buckets being replaced, so committing
+    would drop its rows (lost update). Caller must recompute on the current
+    snapshot and try again."""
 
 
 def _now() -> str:
