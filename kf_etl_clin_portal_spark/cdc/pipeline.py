@@ -222,6 +222,18 @@ class CDCPipeline:
             df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
         return df
 
+    def lookup(
+        self, keys: list[dict], include_tombstones: bool = False
+    ) -> DataFrame:
+        """Point lookup of explicit keys — scans only the buckets the keys
+        hash into (see `lake/merge.py:lookup_keys`)."""
+        from kf_etl_clin_portal_spark.lake.merge import lookup_keys
+
+        df = lookup_keys(self.spark, self.table, keys, seq_col="seq")
+        if not include_tombstones:
+            df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
+        return df
+
     def compact(self, min_delta_files: int = 1, strategy: str = "shuffle") -> int:
         """Fold MoR delta files into base (read-path maintenance).
         strategy: "shuffle" (default; fastest measured — see

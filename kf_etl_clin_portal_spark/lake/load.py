@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kf_etl_clin_portal_spark.lake.schema import align_df
-from kf_etl_clin_portal_spark.lake.table import BUCKET_COL, SnapshotTable, bucket_expr
+from kf_etl_clin_portal_spark.lake.table import (
+    BUCKET_COL,
+    CommitConflict,
+    SnapshotTable,
+    bucket_expr,
+    retry_on_conflict,
+)
 
 
 def _bucketed(
@@ -95,33 +101,48 @@ def overwrite_where(
     holding predicate-matching rows ∪ buckets df lands in; their
     NON-matching rows are carried over, so keys that merely share a bucket
     with the predicate are never lost. At 10^10 rows the predicate scan is
-    one bucket-pruned pass with the filter pushed to parquet."""
-    table.refresh()
-    bucketed_new = _bucketed(df, table)
-    target = table.read(spark).withColumn(
-        BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
-    )
-    touched_new = {r[0] for r in bucketed_new.select(BUCKET_COL).distinct().collect()}
-    touched_old = {
-        r[0]
-        for r in target.where(predicate).select(BUCKET_COL).distinct().collect()
-    }
-    touched = sorted(touched_new | touched_old)  # ≤ num_buckets ints
-    # NULL predicate result must mean "keep", not "drop" (ternary logic)
-    keep = target.where(F.col(BUCKET_COL).isin(touched)).where(
-        ~F.coalesce(predicate, F.lit(False))
-    )
-    out = keep.unionByName(bucketed_new).repartition(
-        max(len(touched), 1), F.col(BUCKET_COL)
-    )
-    new_files = table.write_data_files(out, table.state["current_schema_id"])
-    commit = table.commit(
-        operation="overwrite_where",
-        new_files=new_files,
-        replaced_buckets=set(touched),
-        lineage={"mode": "overwrite_where", "buckets_touched": len(touched)},
-    )
-    return commit.version
+    one bucket-pruned pass with the filter pushed to parquet.
+
+    Carried-over rows come from a snapshot read, so a concurrent writer
+    landing in a touched bucket mid-computation would be lost; the commit
+    validates against ``basis`` and the whole computation retries on
+    conflict (see ``SnapshotTable.commit``)."""
+
+    def attempt() -> int:
+        table.refresh()
+        basis = table.version
+        bucketed_new = _bucketed(df, table)
+        target = table.read(spark).withColumn(
+            BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+        )
+        touched_new = {r[0] for r in bucketed_new.select(BUCKET_COL).distinct().collect()}
+        touched_old = {
+            r[0]
+            for r in target.where(predicate).select(BUCKET_COL).distinct().collect()
+        }
+        touched = sorted(touched_new | touched_old)  # ≤ num_buckets ints
+        # NULL predicate result must mean "keep", not "drop" (ternary logic)
+        keep = target.where(F.col(BUCKET_COL).isin(touched)).where(
+            ~F.coalesce(predicate, F.lit(False))
+        )
+        out = keep.unionByName(bucketed_new).repartition(
+            max(len(touched), 1), F.col(BUCKET_COL)
+        )
+        new_files = table.write_data_files(out, table.state["current_schema_id"])
+        try:
+            commit = table.commit(
+                operation="overwrite_where",
+                new_files=new_files,
+                replaced_buckets=set(touched),
+                basis_version=basis,
+                lineage={"mode": "overwrite_where", "buckets_touched": len(touched)},
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return commit.version
+
+    return retry_on_conflict(attempt)
 
 
 def append(spark: SparkSession, table: SnapshotTable, df: DataFrame) -> int:
@@ -158,36 +179,48 @@ def rebucket(
     """
     if new_num_buckets < 1:
         raise ValueError("new_num_buckets must be >= 1")
-    table.refresh()
-    if any(f.get("kind") == "delta" for f in table.state["files"]):
-        from kf_etl_clin_portal_spark.lake.merge import compact_deltas
 
-        compact_deltas(spark, table)
+    def attempt() -> int:
         table.refresh()
-    old_n = table.num_buckets
-    key = table.key_cols
-    df = table.read(spark)
-    out = df.repartition(new_num_buckets, *[F.col(c) for c in key]).withColumn(
-        BUCKET_COL, bucket_expr(key, new_num_buckets)
-    )
-    if cluster_by:
-        out = out.sortWithinPartitions(F.col(BUCKET_COL), *[F.col(c) for c in cluster_by])
-    new_files = table.write_data_files(out, table.state["current_schema_id"])
-    new_spec = dict(table.state["partition"], num_buckets=new_num_buckets)
-    commit = table.commit(
-        operation="rebucket",
-        new_files=new_files,
-        # replace every file of the old layout (the replaced filter applies
-        # only to pre-commit files; the new files are appended after it)
-        replaced_buckets=set(range(old_n)),
-        new_partition=new_spec,
-        lineage={
-            "mode": "rebucket",
-            "old_num_buckets": old_n,
-            "new_num_buckets": new_num_buckets,
-        },
-    )
-    return commit.version
+        if any(f.get("kind") == "delta" for f in table.state["files"]):
+            from kf_etl_clin_portal_spark.lake.merge import compact_deltas
+
+            compact_deltas(spark, table)
+            table.refresh()
+        basis = table.version
+        old_n = table.num_buckets
+        key = table.key_cols
+        df = table.read(spark)
+        out = df.repartition(new_num_buckets, *[F.col(c) for c in key]).withColumn(
+            BUCKET_COL, bucket_expr(key, new_num_buckets)
+        )
+        if cluster_by:
+            out = out.sortWithinPartitions(
+                F.col(BUCKET_COL), *[F.col(c) for c in cluster_by]
+            )
+        new_files = table.write_data_files(out, table.state["current_schema_id"])
+        new_spec = dict(table.state["partition"], num_buckets=new_num_buckets)
+        try:
+            commit = table.commit(
+                operation="rebucket",
+                new_files=new_files,
+                # replace every file of the old layout (the replaced filter
+                # applies only to pre-commit files; new files append after it)
+                replaced_buckets=set(range(old_n)),
+                basis_version=basis,
+                new_partition=new_spec,
+                lineage={
+                    "mode": "rebucket",
+                    "old_num_buckets": old_n,
+                    "new_num_buckets": new_num_buckets,
+                },
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return commit.version
+
+    return retry_on_conflict(attempt)
 
 
 def compact_buckets(
@@ -196,23 +229,34 @@ def compact_buckets(
     """Rewrite every bucket holding ≥ min_files_per_bucket files down to one
     file (Iceberg `rewrite_data_files`). Snapshot-atomic; readers of older
     versions/refs still see the pre-compaction files. Returns #buckets
-    rewritten."""
-    table.refresh()
-    counts: dict[int, int] = {}
-    for f in table.state["files"]:
-        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-    victims = sorted(b for b, c in counts.items() if c >= min_files_per_bucket)
-    if not victims:
-        return 0
-    df = table.read(spark, buckets=victims)
-    bucketed = df.repartition(len(victims), *[F.col(c) for c in table.key_cols]).withColumn(
-        BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
-    )
-    new_files = table.write_data_files(bucketed, table.state["current_schema_id"])
-    table.commit(
-        operation="compact",
-        new_files=new_files,
-        replaced_buckets=set(victims),
-        lineage={"mode": "compact", "buckets_touched": len(victims)},
-    )
-    return len(victims)
+    rewritten. Basis-validated: a concurrent append/merge into a victim
+    bucket conflicts the commit and the compaction recomputes."""
+
+    def attempt() -> int:
+        table.refresh()
+        basis = table.version
+        counts: dict[int, int] = {}
+        for f in table.state["files"]:
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        victims = sorted(b for b, c in counts.items() if c >= min_files_per_bucket)
+        if not victims:
+            return 0
+        df = table.read(spark, buckets=victims)
+        bucketed = df.repartition(
+            len(victims), *[F.col(c) for c in table.key_cols]
+        ).withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets))
+        new_files = table.write_data_files(bucketed, table.state["current_schema_id"])
+        try:
+            table.commit(
+                operation="compact",
+                new_files=new_files,
+                replaced_buckets=set(victims),
+                basis_version=basis,
+                lineage={"mode": "compact", "buckets_touched": len(victims)},
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return len(victims)
+
+    return retry_on_conflict(attempt)

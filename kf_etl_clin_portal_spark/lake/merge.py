@@ -51,6 +51,7 @@ from kf_etl_clin_portal_spark.lake.table import (
     CommitConflict,
     SnapshotTable,
     bucket_expr,
+    retry_on_conflict,
 )
 
 TOMBSTONE_COL = "is_deleted"
@@ -492,6 +493,70 @@ def read_merged(
     )
 
 
+def lookup_keys(
+    spark: SparkSession,
+    table: SnapshotTable,
+    keys: list[dict],
+    seq_col: str = "seq",
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Point lookup: current row(s) for explicit key values, reading ONLY
+    the buckets those keys hash into — the O(1-bucket) key-value read path a
+    CDC state table serves (the reference always scans whole tables;
+    its participant-id lookups go through Elasticsearch instead).
+
+    ``keys``: list of {key_col: value} dicts (all key columns required).
+    The bucket ids are computed with the table's own partition transform
+    (``bucket_expr`` over a tiny literal DataFrame — exactly Spark's
+    murmur3, no Python reimplementation to drift), so at 10^10 rows a
+    k-key lookup scans k buckets of data, not the table: manifest-pruned
+    file list + equality predicates pushed into the parquet scan for
+    row-group skipping within them. MoR deltas for those buckets are
+    resolved the same way `read_merged` does — but only over the pruned
+    bucket subset.
+
+    Built for small key sets (an OR-of-conjunctions predicate, one literal
+    branch per key); for bulk key sets join a keys DataFrame against
+    `read_merged` instead — that's a broadcast semi-join, not a lookup."""
+    table.refresh()
+    key_cols = table.key_cols
+    for k in keys:
+        missing = [c for c in key_cols if c not in k]
+        if missing:
+            raise ValueError(f"lookup key {k} missing key column(s) {missing}")
+    probe = spark.createDataFrame(
+        [tuple(k[c] for c in key_cols) for k in keys], schema=key_cols
+    )
+    wanted = probe.select(
+        bucket_expr(key_cols, table.num_buckets).alias("b")
+    ).distinct()
+    buckets = sorted(r[0] for r in wanted.collect())  # ≤ len(keys) ints
+
+    df = table.read(spark, version=version, ref=ref, buckets=buckets)
+    pred = F.lit(False)
+    for k in keys:
+        conj = _and_all([F.col(c) == F.lit(k[c]) for c in key_cols])
+        pred = pred | conj
+    df = df.where(pred)
+    if ref is not None:
+        version = table.resolve_ref(ref)
+    st = table.state if version is None else table.state_at(version)
+    bset = set(buckets)
+    has_deltas = any(
+        f.get("kind") == "delta" and f["bucket"] in bset for f in st["files"]
+    )
+    if not has_deltas:
+        return df
+    row = F.struct(*[F.col(c) for c in df.columns])
+    order = _order_expr(seq_col, df.schema)
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(F.col("__row.*"))
+    )
+
+
 def compact_deltas(
     spark: SparkSession,
     table: SnapshotTable,
@@ -529,50 +594,66 @@ def compact_deltas(
     read — buckets whose base+delta bytes fit ``compact.local_max_bytes``
     (table property, default 512 MB) go local, the rest through one
     shuffle job together. One snapshot commit regardless.
+
+    Basis-validated: a concurrent merge appending a delta into a victim
+    bucket mid-compaction conflicts the commit (committing would drop those
+    rows with the replaced bucket) and the compaction recomputes.
     """
-    table.refresh()
-    delta_buckets: dict[int, int] = {}
-    bucket_bytes: dict[int, int] = {}
-    for f in table.state["files"]:
-        b = f["bucket"]
-        bucket_bytes[b] = bucket_bytes.get(b, 0) + f["bytes"]
-        if f.get("kind") == "delta":
-            delta_buckets[b] = delta_buckets.get(b, 0) + 1
-    victims = sorted(b for b, c in delta_buckets.items() if c >= min_delta_files)
-    if not victims:
-        return 0
-    schema_id = table.state["current_schema_id"]
 
-    if strategy == "auto":
-        cap = int(
-            table.state["properties"].get("compact.local_max_bytes", 512 * 1024 * 1024)
-        )
-        local_set = [b for b in victims if bucket_bytes[b] <= cap]
-        shuffle_set = [b for b in victims if bucket_bytes[b] > cap]
-    elif strategy == "local":
-        local_set, shuffle_set = victims, []
-    else:
-        local_set, shuffle_set = [], victims
+    def attempt() -> int:
+        table.refresh()
+        basis = table.version
+        delta_buckets: dict[int, int] = {}
+        bucket_bytes: dict[int, int] = {}
+        for f in table.state["files"]:
+            b = f["bucket"]
+            bucket_bytes[b] = bucket_bytes.get(b, 0) + f["bytes"]
+            if f.get("kind") == "delta":
+                delta_buckets[b] = delta_buckets.get(b, 0) + 1
+        victims = sorted(b for b, c in delta_buckets.items() if c >= min_delta_files)
+        if not victims:
+            return 0
+        schema_id = table.state["current_schema_id"]
 
-    new_files: list = []
-    if local_set:
-        new_files += _compact_local(
-            spark, table, local_set, seq_col, schema_id, max_concurrent
-        )
-    if shuffle_set:
-        new_files += _compact_shuffle(spark, table, shuffle_set, seq_col, schema_id)
-    table.commit(
-        operation="compact_deltas",
-        new_files=new_files,
-        replaced_buckets=set(victims),
-        lineage={
-            "mode": f"compact_deltas:{strategy}",
-            "buckets_touched": len(victims),
-            "buckets_local": len(local_set),
-            "buckets_shuffle": len(shuffle_set),
-        },
-    )
-    return len(victims)
+        if strategy == "auto":
+            cap = int(
+                table.state["properties"].get(
+                    "compact.local_max_bytes", 512 * 1024 * 1024
+                )
+            )
+            local_set = [b for b in victims if bucket_bytes[b] <= cap]
+            shuffle_set = [b for b in victims if bucket_bytes[b] > cap]
+        elif strategy == "local":
+            local_set, shuffle_set = victims, []
+        else:
+            local_set, shuffle_set = [], victims
+
+        new_files: list = []
+        if local_set:
+            new_files += _compact_local(
+                spark, table, local_set, seq_col, schema_id, max_concurrent
+            )
+        if shuffle_set:
+            new_files += _compact_shuffle(spark, table, shuffle_set, seq_col, schema_id)
+        try:
+            table.commit(
+                operation="compact_deltas",
+                new_files=new_files,
+                replaced_buckets=set(victims),
+                basis_version=basis,
+                lineage={
+                    "mode": f"compact_deltas:{strategy}",
+                    "buckets_touched": len(victims),
+                    "buckets_local": len(local_set),
+                    "buckets_shuffle": len(shuffle_set),
+                },
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return len(victims)
+
+    return retry_on_conflict(attempt)
 
 
 def _compact_shuffle(spark, table, victims, seq_col, schema_id) -> list:
@@ -642,36 +723,53 @@ def vacuum_tombstones(
 
     MoR tables are compacted first: dropping a tombstone row from a delta
     file while an older base row for the same key survives would resurrect
-    the key at read time."""
-    table.refresh()
-    if any(f.get("kind") == "delta" for f in table.state["files"]):
-        compact_deltas(spark, table)
+    the key at read time. Basis-validated like compaction: a concurrent
+    merge into a rewritten bucket conflicts the commit and the vacuum
+    recomputes."""
+
+    def attempt() -> int:
         table.refresh()
-    df = table.read(spark).withColumn(
-        BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
-    )
-    eligible = (
-        df.where(F.col(TOMBSTONE_COL) & (F.col("seq") <= low_watermark_seq))
-        .select(BUCKET_COL)
-        .distinct()
-    )
-    buckets = sorted(r[0] for r in eligible.collect())
-    if not buckets:
-        return 0
-    kept = (
-        table.read(spark, buckets=buckets)
-        .where(~(F.col(TOMBSTONE_COL) & (F.col("seq") <= low_watermark_seq)))
-        .withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets))
-        .repartition(len(buckets), F.col(BUCKET_COL))
-    )
-    new_files = table.write_data_files(kept, schema_id=table.state["current_schema_id"])
-    table.commit(
-        operation="vacuum",
-        new_files=new_files,
-        replaced_buckets=set(buckets),
-        lineage={"low_watermark_seq": low_watermark_seq, "buckets_touched": len(buckets)},
-    )
-    return len(buckets)
+        if any(f.get("kind") == "delta" for f in table.state["files"]):
+            compact_deltas(spark, table)
+            table.refresh()
+        basis = table.version
+        df = table.read(spark).withColumn(
+            BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+        )
+        eligible = (
+            df.where(F.col(TOMBSTONE_COL) & (F.col("seq") <= low_watermark_seq))
+            .select(BUCKET_COL)
+            .distinct()
+        )
+        buckets = sorted(r[0] for r in eligible.collect())
+        if not buckets:
+            return 0
+        kept = (
+            table.read(spark, buckets=buckets)
+            .where(~(F.col(TOMBSTONE_COL) & (F.col("seq") <= low_watermark_seq)))
+            .withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets))
+            .repartition(len(buckets), F.col(BUCKET_COL))
+        )
+        new_files = table.write_data_files(
+            kept, schema_id=table.state["current_schema_id"]
+        )
+        try:
+            table.commit(
+                operation="vacuum",
+                new_files=new_files,
+                replaced_buckets=set(buckets),
+                basis_version=basis,
+                lineage={
+                    "low_watermark_seq": low_watermark_seq,
+                    "buckets_touched": len(buckets),
+                },
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return len(buckets)
+
+    return retry_on_conflict(attempt)
 
 
 def _and_all(conds):

@@ -634,6 +634,16 @@ class SnapshotTable:
         writer = df.write.mode("overwrite")
         if target_rows > 0:
             writer = writer.option("maxRecordsPerFile", target_rows)
+        # Parquet bloom filters on the named columns (table property
+        # ``write.bloom.columns``, e.g. "repo,path"): zone maps can't skip
+        # within a bucket for high-cardinality EQUALITY probes (a bucket's
+        # key range is the whole domain — min/max proves nothing), blooms
+        # can. Spark's parquet reader consumes them transparently on
+        # `key = literal` scans (point lookups over multi-file buckets);
+        # costs ~1 MB/file per column at the default 1M-distinct sizing.
+        for c in self.state["properties"].get("write.bloom.columns", "").split(","):
+            if c.strip():
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
         (
             writer
             # dictionary encoding is pure overhead for this table shape: the
@@ -817,6 +827,16 @@ class SnapshotTable:
                 return v
         return None
 
+    def discard_files(self, files: list[dict[str, Any]]) -> None:
+        """Delete data files that were written but never committed (a
+        conflicted attempt's output) so optimistic retries don't leak
+        orphaned parquet."""
+        for f in files:
+            try:
+                os.unlink(os.path.join(self.root, f["path"]))
+            except FileNotFoundError:
+                pass
+
     def _write_log(self, entry: dict[str, Any], expected_version: int) -> None:
         path = self._log_path(expected_version)
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -903,6 +923,23 @@ class SnapshotTable:
 
 class BatchAlreadyApplied(Exception):
     """Raised when an epoch-fenced batch_id is committed twice (exactly-once)."""
+
+
+def retry_on_conflict(attempt, attempts: int = 3):
+    """Run ``attempt()`` (refresh → compute → commit with a basis version),
+    recomputing on ``CommitConflict`` — the optimistic-concurrency outer loop
+    every bucket-replacing writer (merge, compaction, vacuum, rebucket,
+    overwrite_where) shares. Bounded: conflicts require a concurrent
+    bucket-touching commit landing inside the attempt's window; ``attempts``
+    recomputes cover any realistic interleaving, after which the conflict is
+    surfaced to the caller (who is racing an unexpectedly hot writer)."""
+    last: Exception | None = None
+    for _ in range(attempts):
+        try:
+            return attempt()
+        except CommitConflict as e:
+            last = e
+    raise last
 
 
 class CommitConflict(Exception):

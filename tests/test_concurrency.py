@@ -134,3 +134,59 @@ def test_merge_recomputes_on_conflict_no_lost_update(spark, tmp_path, monkeypatc
             if n.endswith(".parquet"):
                 on_disk.add(os.path.relpath(os.path.join(dirpath, n), root))
     assert on_disk <= live, f"orphaned files: {sorted(on_disk - live)[:5]}"
+
+
+def test_compaction_conflicts_with_concurrent_merge(spark, tmp_path, monkeypatch):
+    """A MoR merge appending delta files into a victim bucket while
+    compaction is mid-rewrite must conflict the compaction's commit;
+    the retry folds the new batch in and no rows are lost."""
+    from kf_etl_clin_portal_spark.lake.merge import compact_deltas, read_merged
+
+    root = str(tmp_path / "tbl")
+    p = _pipe(spark, root, merge_strategy="mor")
+    p.apply_batch(_events(spark, 500, seed=1), batch_id="k:0")
+    p.apply_batch(_events(spark, 500, seed=2), batch_id="k:1")
+    table = p.table
+
+    late = p.prepare_batch(
+        _events(spark, 300, seed=9).withColumn("seq", F.col("seq") + 20_000_000)
+    )
+
+    real_write = SnapshotTable.write_data_files
+    fired = {"done": False}
+
+    def write_with_interleaved_merge(self, df, schema_id):
+        files = real_write(self, df, schema_id)
+        if not fired["done"]:
+            fired["done"] = True
+            from kf_etl_clin_portal_spark.lake.merge import merge_batch_mor
+
+            other = SnapshotTable(root).refresh()
+            merge_batch_mor(spark, other, late, batch_id="k:late")
+        return files
+
+    monkeypatch.setattr(SnapshotTable, "write_data_files", write_with_interleaved_merge)
+    n = compact_deltas(spark, table)
+    monkeypatch.setattr(SnapshotTable, "write_data_files", real_write)
+    assert n > 0 and fired["done"]
+
+    # serial twin: both merges, then compaction
+    root2 = str(tmp_path / "serial")
+    p2 = _pipe(spark, root2, merge_strategy="mor")
+    p2.apply_batch(_events(spark, 500, seed=1), batch_id="k:0")
+    p2.apply_batch(_events(spark, 500, seed=2), batch_id="k:1")
+    from kf_etl_clin_portal_spark.lake.merge import merge_batch_mor
+
+    merge_batch_mor(spark, p2.table, late, batch_id="k:late")
+    compact_deltas(spark, p2.table)
+
+    cols = ["repo", "path", "seq", "content_sha256"]
+    got = {
+        tuple(r)
+        for r in read_merged(spark, table.refresh()).select(cols).collect()
+    }
+    want = {
+        tuple(r)
+        for r in read_merged(spark, p2.table.refresh()).select(cols).collect()
+    }
+    assert got == want and len(got) > 0
