@@ -41,6 +41,11 @@ from kf_etl_clin_portal_spark.lake.table import SnapshotTable
 _NON_PAYLOAD = {"op", "delivery_batch"}
 
 
+class AuditFailed(Exception):
+    """A write-audit-publish audit rejected the candidate snapshot; the
+    published ref was not moved."""
+
+
 @dataclass
 class ReplayStats:
     n_batches: int = 0
@@ -267,6 +272,32 @@ class CDCPipeline:
         check passes; readers on ``current(ref=...)`` never see a
         half-applied release."""
         return self.table.set_ref(ref, version=version)
+
+    def publish_if(self, audit, ref: str = "published", version: int | None = None):
+        """Write-audit-publish: run ``audit(df)`` over the candidate
+        snapshot's merged state (a callable returning truthy = release it);
+        publish the ref only on success, else raise ``AuditFailed`` and
+        leave the previous release untouched. The candidate was committed
+        by a normal merge — consumers on ``current(ref=...)`` never see it
+        until the audit passes (the Iceberg WAP / staging-branch pattern,
+        replacing the reference's "reindex then swap the ES alias" release
+        step with one that can actually hold back a bad build)."""
+        self.table.refresh()
+        v = self.table.version if version is None else version
+        candidate = read_merged(self.spark, self.table, seq_col="seq", version=v)
+        candidate = candidate.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
+        if not audit(candidate):
+            raise AuditFailed(f"audit rejected snapshot v{v}; ref {ref!r} not moved")
+        return self.table.set_ref(ref, version=v)
+
+    def rollback(self, version: int):
+        """Undo to an earlier snapshot as a new commit (metadata-only; see
+        SnapshotTable.rollback for fence semantics)."""
+        return self.table.rollback(version)
+
+    def remove_orphans(self, grace_secs: float = 3600.0) -> dict:
+        """Delete crash-stranded data files no snapshot references."""
+        return self.table.remove_orphans(grace_secs=grace_secs)
 
     def vacuum(self, low_watermark_seq: int) -> int:
         return vacuum_tombstones(self.spark, self.table, low_watermark_seq)

@@ -35,9 +35,9 @@ next numbered log file; a losing concurrent writer gets FileExistsError and
 retries against the new state (optimistic concurrency, Iceberg-style). On a
 real deployment this seam is replaced by an Iceberg REST catalog commit.
 
-Partitioning is hash-bucket on the key columns (default
-``pmod(xxhash64(*key), num_buckets)``) — the Iceberg ``bucket(N, key)``
-transform. Hot *repos* (monorepo skew) spread across buckets because the
+Partitioning is hash-bucket on the key columns
+(``pmod(murmur3_hash(*key), num_buckets)`` — Spark's own HashPartitioning
+expression, see `bucket_expr`) — the Iceberg ``bucket(N, key)`` transform. Hot *repos* (monorepo skew) spread across buckets because the
 bucket key includes ``path``; MERGE prunes to affected buckets only.
 
 Schema evolution is metadata-only: data files carry the ``schema_id`` they
@@ -484,6 +484,122 @@ class SnapshotTable:
             raise KeyError(f"unknown ref {name!r}; known: {sorted(refs)}")
         return refs[name]["version"]
 
+    def version_at(self, ts: "str | datetime") -> int:
+        """Latest version whose commit timestamp is <= ``ts`` — the
+        resolution step of `FOR TIMESTAMP AS OF` time travel. Commit
+        timestamps are UTC ISO-8601; a naive input is interpreted as UTC.
+        Metadata-only (one small JSON read per commit); combine with
+        ``read(version=...)``/``state_at``."""
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best = None
+        for v in range(self._latest_version() + 1):
+            e_ts = datetime.fromisoformat(self._read_entry(v)["ts"])
+            if e_ts <= ts:
+                best = v
+            else:
+                break  # commit timestamps are monotone (single log)
+        if best is None:
+            raise ValueError(f"no commit at or before {ts.isoformat()}")
+        return best
+
+    def rollback(self, version: int) -> CommitInfo:
+        """Restore the table's logical state — file set, current schema
+        pointer, partition spec — to an earlier snapshot, as a NEW commit
+        (history is preserved; the Iceberg ``rollback_to_snapshot``
+        semantics, not a log truncation). Data files are immutable and
+        shared across snapshots, so this moves metadata only; the target
+        must not have been expired.
+
+        The exactly-once fence and refs are deliberately NOT rewound:
+        batch ids applied after the rollback point stay fenced (the
+        watermark is monotone), so re-ingesting that range needs fresh
+        batch ids / a new feed name — rollback is for undoing a bad
+        release, not for replaying the same epochs twice.
+        """
+        self.refresh()
+        if version > self.version:
+            raise ValueError(f"cannot roll back to future version {version}")
+        floor = self.state.get("expire_below", 0)
+        if version < floor:
+            raise ValueError(
+                f"version {version} was expired (oldest readable: {floor})"
+            )
+        target = self.state_at(version)
+        cur = self.state
+        replaced = {f["bucket"] for f in cur["files"]} | {
+            f["bucket"] for f in target["files"]
+        }
+        return self.commit(
+            operation="rollback",
+            new_files=list(target["files"]),
+            replaced_buckets=replaced,
+            new_partition=(
+                target["partition"] if target["partition"] != cur["partition"] else None
+            ),
+            set_current_schema_id=target["current_schema_id"],
+            basis_version=self.version,
+            lineage={"mode": "rollback", "restored_version": version,
+                     "restored_snapshot_id": target["snapshot_id"]},
+        )
+
+    def remove_orphans(self, grace_secs: float = 3600.0) -> dict[str, Any]:
+        """Delete data files on disk that no retained snapshot references —
+        leftovers of crashed writers (staged output whose commit never
+        happened) and of conflicted attempts whose `discard_files` didn't
+        run. The Iceberg ``remove_orphan_files`` maintenance action.
+
+        ``grace_secs`` guards the race with an in-flight writer: a file
+        younger than the grace window may belong to a commit that is about
+        to happen, so only files (and ``_staging_`` dirs) older than the
+        grace are touched. Unlike `expire_snapshots` this never advances
+        the expiry floor — every readable snapshot stays readable.
+        """
+        import time as _time
+
+        self.refresh()
+        floor = self.state.get("expire_below", 0)
+        live = {f["path"] for f in self.state_at(floor)["files"]}
+        for v in range(floor + 1, self.version + 1):
+            e = self._read_entry(v)
+            if e.get("type") == "delta":
+                live.update(f["path"] for f in e.get("new_files") or [])
+            else:
+                live.update(f["path"] for f in e["files"])
+        cutoff = _time.time() - grace_secs
+        deleted, reclaimed = 0, 0
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for dirpath, dirnames, filenames in os.walk(data_root):
+            stale_staging = [
+                d for d in dirnames
+                if d.startswith("_staging_")
+                and os.path.getmtime(os.path.join(dirpath, d)) < cutoff
+            ]
+            dirnames[:] = [d for d in dirnames if not d.startswith("_staging_")]
+            for d in stale_staging:
+                p = os.path.join(dirpath, d)
+                reclaimed += sum(
+                    os.path.getsize(os.path.join(dp, fn))
+                    for dp, _, fns in os.walk(p)
+                    for fn in fns
+                )
+                deleted += 1
+                _rmtree(p)
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                abs_p = os.path.join(dirpath, fn)
+                if (
+                    os.path.relpath(abs_p, self.root) not in live
+                    and os.path.getmtime(abs_p) < cutoff
+                ):
+                    reclaimed += os.path.getsize(abs_p)
+                    os.unlink(abs_p)
+                    deleted += 1
+        return {"orphans_deleted": deleted, "bytes_reclaimed": reclaimed}
+
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
         """Physically reclaim data files referenced ONLY by snapshots older
@@ -557,9 +673,12 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         ref: str | None = None,
         stats_filter: dict[str, tuple[Any, Any]] | None = None,
+        as_of: "str | datetime | None" = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset, optionally
-        at a published ref (``ref="published"``) or explicit version.
+        at a published ref (``ref="published"``), explicit version, or
+        commit timestamp (``as_of`` — `FOR TIMESTAMP AS OF`, resolved via
+        `version_at`).
 
         ``stats_filter={col: (lo, hi)}`` additionally skips files whose zone
         map proves no row in [lo, hi] (either bound may be None) — manifest
@@ -573,10 +692,12 @@ class SnapshotTable:
         schema then aligned to the snapshot's current schema (cast +
         null-backfill) and unioned — schema evolution without rewrites.
         """
+        if sum(x is not None for x in (version, ref, as_of)) > 1:
+            raise ValueError("pass at most one of version, ref, as_of")
         if ref is not None:
-            if version is not None:
-                raise ValueError("pass either version or ref, not both")
             version = self.resolve_ref(ref)
+        if as_of is not None:
+            version = self.version_at(as_of)
         if version is not None:
             floor = self.state.get("expire_below", 0)
             if version < floor:
@@ -714,6 +835,7 @@ class SnapshotTable:
         max_retries: int = 20,
         expire_below: int | None = None,
         basis_version: int | None = None,
+        set_current_schema_id: int | None = None,
     ) -> CommitInfo:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
@@ -749,7 +871,15 @@ class SnapshotTable:
 
             schema_add = None
             schema_id = st["current_schema_id"]
-            if new_schema is not None:
+            if set_current_schema_id is not None:
+                # point back at an ALREADY-registered schema (rollback):
+                # no new registration, just move the pointer
+                if str(set_current_schema_id) not in st["schemas"]:
+                    raise ValueError(
+                        f"schema id {set_current_schema_id} is not registered"
+                    )
+                schema_id = set_current_schema_id
+            elif new_schema is not None:
                 current = T.StructType.fromJson(st["schemas"][str(schema_id)])
                 if new_schema != current:
                     schema_id = max(int(k) for k in st["schemas"]) + 1

@@ -195,3 +195,99 @@ def test_compact_auto_splits_by_bucket_bytes(spark, events_path, tmp_path):
     assert _state_set(pipe.current()) == before
     rep = verify_parity(pipe.current(), events_path)
     assert rep["ok"], rep
+
+
+# -------------------------------------------- time travel / rollback / WAP
+def test_timestamp_time_travel(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=3, by="seq", feed_id="tt")
+    t = pipe.table
+    # resolve each commit's own timestamp back to exactly that version
+    for v in range(t.version + 1):
+        ts = t._read_entry(v)["ts"]
+        assert t.version_at(ts) == v
+    # a timestamp after the last commit resolves to the latest version
+    assert t.version_at("9999-01-01T00:00:00+00:00") == t.version
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_at("2000-01-01T00:00:00+00:00")
+    # read(as_of=) equals read(version=) at the resolved point
+    mid_ts = t._read_entry(2)["ts"]
+    a = _state_set(t.read(spark, as_of=mid_ts))
+    b = _state_set(t.read(spark, version=2))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(spark, version=1, as_of=mid_ts)
+
+
+def test_rollback_restores_state_and_preserves_fence(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=4, by="seq", feed_id="rb", stop_after=2)
+    t = pipe.table
+    good_v = t.version
+    good = _state_set(pipe.current())
+    pipe.replay(feed, n_batches=4, by="seq", feed_id="rb")  # batches 3-4
+    assert _state_set(pipe.current()) != good
+    info = t.rollback(good_v)
+    assert info.operation == "rollback"
+    assert info.lineage["restored_version"] == good_v
+    # logical state (rows AND schema pointer) is back; history preserved
+    assert _state_set(pipe.current()) == good
+    assert t.state["current_schema_id"] == t.state_at(good_v)["current_schema_id"]
+    assert t.version > good_v
+    # the fence is NOT rewound: re-offering the rolled-back batches no-ops
+    stats = pipe.replay(feed, n_batches=4, by="seq", feed_id="rb")
+    assert stats.n_skipped == 4
+    assert _state_set(pipe.current()) == good
+    with pytest.raises(ValueError, match="future"):
+        t.rollback(t.version + 5)
+
+
+def test_remove_orphans_deletes_only_unreferenced(spark, events_path, tmp_path):
+    import os as _os
+
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="orph")
+    t = pipe.table
+    before = _state_set(pipe.current())
+    # simulate a crashed writer: files written, commit never happened
+    stranded = t.write_data_files(
+        t.read(spark).withColumn("__bucket", F.lit(0)).limit(10), schema_id=0
+    )
+    stranded_abs = [_os.path.join(t.root, f["path"]) for f in stranded]
+    assert all(_os.path.exists(p) for p in stranded_abs)
+    # inside the grace window nothing is touched
+    rep = t.remove_orphans(grace_secs=3600)
+    assert rep["orphans_deleted"] == 0
+    assert all(_os.path.exists(p) for p in stranded_abs)
+    # past the grace window only the stranded files go
+    rep = t.remove_orphans(grace_secs=0)
+    assert rep["orphans_deleted"] == len(stranded)
+    assert rep["bytes_reclaimed"] > 0
+    assert not any(_os.path.exists(p) for p in stranded_abs)
+    # every committed snapshot still reads fine
+    assert _state_set(pipe.current()) == before
+    assert t.read(spark, version=1).count() > 0
+
+
+def test_write_audit_publish_gates_release(spark, events_path, tmp_path):
+    from kf_etl_clin_portal_spark.cdc.pipeline import AuditFailed
+
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=4, by="seq", feed_id="wap", stop_after=2)
+    # audit passes → ref moves to the candidate
+    pipe.publish_if(lambda df: df.count() > 0, ref="published")
+    released = _state_set(pipe.current(ref="published"))
+    v_released = pipe.table.resolve_ref("published")
+    # more batches land; a failing audit must NOT move the release
+    pipe.replay(feed, n_batches=4, by="seq", feed_id="wap")
+    with pytest.raises(AuditFailed):
+        pipe.publish_if(lambda df: False, ref="published")
+    assert pipe.table.resolve_ref("published") == v_released
+    assert _state_set(pipe.current(ref="published")) == released
+    # consumers on the ref saw nothing until the audit finally passes
+    pipe.publish_if(lambda df: df.count() > 0, ref="published")
+    assert pipe.table.resolve_ref("published") > v_released
