@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kf_etl_clin_portal_spark.lake.schema import align_df
-from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+from kf_etl_clin_portal_spark.lake.schema import align_df, remap_by_field_id
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable, field_map
 
 CHANGE_VERSION_COL = "_change_version"
 CHANGE_TS_COL = "_change_ts"
@@ -47,9 +47,14 @@ CHANGE_OP_COL = "_change_op"
 
 # commits whose added files ARE the row-level changes
 _ROW_CHANGE_OPS = {"merge_mor", "append"}
-# commits that move bytes but change no logical rows
+# commits that move bytes (or metadata only) but change no logical rows.
+# rename/drop_column qualify: they add no rows, and earlier change rows are
+# already emitted under the CURRENT schema via field-id remapping. rollback
+# is deliberately NOT here — it changes logical rows with no isolated
+# change-row files, so a strict feed must raise (mirrors re-sync instead).
 _MAINTENANCE_OPS = {
     "compact_deltas", "compact", "rebucket", "vacuum", "publish", "create", "expire",
+    "rename_column", "drop_column",
 }
 
 
@@ -108,6 +113,9 @@ def read_changes(
         for schema_id, paths in by_schema.items():
             group_schema = T.StructType.fromJson(st["schemas"][str(schema_id)])
             df = spark.read.schema(group_schema).parquet(*paths)
+            df = remap_by_field_id(
+                df, field_map(st, schema_id), field_map(st, st["current_schema_id"])
+            )
             parts.append(
                 align_df(df, current).withColumn(
                     CHANGE_VERSION_COL, F.lit(v).cast("long")

@@ -119,3 +119,33 @@ def align_df(df: DataFrame, target_schema: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def remap_by_field_id(
+    df: DataFrame,
+    group_map: dict[str, "int | str"],
+    current_map: dict[str, "int | str"],
+) -> DataFrame:
+    """Rename a schema-group DataFrame's columns to their CURRENT names by
+    stable field id — the step that makes column rename/drop metadata-only
+    (Iceberg field-id resolution): old files keep their written column
+    names; the read path matches each written column's field id against
+    the current schema's map and projects to the current name. A written
+    column whose id no longer appears in the current map was dropped —
+    it is omitted (re-adding the same NAME later mints a fresh id, so old
+    data does not bleed into the new column).
+
+    ``group_map``/``current_map`` are {column_name: field_id} for the
+    file group's schema and the current schema. Legacy tables without
+    recorded field ids fall back to name-keyed identity maps, under which
+    this projection is a no-op.
+    """
+    id_to_current = {fid: name for name, fid in current_map.items()}
+    cols = []
+    for name in df.columns:
+        fid = group_map.get(name, name)
+        target = id_to_current.get(fid)
+        if target is None:
+            continue  # dropped column
+        cols.append(F.col(name).alias(target) if target != name else F.col(name))
+    return df.select(*cols)

@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kf_etl_clin_portal_spark.lake.schema import align_df
+from kf_etl_clin_portal_spark.lake.schema import align_df, remap_by_field_id
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -200,8 +200,11 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
     files = files + list(delta.get("new_files") or [])
 
     schemas = dict(state["schemas"])
+    schema_fields = dict(state.get("schema_fields") or {})
     if delta.get("schema_add"):
         schemas[str(delta["schema_add"]["id"])] = delta["schema_add"]["schema"]
+        if delta["schema_add"].get("fields") is not None:
+            schema_fields[str(delta["schema_add"]["id"])] = delta["schema_add"]["fields"]
 
     applied = dict(state["applied_batches"])
     watermarks = dict(state.get("fence_watermarks", {}))
@@ -228,6 +231,7 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
         "operation": delta["operation"],
         "current_schema_id": delta.get("current_schema_id", state["current_schema_id"]),
         "schemas": schemas,
+        "schema_fields": schema_fields,
         "partition": delta.get("partition_set") or state["partition"],
         "files": files,
         "applied_batches": applied,
@@ -241,6 +245,17 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
             "total_files": len(files),
         },
     }
+
+
+def field_map(st: dict[str, Any], schema_id: int) -> dict[str, Any]:
+    """{column_name: field_id} for a registered schema. Tables created
+    before field-id tracking fall back to a name-keyed identity map —
+    id equality degenerates to name equality, i.e. today's behavior."""
+    m = (st.get("schema_fields") or {}).get(str(schema_id))
+    if m is not None:
+        return m
+    sch = T.StructType.fromJson(st["schemas"][str(schema_id)])
+    return {f.name: f.name for f in sch.fields}
 
 
 class SnapshotTable:
@@ -272,6 +287,9 @@ class SnapshotTable:
             "operation": "create",
             "current_schema_id": 0,
             "schemas": {"0": schema.jsonValue()},
+            # stable field ids ({name: id} per schema): rename/drop are
+            # metadata-only — reads resolve written columns by id, not name
+            "schema_fields": {"0": {f.name: i for i, f in enumerate(schema.fields)}},
             "partition": {"kind": "bucket", "key": key_cols, "num_buckets": num_buckets, "hash": "murmur3"},
             "files": [],
             "applied_batches": {},
@@ -545,6 +563,67 @@ class SnapshotTable:
                      "restored_snapshot_id": target["snapshot_id"]},
         )
 
+    def rename_column(self, old: str, new: str) -> CommitInfo:
+        """Rename a column, metadata-only: no file rewrite (Iceberg
+        ``ALTER TABLE ... RENAME COLUMN``). The column's stable field id is
+        carried to the new name, so reads resolve old files' data to the
+        new name by id (`lake/schema.py:remap_by_field_id`). Partition key
+        columns cannot be renamed (the bucket layout is addressed by name).
+
+        Subsequent writer batches must adopt the new name: a batch still
+        carrying the OLD name evolves it as a brand-new column (fresh id) —
+        the same contract as Iceberg/Delta column mapping.
+        """
+        self.refresh()
+        schema = self.schema
+        names = set(schema.fieldNames())
+        if old not in names:
+            raise ValueError(f"no such column {old!r}; have {sorted(names)}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in self.key_cols:
+            raise ValueError(f"cannot rename partition key column {old!r}")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType,
+                              f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+        fields = dict(field_map(self.state, self.state["current_schema_id"]))
+        fields[new] = fields.pop(old)
+        return self.commit(
+            operation="rename_column",
+            new_files=[],
+            new_schema=new_schema,
+            field_ids=fields,
+            lineage={"mode": "rename_column", "from": old, "to": new},
+        )
+
+    def drop_column(self, name: str) -> CommitInfo:
+        """Drop a column, metadata-only: old files keep the bytes, reads
+        omit the field by id; re-adding the same NAME later mints a fresh
+        id, so the old data never bleeds back. Partition key columns can't
+        be dropped; engine-managed columns (a MoR table's sequence and
+        tombstone columns) shouldn't be — droppping them breaks winner
+        resolution on the next merge."""
+        self.refresh()
+        schema = self.schema
+        if name not in set(schema.fieldNames()):
+            raise ValueError(f"no such column {name!r}")
+        if name in self.key_cols:
+            raise ValueError(f"cannot drop partition key column {name!r}")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        fields = dict(field_map(self.state, self.state["current_schema_id"]))
+        fields.pop(name)
+        return self.commit(
+            operation="drop_column",
+            new_files=[],
+            new_schema=new_schema,
+            field_ids=fields,
+            lineage={"mode": "drop_column", "column": name},
+        )
+
     def remove_orphans(self, grace_secs: float = 3600.0) -> dict[str, Any]:
         """Delete data files on disk that no retained snapshot references —
         leftovers of crashed writers (staged output whose commit never
@@ -718,10 +797,14 @@ class SnapshotTable:
         by_schema: dict[int, list[str]] = {}
         for f in files:
             by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
+        cur_map = field_map(st, st["current_schema_id"])
         parts = []
         for schema_id, paths in by_schema.items():
             group_schema = T.StructType.fromJson(st["schemas"][str(schema_id)])
             df = spark.read.schema(group_schema).parquet(*paths)
+            # field-id resolution first (renamed columns keep their data,
+            # dropped ids vanish), then cast/backfill to the current schema
+            df = remap_by_field_id(df, field_map(st, schema_id), cur_map)
             parts.append(align_df(df, current))
         return reduce(DataFrame.unionByName, parts)
 
@@ -836,6 +919,7 @@ class SnapshotTable:
         expire_below: int | None = None,
         basis_version: int | None = None,
         set_current_schema_id: int | None = None,
+        field_ids: dict[str, Any] | None = None,
     ) -> CommitInfo:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
@@ -882,8 +966,35 @@ class SnapshotTable:
             elif new_schema is not None:
                 current = T.StructType.fromJson(st["schemas"][str(schema_id)])
                 if new_schema != current:
+                    parent_map = field_map(st, schema_id)
                     schema_id = max(int(k) for k in st["schemas"]) + 1
-                    schema_add = {"id": schema_id, "schema": new_schema.jsonValue()}
+                    if field_ids is not None:
+                        fields = field_ids  # rename/drop: explicit id carry-over
+                    else:
+                        # add/widen evolution: same name keeps its id, new
+                        # names mint fresh ids never used by ANY schema (a
+                        # dropped id must not be reused)
+                        taken = [
+                            v
+                            for m in (st.get("schema_fields") or {}).values()
+                            for v in m.values()
+                            if isinstance(v, int)
+                        ]
+                        nxt = max(taken, default=-1) + 1
+                        fields = {}
+                        for f in new_schema.fields:
+                            if f.name in parent_map:
+                                fields[f.name] = parent_map[f.name]
+                            elif isinstance(next(iter(parent_map.values()), 0), str):
+                                fields[f.name] = f.name  # legacy identity map
+                            else:
+                                fields[f.name] = nxt
+                                nxt += 1
+                    schema_add = {
+                        "id": schema_id,
+                        "schema": new_schema.jsonValue(),
+                        "fields": fields,
+                    }
 
             version = self.version + 1
             snapshot_id = uuid.uuid4().hex

@@ -1,0 +1,157 @@
+"""Column rename/drop with stable field ids — metadata-only schema
+evolution beyond add/widen (Iceberg column-mapping semantics): old files
+are never rewritten; reads resolve written columns to current names by
+field id, dropped ids vanish, re-added names mint fresh ids."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.changes import read_changes
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable, field_map
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cm_feed") / "events.parquet")
+    generate_change_events(spark, 4_000, seed=77).write.parquet(path)
+    return path
+
+
+def _lang_by_key(df, col):
+    return {
+        (r["repo"], r["path"]): r[col]
+        for r in df.select("repo", "path", col).collect()
+    }
+
+
+def test_rename_is_metadata_only_and_survives_cold_read(
+    spark, events_path, tmp_path
+):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="rn")
+    t = pipe.table
+    before = _lang_by_key(pipe.current(), "lang")
+    n_files_before = len(t.state["files"])
+    pre_rename_v = t.version
+
+    t.rename_column("lang", "language")
+    # no file was rewritten — pure metadata commit
+    assert len(t.state["files"]) == n_files_before
+    assert t.state["lineage"]["mode"] == "rename_column"
+
+    cur = pipe.current()
+    assert "language" in cur.columns and "lang" not in cur.columns
+    assert _lang_by_key(cur, "language") == before  # data followed the id
+
+    # a cold reader reconstructs the field map from the log alone
+    cold = SnapshotTable(t.root)
+    cold_df = cold.read(spark)
+    assert "language" in cold_df.columns and "lang" not in cold_df.columns
+
+    # time travel: the pre-rename snapshot still reads under the old name
+    old = t.read(spark, version=pre_rename_v)
+    assert "lang" in old.columns and "language" not in old.columns
+
+
+def test_batch_with_old_name_becomes_fresh_column(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="fr", stop_after=1)
+    t = pipe.table
+    t.rename_column("lang", "language")
+
+    # writers that adopted the new name merge into the renamed column
+    max_seq = feed.agg(F.max("seq")).first()[0]
+    half = feed.where(F.col("seq") > max_seq // 2)
+    renamed_batch = half.withColumnRenamed("lang", "language")
+    pipe.apply_batch(renamed_batch, batch_id="fr-b00001")
+    cur = pipe.current()
+    assert "language" in cur.columns and "lang" not in cur.columns
+
+    # a stale writer still sending the OLD name evolves a brand-new column
+    # (fresh field id) instead of resurrecting the renamed one
+    stale = half.limit(50)
+    pipe.apply_batch(stale, batch_id="fr-b00002")
+    t.refresh()
+    st = t.state
+    fmap = field_map(st, st["current_schema_id"])
+    assert "lang" in fmap and "language" in fmap
+    assert fmap["lang"] != fmap["language"]
+    cur = pipe.current()
+    assert {"lang", "language"} <= set(cur.columns)
+    # rows merged only before the rename have the new column populated via
+    # id mapping and the resurrected old name null
+    n_old_name_set = cur.where(F.col("lang").isNotNull()).count()
+    assert 0 < n_old_name_set <= 50
+
+
+def test_drop_then_readd_does_not_bleed_old_data(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="dr", stop_after=1)
+    t = pipe.table
+    first_half_keys = {
+        (r["repo"], r["path"]) for r in pipe.current().select("repo", "path").collect()
+    }
+    t.drop_column("lang")
+    assert "lang" not in pipe.current().columns
+
+    # re-add the same NAME via a later batch: fresh id, old bytes stay dead
+    max_seq = feed.agg(F.max("seq")).first()[0]
+    second = feed.where(F.col("seq") > max_seq // 2)
+    pipe.apply_batch(second, batch_id="dr-b00001")
+    cur = pipe.current()
+    assert "lang" in cur.columns
+    vals = _lang_by_key(cur, "lang")
+    second_keys = {
+        (r["repo"], r["path"]) for r in second.select("repo", "path").collect()
+    }
+    for key, v in vals.items():
+        if key in second_keys:
+            assert v is not None
+        else:
+            assert v is None, f"dropped data bled back for {key}"
+    assert first_half_keys - second_keys, "test needs untouched keys"
+
+
+def test_rename_drop_validation(spark, events_path, tmp_path):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=1, by="seq", feed_id="va")
+    t = pipe.table
+    with pytest.raises(ValueError, match="partition key"):
+        t.rename_column("repo", "repository")
+    with pytest.raises(ValueError, match="partition key"):
+        t.drop_column("path")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("lang", "content")
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("nope")
+
+
+def test_change_feed_emits_current_names_across_rename(
+    spark, events_path, tmp_path
+):
+    feed = spark.read.parquet(events_path)
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, merge_strategy="mor"
+    )
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="cf")
+    t = pipe.table
+    # tombstone-inclusive: the feed also carries keys whose final op is a
+    # delete, which current() hides
+    before = _lang_by_key(pipe.current(include_tombstones=True), "lang")
+    t.rename_column("lang", "language")
+    changes = read_changes(spark, t, since_version=0)
+    assert "language" in changes.columns and "lang" not in changes.columns
+    # latest change row per key carries the renamed column's original data
+    latest = {
+        (r["repo"], r["path"]): r["language"]
+        for r in changes.orderBy("seq").collect()
+    }
+    assert latest == before
