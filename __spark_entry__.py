@@ -727,6 +727,20 @@ def q_nested_type_sets(spark, sf):
     return nested.select("user_id", ser.alias("groups"))
 
 
+def q_doc_shards(spark, sf):
+    """Token-budget shard packing via distributed prefix sum
+    (`operators/pack.py`): the global running token total is computed with
+    range-partition + per-partition offsets — NO single-partition window —
+    and checked against the oracle's true `SUM OVER (ORDER BY)`."""
+    from kf_etl_clin_portal_spark.operators.pack import pack_shards
+
+    docs = _t(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id", TX.n_tokens(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_shards(sized, ["doc_id"], "n_tokens", shard_budget=2000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -778,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "shingle_profile": q_shingle_profile,
         "nested_type_sets": q_nested_type_sets,
+        "doc_shards": q_doc_shards,
     }
 
 
@@ -1222,5 +1237,21 @@ def oracle_sql() -> dict[str, str]:
                      AS langs_plus_en,
                    n_langs
             FROM s
+        """,
+        "doc_shards": f"""
+            WITH sized AS (
+              SELECT doc_id, CAST({OSQL.n_tokens_sql('text')} AS BIGINT) AS n_tokens
+              FROM documents
+            ), cums AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n_tokens
+              FROM sized
+            )
+            SELECT doc_id, n_tokens, cum_n_tokens,
+                   CAST(floor((cum_n_tokens - n_tokens) / 2000.0) AS BIGINT)
+                     AS shard_id,
+                   CAST((cum_n_tokens - n_tokens) % 2000 AS BIGINT) AS shard_offset
+            FROM cums
         """,
     }

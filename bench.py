@@ -52,6 +52,7 @@ HEADLINE = [
     "latest_event_maxby",
     "scd2_history",
     "part_ancestors",
+    "doc_shards",
 ]
 
 

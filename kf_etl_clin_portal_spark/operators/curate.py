@@ -1,0 +1,71 @@
+"""End-to-end corpus curation: the composition a pretraining-data pipeline
+actually runs, wired from this repo's individually-gated pieces —
+
+    quality/language filter  (functions/text.py — pure codegen'd exprs)
+      → exact dedup          (dedup/exact.py — one hash-agg shuffle)
+      → near-dup removal     (dedup/minhash.py — banded LSH, no all-pairs)
+      → shard packing        (operators/pack.py — distributed prefix sum)
+
+Every stage is linear-or-better in corpus size (the LSH join is bounded by
+the band-bucket guard, the prefix sum never single-partitions), so the
+composition keeps the 100-TB posture of its parts.
+
+Near-dup survivor policy is "drop the larger id of every verified pair":
+deterministic, one anti-join, no iterative connected components. For a
+chain a-b-c it keeps only `a` (both b and c are some pair's larger side);
+for disjoint pairs it keeps each smaller id. A full
+connected-components/union-find pass (keep exactly one per component,
+never over-drop) is an iterative algorithm — if exact component semantics
+matter, run `operators/closure.py`-style pointer doubling over the pair
+edges instead; for dedup, over-dropping a borderline near-dup is the
+cheap, safe direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.dedup.exact import exact_dedup
+from kf_etl_clin_portal_spark.dedup.minhash import minhash_near_dups
+from kf_etl_clin_portal_spark.functions import text as TX
+from kf_etl_clin_portal_spark.operators.pack import pack_shards
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+    near_dup_min_agreement: float = 0.9,
+    shard_budget: int = 100_000,
+    minhash_kwargs: dict | None = None,
+) -> DataFrame:
+    """Returns the curated corpus with per-doc provenance columns:
+    ``quality``, ``lang_pred``, ``n_dups`` (exact-dup group size this row
+    survived), ``n_tokens``, ``cum_n_tokens``, ``shard_id``,
+    ``shard_offset``. Set ``langs=None`` to skip language filtering."""
+    scored = docs.withColumn("quality", TX.quality_score(F.col(text_col))).withColumn(
+        "lang_pred", TX.lang_id(F.col(text_col))
+    )
+    kept = scored.where(F.col("quality") >= min_quality)
+    if langs is not None:
+        kept = kept.where(F.col("lang_pred").isin(langs))
+
+    deduped = exact_dedup(kept, text_col=text_col, id_col=id_col).drop("fingerprint")
+
+    pairs = minhash_near_dups(
+        deduped,
+        text_col=text_col,
+        id_col=id_col,
+        min_agreement=near_dup_min_agreement,
+        **(minhash_kwargs or {}),
+    )
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = deduped.join(drop_ids, on=id_col, how="left_anti")
+
+    sized = survivors.withColumn(
+        "n_tokens", TX.n_tokens(F.col(text_col)).cast("long")
+    )
+    return pack_shards(sized, [id_col], "n_tokens", shard_budget=shard_budget)

@@ -1,0 +1,127 @@
+"""Distributed prefix sum and token-budget shard packing.
+
+The training-data step the reference pipeline stops short of: after
+curation (dedup, quality filters) a corpus is packed into fixed-token-
+budget shards in a deterministic global order. The naive Spark expression
+— ``sum(size) OVER (ORDER BY key)`` with no partitionBy — funnels the
+ENTIRE corpus through one task (WindowExec warns "Moving all data to a
+single partition"), the canonical single-node bottleneck at 10^10 rows.
+
+`running_total` is the textbook two-phase distributed prefix sum instead:
+
+1. range-partition on the (unique) order key, materialize once
+   (localCheckpoint — the two downstream jobs must see the SAME
+   partitioning; range sampling is not guaranteed stable across jobs),
+2. per-partition totals (hash agg, tiny: one row per partition,
+   collected — bounded by the partition count, never by data),
+3. exclusive prefix offsets over those totals on the driver (a few
+   thousand additions), broadcast back as a literal map,
+4. per-partition local cumsum + offset (sortWithinPartitions + one
+   Arrow `mapInPandas` pass — no second exchange).
+
+Every step is bounded: the only sort is within range partitions, the only
+driver data is one total per partition, and the only full-data shuffle is
+the range partition itself.
+
+Shard semantics are *token-offset sharding*: a document's shard is
+``floor(exclusive_prefix / budget)`` — documents are treated as
+concatenated in key order and chunked every ``budget`` tokens (straddlers
+belong to the shard their first token lands in). This is a pure prefix-sum
+function, hence exactly SQL-window-checkable; "open a new shard when the
+doc doesn't fit" is a sequential fold, not a prefix sum, and cannot be
+verified by (or expressed as) a window — callers wanting bin-packing
+semantics should bound doc size ≤ budget, where the two differ only at
+shard boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``size_col`` in ``order_cols`` order, without
+    a single-partition window. ``order_cols`` must be a unique total order
+    (add a tiebreak column if not) — uniqueness is what makes the result
+    well-defined and the range partitioning unambiguous.
+
+    Exactly ONE full-data shuffle (the range partition). The local cumsum
+    is a per-partition Arrow pass (`mapInPandas` over rows pre-sorted by
+    `sortWithinPartitions` — no exchange), NOT a
+    ``Window.partitionBy(__pid)``: Catalyst can't prove the checkpointed
+    range output is clustered by pid, so the window plan inserts a second
+    full-data hash exchange for nothing. The pandas cumsum is vectorized
+    per Arrow batch with a scalar carry between batches.
+    """
+    import pandas as pd  # noqa: F401  (arrow batches arrive as pandas)
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # materialize: the totals job and the final job MUST agree on row→pid
+    # (range-boundary sampling is not guaranteed stable across jobs)
+    part = part.localCheckpoint(eager=True)
+    totals = (
+        part.groupBy("__pid").agg(F.sum(size_col).alias("__tot")).collect()
+    )  # one row per partition — bounded by parallelism, not data
+    by_pid = {r["__pid"]: r["__tot"] or 0 for r in totals}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    out_schema = T.StructType(
+        list(part.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def cumsum_partition(batches):
+        carry = None  # per-partition running total across Arrow batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pdf[size_col].astype("int64")
+                yield pdf
+                continue
+            if carry is None:
+                carry = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            cum = pdf[size_col].cumsum() + carry
+            carry = int(cum.iloc[-1])
+            pdf[out_col] = cum.astype("int64")
+            yield pdf
+
+    sorted_part = part.sortWithinPartitions(*[F.col(c) for c in order_cols])
+    return sorted_part.mapInPandas(cumsum_partition, schema=out_schema).drop("__pid")
+
+
+def pack_shards(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str,
+    shard_budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row a ``shard_id`` / ``shard_offset`` under token-offset
+    sharding (see module docstring): rows are concatenated in key order and
+    chunked every ``shard_budget`` size units. Adds ``cum_<size_col>`` (the
+    inclusive running total) for observability."""
+    if shard_budget <= 0:
+        raise ValueError("shard_budget must be positive")
+    cum_col = f"cum_{size_col}"
+    out = running_total(df, order_cols, size_col, out_col=cum_col,
+                        num_partitions=num_partitions)
+    before = F.col(cum_col) - F.col(size_col)  # exclusive prefix
+    return out.withColumn(
+        "shard_id", F.floor(before / F.lit(shard_budget)).cast("long")
+    ).withColumn(
+        "shard_offset", (before % F.lit(shard_budget)).cast("long")
+    )

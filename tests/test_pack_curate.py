@@ -1,0 +1,86 @@
+"""Distributed prefix sum / shard packing and the curation composite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.curate import curate_corpus
+from kf_etl_clin_portal_spark.operators.pack import pack_shards, running_total
+from tests.conftest import load
+
+
+def test_running_total_matches_sequential(spark):
+    rows = [(i, (i * 37) % 101 + 1) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, ["id", "size"]).repartition(8)
+    out = {
+        r["id"]: r["cum"]
+        for r in running_total(df, ["id"], "size", num_partitions=6).collect()
+    }
+    acc = 0
+    for i, size in rows:
+        acc += size
+        assert out[i] == acc
+
+
+def test_running_total_stable_across_partition_counts(spark):
+    rows = [(i, i % 13 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, ["id", "size"])
+    a = sorted(running_total(df, ["id"], "size", num_partitions=2).collect())
+    b = sorted(running_total(df, ["id"], "size", num_partitions=11).collect())
+    assert a == b
+
+
+def test_pack_shards_token_offset_semantics(spark):
+    rows = [(i, 10) for i in range(1, 101)]  # 1000 tokens total
+    df = spark.createDataFrame(rows, ["id", "n"])
+    out = pack_shards(df, ["id"], "n", shard_budget=250, num_partitions=4)
+    got = {r["id"]: (r["shard_id"], r["shard_offset"]) for r in out.collect()}
+    # doc i starts at token (i-1)*10 → shard = (i-1)*10 // 250
+    for i in range(1, 101):
+        start = (i - 1) * 10
+        assert got[i] == (start // 250, start % 250)
+    n_shards = out.select("shard_id").distinct().count()
+    assert n_shards == 4  # 1000 / 250
+    with pytest.raises(ValueError, match="positive"):
+        pack_shards(df, ["id"], "n", shard_budget=0)
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base_n = docs.count()
+    # inject an exact duplicate and a near duplicate of an existing doc
+    victim = docs.orderBy("doc_id").first()
+    exact_dup = spark.createDataFrame(
+        [(victim["doc_id"] + 1_000_000, victim["text"])], ["doc_id", "text"]
+    )
+    near_text = victim["text"] + " appended tail token"
+    near_dup = spark.createDataFrame(
+        [(victim["doc_id"] + 2_000_000, near_text)], ["doc_id", "text"]
+    )
+    corpus = docs.unionByName(exact_dup).unionByName(near_dup)
+
+    out = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        langs=None,
+        near_dup_min_agreement=0.8,
+        shard_budget=5_000,
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # the exact dup lost to the min-id survivor; the near dup was dropped
+    assert victim["doc_id"] in ids
+    assert victim["doc_id"] + 1_000_000 not in ids
+    assert victim["doc_id"] + 2_000_000 not in ids
+    assert len(ids) <= base_n
+    # exact-dup provenance recorded on the survivor
+    n_dups = {
+        r["doc_id"]: r["n_dups"] for r in out.select("doc_id", "n_dups").collect()
+    }
+    assert n_dups[victim["doc_id"]] == 2
+    # packing invariants: offsets within budget, shard ids contiguous-ish
+    bad = out.where(
+        (F.col("shard_offset") < 0) | (F.col("shard_offset") >= 5_000)
+    ).count()
+    assert bad == 0
+    total = out.agg(F.sum("n_tokens")).first()[0]
+    max_shard = out.agg(F.max("shard_id")).first()[0]
+    assert max_shard <= total // 5_000
