@@ -198,7 +198,14 @@ def main() -> None:
                     return True  # min uncorroborated — keep sampling
             return False
 
-        max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+        # default raised 2→4 after a contended evening where all four 4-core
+        # runs caught a steal burst in the same steady batch and the retry
+        # budget ran out with no clean sample (interleaved A/B probes on the
+        # same host immediately after got clean walls ~50% of the time, so
+        # 6 total tries make a clean minimum overwhelmingly likely). Extra
+        # runs fire ONLY while a batch index stays dirty/uncorroborated —
+        # a quiet host pays nothing.
+        max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4"))
         for cores in (n_big, n_small):
             tries = 0
             while tries < max_extra and _needs_retry(runs.get(cores, [])):
@@ -221,6 +228,14 @@ def main() -> None:
             rate_4n, walls_4n = merged_rate(runs[n_big])
             print(f"# merged walls {n_small}c: {walls_n}", file=sys.stderr)
             print(f"# merged walls {n_big}c: {walls_4n}", file=sys.stderr)
+            # honesty flag: retries exhausted with a steady batch still
+            # dirty / uncorroborated on either side — the minima may still
+            # carry host interference and the efficiency is a LOWER BOUND
+            noisy = _needs_retry(runs[n_small]) or _needs_retry(runs[n_big])
+            if noisy:
+                print("# WARNING: retry budget exhausted while steady batches "
+                      "remained steal-dirty or uncorroborated; efficiency is "
+                      "a lower bound under host interference", file=sys.stderr)
             cdc = {
                 "events": n_events,
                 "events_per_sec": rate_4n,
@@ -230,6 +245,7 @@ def main() -> None:
                     "rate_n": rate_n,
                     "rate_4n": rate_4n,
                     "efficiency": round(rate_4n / rate_n / (n_big / n_small), 3),
+                    "noisy": noisy,
                 },
             }
     else:

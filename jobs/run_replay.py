@@ -52,6 +52,20 @@ def main(argv: list[str] | None = None) -> int:
                          "bucket-local shuffle-free, or per-bucket auto routing")
     ap.add_argument("--vacuum-watermark", type=int, default=None,
                     help="physically drop tombstones with seq <= this low watermark")
+    ap.add_argument("--auto-compact", type=float, default=None, metavar="RATIO",
+                    help="stats-driven compaction: compact only when MoR "
+                         "delta bytes exceed RATIO of base bytes (or ≥8 "
+                         "delta files); metadata-only decision")
+    ap.add_argument("--expire-keep", type=int, default=None, metavar="N",
+                    help="expire snapshots, retaining the last N (refs kept)")
+    ap.add_argument("--remove-orphans-grace", type=float, default=None,
+                    metavar="SECS",
+                    help="delete crash-stranded data files older than SECS "
+                         "that no snapshot references")
+    ap.add_argument("--publish-min-rows", type=int, default=None, metavar="N",
+                    help="write-audit-publish: move the 'published' ref only "
+                         "if the candidate snapshot has ≥ N live rows "
+                         "(exit 1 when the audit rejects)")
     ap.add_argument("--changes-since", type=int, default=None,
                     help="after replay, report the change-data-feed row count "
                          "committed after this table version (MoR tables)")
@@ -125,8 +139,18 @@ def main(argv: list[str] | None = None) -> int:
         ).count()
     if args.compact_after:
         report["buckets_compacted"] = pipe.compact(strategy=args.compact_strategy)
+    if args.auto_compact is not None:
+        report["auto_compacted_buckets"] = pipe.maybe_compact(
+            max_delta_ratio=args.auto_compact, strategy=args.compact_strategy
+        )
     if args.vacuum_watermark is not None:
         report["buckets_vacuumed"] = pipe.vacuum(args.vacuum_watermark)
+    if args.expire_keep is not None:
+        report["expire"] = pipe.expire(keep_last=args.expire_keep)
+    if args.remove_orphans_grace is not None:
+        report["orphans"] = pipe.remove_orphans(
+            grace_secs=args.remove_orphans_grace
+        )
     if args.verify:
         from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
         rep = verify_parity(pipe.current(), args.feed)
@@ -134,7 +158,19 @@ def main(argv: list[str] | None = None) -> int:
         if not rep["ok"]:
             print(json.dumps(report))
             return 1
-    if args.publish:
+    if args.publish_min_rows is not None:
+        from kf_etl_clin_portal_spark.cdc.pipeline import AuditFailed
+
+        try:
+            info = pipe.publish_if(
+                lambda df: df.count() >= args.publish_min_rows
+            )
+            report["published_version"] = info.lineage["published_version"]
+        except AuditFailed as e:
+            report["audit_failed"] = str(e)
+            print(json.dumps(report))
+            return 1
+    elif args.publish:
         info = pipe.publish()
         report["published_version"] = info.lineage["published_version"]
 

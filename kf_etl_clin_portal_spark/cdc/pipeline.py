@@ -247,6 +247,36 @@ class CDCPipeline:
             self.spark, self.table, min_delta_files, strategy=strategy
         )
 
+    def maybe_compact(
+        self,
+        max_delta_ratio: float = 0.2,
+        min_delta_files: int = 8,
+        strategy: str = "shuffle",
+    ) -> int | None:
+        """Stats-driven compaction policy: compact when the MoR delta
+        overhead crosses a threshold — delta bytes exceed
+        ``max_delta_ratio`` of base bytes, or the delta FILE count reaches
+        ``min_delta_files`` (many small files hurt even when their bytes
+        don't: each read opens every delta file in the bucket). The
+        decision reads manifest byte sums only — no data I/O; a long-lived
+        stream calls this after every batch and pays for compaction only
+        when the read path actually degrades. Returns buckets compacted,
+        or None when below both thresholds."""
+        st = self.table.refresh().state
+        delta_files = [f for f in st["files"] if f.get("kind") == "delta"]
+        if not delta_files:
+            return None
+        delta_bytes = sum(f["bytes"] for f in delta_files)
+        base_bytes = sum(
+            f["bytes"] for f in st["files"] if f.get("kind") != "delta"
+        )
+        if (
+            len(delta_files) >= min_delta_files
+            or delta_bytes >= max_delta_ratio * max(base_bytes, 1)
+        ):
+            return self.compact(strategy=strategy)
+        return None
+
     def mirror_from(
         self, src: SnapshotTable, source_id: str = "mirror", strict: bool = True
     ) -> dict:

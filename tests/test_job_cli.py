@@ -107,3 +107,53 @@ def test_run_replay_cli_stream_mode(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     rep = json.loads(lines[-1])
     assert rep["mode"] == "stream" and rep["parity_ok"] is True
+
+
+def test_run_replay_cli_round2_maintenance_flags(tmp_path):
+    """--auto-compact / --expire-keep / --remove-orphans-grace /
+    --publish-min-rows together: parity holds through the maintenance
+    chain, the audit-gated publish moves the ref, and a second run with an
+    impossible audit floor exits 1 without touching the ref."""
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    base = [
+        sys.executable,
+        os.path.join(REPO, "jobs", "run_replay.py"),
+        "--table", table,
+        "--merge-strategy", "mor",
+    ]
+    out = subprocess.run(
+        base + [
+            "--generate", "4000",
+            "--feed", feed,
+            "--batches", "4",
+            "--verify",
+            "--auto-compact", "0.0",  # any delta bytes trigger compaction
+            "--expire-keep", "2",
+            "--remove-orphans-grace", "0",
+            "--publish-min-rows", "1",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1])
+    assert rep["parity_ok"] is True
+    assert rep["auto_compacted_buckets"] and rep["auto_compacted_buckets"] > 0
+    assert rep["expire"]["expired_below"] >= 0
+    assert rep["orphans"]["orphans_deleted"] == 0  # nothing stranded
+    assert "published_version" in rep
+
+    # re-offer (all batches fence) with an unreachable audit floor → exit 1
+    out2 = subprocess.run(
+        base + ["--feed", feed, "--batches", "4",
+                "--publish-min-rows", "10000000"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out2.returncode == 1, out2.stderr[-2000:]
+    rep2 = json.loads([ln for ln in out2.stdout.splitlines() if ln.startswith("{")][-1])
+    assert rep2["skipped"] == rep2["batches"]
+    assert "audit_failed" in rep2 and "published_version" not in rep2
