@@ -741,6 +741,41 @@ def q_doc_shards(spark, sf):
     return pack_shards(sized, ["doc_id"], "n_tokens", shard_budget=2000)
 
 
+def q_event_asof_purchase(spark, sf):
+    """As-of join (`operators/asof.py`): every event picks up the user's
+    latest STRICTLY-prior purchase — one keyed window over a union, no
+    join node — checked against DuckDB's native ASOF JOIN."""
+    from kf_etl_clin_portal_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value"
+    )
+    return asof_join(
+        ev, purchases, on=["user_id"], left_time="event_id", strict=True
+    )
+
+
+def q_event_sessions(spark, sf):
+    """Gap-based sessionization rollup (`operators/sessionize.py`): 30-min
+    inactivity gap per user; one row per session."""
+    from kf_etl_clin_portal_spark.operators.sessionize import session_rollup
+
+    ev = _t(spark, sf, "events").select("user_id", "ts")
+    out = session_rollup(ev, ["user_id"], "ts", gap_seconds=1800)
+    # timestamps serialized for the value gate: the canonicalizer compares
+    # datetime64 at native resolution (Spark ns vs DuckDB µs mismatch)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "session_idx",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        "duration_secs",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -793,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_profile": q_shingle_profile,
         "nested_type_sets": q_nested_type_sets,
         "doc_shards": q_doc_shards,
+        "event_asof_purchase": q_event_asof_purchase,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -1253,5 +1290,39 @@ def oracle_sql() -> dict[str, str]:
                      AS shard_id,
                    CAST((cum_n_tokens - n_tokens) % 2000 AS BIGINT) AS shard_offset
             FROM cums
+        """,
+        "event_asof_purchase": """
+            SELECT l.user_id, l.event_id, l.event_type, l.value,
+                   r.event_id AS event_id_r, r.value AS value_r
+            FROM events l
+            ASOF LEFT JOIN (
+              SELECT user_id, event_id, value FROM events
+              WHERE event_type = 'purchase'
+            ) r ON l.user_id = r.user_id AND l.event_id > r.event_id
+        """,
+        "event_sessions": """
+            -- floor(epoch(...)) per VALUE (not of the difference): the
+            -- engine's cast(timestamp as long) truncates each timestamp to
+            -- whole seconds before differencing, so the oracle must too
+            WITH t AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                             > 1800
+                          THEN 1 ELSE 0 END AS st
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM t
+            )
+            SELECT user_id, session_idx,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   count(*) AS n_events,
+                   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                     AS duration_secs
+            FROM s GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,92 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
+
+For every left row, attach the single right row with the greatest
+``right_time`` at-or-before (backward) / smallest at-or-after (forward)
+the left row's time, within the same key group — the temporal-state
+lookup a CDC consumer runs constantly ("which state row governed this
+event?"). Verified value-exact against DuckDB's native ``ASOF JOIN``.
+
+Plan shape: the classic union trick, ONE shuffle —
+
+    tag left(0)/right(1) → union → window per key ordered by
+    (time, tag) → last(right_payload, ignorenulls) carries the
+    governing right row onto every subsequent left row → filter tag=0.
+
+No join node at all: a sort-merge/broadcast equi-join can't express
+"nearest preceding" without exploding to range predicates, and a theta
+BNLJ is quadratic. Here every key group is processed by one sort within
+one hash partition — the same distribution a plain keyed window needs,
+skew behavior included (a pathologically hot key serializes its own
+group; salt-split the RIGHT side only if governing rows are also hot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join. ``strict=True`` excludes equal times (matches
+    DuckDB ``l.t > r.t``; default inclusive matches ``>=``). Right columns
+    that collide with left output names get ``suffix`` appended (the
+    right time column always lands as ``<right_time><suffix>`` when it
+    collides, so the matched time is observable)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_time = right_time or left_time
+    left_cols = left.columns
+    out_names = {
+        c: (c + suffix if c in left_cols else c)
+        for c in right.columns
+        if c not in on
+    }
+
+    lp = F.struct(*[F.col(c) for c in left_cols])
+    rp = F.struct(
+        *[F.col(c).alias(out_names[c]) for c in right.columns if c not in on]
+    )
+    lt = F.col(left_time)
+    rt = F.col(right_time)
+    tagged_l = left.select(
+        *[F.col(c) for c in on],
+        lt.alias("__t"),
+        F.lit(0).alias("__is_r"),
+        lp.alias("__lp"),
+        F.lit(None).cast(right.select(rp).schema[0].dataType).alias("__rp"),
+    )
+    tagged_r = right.select(
+        *[F.col(c) for c in on],
+        rt.alias("__t"),
+        F.lit(1).alias("__is_r"),
+        F.lit(None).cast(left.select(lp).schema[0].dataType).alias("__lp"),
+        rp.alias("__rp"),
+    )
+    both = tagged_l.unionByName(tagged_r)
+
+    # tie order decides inclusivity: inclusive wants the right row BEFORE
+    # an equal-time left row in the carry order, strict wants it after
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    tie = F.col("__is_r").desc() if not strict else F.col("__is_r").asc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(t_order, tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn(
+        "__match", F.last("__rp", ignorenulls=True).over(w)
+    ).where(F.col("__is_r") == 0)
+    return carried.select(
+        F.col("__lp.*"),  # all left columns, keys included
+        *[F.col("__match." + out_names[c]).alias(out_names[c])
+          for c in right.columns if c not in on],
+    )

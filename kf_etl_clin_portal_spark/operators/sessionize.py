@@ -1,0 +1,68 @@
+"""Gap-based sessionization: assign each event a session index that
+increments whenever the gap since the key's previous event exceeds a
+threshold — the batch analog of Structured Streaming's session windows
+(`streaming/stateful.py` holds the watermarked streaming variant of the
+same semantics).
+
+Plan shape: two keyed window passes over ONE shuffle/sort (lag to flag
+session starts, running sum to number them) — Spark reuses the
+partitioning+ordering for both, so no second exchange. Keyed windows
+scale: each user's events sort within their hash partition; there is no
+global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap_seconds: int,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Adds ``session_idx`` (1-based per key, in time order) and
+    ``is_session_start``. Ties on ``time_col`` within a key are broken by
+    the remaining column order Spark sees — pass a unique time (or add a
+    tiebreak to ``time_col``'s ordering upstream) for fully deterministic
+    assignment."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(time_col).asc())
+    prev = F.lag(F.col(time_col)).over(w)
+    # NTZ timestamps can't cast straight to long (Spark 4); go through
+    # timestamp first — gap/duration are DIFFERENCES, so the session-tz
+    # offset the intermediate cast introduces cancels exactly
+    secs = F.col(time_col).cast("timestamp").cast("long")
+    prev_secs = prev.cast("timestamp").cast("long")
+    is_start = F.when(
+        prev.isNull() | (secs - prev_secs > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*key_cols).orderBy(F.col(time_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("is_session_start", is_start).withColumn(
+        session_col, F.sum("is_session_start").over(run).cast("long")
+    )
+
+
+def session_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """One row per session: bounds, event count, duration — the shape a
+    behavioral/quality pipeline consumes."""
+    s = sessionize(df, key_cols, time_col, gap_seconds)
+    return s.groupBy(*key_cols, "session_idx").agg(
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col(time_col)).cast("timestamp").cast("long")
+            - F.min(F.col(time_col)).cast("timestamp").cast("long")
+        ).alias("duration_secs"),
+    )

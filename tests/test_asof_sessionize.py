@@ -1,0 +1,115 @@
+"""As-of join directions/strictness and gap sessionization semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.asof import asof_join
+from kf_etl_clin_portal_spark.operators.sessionize import (
+    session_rollup,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "z"), (2, 3, "c")],
+        ["k", "t", "v"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "x"), (1, 9, "y"), (2, 99, "w")], ["k", "t", "p"]
+    )
+    return left, right
+
+
+def _by_v(df, cols):
+    return {r["v"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_asof_backward_inclusive_vs_strict(spark, frames):
+    left, right = frames
+    inc = asof_join(left, right, on=["k"], left_time="t")
+    # right's t/p collide with nothing except t -> t_r, p stays p
+    got = _by_v(inc, ["t_r", "p"])
+    assert got == {
+        "a": (5, "x"),      # inclusive: equal time matches
+        "b": (9, "y"),
+        "z": (None, None),  # nothing at-or-before t=2
+        "c": (None, None),  # right exists only at t=99
+    }
+    strict = asof_join(left, right, on=["k"], left_time="t", strict=True)
+    got = _by_v(strict, ["t_r", "p"])
+    assert got["a"] == (None, None)  # strictly-before excludes t=5
+    assert got["b"] == (9, "y")
+
+
+def test_asof_forward(spark, frames):
+    left, right = frames
+    fwd = asof_join(left, right, on=["k"], left_time="t", direction="forward")
+    got = _by_v(fwd, ["t_r", "p"])
+    assert got == {
+        "a": (5, "x"),   # inclusive: equal time matches forward too
+        "b": (None, None),
+        "z": (5, "x"),   # nearest at-or-after t=2
+        "c": (99, "w"),
+    }
+
+
+def test_asof_matches_join_window_oracle(spark, sf_dir):
+    """Engine as-of == naive join+window (quadratic oracle) on real data."""
+    from tests.conftest import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("pid"), F.col("value").alias("pv")
+    )
+    fast = asof_join(
+        ev, right.withColumnRenamed("pid", "event_id").withColumnRenamed("pv", "value"),
+        on=["user_id"], left_time="event_id", strict=True,
+    )
+    naive = (
+        ev.join(right, on="user_id", how="left")
+        .where(F.col("pid").isNull() | (F.col("pid") < F.col("event_id")))
+        .groupBy("user_id", "event_id", "event_type", "value")
+        .agg(F.max_by(F.struct("pid", "pv"), "pid").alias("m"))
+        .select(
+            "user_id", "event_id", "event_type", "value",
+            F.col("m.pid").alias("event_id_r"), F.col("m.pv").alias("value_r"),
+        )
+    )
+    # the naive plan loses left rows whose ONLY candidate was filtered; add
+    # them back as no-match rows
+    naive = ev.join(
+        naive, on=["user_id", "event_id", "event_type", "value"], how="left"
+    )
+    a = {tuple(r) for r in fast.collect()}
+    b = {tuple(r) for r in naive.collect()}
+    assert a == b
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),  # 600s gap → same session
+        (1, "2024-01-01 01:10:00"),  # 3600s gap → new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    s = sessionize(df, ["k"], "ts", gap_seconds=1800)
+    got = {
+        (r["k"], str(r["ts"])): (r["session_idx"], r["is_session_start"])
+        for r in s.collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (1, 1)
+    assert got[(1, "2024-01-01 00:10:00")] == (1, 0)
+    assert got[(1, "2024-01-01 01:10:00")] == (2, 1)
+    assert got[(2, "2024-01-01 00:00:00")] == (1, 1)
+
+    roll = session_rollup(df, ["k"], "ts", gap_seconds=1800)
+    r = {(x["k"], x["session_idx"]): x for x in roll.collect()}
+    assert r[(1, 1)]["n_events"] == 2 and r[(1, 1)]["duration_secs"] == 600
+    assert r[(1, 2)]["n_events"] == 1 and r[(1, 2)]["duration_secs"] == 0
