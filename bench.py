@@ -228,10 +228,36 @@ def main() -> None:
             rate_4n, walls_4n = merged_rate(runs[n_big])
             print(f"# merged walls {n_small}c: {walls_n}", file=sys.stderr)
             print(f"# merged walls {n_big}c: {walls_4n}", file=sys.stderr)
-            # honesty flag: retries exhausted with a steady batch still
-            # dirty / uncorroborated on either side — the minima may still
-            # carry host interference and the efficiency is a LOWER BOUND
-            noisy = _needs_retry(runs[n_small]) or _needs_retry(runs[n_big])
+            # honesty flag, two signals:
+            # (a) retries exhausted with a steady batch still steal-dirty /
+            #     uncorroborated on either side;
+            # (b) memory-bandwidth asymmetry — the contention mode this VM
+            #     suffers is INVISIBLE to steal and to corroborated minima
+            #     (a sustained co-tenant depresses every repeat equally):
+            #     each run carries a single-thread memcpy probe
+            #     (bench_scaling._membw_gbps); if the best probe seen
+            #     during either core count's runs sits >25% below the best
+            #     probe seen overall, that side never ran on a quiet
+            #     machine and the ratio is biased.
+            # either way the efficiency is a LOWER BOUND, not the engine's.
+            def best_bw(rs):
+                vals = [x for r in rs for x in (r.get("membw_gbps") or [])]
+                return max(vals) if vals else None
+
+            bw_small, bw_big = best_bw(runs[n_small]), best_bw(runs[n_big])
+            bw_all = max(v for v in (bw_small, bw_big) if v is not None) if (
+                bw_small or bw_big
+            ) else None
+            bw_skew = bool(
+                bw_all
+                and any(
+                    v is not None and v < 0.75 * bw_all
+                    for v in (bw_small, bw_big)
+                )
+            )
+            noisy = (
+                _needs_retry(runs[n_small]) or _needs_retry(runs[n_big]) or bw_skew
+            )
             if noisy:
                 print("# WARNING: retry budget exhausted while steady batches "
                       "remained steal-dirty or uncorroborated; efficiency is "
@@ -246,6 +272,7 @@ def main() -> None:
                     "rate_4n": rate_4n,
                     "efficiency": round(rate_4n / rate_n / (n_big / n_small), 3),
                     "noisy": noisy,
+                    "membw_gbps": {"n": bw_small, "four_n": bw_big},
                 },
             }
     else:

@@ -37,6 +37,27 @@ def _steal_secs(cores: int) -> float:
     return total
 
 
+def _membw_gbps(reps: int = 4, mb: int = 256) -> float:
+    """Single-thread memcpy throughput (GB/s), best of ``reps``. The
+    co-tenant interference mode this VM suffers is memory-bandwidth
+    contention, which is INVISIBLE to CPU-steal accounting (threads run,
+    memcpy crawls) — this probe makes it observable. Reported per run so
+    the caller can detect contention that differentially slows one side of
+    the N-vs-4N pair (exactly the asymmetry that biases the efficiency
+    ratio: a 4-core run demands 4× the bandwidth)."""
+    import numpy as np
+
+    src = np.ones(mb * 1024 * 1024 // 8, dtype=np.int64)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        dst = src.copy()
+        dt = time.monotonic() - t0
+        best = max(best, 2 * src.nbytes / dt / 1e9)  # read + write
+        del dst
+    return round(best, 2)
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     n_events = int(sys.argv[2])
@@ -102,6 +123,7 @@ def main() -> None:
 
     compact_walls = []
     steal_secs = []
+    membw = [_membw_gbps()]  # before the replay
     for i in range(n_batches):
         chunk = feed.where(
             (Fn.col("seq") > bounds[i]) & (Fn.col("seq") <= bounds[i + 1])
@@ -117,6 +139,7 @@ def main() -> None:
         compact_walls.append(round(t2 - t1, 2))
         steal_secs.append(round(_steal_secs(cores) - s0, 2))
         counts.append(res.n_events)
+    membw.append(_membw_gbps())  # after — brackets the measured window
     # first batch = cold (JIT compile, cache); second still warming on some
     # hosts — steady state is batches 3+
     skip = n_batches // 2 if n_batches >= 4 else 1
@@ -132,6 +155,7 @@ def main() -> None:
                 "batch_walls": [round(w, 2) for w in walls],
                 "compact_walls": compact_walls,
                 "steal_secs": steal_secs,
+                "membw_gbps": membw,
                 "steady_events": steady_events,
                 "wall_secs": round(steady_wall, 2),
                 "events_per_sec": round(steady_events / steady_wall),

@@ -109,3 +109,27 @@ def test_align_df_roundtrip(spark, s1, s2):
             assert out[f.name] is not None
         else:
             assert out[f.name] is None
+
+
+sizes_strategy = st.lists(
+    st.integers(min_value=0, max_value=1000), min_size=1, max_size=80
+)
+
+
+@settings(**SETTINGS)
+@given(sizes=sizes_strategy, nparts=st.integers(min_value=1, max_value=7))
+def test_running_total_matches_sequential_fold(spark, sizes, nparts):
+    """Distributed prefix sum == the sequential fold, at ANY partition
+    count (the partition count must never leak into the result)."""
+    from kf_etl_clin_portal_spark.operators.pack import running_total
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["id", "size"])
+    out = {
+        r["id"]: r["cum"]
+        for r in running_total(df, ["id"], "size", num_partitions=nparts).collect()
+    }
+    acc = 0
+    for i, s in rows:
+        acc += s
+        assert out[i] == acc
