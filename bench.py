@@ -53,6 +53,8 @@ HEADLINE = [
     "scd2_history",
     "part_ancestors",
     "doc_shards",
+    "event_asof_purchase",
+    "event_sessions",
 ]
 
 
