@@ -776,6 +776,62 @@ def q_event_sessions(spark, sf):
     )
 
 
+def q_ivm_event_rollup(spark, sf):
+    """Incremental materialized aggregate view (`lake/ivm.py`) exercised
+    END-TO-END through the lake: the events WAL is replayed into a MoR
+    source table in 3 out-of-order micro-batches (keyed by user_id, seq =
+    event_id), and after EACH batch the per-event_type aggregate view is
+    folded forward from the change feed with retractions (pre-image read is
+    bucket-pruned). The final view must equal a from-scratch GROUP BY over
+    the latest-per-user state — which is exactly what the DuckDB oracle
+    recomputes. FLOOR(value) keeps the maintained double sums integral, so
+    the incremental result is bit-exact, not approximately equal."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.ivm import agg_view, maintain_agg
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "event_type",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivm_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        dst = CDCPipeline(
+            spark, os.path.join(tmp, "view"), key_cols=("event_type",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        # pmod-split delivery: later batches carry older seqs, so the
+        # out-of-order guard and the retraction path both do real work
+        for i in range(3):
+            src.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(3)) == i),
+                batch_id=f"gate-b{i}",
+            )
+            maintain_agg(
+                spark, src.table, dst, ["event_type"],
+                {"v": "CAST(FLOOR(value) AS BIGINT)"}, source_id="gate",
+            )
+        out = agg_view(dst).select(
+            "event_type",
+            "n",
+            F.col("sum_v").cast("long").alias("total"),
+            "avg_v",
+        )
+        # the view is one row per event_type — materialize it so the lake
+        # tempdir can be removed before the driver consumes the DataFrame
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -830,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shards": q_doc_shards,
         "event_asof_purchase": q_event_asof_purchase,
         "event_sessions": q_event_sessions,
+        "ivm_event_rollup": q_ivm_event_rollup,
     }
 
 
@@ -849,6 +906,21 @@ def oracle_sql() -> dict[str, str]:
     h60_id = OSQL.h60_sql("CAST(vec_id AS VARCHAR)")
     cell_cos = OSQL.cosine_exact_sql("e.v", "cent.cv")
     return {
+        "ivm_event_rollup": """
+            WITH latest AS (
+              SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) rn
+                FROM events) WHERE rn = 1
+            ), fl AS (
+              SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS fv FROM latest
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(fv) AS BIGINT) AS total,
+                   CAST(sum(fv) AS DOUBLE) / count(fv) AS avg_v
+            FROM fl GROUP BY event_type
+        """,
         "cdc_latest_state": """
             SELECT user_id, event_id, event_type, value, ts_str FROM (
               SELECT user_id, event_id, event_type, value,

@@ -119,7 +119,8 @@ class CDCPipeline:
     def prepare_batch(self, events: DataFrame) -> DataFrame:
         """Feed → merge-ready batch: fold op into the tombstone flag, drop
         delivery bookkeeping, add the content_sha256 invariant column
-        (JVM-side sha2, null for deletes)."""
+        (JVM-side sha2, null for deletes). Tables without a `content`
+        column (derived/aggregate views) skip the invariant column."""
         df = events
         if "delivery_batch" in df.columns:
             df = df.drop("delivery_batch")
@@ -127,6 +128,8 @@ class CDCPipeline:
             df = df.withColumn(TOMBSTONE_COL, (F.col("op") == "delete")).drop("op")
         elif TOMBSTONE_COL not in df.columns:
             df = df.withColumn(TOMBSTONE_COL, F.lit(False))
+        if "content" not in df.columns:
+            return df
         return df.withColumn(
             "content_sha256",
             F.when(F.col("content").isNotNull(), F.sha2(F.col("content"), 256)),

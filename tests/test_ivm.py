@@ -1,0 +1,227 @@
+"""Incremental materialized aggregate views (lake/ivm.py).
+
+Oracle for every poll: a full recompute — GROUP BY over the source's
+current live state — must equal the maintained table exactly (counts and
+integral sums bit-exact; floating sums within FP tolerance). Covers
+retraction on update (key moves between groups), deletes emptying a group
+(view row tombstoned), NULL-sum SQL semantics, maintenance-only polls, and
+the exactly-once cursor.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.ivm import agg_view, ivm_cursor, maintain_agg
+
+LEN_EXPR = "length(content)"
+
+
+def _recompute(src_pipe, group_col, expr):
+    x = F.expr(expr).cast("double")
+    return (
+        src_pipe.current()
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).alias("sum_v"),
+            F.avg(x).alias("avg_v"),
+        )
+    )
+
+
+def _as_map(df, group_col):
+    return {
+        r[group_col]: (r["n"], r["sum_v"], r["avg_v"])
+        for r in df.collect()
+    }
+
+
+def _assert_view_matches(view_df, oracle_df, group_col):
+    got = _as_map(
+        view_df.select(
+            group_col,
+            "n",
+            F.col("sum_v").alias("sum_v"),
+            F.col("avg_v").alias("avg_v"),
+        ),
+        group_col,
+    )
+    want = _as_map(oracle_df, group_col)
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for g, (n, s, a) in want.items():
+        gn, gs, ga = got[g]
+        assert gn == n, (g, gn, n)
+        if s is None:
+            assert gs is None and ga is None, (g, gs, ga)
+        else:
+            assert gs == pytest.approx(s, rel=1e-9), (g, gs, s)
+            assert ga == pytest.approx(a, rel=1e-9), (g, ga, a)
+
+
+def test_ivm_tracks_recompute_over_polls(spark, tmp_path):
+    feed = generate_change_events(spark, 8_000, seed=31)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    dst = CDCPipeline(
+        spark, str(tmp_path / "view"), key_cols=("lang",), num_buckets=4,
+        merge_strategy="mor",
+    )
+
+    src.replay(feed, n_batches=4, by="delivery", feed_id="f", stop_after=1)
+    r1 = maintain_agg(spark, src.table, dst, ["lang"], {"v": LEN_EXPR}, source_id="s")
+    assert r1["applied"] and r1["epoch"] == 0
+    view = agg_view(dst).select(
+        "lang", "n", F.col("sum_v").alias("sum_v"), F.col("avg_v").alias("avg_v")
+    )
+    _assert_view_matches(view, _recompute(src, "lang", LEN_EXPR), "lang")
+
+    # maintenance-only range: compaction commits park the cursor, change nothing
+    src.compact()
+    r_m = maintain_agg(spark, src.table, dst, ["lang"], {"v": LEN_EXPR}, source_id="s")
+    assert not r_m["applied"]
+
+    # remaining batches (includes out-of-order delivery + deletes), poll again —
+    # the range spans the compaction commit transparently
+    src.replay(feed, n_batches=4, by="delivery", feed_id="f")
+    r2 = maintain_agg(spark, src.table, dst, ["lang"], {"v": LEN_EXPR}, source_id="s")
+    assert r2["applied"] and r2["since"] == r1["until"] and r2["epoch"] == 1
+    view = agg_view(dst).select(
+        "lang", "n", F.col("sum_v").alias("sum_v"), F.col("avg_v").alias("avg_v")
+    )
+    _assert_view_matches(view, _recompute(src, "lang", LEN_EXPR), "lang")
+
+    # idle poll: nothing new → no-op, cursor intact
+    r3 = maintain_agg(spark, src.table, dst, ["lang"], {"v": LEN_EXPR}, source_id="s")
+    assert not r3["applied"]
+    assert ivm_cursor(dst.table, "s") == (r2["until"], 1)
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(s, op, "r", p, f"c{s}", lang, c, v) for (s, op, p, lang, c, v) in rows],
+        _SCHEMA,
+    )
+
+
+def test_ivm_group_moves_deletes_and_null_sums(spark, tmp_path):
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2, merge_strategy="mor")
+    dst = CDCPipeline(
+        spark, str(tmp_path / "view"), key_cols=("lang",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    # batch 1: two python files (one NULL value), one go file
+    src.apply_batch(
+        _mk(spark, [
+            (1, "upsert", "a.py", "python", "aaaa", 10.0),
+            (2, "upsert", "b.py", "python", "bb", None),
+            (3, "upsert", "c.go", "go", "cc", None),
+        ]),
+        batch_id="b1",
+    )
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"}, source_id="s")
+    m = _as_map(
+        agg_view(dst).select("lang", "n", F.col("sum_v").alias("sum_v"),
+                             F.col("avg_v").alias("avg_v")),
+        "lang",
+    )
+    assert m["python"] == (2, 10.0, 10.0)
+    # all-NULL group: SQL sum/avg are NULL, not 0
+    assert m["go"] == (1, None, None)
+
+    # batch 2: a.py moves python→rust with new value (retraction + insert),
+    # c.go deleted (its group empties → tombstoned out of the view),
+    # b.py's value becomes non-NULL
+    src.apply_batch(
+        _mk(spark, [
+            (4, "upsert", "a.py", "rust", "aaaa", 7.0),
+            (5, "delete", "c.go", "go", None, None),
+            (6, "upsert", "b.py", "python", "bb", 4.0),
+        ]),
+        batch_id="b2",
+    )
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"}, source_id="s")
+    m = _as_map(
+        agg_view(dst).select("lang", "n", F.col("sum_v").alias("sum_v"),
+                             F.col("avg_v").alias("avg_v")),
+        "lang",
+    )
+    assert set(m) == {"python", "rust"}
+    assert m["python"] == (1, 4.0, 4.0)
+    assert m["rust"] == (1, 7.0, 7.0)
+    _assert_view_matches(
+        agg_view(dst).select("lang", "n", F.col("sum_v").alias("sum_v"),
+                             F.col("avg_v").alias("avg_v")),
+        _recompute(src, "lang", "value"),
+        "lang",
+    )
+
+
+def test_ivm_out_of_order_emission_loses_to_preimage(spark, tmp_path):
+    """A change-feed row with an older seq than the already-applied winner
+    must not regress the aggregate (the post-image is resolved with the
+    engine comparator over pre-image ∪ feed, not the feed alone)."""
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2, merge_strategy="mor")
+    dst = CDCPipeline(
+        spark, str(tmp_path / "view"), key_cols=("lang",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    src.apply_batch(
+        _mk(spark, [(10, "upsert", "a.py", "python", "new", 5.0)]), batch_id="b1"
+    )
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"}, source_id="s")
+    # stale emission: seq 3 < 10 — MoR keeps seq 10 as the winner
+    src.apply_batch(
+        _mk(spark, [(3, "upsert", "a.py", "scala", "old", 99.0)]), batch_id="b2"
+    )
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"}, source_id="s")
+    m = _as_map(
+        agg_view(dst).select("lang", "n", F.col("sum_v").alias("sum_v"),
+                             F.col("avg_v").alias("avg_v")),
+        "lang",
+    )
+    assert set(m) == {"python"} and m["python"] == (1, 5.0, 5.0)
+
+
+def test_ivm_cursor_is_durable_and_fenced(spark, tmp_path):
+    """Crash-after-commit: a fresh process re-polling the same source sees
+    the cursor in the destination lineage and applies nothing."""
+    feed = generate_change_events(spark, 2_000, seed=7)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2, merge_strategy="mor")
+    dst_root = str(tmp_path / "view")
+    dst = CDCPipeline(spark, dst_root, key_cols=("lang",), num_buckets=2,
+                      merge_strategy="mor")
+    src.replay(feed, n_batches=2, by="seq", feed_id="f", stop_after=1)
+    r1 = maintain_agg(spark, src.table, dst, ["lang"], {"v": LEN_EXPR}, source_id="s")
+    assert r1["applied"]
+    before = sorted(map(tuple, dst.current().collect()))
+
+    # "new process": fresh pipeline object over the same roots
+    dst2 = CDCPipeline(spark, dst_root, key_cols=("lang",), num_buckets=2,
+                       merge_strategy="mor")
+    r2 = maintain_agg(spark, src.table, dst2, ["lang"], {"v": LEN_EXPR}, source_id="s")
+    assert not r2["applied"]
+    assert sorted(map(tuple, dst2.current().collect())) == before
+
+    def test_bad_dst_key_rejected():
+        bad = CDCPipeline(spark, str(tmp_path / "bad"), key_cols=("repo",),
+                          num_buckets=2, merge_strategy="mor")
+        with pytest.raises(ValueError, match="group_cols"):
+            maintain_agg(spark, src.table, bad, ["lang"], {}, source_id="x")
+
+    test_bad_dst_key_rejected()
