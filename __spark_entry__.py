@@ -832,6 +832,28 @@ def q_ivm_event_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_zorder_curve(spark, sf):
+    """Z-order (Morton) curve values (`functions/zorder.py:zvalue`) over two
+    orders columns with pinned bounds — the clustering key `lake/load.py:
+    zorder_buckets` sorts by; pure shiftleft/shiftright/bitwiseAND JVM
+    expressions, value-gated bit-for-bit against the DuckDB replica
+    (`plans/oracle_sql.py:zvalue_sql`)."""
+    from kf_etl_clin_portal_spark.functions.zorder import zvalue
+
+    orders = _t(spark, sf, "orders")
+    zv = zvalue(
+        [F.col("o_custkey"), F.col("o_totalprice")],
+        ZORDER_GATE_BOUNDS,
+        bits=8,
+    )
+    return orders.select("o_orderkey", zv.alias("zval"))
+
+
+# pinned (not data-derived) so the Spark and DuckDB sides can't diverge on
+# how bounds were estimated; out-of-range values clamp identically
+ZORDER_GATE_BOUNDS = [(0.0, 200_000.0), (800.0, 600_000.0)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -887,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_purchase": q_event_asof_purchase,
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
+        "zorder_curve": q_zorder_curve,
     }
 
 
@@ -906,6 +929,11 @@ def oracle_sql() -> dict[str, str]:
     h60_id = OSQL.h60_sql("CAST(vec_id AS VARCHAR)")
     cell_cos = OSQL.cosine_exact_sql("e.v", "cent.cv")
     return {
+        "zorder_curve": f"""
+            SELECT o_orderkey,
+                   {OSQL.zvalue_sql(["o_custkey", "o_totalprice"], ZORDER_GATE_BOUNDS, bits=8)} AS zval
+            FROM orders
+        """,
         "ivm_event_rollup": """
             WITH latest AS (
               SELECT user_id, event_type, value FROM (

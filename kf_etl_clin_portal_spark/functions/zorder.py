@@ -1,0 +1,63 @@
+"""Z-order (Morton) curve values as pure JVM column expressions.
+
+Multi-column data skipping needs files whose per-file [min, max] is tight
+on EVERY query column at once; sorting by one column makes the others'
+ranges span the domain. Interleaving the bits of per-column ranks puts
+rows that are close in ALL dimensions into the same file — the Delta OSS
+`OPTIMIZE ZORDER BY` / Iceberg `rewrite_data_files(strategy => 'sort',
+sort_order => zorder(...))` idea, built here from shiftleft/shiftright/
+bitwiseAND so the whole thing stays inside whole-stage codegen (no UDF,
+no Python in the hot path).
+
+Ranking is linear min/max binning into 2^bits cells: exact, replicable in
+ANSI SQL (the DuckDB oracle replays the identical formula — see
+`plans/oracle_sql.py:zvalue_sql`), and one cheap agg job to compute
+bounds. Heavily skewed columns degrade to fewer effective cells; pass
+explicit `bounds` clamped to the bulk of the distribution if that matters
+(out-of-range values clamp to the edge cells, which only loosens skipping,
+never correctness — pruning is done by the manifest zone maps, which
+record TRUE file min/max regardless of the curve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def rank_expr(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Linear bin of `col` into [0, 2^bits): clamp(floor((x-lo)/(hi-lo)*2^b)).
+    NULL ranks 0 (groups with the low edge; zone maps still record true
+    min/max so pruning stays correct)."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo for binning, got [{lo}, {hi}]")
+    cells = 1 << bits
+    r = F.floor((col.cast("double") - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo)) * F.lit(cells)).cast("long")
+    r = F.least(F.greatest(r, F.lit(0)), F.lit(cells - 1))
+    return F.coalesce(r, F.lit(0))
+
+
+def zvalue(
+    cols: list[Column],
+    bounds: list[tuple[float, float]],
+    bits: int = 8,
+) -> Column:
+    """Morton code of k columns at `bits` bits each (k*bits ≤ 63).
+
+    Bit j of column i lands at position j*k + (k-1-i), so column 0 is the
+    most significant within each bit group — identical layout to the SQL
+    replica in `plans/oracle_sql.py:zvalue_sql`.
+    """
+    k = len(cols)
+    if k == 0 or k != len(bounds):
+        raise ValueError("cols and bounds must be same non-zero length")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols × {bits} bits exceeds a signed 64-bit zvalue")
+    ranks = [rank_expr(c, lo, hi, bits) for c, (lo, hi) in zip(cols, bounds)]
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, j).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, j * k + (k - 1 - i))
+    return z

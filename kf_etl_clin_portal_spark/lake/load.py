@@ -260,3 +260,109 @@ def compact_buckets(
         return len(victims)
 
     return retry_on_conflict(attempt)
+
+
+def zorder_buckets(
+    spark: SparkSession,
+    table: SnapshotTable,
+    cols: list[str],
+    bits: int = 8,
+    bounds: list[tuple[float, float]] | None = None,
+    target_files_per_bucket: int = 4,
+) -> int:
+    """Rewrite the table clustered along a Z-order (Morton) curve over
+    ``cols`` — the Delta `OPTIMIZE ZORDER BY` / Iceberg sort-rewrite analog
+    for MULTI-column data skipping (the reference's single-dimension
+    `repartitionByRange(chromosome, start)` write clustering,
+    `ConfigurationGenerator.scala:153-161`, generalized to k dimensions).
+
+    A table clustered by one column has tight per-file ranges on that
+    column only; a range predicate on any OTHER column scans everything.
+    Interleaving per-column rank bits (`functions/zorder.py:zvalue`) makes
+    every file's manifest zone map tight on ALL curve columns at once, so
+    `read(stats_filter=...)` skips files for predicates on any of them.
+
+    Layout: each bucket is split into ~``target_files_per_bucket`` files of
+    contiguous zvalue range via ONE `repartitionByRange(bucket, zvalue)`
+    shuffle (sampled range boundaries — Spark's own mechanism, no window,
+    no single-partition funnel) + an intra-file sort for parquet row-group
+    pruning within files. Scales exactly like a major compaction: one full
+    shuffle, parallelism = num_buckets × files_per_bucket tasks.
+
+    ``stats.columns`` is widened first (metadata-only commit) so the file
+    writer lifts zone maps for the curve columns; ``bounds`` (per-column
+    [lo, hi] for rank binning) defaults to one tiny min/max agg job.
+    Bucket membership is untouched — the curve orders rows WITHIN buckets,
+    so key-pruned point lookups and co-bucketed merges are unaffected.
+
+    Snapshot-atomic, basis-validated, MoR deltas folded first (same
+    discipline as `rebucket`). Returns the commit version.
+    """
+    if not cols:
+        raise ValueError("need at least one z-order column")
+    from kf_etl_clin_portal_spark.functions.zorder import zvalue
+
+    stats_cols = [
+        c.strip()
+        for c in table.refresh().state["properties"].get("stats.columns", "seq").split(",")
+        if c.strip()
+    ]
+    missing = [c for c in cols if c not in stats_cols]
+    if missing:
+        table.set_properties({"stats.columns": ",".join(stats_cols + missing)})
+
+    def attempt() -> int:
+        table.refresh()
+        if any(f.get("kind") == "delta" for f in table.state["files"]):
+            from kf_etl_clin_portal_spark.lake.merge import compact_deltas
+
+            compact_deltas(spark, table)
+            table.refresh()
+        basis = table.version
+        df = table.read(spark)
+        b = bounds
+        if b is None:
+            row = df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
+                *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
+            ).collect()[0]
+            b = []
+            for i in range(len(cols)):
+                lo, hi = row[f"lo_{i}"], row[f"hi_{i}"]
+                if lo is None or hi is None or not hi > lo:
+                    # constant/all-null column: any 1-cell binning works
+                    lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+                b.append((float(lo), float(hi)))
+        zv = zvalue([F.col(c) for c in cols], b, bits=bits)
+        out = (
+            df.withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets))
+            .withColumn("__zv", zv)
+            .repartitionByRange(
+                max(table.num_buckets * target_files_per_bucket, 1),
+                F.col(BUCKET_COL),
+                F.col("__zv"),
+            )
+            .sortWithinPartitions(F.col(BUCKET_COL), F.col("__zv"))
+            .drop("__zv")
+        )
+        new_files = table.write_data_files(out, table.state["current_schema_id"])
+        try:
+            commit = table.commit(
+                operation="zorder",
+                new_files=new_files,
+                replaced_buckets=set(range(table.num_buckets)),
+                basis_version=basis,
+                lineage={
+                    "mode": "zorder",
+                    "cols": list(cols),
+                    "bits": bits,
+                    "bounds": [list(x) for x in b],
+                    "files_per_bucket": target_files_per_bucket,
+                },
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return commit.version
+
+    return retry_on_conflict(attempt)

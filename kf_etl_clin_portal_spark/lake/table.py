@@ -218,6 +218,10 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
     if delta.get("refs_set"):
         refs.update(delta["refs_set"])
 
+    props = dict(state["properties"])
+    if delta.get("properties_set"):
+        props.update(delta["properties_set"])
+
     expire_below = max(
         state.get("expire_below", 0), delta.get("expire_below") or 0
     )
@@ -237,7 +241,7 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
         "applied_batches": applied,
         "fence_watermarks": watermarks,
         "refs": refs,
-        "properties": state["properties"],
+        "properties": props,
         "lineage": delta.get("lineage") or {},
         "summary": {
             "total_rows": sum(f["rows"] for f in files),
@@ -494,6 +498,21 @@ class SnapshotTable:
             self._state, self._version = new_state, version_new
             self._maybe_checkpoint()
             return CommitInfo(version_new, snapshot_id, "publish", delta["lineage"])
+
+    def set_properties(self, props: dict[str, str]) -> CommitInfo:
+        """Metadata-only property evolution (the `ALTER TABLE ... SET
+        TBLPROPERTIES` analog): merged over existing properties in a new
+        commit, so writers pick the change up on their next refresh and
+        older snapshots keep the values they were written under. Used by
+        maintenance ops that need a knob mid-life — e.g. `zorder_buckets`
+        widening ``stats.columns`` so zone maps cover the curve columns."""
+        self.refresh()
+        return self.commit(
+            operation="set_properties",
+            new_files=[],
+            properties_set=dict(props),
+            lineage={"mode": "set_properties", "keys": sorted(props)},
+        )
         raise RuntimeError("publish contention: gave up after 20 retries")
 
     def resolve_ref(self, name: str) -> int:
@@ -920,6 +939,7 @@ class SnapshotTable:
         basis_version: int | None = None,
         set_current_schema_id: int | None = None,
         field_ids: dict[str, Any] | None = None,
+        properties_set: dict[str, str] | None = None,
     ) -> CommitInfo:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
@@ -1023,6 +1043,7 @@ class SnapshotTable:
                 "new_files": new_files,
                 "replaced_buckets": sorted(replaced_buckets) if replaced_buckets else [],
                 "partition_set": new_partition,
+                "properties_set": properties_set,
                 "expire_below": expire_below,
                 "applied_batch": (
                     [

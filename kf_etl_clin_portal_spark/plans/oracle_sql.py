@@ -216,3 +216,27 @@ def rolling_hash_sql(col: str, base: int = 31, mod: int = 2_147_483_647) -> str:
         f"list_transform(split({col}, ''), c -> ascii(c)::BIGINT)), "
         f"(acc, c) -> (acc * {base} + c) % {mod})"
     )
+
+
+def zrank_sql(expr: str, lo: float, hi: float, bits: int) -> str:
+    """Linear bin into [0, 2^bits) — mirrors functions.zorder.rank_expr
+    (same double operand sequence, same clamp, NULL → 0)."""
+    cells = 1 << bits
+    r = (
+        f"CAST(floor((CAST({expr} AS DOUBLE) - {float(lo)!r}) "
+        f"/ {float(hi) - float(lo)!r} * {cells}) AS BIGINT)"
+    )
+    return f"coalesce(least(greatest({r}, 0), {cells - 1}), 0)"
+
+
+def zvalue_sql(exprs: list[str], bounds: list[tuple[float, float]], bits: int = 8) -> str:
+    """Morton code — mirrors functions.zorder.zvalue bit-for-bit (bit j of
+    column i at position j*k + (k-1-i))."""
+    k = len(exprs)
+    ranks = [zrank_sql(e, lo, hi, bits) for e, (lo, hi) in zip(exprs, bounds)]
+    terms = []
+    for j in range(bits):
+        for i, r in enumerate(ranks):
+            shift = j * k + (k - 1 - i)
+            terms.append(f"((({r} >> {j}) & 1) << {shift})")
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,136 @@
+"""Z-order clustering (functions/zorder.py + lake/load.py:zorder_buckets).
+
+Checks the Morton code against a pure-Python reference, and the rewrite
+op end-to-end: content parity, multi-file-per-bucket layout, manifest
+zone-map pruning improving on the SECOND dimension (the whole point),
+property evolution, MoR delta folding, and change-feed neutrality.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.zorder import zvalue
+from kf_etl_clin_portal_spark.lake.changes import read_changes
+from kf_etl_clin_portal_spark.lake.load import append, overwrite, zorder_buckets
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+def _py_zvalue(vals, bounds, bits=8):
+    cells = 1 << bits
+    k = len(vals)
+    z = 0
+    for i, (v, (lo, hi)) in enumerate(zip(vals, bounds)):
+        if v is None:
+            r = 0
+        else:
+            r = int((float(v) - lo) / (hi - lo) * cells // 1)
+            r = min(max(r, 0), cells - 1)
+        for j in range(bits):
+            z += ((r >> j) & 1) << (j * k + (k - 1 - i))
+    return z
+
+
+def test_zvalue_matches_python_reference(spark):
+    rows = [(0.0, 0.0), (255.5, 255.5), (-5.0, 300.0), (None, 128.0), (17.3, 200.1)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bounds = [(0.0, 256.0), (0.0, 256.0)]
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zvalue([F.col("x"), F.col("y")], bounds)).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_zvalue([x, y], bounds), (x, y)
+
+
+def test_zvalue_validates_width(spark):
+    with pytest.raises(ValueError, match="64-bit"):
+        zvalue([F.col("a")] * 9, [(0, 1)] * 9, bits=8)
+    with pytest.raises(ValueError, match="hi > lo"):
+        zvalue([F.col("a")], [(5.0, 5.0)])
+
+
+def _mk_table(spark, root, n=20_000, buckets=4):
+    df = spark.range(n).select(
+        F.col("id"),
+        F.lit(1).cast("long").alias("seq"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000))).cast("double").alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000))).cast("double").alias("y"),
+    )
+    t = SnapshotTable.create(
+        root, df.schema, key_cols=["id"], num_buckets=buckets,
+        properties={"stats.columns": "x"},
+    )
+    overwrite(spark, t, df)
+    return t, df
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("id", "seq", "x", "y").collect()))
+
+
+def _files_read(spark, table, col, lo, hi):
+    df = table.read(spark, stats_filter={col: (lo, hi)})
+    return len(df.inputFiles()), _rows(df.where(F.col(col).between(lo, hi)))
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, tmp_path):
+    t, df = _mk_table(spark, str(tmp_path / "t"))
+    before = _rows(t.read(spark))
+    total_before = len(t.read(spark).inputFiles())
+    # single file per bucket: a y-range stats_filter can prune nothing
+    # (y isn't even in stats.columns yet), x-range can't prune either
+    # (every bucket file spans the full x domain)
+    fx_before, want_x = _files_read(spark, t, "x", 0.0, 99.0)
+    assert fx_before == total_before
+
+    v = zorder_buckets(spark, t, ["x", "y"], target_files_per_bucket=4)
+    assert t.refresh().version == v
+    assert _rows(t.read(spark)) == before  # pure rewrite
+
+    total_after = len(t.read(spark).inputFiles())
+    assert total_after > total_before  # multi-file-per-bucket layout
+    # property evolved so zone maps now cover both curve columns
+    assert set(t.state["properties"]["stats.columns"].split(",")) >= {"x", "y"}
+
+    fx_after, got_x = _files_read(spark, t, "x", 0.0, 99.0)
+    fy_after, got_y = _files_read(spark, t, "y", 0.0, 99.0)
+    assert got_x == want_x  # skipping never changes results
+    assert fx_after < total_after, "x-range should skip files after zorder"
+    assert fy_after < total_after, "y-range should skip files after zorder"
+    # and the y oracle comes from the pre-zorder table state
+    assert got_y == sorted(r for r in before if 0.0 <= r[3] <= 99.0)
+
+
+def test_zorder_folds_mor_deltas_and_feed_stays_exact(spark, tmp_path):
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), key_cols=("repo", "path"),
+                       num_buckets=2, merge_strategy="mor")
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+
+    feed = generate_change_events(spark, 3_000, seed=11)
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="z", stop_after=1)
+    v0 = pipe.table.refresh().version
+    before = sorted(map(tuple, pipe.current().collect()))
+
+    zorder_buckets(spark, pipe.table, ["seq"], target_files_per_bucket=2)
+    assert sorted(map(tuple, pipe.current().collect())) == before
+    assert not any(f.get("kind") == "delta" for f in pipe.table.state["files"])
+
+    # zorder + its preparatory commits are maintenance: a strict change feed
+    # across them must not raise and must carry only the later batch's rows
+    pipe.replay(feed, n_batches=2, by="seq", feed_id="z")
+    ch = read_changes(spark, pipe.table, since_version=v0)
+    assert ch.count() > 0
+
+
+def test_set_properties_is_versioned_metadata(spark, tmp_path):
+    t, _ = _mk_table(spark, str(tmp_path / "t"), n=100, buckets=2)
+    v0 = t.refresh().version
+    nfiles = len(t.state["files"])
+    t.set_properties({"write.target_rows_per_file": "123"})
+    assert t.version == v0 + 1
+    assert len(t.state["files"]) == nfiles  # metadata-only
+    assert t.state["properties"]["write.target_rows_per_file"] == "123"
+    # older snapshots keep the old value
+    assert "write.target_rows_per_file" not in t.state_at(v0)["properties"]
