@@ -832,6 +832,31 @@ def q_ivm_event_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_event_window_hits(spark, sf):
+    """Interval join (`operators/rangejoin.py`): clicks landing inside each
+    purchase's [ts, ts + floor(value) seconds] window, per user — binned
+    equi-join candidates + exact range predicate, no BroadcastNestedLoop,
+    checked against DuckDB's native range join."""
+    from kf_etl_clin_portal_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf, "events")
+    pts = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("s"),
+        # window = floor(value) MINUTES: at the feed's event density a
+        # seconds-wide window contains nothing — minutes yields real hits
+        (F.unix_timestamp("ts") + F.floor("value") * 60).alias("e"),
+    )
+    out = interval_join(pts, iv, "t", "s", "e", keys=["user_id"])
+    return out.select("user_id", "click_id", "purchase_id", "t", "s", "e")
+
+
 def q_zorder_curve(spark, sf):
     """Z-order (Morton) curve values (`functions/zorder.py:zvalue`) over two
     orders columns with pinned bounds — the clustering key `lake/load.py:
@@ -910,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
         "zorder_curve": q_zorder_curve,
+        "event_window_hits": q_event_window_hits,
     }
 
 
@@ -929,6 +955,22 @@ def oracle_sql() -> dict[str, str]:
     h60_id = OSQL.h60_sql("CAST(vec_id AS VARCHAR)")
     cell_cos = OSQL.cosine_exact_sql("e.v", "cent.cv")
     return {
+        "event_window_hits": """
+            WITH pts AS (
+              SELECT user_id, event_id AS click_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS t
+              FROM events WHERE event_type = 'click'
+            ), iv AS (
+              SELECT user_id, event_id AS purchase_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       + CAST(floor(value) AS BIGINT) * 60 AS e
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.click_id, i.purchase_id, p.t, i.s, i.e
+            FROM pts p JOIN iv i
+              ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e
+        """,
         "zorder_curve": f"""
             SELECT o_orderkey,
                    {OSQL.zvalue_sql(["o_custkey", "o_totalprice"], ZORDER_GATE_BOUNDS, bits=8)} AS zval

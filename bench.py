@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_shards",
     "event_asof_purchase",
     "event_sessions",
+    "event_window_hits",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Interval join (operators/rangejoin.py): parity vs the naive
+crossjoin+filter oracle, boundary inclusivity, keyed/unkeyed, negative
+coordinates, bounded explode factor."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.rangejoin import interval_join
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "k string, pid long, p double")
+
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(rows, "k string, iid long, s double, e double")
+
+
+def _naive(points, intervals, keys):
+    iv = intervals
+    cond = (F.col("s") <= F.col("p")) & (F.col("p") <= F.col("e"))
+    for c in keys:
+        iv = iv.withColumnRenamed(c, f"{c}_r")
+        cond = cond & (F.col(c) == F.col(f"{c}_r"))
+    out = points.join(iv, cond)
+    return sorted((r["pid"], r["iid"]) for r in out.select("pid", "iid").collect())
+
+
+def _got(points, intervals, keys, **kw):
+    out = interval_join(points, intervals, "p", "s", "e", keys=keys, **kw)
+    return sorted((r["pid"], r["iid"]) for r in out.select("pid", "iid").collect())
+
+
+def test_parity_with_naive_and_boundaries(spark):
+    pts = _points(spark, [
+        ("a", 1, 5.0), ("a", 2, 10.0), ("a", 3, 10.000001), ("a", 4, -3.0),
+        ("b", 5, 5.0), ("a", 6, 0.0),
+    ])
+    ivs = _intervals(spark, [
+        ("a", 10, 5.0, 10.0),    # inclusive both ends
+        ("a", 11, -10.0, -1.0),  # negative range
+        ("a", 12, 9.0, 9.5),     # hits nothing
+        ("b", 13, 4.0, 6.0),
+        ("a", 14, 0.0, 0.0),     # zero-length interval
+        ("a", 15, 7.0, 6.0),     # inverted: dropped, never matches
+    ])
+    assert _got(pts, ivs, ["k"]) == _naive(pts, ivs, ["k"])
+    # unkeyed: every point against every interval (one side sheds `k`)
+    assert _got(pts.drop("k"), ivs, []) == _naive(pts.drop("k"), ivs, [])
+    # explicit inclusivity spot-checks (keyed)
+    got = _got(pts, ivs, ["k"])
+    assert (1, 10) in got and (2, 10) in got      # both endpoints match
+    assert (3, 10) not in got                      # just past the end
+    assert (6, 14) in got                          # zero-length hit
+    assert all(iid != 15 for _, iid in got)        # inverted dropped
+
+
+def test_parity_randomized_and_custom_bin(spark):
+    pts = spark.range(500).select(
+        (F.pmod(F.col("id"), F.lit(7))).cast("string").alias("k"),
+        F.col("id").alias("pid"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)) / 10.0).alias("p"),
+    )
+    ivs = spark.range(300).select(
+        (F.pmod(F.col("id"), F.lit(7))).cast("string").alias("k"),
+        F.col("id").alias("iid"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(9_000)) / 10.0).alias("s"),
+    ).withColumn("e", F.col("s") + F.pmod(F.xxhash64("iid", F.lit(3)), F.lit(800)) / 10.0)
+    want = _naive(pts, ivs, ["k"])
+    assert _got(pts, ivs, ["k"]) == want
+    # a much smaller bin (more duplication, more parallelism) must not
+    # change results — candidate generation is complete for any bin size
+    assert _got(pts, ivs, ["k"], bin_size=5.0) == want
+
+
+def test_explode_factor_is_bounded(spark):
+    ivs = _intervals(spark, [("a", 1, 0.0, 100.0), ("a", 2, 50.0, 149.0)])
+    pts = _points(spark, [("a", 1, 75.0)])
+    # default bin = max length (100): each interval spans ≤ 2 bins
+    out = interval_join(pts, ivs, "p", "s", "e", keys=["k"])
+    assert sorted(r["iid"] for r in out.collect()) == [1, 2]
+
+
+def test_column_collision_rejected(spark):
+    pts = _points(spark, [("a", 1, 5.0)]).withColumnRenamed("pid", "iid")
+    ivs = _intervals(spark, [("a", 2, 0.0, 10.0)])
+    with pytest.raises(ValueError, match="alias them apart"):
+        interval_join(pts, ivs, "p", "s", "e", keys=["k"])
+
+
+def test_empty_intervals(spark):
+    pts = _points(spark, [("a", 1, 5.0)])
+    ivs = _intervals(spark, []).where(F.lit(False))
+    assert interval_join(pts, ivs, "p", "s", "e", keys=["k"]).count() == 0
