@@ -11,10 +11,29 @@ reference's at-most-once ES sink (`RunIndexGenomic.scala:53-57`).
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+
+@dataclass
+class ViewSpec:
+    """A continuously-maintained aggregate view (`lake/ivm.py`) chained
+    after each micro-batch MERGE: the stream lands the batch, then each
+    view folds the resulting change-feed delta forward with retractions.
+    The IVM cursor/fence make the chain exactly-once end-to-end — a
+    re-delivered micro-batch fences at the MERGE, and a crash between
+    MERGE and view poll is healed by the next poll (cursor in the view's
+    own lineage). Requires the pipeline to run merge_strategy='mor'
+    (the change feed strict-raises on CoW merges by design)."""
+
+    pipe: CDCPipeline  # keyed on exactly group_cols
+    group_cols: list[str]
+    sum_exprs: dict[str, str] = field(default_factory=dict)
+    source_id: str = "stream-view"
 
 
 def stream_feed_into_table(
@@ -26,11 +45,13 @@ def stream_feed_into_table(
     stream_id: str = "stream",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    views: list[ViewSpec] | None = None,
 ):
     """Run the feed directory through the pipeline as a stream; returns the
     StreamingQuery (caller awaits termination). available_now=True drains
     everything currently in the directory then stops (test/replay mode);
-    False runs continuously."""
+    False runs continuously. ``views`` chains incremental aggregate-view
+    maintenance after each batch (see ViewSpec)."""
     reader = (
         spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger or 16)
@@ -45,6 +66,18 @@ def stream_feed_into_table(
         pipeline.apply_batch(
             batch_df, batch_id=f"{stream_id}-e{epoch_id:06d}", prune=True
         )
+        if views:
+            from kf_etl_clin_portal_spark.lake.ivm import maintain_agg
+
+            for v in views:
+                maintain_agg(
+                    spark,
+                    pipeline.table,
+                    v.pipe,
+                    v.group_cols,
+                    v.sum_exprs,
+                    source_id=v.source_id,
+                )
 
     writer = reader.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -69,3 +69,60 @@ def test_stream_resume_after_checkpoint_continues(spark, tmp_path):
     events.write.parquet(full_dir)
     report = verify_parity(pipe.current(), full_dir)
     assert report["ok"], report
+
+
+def test_stream_maintains_ivm_view(spark, tmp_path):
+    """A ViewSpec chained into the stream: after the drain the maintained
+    aggregate equals a from-scratch GROUP BY over the table's live state,
+    and a restart with more feed files keeps it consistent (fence + cursor
+    heal re-delivery)."""
+    from kf_etl_clin_portal_spark.lake.ivm import agg_view
+    from kf_etl_clin_portal_spark.streaming.micro_batch import ViewSpec
+
+    events = generate_change_events(spark, 4_000, seed=17)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, events.where(F.col("seq") <= 2_000), feed_dir, n_files=3)
+
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4,
+                       merge_strategy="mor")
+    view = CDCPipeline(spark, str(tmp_path / "view"), key_cols=("lang",),
+                       num_buckets=2, merge_strategy="mor")
+    spec = ViewSpec(pipe=view, group_cols=["lang"],
+                    sum_exprs={"b": "length(content)"}, source_id="sv")
+
+    def recompute():
+        return {
+            (r["lang"], r["n"], r["s"])
+            for r in pipe.current().groupBy("lang").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.length("content").cast("double")).alias("s"),
+            ).collect()
+        }
+
+    def view_rows():
+        return {
+            (r["lang"], r["n"], r["sum_b"])
+            for r in agg_view(view).select("lang", "n", "sum_b").collect()
+        }
+
+    schema = spark.read.parquet(feed_dir).schema
+    q = stream_feed_into_table(
+        spark, feed_dir, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="sv",
+        max_files_per_trigger=1, views=[spec],
+    )
+    q.awaitTermination(300)
+    assert view_rows() == recompute()
+
+    # more files land; same checkpoint — only the delta is processed and
+    # the view follows (updates + deletes included)
+    events.where(F.col("seq") > 2_000).repartition(2).write.mode("append").parquet(feed_dir)
+    q = stream_feed_into_table(
+        spark, feed_dir, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="sv",
+        max_files_per_trigger=1, views=[spec],
+    )
+    q.awaitTermination(300)
+    assert view_rows() == recompute()
+    report = verify_parity(pipe.current(), feed_dir)
+    assert report["ok"], report
