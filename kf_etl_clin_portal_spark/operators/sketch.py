@@ -1,0 +1,75 @@
+"""Mergeable HyperLogLog distinct-count sketches (Apache DataSketches via
+Spark's hll_* functions).
+
+Exact count-distinct is a full shuffle of every distinct value per group —
+at 10^10 rows per day, a "distinct users per repo per day, and per repo
+all-time" question recounts the world on every widening. Sketches change
+the algebra: a per-(group, day) sketch is a few KB, re-aggregates to any
+coarser grouping with `hll_union_agg` (register-wise max — associative,
+commutative, idempotent), and the estimate is deterministic given lgK, so
+merge-of-parts equals sketch-of-whole EXACTLY, not approximately — the
+property the tests pin.
+
+This is the pattern the reference's prepared layer would need at scale:
+materialize fine-grained sketch rollups once, answer every coarser
+distinct-count from metadata-sized state. Idempotent re-merge also means a
+sketch column can live in an IVM-style view under APPEND-ONLY sources
+(inserts only refine the registers); HLL registers cannot retract, so
+updates/deletes need a rescan — which is why `lake/ivm.py` deliberately
+doesn't offer it and this stays a rollup-layer operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SKETCH_SUFFIX = "_hll"
+ESTIMATE_SUFFIX = "_approx_distinct"
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_cols: list[str],
+    lgk: int = 12,
+    keep_sketch: bool = True,
+) -> DataFrame:
+    """Per-group HLL sketches (binary, mergeable) + their estimates for each
+    of ``distinct_cols``. lgK=12 → ~1.6% relative standard error, 4 KB max
+    per sketch. Keep the sketch columns (default) if coarser re-aggregation
+    via `hll_merge` is ever needed; estimates alone are a dead end."""
+    aggs = []
+    for c in distinct_cols:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(f"{c}{SKETCH_SUFFIX}"))
+    out = df.groupBy(*group_cols).agg(*aggs)
+    for c in distinct_cols:
+        out = out.withColumn(
+            f"{c}{ESTIMATE_SUFFIX}",
+            F.hll_sketch_estimate(F.col(f"{c}{SKETCH_SUFFIX}")),
+        )
+    if not keep_sketch:
+        out = out.drop(*[f"{c}{SKETCH_SUFFIX}" for c in distinct_cols])
+    return out
+
+
+def hll_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-aggregate sketch rows to a coarser grouping (possibly empty =
+    grand total) by register-wise union — no raw data touched. Input is the
+    output of `hll_rollup` (or a union of several); ``sketch_cols`` default
+    to every ``*_hll`` column."""
+    cols = sketch_cols or [c for c in sketches.columns if c.endswith(SKETCH_SUFFIX)]
+    if not cols:
+        raise ValueError("no *_hll sketch columns to merge")
+    aggs = [F.hll_union_agg(F.col(c)).alias(c) for c in cols]
+    out = sketches.groupBy(*group_cols).agg(*aggs) if group_cols else sketches.agg(*aggs)
+    for c in cols:
+        base = c[: -len(SKETCH_SUFFIX)]
+        out = out.withColumn(
+            f"{base}{ESTIMATE_SUFFIX}", F.hll_sketch_estimate(F.col(c))
+        )
+    return out

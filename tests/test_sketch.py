@@ -1,0 +1,63 @@
+"""HLL sketch rollups (operators/sketch.py): accuracy envelope vs exact
+count-distinct, and the mergeability law — union of partial sketches gives
+EXACTLY the same estimate as one sketch over the whole (same registers)."""
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.sketch import hll_merge, hll_rollup
+
+
+def _data(spark):
+    # 40k rows, 8 groups, per-group distinct users known exactly
+    return spark.range(40_000).select(
+        (F.pmod(F.col("id"), F.lit(8))).alias("g"),
+        F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(5_000)).cast("string")).alias("user"),
+        (F.pmod(F.col("id"), F.lit(4))).alias("day"),
+    )
+
+
+def test_estimates_within_hll_error_envelope(spark):
+    df = _data(spark)
+    got = {
+        r["g"]: r["user_approx_distinct"]
+        for r in hll_rollup(df, ["g"], ["user"], lgk=12).collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("user").alias("n")).collect()
+    }
+    assert set(got) == set(want)
+    for g, n in want.items():
+        # lgK=12 → RSE ≈ 1.04/sqrt(4096) ≈ 1.6%; 5 sigma is a safe pin
+        assert abs(got[g] - n) <= max(0.08 * n, 5), (g, got[g], n)
+
+
+def test_merge_of_parts_equals_sketch_of_whole(spark):
+    df = _data(spark)
+    fine = hll_rollup(df, ["g", "day"], ["user"], lgk=12)
+    merged = {
+        r["g"]: r["user_approx_distinct"]
+        for r in hll_merge(fine, ["g"]).collect()
+    }
+    whole = {
+        r["g"]: r["user_approx_distinct"]
+        for r in hll_rollup(df, ["g"], ["user"], lgk=12).collect()
+    }
+    assert merged == whole  # register-wise: exact equality, not approx
+
+    # grand total from the per-(g, day) sketches, no raw data re-touched
+    total = hll_merge(fine, []).collect()[0]["user_approx_distinct"]
+    exact = df.select("user").distinct().count()
+    assert abs(total - exact) <= 0.08 * exact
+
+
+def test_merge_is_idempotent_under_reoffer(spark):
+    """Unioning the same sketch rows twice must not inflate the estimate —
+    the property that makes sketch columns safe under replayed rollup
+    batches (append-only sources)."""
+    df = _data(spark)
+    fine = hll_rollup(df, ["g", "day"], ["user"], lgk=12)
+    doubled = fine.unionByName(fine)
+    a = {r["g"]: r["user_approx_distinct"] for r in hll_merge(fine, ["g"]).collect()}
+    b = {r["g"]: r["user_approx_distinct"] for r in hll_merge(doubled, ["g"]).collect()}
+    assert a == b
