@@ -69,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--changes-since", type=int, default=None,
                     help="after replay, report the change-data-feed row count "
                          "committed after this table version (MoR tables)")
+    ap.add_argument("--zorder", default=None, metavar="COL[,COL...]",
+                    help="after replay/compaction, rewrite the table "
+                         "Z-order-clustered on these columns (multi-column "
+                         "zone-map file skipping)")
+    ap.add_argument("--view", default=None,
+                    metavar="ROOT:GROUP[,GROUP...][:NAME=EXPR[;NAME=EXPR...]]",
+                    help="maintain an incremental aggregate view at ROOT "
+                         "grouped by GROUP cols (requires --merge-strategy "
+                         "mor); optional sums as NAME=sql_expr pairs, e.g. "
+                         "/tmp/v:lang:bytes=length(content)")
     args = ap.parse_args(argv)
 
     from kf_etl_clin_portal_spark.cdc.events import generate_change_events
@@ -151,6 +161,30 @@ def main(argv: list[str] | None = None) -> int:
         report["orphans"] = pipe.remove_orphans(
             grace_secs=args.remove_orphans_grace
         )
+    if args.view:
+        from kf_etl_clin_portal_spark.lake.ivm import maintain_agg
+
+        parts = args.view.split(":")
+        if len(parts) < 2:
+            ap.error("--view needs ROOT:GROUP[,GROUP...][:NAME=EXPR;...]")
+        vroot, groups = parts[0], [g for g in parts[1].split(",") if g]
+        sums = {}
+        if len(parts) > 2 and parts[2]:
+            for pair in parts[2].split(";"):
+                name, expr = pair.split("=", 1)
+                sums[name] = expr
+        vpipe = CDCPipeline(
+            spark, vroot, key_cols=tuple(groups),
+            num_buckets=max(args.buckets // 4, 1), merge_strategy="mor",
+        )
+        report["view"] = maintain_agg(
+            spark, pipe.table, vpipe, groups, sums, source_id=args.feed_id
+        )
+    if args.zorder:
+        from kf_etl_clin_portal_spark.lake.load import zorder_buckets
+
+        cols = [c for c in args.zorder.split(",") if c]
+        report["zorder_version"] = zorder_buckets(spark, pipe.table, cols)
     if args.verify:
         from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
         rep = verify_parity(pipe.current(), args.feed)
