@@ -133,3 +133,65 @@ def test_running_total_matches_sequential_fold(spark, sizes, nparts):
     for i, s in rows:
         acc += s
         assert out[i] == acc
+
+
+ivm_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),          # key id (collisions)
+        st.sampled_from(["g1", "g2", "g3"]),            # group (moves happen)
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # value
+        st.booleans(),                                   # delete?
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ivm_events, cut=st.integers(min_value=1, max_value=39))
+def test_ivm_equals_pandas_recompute_spec(spark, rows, cut, tmp_path_factory):
+    """Incremental view maintenance over ANY event sequence, split at an
+    arbitrary batch boundary with a poll after each batch, equals an
+    independent pandas fold: latest event per key (seq order), live rows
+    grouped, SQL NULL-sum semantics."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.ivm import agg_view, maintain_agg
+
+    tmp = tmp_path_factory.mktemp("ivm_prop")
+    events = [
+        (i + 1, "delete" if d else "upsert", f"k{k}", "p", f"c{i}", g, "",
+         float(v) if v is not None else None)
+        for i, (k, g, v, d) in enumerate(rows)
+    ]
+    schema = ("seq long, op string, repo string, path string, commit string, "
+              "lang string, content string, value double")
+    cut = min(cut, len(events) - 1)
+    src = CDCPipeline(spark, str(tmp / "src"), num_buckets=2, merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp / "view"), key_cols=("lang",),
+                      num_buckets=2, merge_strategy="mor")
+    for i, chunk in enumerate((events[:cut], events[cut:])):
+        if not chunk:
+            continue
+        src.apply_batch(spark.createDataFrame(chunk, schema), batch_id=f"b{i}")
+        maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"}, source_id="p")
+
+    got = {
+        r["lang"]: (r["n"], r["sum_v"])
+        for r in agg_view(dst).select("lang", "n", "sum_v").collect()
+    }
+
+    # pandas spec: fold in seq order → final per-key state → group
+    state: dict = {}
+    for seq, op, repo, path, _c, lang, _t, v in events:
+        state[(repo, path)] = (op, lang, v)
+    spec: dict = {}
+    for op, lang, v in state.values():
+        if op == "delete":
+            continue
+        n, s, nn = spec.get(lang, (0, 0.0, 0))
+        spec[lang] = (n + 1, s + (v or 0.0), nn + (v is not None))
+    want = {
+        lang: (n, s if nn else None) for lang, (n, s, nn) in spec.items()
+    }
+    assert got == want
