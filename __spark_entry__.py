@@ -857,6 +857,21 @@ def q_event_window_hits(spark, sf):
     return out.select("user_id", "click_id", "purchase_id", "t", "s", "e")
 
 
+def q_table_profile(spark, sf):
+    """One-pass table profiler (`operators/profile.py`): per-column
+    rows/nulls/exact-distinct/min/max/mean over orders, value-gated against
+    a per-column DuckDB recompute. Means rounded to 4 decimals on both
+    sides (partial-aggregation order differs between engines at the
+    1e-12 level)."""
+    from kf_etl_clin_portal_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return profile_table(orders, cols, exact=True).withColumn(
+        "mean", F.round(F.col("mean"), 4)
+    )
+
+
 def q_zorder_curve(spark, sf):
     """Z-order (Morton) curve values (`functions/zorder.py:zvalue`) over two
     orders columns with pinned bounds — the clustering key `lake/load.py:
@@ -936,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_event_rollup": q_ivm_event_rollup,
         "zorder_curve": q_zorder_curve,
         "event_window_hits": q_event_window_hits,
+        "table_profile": q_table_profile,
     }
 
 
@@ -955,6 +971,28 @@ def oracle_sql() -> dict[str, str]:
     h60_id = OSQL.h60_sql("CAST(vec_id AS VARCHAR)")
     cell_cos = OSQL.cosine_exact_sql("e.v", "cent.cv")
     return {
+        "table_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", '{dt}' AS dtype,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str,
+                   {mean} AS mean
+            FROM orders
+            """
+            for c, dt, mean in [
+                ("o_orderkey", "bigint",
+                 "round(CAST(sum(CAST(o_orderkey AS DOUBLE)) AS DOUBLE) / count(o_orderkey), 4)"),
+                ("o_custkey", "bigint",
+                 "round(CAST(sum(CAST(o_custkey AS DOUBLE)) AS DOUBLE) / count(o_custkey), 4)"),
+                ("o_orderstatus", "string", "CAST(NULL AS DOUBLE)"),
+                ("o_totalprice", "double",
+                 "round(CAST(sum(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) / count(o_totalprice), 4)"),
+                ("o_orderpriority", "string", "CAST(NULL AS DOUBLE)"),
+            ]
+        ),
         "event_window_hits": """
             WITH pts AS (
               SELECT user_id, event_id AS click_id,

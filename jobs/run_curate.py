@@ -1,0 +1,87 @@
+"""spark-submit entrypoint: curate a document corpus into training shards.
+
+The LLM-data face of the engine as a deployable job — quality/language
+filter → exact dedup → MinHash-LSH near-dup removal → token-budget shard
+packing (`operators/curate.py`), writing shards as parquet partitioned by
+``shard_id`` so a downstream trainer reads one directory per shard.
+
+Cluster usage::
+
+    cd <repo> && zip -qr /tmp/engine.zip kf_etl_clin_portal_spark
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/run_curate.py --docs s3://.../documents --out s3://.../shards \
+        --min-quality 0.3 --langs en --shard-budget 1000000
+
+Local smoke::
+
+    SPARK_GRAFT_MASTER='local[8]' python jobs/run_curate.py \
+        --docs /root/testdata/sf0.01/documents.parquet --out /tmp/shards
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output root for shard parquet")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language-ID whitelist (default: keep all)")
+    ap.add_argument("--near-dup-agreement", type=float, default=0.9,
+                    help="MinHash signature agreement above which a pair is a near-dup")
+    ap.add_argument("--shard-budget", type=int, default=100_000,
+                    help="tokens per shard")
+    args = ap.parse_args(argv)
+
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kf_etl_clin_portal_spark.operators.curate import curate_corpus
+    from kf_etl_clin_portal_spark.session import build_session
+
+    spark = build_session(
+        app_name="curate",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "inherit"),
+    )
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    curated = curate_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_quality=args.min_quality,
+        langs=args.langs.split(",") if args.langs else None,
+        near_dup_min_agreement=args.near_dup_agreement,
+        shard_budget=args.shard_budget,
+    )
+    # one directory per shard; shards are token-contiguous by construction
+    curated.write.mode("overwrite").partitionBy("shard_id").parquet(args.out)
+
+    out = spark.read.parquet(args.out)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.countDistinct("shard_id").alias("shards"),
+    ).collect()[0]
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_out": stats["docs"],
+        "dropped": n_in - stats["docs"],
+        "tokens": stats["tokens"],
+        "shards": stats["shards"],
+        "shard_budget": args.shard_budget,
+        "out": args.out,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""One-pass table profiling: per-column stats as rows.
+
+The operational first step of any ingest ("what is in this table?"):
+row/null/distinct counts, min/max, mean per column, computed in a SINGLE
+aggregation over the data — one job, no per-column scans. The reference
+has no profiler; its operators assume schemas are already known-good.
+
+Distinct counts default to approx_count_distinct (HLL, single pass, no
+shuffle amplification). ``exact=True`` switches to exact countDistinct —
+Spark plans multiple distinct aggregates via an Expand (data duplicated
+once per distinct column), so exact mode on a wide table multiplies the
+map-side volume by #columns: fine for gate/audit runs, wrong as a default
+at 100 TB.
+
+min/max are emitted as strings so heterogeneous column types share one
+output schema; mean is NULL for non-numeric columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("n_null", T.LongType()),
+    T.StructField("n_distinct", T.LongType()),
+    T.StructField("min_str", T.StringType()),
+    T.StructField("max_str", T.StringType()),
+    T.StructField("mean", T.DoubleType()),
+])
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """One row per profiled column. ``cols`` defaults to every column of a
+    profilable (orderable) type; nested/array/map/binary columns are
+    profiled for counts/nulls only (no min/max/distinct)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    names = cols or list(fields)
+    missing = [c for c in names if c not in fields]
+    if missing:
+        raise ValueError(f"no such column(s): {missing}")
+
+    def orderable(dt) -> bool:
+        return not isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        dt = fields[c]
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__null_{c}"))
+        if orderable(dt):
+            distinct = (
+                F.count_distinct(col) if exact else F.approx_count_distinct(col)
+            )
+            aggs.append(distinct.cast("long").alias(f"__nd_{c}"))
+            aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.avg(col.cast("double")).alias(f"__mean_{c}"))
+
+    row = df.agg(*aggs).collect()[0]  # ONE job; result is one row
+    out = []
+    for c in names:
+        dt = fields[c]
+        out.append((
+            c,
+            dt.simpleString(),
+            row["__n"],
+            row[f"__null_{c}"] or 0,
+            row[f"__nd_{c}"] if orderable(dt) else None,
+            row[f"__min_{c}"] if orderable(dt) else None,
+            row[f"__max_{c}"] if orderable(dt) else None,
+            row[f"__mean_{c}"] if isinstance(dt, _NUMERIC) else None,
+        ))
+    return df.sparkSession.createDataFrame(out, _SCHEMA)

@@ -1,0 +1,47 @@
+"""Table profiler (operators/profile.py): exact stats vs hand-computed,
+nested columns counts-only, approx mode sanity, error handling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.profile import profile_table
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 2.5, ["x"]),
+            (2, "b", None, []),
+            (3, None, 7.5, None),
+            (3, "a", 10.0, ["y", "z"]),
+        ],
+        "id long, s string, v double, arr array<string>",
+    )
+
+
+def test_exact_profile_matches_hand_computation(spark):
+    prof = {r["column"]: r.asDict() for r in profile_table(_df(spark), exact=True).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_null"] == 0
+    assert prof["id"]["n_distinct"] == 3
+    assert (prof["id"]["min_str"], prof["id"]["max_str"]) == ("1", "3")
+    assert prof["id"]["mean"] == pytest.approx(2.25)
+    assert prof["s"]["n_null"] == 1
+    assert prof["s"]["n_distinct"] == 2  # NULL not counted
+    assert prof["s"]["mean"] is None
+    assert prof["v"]["n_null"] == 1
+    assert prof["v"]["mean"] == pytest.approx(20.0 / 3)
+    # nested column: counts only
+    assert prof["arr"]["n_null"] == 1
+    assert prof["arr"]["n_distinct"] is None
+    assert prof["arr"]["min_str"] is None
+
+
+def test_approx_mode_and_missing_column(spark):
+    df = spark.range(10_000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(500)).alias("u")
+    )
+    prof = {r["column"]: r for r in profile_table(df, ["u"]).collect()}
+    assert abs(prof["u"]["n_distinct"] - 500) <= 50  # HLL envelope
+    with pytest.raises(ValueError, match="no such column"):
+        profile_table(df, ["nope"])
