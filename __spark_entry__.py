@@ -857,6 +857,18 @@ def q_event_window_hits(spark, sf):
     return out.select("user_id", "click_id", "purchase_id", "t", "s", "e")
 
 
+def q_dup_components(spark, sf):
+    """Connected components (`operators/components.py`) over the MinHash-LSH
+    near-dup pair graph: the exact duplicate-CLUSTER resolution (chains
+    a-b-c collapse to one component) — hash-to-min + pointer jumping, log
+    depth, checked against a recursive-CTE min-reachable-label oracle built
+    on the already-gated LSH pair SQL."""
+    from kf_etl_clin_portal_spark.operators.components import connected_components
+
+    pairs = minhash_near_dups(_t(spark, sf, "documents"), min_agreement=0.3)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 def q_table_profile(spark, sf):
     """One-pass table profiler (`operators/profile.py`): per-column
     rows/nulls/exact-distinct/min/max/mean over orders, value-gated against
@@ -952,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": q_zorder_curve,
         "event_window_hits": q_event_window_hits,
         "table_profile": q_table_profile,
+        "dup_components": q_dup_components,
     }
 
 
@@ -970,7 +983,7 @@ def oracle_sql() -> dict[str, str]:
     lsh_bucket = OSQL.hyperplane_bucket_sql("v", dim=64, n_planes=3, seed=42)
     h60_id = OSQL.h60_sql("CAST(vec_id AS VARCHAR)")
     cell_cos = OSQL.cosine_exact_sql("e.v", "cent.cv")
-    return {
+    out = {
         "table_profile": " UNION ALL ".join(
             f"""
             SELECT '{c}' AS "column", '{dt}' AS dtype,
@@ -1506,3 +1519,19 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1, 2
         """,
     }
+    # components oracle: recursive min-reachable-label fixpoint over the
+    # SAME pair SQL the minhash_lsh_pairs gate already proves bit-identical
+    out["dup_components"] = f"""
+        WITH RECURSIVE
+        edges AS (SELECT id_a, id_b FROM ({out["minhash_lsh_pairs"]})),
+        nodes AS (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges),
+        sym AS (SELECT id_a AS u, id_b AS v FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+        )
+        SELECT node, min(r) AS comp FROM reach GROUP BY node
+    """
+    return out

@@ -1,0 +1,104 @@
+"""Connected components over an edge list — log-depth, no driver graph.
+
+The exact-semantics companion to LSH near-dup pairs: a near-dup pair list
+is an undirected graph whose components are the duplicate CLUSTERS; keeping
+exactly one doc per cluster (and never over-dropping across chains a-b-c)
+needs components, not pairs — the step `operators/curate.py`'s survivor
+policy deliberately approximates and defers to this operator.
+
+Algorithm: hash-to-min label propagation with pointer jumping —
+
+    L(v) ← min(L(v), min over neighbors u of L(u))   (one join + hash agg)
+    L(v) ← L(L(v))                                    (one self-join)
+
+per round, fixpoint-detected by a changed-label count. Propagation alone
+needs O(diameter) rounds; the pointer-jump compresses label chains so
+convergence is O(log n) rounds — the same doubling discipline as
+`operators/closure.py` (reference's 10-level self-join chain, done in log
+depth). Each round is two shuffles, all hash aggregations; per-round
+localCheckpoint keeps lineage flat exactly as in closure.py. No
+`.collect()` of anything but the per-round change count.
+
+Component id = min node id in the component (deterministic, replicable by
+a recursive-CTE oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id reachable. Isolated nodes (no edges) don't appear — union
+    them in as singletons if the caller tracks them separately."""
+    both = edges.select(F.col(a_col).alias("__u"), F.col(b_col).alias("__v")).unionByName(
+        edges.select(F.col(b_col).alias("__u"), F.col(a_col).alias("__v"))
+    )
+    # nodes BEFORE the self-loop filter: a node whose only edge is (v, v)
+    # is still a (singleton) component
+    labels = (
+        both.select(F.col("__u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        both.where(F.col("__u") != F.col("__v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("__v"), F.col("comp").alias("__nc")),
+                on="__v",
+            )
+            .groupBy(F.col("__u").alias("node"))
+            .agg(F.min("__nc").alias("__m"))
+        )
+        prop = labels.join(nbr_min, on="node", how="left").select(
+            "node", F.least(F.col("comp"), F.coalesce(F.col("__m"), F.col("comp"))).alias("comp")
+        )
+        # pointer jump: comp ← label(comp); compresses chains to log depth
+        jumped = prop.join(
+            prop.select(F.col("node").alias("comp"), F.col("comp").alias("__cc")),
+            on="comp",
+            how="left",
+        ).select("node", F.coalesce(F.col("__cc"), F.col("comp")).alias("comp"))
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(
+                labels.select("node", F.col("comp").alias("__old")), on="node"
+            )
+            .where(F.col("comp") != F.col("__old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Exact near-dup cluster resolution: keep the min-id doc of every
+    duplicate component, all other docs in a component are dropped —
+    never over-drops across chains (a-b-c keeps exactly `a`). Docs in no
+    pair survive untouched."""
+    comp = connected_components(pairs, pair_a, pair_b)
+    losers = comp.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

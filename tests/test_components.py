@@ -1,0 +1,65 @@
+"""Connected components (operators/components.py): vs a python union-find
+oracle on random graphs, chain compression (log-depth), cluster dedup."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.operators.components import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min member
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["comp"] for r in connected_components(df, "a", "b").collect()}
+    assert got == _uf_oracle(edges)
+
+
+def test_chains_cycles_and_random_graphs(spark):
+    # long chain (worst case for pure propagation — doubling must handle it)
+    _check(spark, [(i, i + 1) for i in range(60)])
+    # cycle + separate clique + self-loop-ish duplicate edges
+    _check(spark, [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (10, 12), (5, 5), (0, 1)])
+    # random graphs
+    rng = random.Random(7)
+    for n, m in [(50, 30), (100, 120)]:
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        _check(spark, edges)
+
+
+def test_dedup_components_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} (chain), {5,6}; 3,4,7 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_components(docs, pairs).collect()
+    )
+    assert kept == [0, 3, 4, 5, 7]
