@@ -41,11 +41,18 @@ def curate_corpus(
     near_dup_min_agreement: float = 0.9,
     shard_budget: int = 100_000,
     minhash_kwargs: dict | None = None,
+    exact_clusters: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus with per-doc provenance columns:
     ``quality``, ``lang_pred``, ``n_dups`` (exact-dup group size this row
     survived), ``n_tokens``, ``cum_n_tokens``, ``shard_id``,
-    ``shard_offset``. Set ``langs=None`` to skip language filtering."""
+    ``shard_offset``. Set ``langs=None`` to skip language filtering.
+
+    ``exact_clusters=True`` replaces the drop-larger-id pair policy with
+    true connected-component resolution (`operators/components.py`): keep
+    exactly one doc per duplicate cluster, never over-drop across chains —
+    costs O(log n) extra rounds over the pair graph (tiny next to the
+    corpus), exact where the default is conservatively lossy."""
     scored = docs.withColumn("quality", TX.quality_score(F.col(text_col))).withColumn(
         "lang_pred", TX.lang_id(F.col(text_col))
     )
@@ -62,8 +69,13 @@ def curate_corpus(
         min_agreement=near_dup_min_agreement,
         **(minhash_kwargs or {}),
     )
-    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = deduped.join(drop_ids, on=id_col, how="left_anti")
+    if exact_clusters:
+        from kf_etl_clin_portal_spark.operators.components import dedup_components
+
+        survivors = dedup_components(deduped, pairs, id_col=id_col)
+    else:
+        drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = deduped.join(drop_ids, on=id_col, how="left_anti")
 
     sized = survivors.withColumn(
         "n_tokens", TX.n_tokens(F.col(text_col)).cast("long")

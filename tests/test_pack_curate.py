@@ -84,3 +84,29 @@ def test_curate_corpus_end_to_end(spark, sf_dir):
     total = out.agg(F.sum("n_tokens")).first()[0]
     max_shard = out.agg(F.max("shard_id")).first()[0]
     assert max_shard <= total // 5_000
+
+
+def test_curate_exact_clusters_resolves_shared_neighbor(spark):
+    """Pairs {(a,c),(b,c)} are ONE duplicate cluster: the default
+    drop-larger-of-every-pair policy keeps {a, b} (it never links a to b),
+    exact_clusters keeps only the cluster min `a`."""
+    # texts engineered to minhash-agree: a/b/c identical, d distinct and long
+    dup = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [("a", dup), ("b", dup), ("c", dup),
+         ("d", "completely different content about distributed systems "
+               "and storage engines with many unique words " * 5)],
+        "doc_id string, text string",
+    )
+    kw = dict(min_quality=0.0, langs=None, near_dup_min_agreement=0.5,
+              shard_budget=10_000)
+    # identical texts collapse in EXACT dedup first; make them near-identical
+    docs = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail-"), F.col("doc_id"))
+    )
+    default_ids = {r["doc_id"] for r in curate_corpus(docs, **kw).collect()}
+    exact_ids = {r["doc_id"] for r in
+                 curate_corpus(docs, exact_clusters=True, **kw).collect()}
+    assert "d" in default_ids and "d" in exact_ids
+    assert exact_ids <= default_ids
+    assert len(exact_ids - {"d"}) == 1  # exactly one survivor per cluster

@@ -137,6 +137,21 @@ def main():
     print("== lsh bucket guard ==")
     print("\n".join(l for l in p.splitlines() if "Window" in l or "Broadcast" in l)[:600])
 
+    # 8b. interval join: bin-bucketed equi candidates, never a pure
+    #     BroadcastNestedLoopJoin (the range predicate rides an equi join)
+    p = plan_of(E.q_event_window_hits(spark, sf))
+    if "BroadcastNestedLoopJoin" in p:
+        problems.append("event_window_hits: BNLJ — bin bucketing not in effect")
+    if "Join" not in p:
+        problems.append("event_window_hits: no join planned")
+    print("== interval join ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l))
+
+    # 8c. zvalue is pure codegen: no Python eval anywhere in the curve calc
+    p = plan_of(E.q_zorder_curve(spark, sf))
+    if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+        problems.append("zorder_curve: Python eval in the Morton expression")
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
