@@ -1,0 +1,100 @@
+"""Write-time CHECK constraints — the Delta `ALTER TABLE ADD CONSTRAINT` /
+expectations analog.
+
+A constraint is a table property ``constraint.<name> = <sql expr>``
+(managed through the versioned property evolution of
+`SnapshotTable.set_properties`, so constraints appear/disappear atomically
+in the commit log and older snapshots keep their contract). Every writer
+(MERGE CoW/MoR, overwrite, overwrite_where, append) evaluates ALL
+constraints over the incoming batch in ONE extra aggregation job — O(batch,
+never table), pure codegen expressions — and rejects the whole batch with
+per-constraint violation counts before any file is written. A table with
+no constraints pays nothing (metadata check only).
+
+SQL CHECK semantics: a row violates only when the expression evaluates to
+FALSE — NULL passes (use ``x IS NOT NULL`` to forbid nulls explicitly).
+Tombstone rows are exempt: a delete carries no payload to validate.
+
+``add_constraint`` optionally validates the CURRENT table state first
+(one scan) so a new contract can't be added over already-dirty data —
+the Delta ADD CONSTRAINT behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PREFIX = "constraint."
+
+
+class ConstraintViolation(Exception):
+    """Batch (or existing data) fails one or more CHECK constraints."""
+
+
+def table_constraints(table) -> dict[str, str]:
+    return {
+        k[len(PREFIX):]: v
+        for k, v in table.state["properties"].items()
+        if k.startswith(PREFIX) and v
+    }
+
+
+def _violation_counts(
+    df: DataFrame, constraints: dict[str, str], tombstone_col: str = "is_deleted"
+) -> dict[str, int]:
+    if tombstone_col in df.columns:
+        df = df.where(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+    aggs = [
+        # violation == expr IS FALSE (NULL passes, per SQL CHECK)
+        F.sum(F.expr(expr).eqNullSafe(F.lit(False)).cast("long")).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]  # one job, all constraints at once
+    return {n: int(row[n] or 0) for n in constraints}
+
+
+def enforce_constraints(df: DataFrame, table, what: str = "batch") -> None:
+    """Raise ConstraintViolation if any live row of ``df`` fails any of the
+    table's constraints; no-op (no job) for tables without constraints."""
+    cons = table_constraints(table)
+    if not cons:
+        return
+    bad = {n: c for n, c in _violation_counts(df, cons).items() if c}
+    if bad:
+        detail = "; ".join(
+            f"{n!r} ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items())
+        )
+        raise ConstraintViolation(
+            f"{what} rejected — CHECK constraint violation(s): {detail}"
+        )
+
+
+def add_constraint(
+    spark: SparkSession,
+    table,
+    name: str,
+    expr: str,
+    validate: bool = True,
+) -> None:
+    """Register ``constraint.<name> = expr`` on the table (versioned,
+    metadata-only commit). With ``validate=True`` (default) the CURRENT
+    live state is scanned first and the constraint is refused if existing
+    rows already violate it."""
+    if validate:
+        from kf_etl_clin_portal_spark.lake.merge import read_merged
+
+        bad = _violation_counts(read_merged(spark, table), {name: expr})[name]
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r} ({expr}): "
+                f"{bad} existing row(s) already violate it"
+            )
+    table.set_properties({f"{PREFIX}{name}": expr})
+
+
+def drop_constraint(table, name: str) -> None:
+    """Remove a constraint (versioned property update; empty value = gone —
+    `table_constraints` ignores empties, matching `set_properties`'s
+    merge-only update semantics)."""
+    table.set_properties({f"{PREFIX}{name}": ""})

@@ -52,7 +52,14 @@ def _bucketed(
     widenable columns, null-fill missing ones) exactly like the MERGE path —
     otherwise extra columns would be silently dropped by readers and
     re-typed ones would commit files diverging from the registered schema.
-    Genuinely new columns should go through MERGE's schema evolution."""
+    Genuinely new columns should go through MERGE's schema evolution.
+
+    CHECK constraints are enforced here — the common funnel of every
+    non-MERGE ingest writer (overwrite / overwrite_where / append);
+    maintenance rewrites of already-committed rows don't re-validate."""
+    from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+
+    enforce_constraints(df, table, what="load batch")
     df = align_df(df, table.schema)
     key, n = table.key_cols, table.num_buckets
     out = df.repartition(n, *[F.col(c) for c in key]).withColumn(

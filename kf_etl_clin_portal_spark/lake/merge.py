@@ -107,6 +107,11 @@ def merge_batch(
             return MergeResult(skipped=True, batch_id=batch_id)
         basis = table.version
 
+        # 1b. CHECK constraints (no-op without any; one O(batch) job with)
+        from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+
+        enforce_constraints(batch, table, what=f"merge batch {batch_id!r}")
+
         # 2. schema evolution
         diff = schema_diff(table.schema, batch.schema)
         target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema
@@ -376,6 +381,9 @@ def merge_batch_mor(
     table.refresh()
     if batch_id is not None and table.is_batch_applied(batch_id):
         return MergeResult(skipped=True, batch_id=batch_id)
+    from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+
+    enforce_constraints(batch, table, what=f"merge batch {batch_id!r}")
     key_cols, num_buckets = table.key_cols, table.num_buckets
     diff = schema_diff(table.schema, batch.schema)
     target_schema = evolve_schema(table.schema, diff) if diff.changes_table else table.schema

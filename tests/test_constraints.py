@@ -1,0 +1,81 @@
+"""Write-time CHECK constraints (lake/constraints.py): rejection with
+per-constraint counts, SQL NULL semantics, tombstone exemption, versioned
+add/drop, validate-on-add, and enforcement across every writer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.constraints import (
+    ConstraintViolation,
+    add_constraint,
+    drop_constraint,
+    table_constraints,
+)
+from kf_etl_clin_portal_spark.lake.load import append, overwrite
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, repo string, path string, content string, value double"
+    )
+
+
+def _pipe(spark, root, strategy="mor"):
+    return CDCPipeline(spark, str(root), key_cols=("repo", "path"),
+                       num_buckets=2, merge_strategy=strategy)
+
+
+@pytest.mark.parametrize("strategy", ["mor", "union_agg"])
+def test_merge_rejects_violating_batch(spark, tmp_path, strategy):
+    pipe = _pipe(spark, tmp_path / strategy, strategy)
+    pipe.apply_batch(_batch(spark, [(1, "r", "a", "x", 1.0)]), batch_id="b0")
+    add_constraint(spark, pipe.table, "pos_value", "value > 0")
+    add_constraint(spark, pipe.table, "has_repo", "repo IS NOT NULL")
+
+    with pytest.raises(ConstraintViolation, match="pos_value.*2 row"):
+        pipe.apply_batch(
+            _batch(spark, [(2, "r", "b", "y", -1.0), (3, "r", "c", "z", -2.0)]),
+            batch_id="b1",
+        )
+    # nothing committed, fence unused
+    assert pipe.table.refresh().version == pipe.table.version
+    assert not pipe.table.is_batch_applied("b1")
+
+    # NULL passes (SQL CHECK), and a clean batch commits
+    pipe.apply_batch(_batch(spark, [(4, "r", "d", "w", None)]), batch_id="b2")
+    assert pipe.current().where(F.col("path") == "d").count() == 1
+
+    # tombstones are exempt: delete rows carry no payload to validate
+    deletes = _batch(spark, [(5, "r", "a", None, None)]).withColumn(
+        "is_deleted", F.lit(True)
+    )
+    pipe.apply_batch(deletes, batch_id="b3")
+    assert pipe.current().where(F.col("path") == "a").count() == 0
+
+
+def test_load_writers_enforce_and_drop_restores(spark, tmp_path):
+    df = _batch(spark, [(1, "r", "a", "x", 1.0)])
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), df.schema, key_cols=["repo", "path"], num_buckets=2,
+        properties={"constraint.pos": "value > 0"},
+    )
+    assert table_constraints(t) == {"pos": "value > 0"}
+    overwrite(spark, t, df)
+    with pytest.raises(ConstraintViolation, match="pos"):
+        append(spark, t, _batch(spark, [(2, "r", "b", "y", 0.0)]))
+    drop_constraint(t, "pos")
+    append(spark, t, _batch(spark, [(3, "r", "b", "y", 0.0)]))  # now fine
+    assert t.read(spark).count() == 2
+    # older snapshot still carries the constraint (versioned contract)
+    assert "constraint.pos" in t.state_at(1)["properties"]
+
+
+def test_add_constraint_validates_existing_state(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path / "t")
+    pipe.apply_batch(_batch(spark, [(1, "r", "a", "x", -5.0)]), batch_id="b0")
+    with pytest.raises(ConstraintViolation, match="already violate"):
+        add_constraint(spark, pipe.table, "pos", "value > 0")
+    add_constraint(spark, pipe.table, "pos", "value > 0", validate=False)
+    assert "pos" in table_constraints(pipe.table.refresh())
