@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--changes-since", type=int, default=None,
                     help="after replay, report the change-data-feed row count "
                          "committed after this table version (MoR tables)")
+    ap.add_argument("--constraint", action="append", default=None,
+                    metavar="NAME=SQL_EXPR",
+                    help="add a write-time CHECK constraint before the replay "
+                         "(repeatable); later batches violating it are "
+                         "rejected with counts")
     ap.add_argument("--zorder", default=None, metavar="COL[,COL...]",
                     help="after replay/compaction, rewrite the table "
                          "Z-order-clustered on these columns (multi-column "
@@ -115,6 +120,16 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.table, num_buckets=args.buckets,
         merge_strategy=args.merge_strategy,
     )
+
+    if args.constraint:
+        from kf_etl_clin_portal_spark.lake.constraints import add_constraint
+
+        # the table must exist to carry the contract; create it from the
+        # (prepared) feed schema so the very first batch is already gated
+        table = pipe.ensure_table(pipe.prepare_batch(feed_df).schema)
+        for spec in args.constraint:
+            name, expr = spec.split("=", 1)
+            add_constraint(spark, table, name.strip(), expr.strip())
 
     if args.mode == "stream":
         if not (args.checkpoint and args.feed):
