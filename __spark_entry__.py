@@ -832,6 +832,48 @@ def q_ivm_event_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_dml_correction(spark, sf):
+    """Row-level DML (`lake/dml.py`) end-to-end through a real lake: the
+    events WAL replays into a MoR table in 2 out-of-order micro-batches
+    (key user_id, seq event_id), then an out-of-band correction runs as
+    bucket-pruned CoW rewrites — DELETE WHERE value < 10 (SQL NULL keeps)
+    and UPDATE SET event_type='corrected' WHERE value >= 90 — folding the
+    touched buckets' MoR deltas in the same job. Result = final current
+    state; the oracle recomputes latest-per-user and applies the identical
+    delete/update in SQL."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.dml import delete_where, update_where
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="dml_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        for i in range(2):
+            pipe.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"dml-b{i}",
+            )
+        delete_where(spark, pipe.table, F.col("value") < 10, seq_col="seq")
+        update_where(
+            spark, pipe.table, {"event_type": "corrected"},
+            F.col("value") >= 90, seq_col="seq",
+        )
+        out = pipe.current().select(
+            "user_id", F.col("seq").alias("event_id"), "event_type", "value"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_event_window_hits(spark, sf):
     """Interval join (`operators/rangejoin.py`): clicks landing inside each
     purchase's [ts, ts + floor(value) seconds] window, per user — binned
@@ -961,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_purchase": q_event_asof_purchase,
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
+        "dml_correction": q_dml_correction,
         "zorder_curve": q_zorder_curve,
         "event_window_hits": q_event_window_hits,
         "table_profile": q_table_profile,
@@ -1041,6 +1084,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(fv) AS BIGINT) AS total,
                    CAST(sum(fv) AS DOUBLE) / count(fv) AS avg_v
             FROM fl GROUP BY event_type
+        """,
+        "dml_correction": """
+            WITH latest AS (
+              SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) rn
+                FROM events) WHERE rn = 1
+            ), kept AS (
+              SELECT * FROM latest WHERE NOT COALESCE(value < 10, FALSE)
+            )
+            SELECT user_id, event_id,
+                   CASE WHEN COALESCE(value >= 90, FALSE)
+                        THEN 'corrected' ELSE event_type END AS event_type,
+                   value
+            FROM kept
         """,
         "cdc_latest_state": """
             SELECT user_id, event_id, event_type, value, ts_str FROM (

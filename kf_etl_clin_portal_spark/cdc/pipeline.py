@@ -292,6 +292,24 @@ class CDCPipeline:
         return mirror_changes(self.spark, src, self, source_id=source_id,
                               strict=strict)
 
+    def delete_where(self, predicate, stats_filter: dict | None = None):
+        """Row-level ``DELETE FROM … WHERE`` — out-of-band correction as a
+        bucket-pruned CoW rewrite (tombstones carried, MoR deltas folded;
+        see `lake/dml.py`)."""
+        from kf_etl_clin_portal_spark.lake.dml import delete_where
+
+        return delete_where(self.spark, self.table, predicate,
+                            stats_filter=stats_filter, seq_col="seq")
+
+    def update_where(self, assignments: dict, predicate,
+                     stats_filter: dict | None = None):
+        """Row-level ``UPDATE … SET … WHERE`` (key columns not assignable;
+        CHECK constraints re-validated on post-images; see `lake/dml.py`)."""
+        from kf_etl_clin_portal_spark.lake.dml import update_where
+
+        return update_where(self.spark, self.table, assignments, predicate,
+                            stats_filter=stats_filter, seq_col="seq")
+
     def expire(self, keep_last: int = 1) -> dict:
         """Physically reclaim data files only old snapshots reference
         (ref targets kept). See SnapshotTable.expire_snapshots."""

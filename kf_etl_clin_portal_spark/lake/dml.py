@@ -1,0 +1,224 @@
+"""Row-level DML: ``DELETE FROM … WHERE`` / ``UPDATE … SET … WHERE`` —
+the Delta/Iceberg row-level-operations analog the reference lacks (its only
+correction path is a full staged re-export; `NormalizeClinicalETL.scala:29`
+replaces whole releases).
+
+Both operations are copy-on-write rewrites with bucket-level granularity,
+matching the engine's commit model:
+
+- **Scan** is pruned three ways before any row is touched: optional
+  ``stats_filter`` skips files from manifest zone maps alone (no I/O),
+  the predicate is pushed into the parquet scan (row-group + bloom
+  skipping), and only buckets that actually contain a matching LIVE row
+  are rewritten — a predicate touching 3 of 4096 buckets rewrites 3.
+- **MoR tables**: a touched bucket's delta files are folded into the
+  rewrite itself (per-key winner resolution — identical comparator to
+  `read_merged` — runs inside the same job), so DML doubles as targeted
+  compaction and never requires a prior full `compact_deltas`. Appending
+  DML as new delta rows instead is deliberately NOT offered: the engine
+  cannot invent `seq` values without racing the upstream CDC feed's own
+  sequence domain.
+- **Tombstones are carried, never matched**: DML sees the table's LIVE
+  state. Physically dropping a tombstone row would resurrect an older
+  re-offered event on replay; only `vacuum_tombstones` (seq-watermarked)
+  may remove them.
+- **Exactly-once/conflicts**: basis-version validated like every
+  bucket-replacing writer — a concurrent MERGE landing in a touched
+  bucket conflicts the commit and the DML recomputes on the fresh
+  snapshot (`retry_on_conflict`).
+- **Contract**: UPDATE post-images re-validate the table's CHECK
+  constraints; key columns are not assignable (a key rewrite is a
+  delete+insert through MERGE, where within-batch dedup and bucket
+  routing handle it honestly).
+
+Change-feed note: like every CoW commit, DML commits are strict-raise in
+`read_changes` — downstream mirrors/IVM must re-seed, which is the honest
+contract for out-of-band corrections (same as Delta CDF's
+`delta.enableChangeDataFeed` gap on non-CDF writers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.table import (
+    BUCKET_COL,
+    CommitConflict,
+    SnapshotTable,
+    bucket_expr,
+    retry_on_conflict,
+)
+
+TOMBSTONE_COL = "is_deleted"
+
+
+@dataclass(frozen=True)
+class DmlResult:
+    version: int  # table version after the operation (unchanged if no match)
+    n_matched: int  # live rows deleted / updated
+    buckets_rewritten: int
+    skipped: bool  # True when nothing matched → no commit was made
+
+
+def _live(df: DataFrame) -> F.Column:
+    if TOMBSTONE_COL in df.columns:
+        return ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    return F.lit(True)
+
+
+def _resolve_winners(df: DataFrame, table: SnapshotTable, seq_col: str) -> DataFrame:
+    """Per-key winner resolution over base ∪ delta rows of a bucket subset —
+    the `read_merged` comparator inlined so DML folds MoR deltas in the same
+    shuffle that computes the rewrite (keys never cross buckets, so a
+    bucket-subset resolution is exact)."""
+    from kf_etl_clin_portal_spark.lake.merge import _order_expr
+
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*table.key_cols)
+        .agg(F.max_by(row, _order_expr(seq_col, df.schema)).alias("__row"))
+        .select(F.col("__row.*"))
+    )
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    predicate,
+    transform,  # callable(state_df, match_col) -> rewritten df
+    operation: str,
+    stats_filter: dict | None,
+    seq_col: str,
+    validate=None,  # callable(state_df, match_col) -> None, pre-write checks
+) -> DmlResult:
+    def attempt() -> DmlResult:
+        table.refresh()
+        basis = table.version
+        has_deltas = any(f.get("kind") == "delta" for f in table.state["files"])
+        # --- find touched buckets + matched-row count (one agg job) -------
+        # With deltas present, file-level stats pruning is unsafe for
+        # detection: dropping the delta file that holds a key's winner
+        # would elect a stale matching row. Bucket granularity stays exact.
+        cand = table.read(spark, stats_filter=None if has_deltas else stats_filter)
+        if has_deltas:
+            cand = _resolve_winners(cand, table, seq_col)
+        cand = cand.withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets))
+        hit = cand.where(_live(cand) & F.coalesce(predicate, F.lit(False)))
+        m = hit.agg(
+            F.count(F.lit(1)).alias("n"), F.collect_set(BUCKET_COL).alias("buckets")
+        ).first()
+        n_matched = int(m["n"] or 0)
+        if n_matched == 0:
+            return DmlResult(basis, 0, 0, skipped=True)
+        touched = sorted(m["buckets"])
+
+        # --- rewrite ONLY the touched buckets ------------------------------
+        state = table.read(spark, buckets=touched)
+        if has_deltas:
+            state = _resolve_winners(state, table, seq_col)
+        # stamp the match BEFORE any transform: an UPDATE that rewrites a
+        # predicate column must not re-evaluate the predicate on post-images
+        state = state.withColumn("__match", _live(state) & F.coalesce(predicate, F.lit(False)))
+        match = F.col("__match")
+        if validate is not None:
+            validate(state, match)
+        out = transform(state, match).drop("__match").withColumn(
+            BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+        ).repartition(len(touched), F.col(BUCKET_COL))
+        new_files = table.write_data_files(out, table.state["current_schema_id"])
+        try:
+            commit = table.commit(
+                operation=operation,
+                new_files=new_files,
+                replaced_buckets=set(touched),
+                basis_version=basis,
+                lineage={
+                    "mode": operation,
+                    "n_matched": n_matched,
+                    "buckets_touched": len(touched),
+                    "deltas_folded": has_deltas,
+                },
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return DmlResult(commit.version, n_matched, len(touched), skipped=False)
+
+    return retry_on_conflict(attempt)
+
+
+def delete_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    predicate,
+    stats_filter: dict | None = None,
+    seq_col: str = "seq",
+) -> DmlResult:
+    """``DELETE FROM table WHERE predicate`` (a Column; NULL keeps the row,
+    per SQL ternary logic). Physically removes matching LIVE rows from the
+    touched buckets' new files; tombstone rows and non-matching rows are
+    carried over byte-for-byte. Old snapshots still serve the deleted rows
+    (time travel), `expire_snapshots` reclaims them."""
+
+    def transform(state: DataFrame, match) -> DataFrame:
+        return state.where(~match)
+
+    return _rewrite_where(
+        spark, table, predicate, transform, "delete_where", stats_filter, seq_col
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    assignments: dict,
+    predicate,
+    stats_filter: dict | None = None,
+    seq_col: str = "seq",
+) -> DmlResult:
+    """``UPDATE table SET col = expr, … WHERE predicate``.
+
+    ``assignments``: {column: Column | python literal}. Assigned values are
+    cast to the column's registered type (schema never drifts). Key columns
+    are not assignable — a key change moves the row's bucket and races the
+    MERGE uniqueness contract; route key rewrites through MERGE as
+    delete+insert. Post-images of matched rows re-validate the table's
+    CHECK constraints before any file lands."""
+    schema = table.refresh().schema
+    fields = {f.name: f for f in schema.fields}
+    bad = sorted(set(assignments) - set(fields))
+    if bad:
+        raise ValueError(f"unknown columns in SET: {bad}")
+    keyed = sorted(set(assignments) & set(table.key_cols))
+    if keyed:
+        raise ValueError(
+            f"key columns are not assignable (bucket membership would "
+            f"change): {keyed}; use MERGE delete+insert instead"
+        )
+    casted = {
+        c: (v if isinstance(v, Column) else F.lit(v)).cast(fields[c].dataType)
+        for c, v in assignments.items()
+    }
+
+    def transform(state: DataFrame, match) -> DataFrame:
+        return state.select(
+            *[
+                (F.when(match, casted[c]).otherwise(F.col(c)).alias(c)
+                 if c in casted else F.col(c))
+                for c in state.columns
+            ]
+        )
+
+    def validate(state: DataFrame, match) -> None:
+        from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+
+        post = transform(state, match).where(match)
+        enforce_constraints(post, table, what="update_where post-image")
+
+    return _rewrite_where(
+        spark, table, predicate, transform, "update_where", stats_filter,
+        seq_col, validate=validate,
+    )

@@ -1,0 +1,205 @@
+"""Row-level DML (lake/dml.py): DELETE WHERE / UPDATE SET WHERE.
+
+Covers: bucket-pruned rewrites (untouched buckets' files carried over by
+path), SQL NULL predicate semantics, no-op short-circuit (no commit),
+key-column assignment rejection, CHECK-constraint validation on UPDATE
+post-images, predicate-on-assigned-column (match computed pre-transform),
+MoR delta folding inside the DML rewrite (superseded rows never match;
+touched buckets come out compacted), tombstone preservation under DELETE,
+and time travel over deleted rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.constraints import (
+    ConstraintViolation,
+    add_constraint,
+)
+from kf_etl_clin_portal_spark.lake.dml import delete_where, update_where
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, repo string, path string, content string, value double"
+    )
+
+
+def _pipe(spark, root, strategy="union_agg", buckets=4):
+    return CDCPipeline(spark, str(root), key_cols=("repo", "path"),
+                       num_buckets=buckets, merge_strategy=strategy)
+
+
+SEED = [
+    (1, "r1", "a", "x", 1.0),
+    (2, "r1", "b", "y", -5.0),
+    (3, "r2", "c", "z", 10.0),
+    (4, "r2", "d", "w", None),
+    (5, "r3", "e", "v", -1.0),
+]
+
+
+def test_delete_where_cow_prunes_buckets_and_time_travels(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    t = pipe.table.refresh()
+    v_before = t.version
+    files_before = {f["path"]: f["bucket"] for f in t.state["files"]}
+
+    res = delete_where(spark, t, F.col("value") < 0)
+    assert not res.skipped and res.n_matched == 2
+    assert res.buckets_rewritten <= 2  # only buckets holding b / e
+
+    cur = pipe.current()
+    assert sorted(r["path"] for r in cur.collect()) == ["a", "c", "d"]
+    # NULL predicate result keeps the row (value=None on path d)
+    assert cur.where(F.col("path") == "d").count() == 1
+
+    # untouched buckets' files are carried over by path, not rewritten
+    t.refresh()
+    touched = {
+        files_before[p] for p in files_before
+        if p not in {f["path"] for f in t.state["files"]}
+    }
+    assert len(touched) == res.buckets_rewritten
+    kept = [f["path"] for f in t.state["files"] if f["bucket"] not in touched]
+    assert all(p in files_before for p in kept)
+
+    # time travel still serves the deleted rows
+    old = t.read(spark, version=v_before)
+    assert old.where(F.col("value") < 0).count() == 2
+
+
+def test_delete_no_match_makes_no_commit(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    t = pipe.table.refresh()
+    v = t.version
+    res = delete_where(spark, t, F.col("value") > 1e9)
+    assert res.skipped and res.n_matched == 0 and res.version == v
+    assert t.refresh().version == v
+
+
+def test_update_where_literal_and_expr(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    t = pipe.table.refresh()
+
+    res = update_where(
+        spark, t,
+        {"content": "REDACTED", "value": F.col("value") * 2},
+        F.col("repo") == "r1",
+    )
+    assert res.n_matched == 2
+    cur = {r["path"]: r for r in pipe.current().collect()}
+    assert cur["a"]["content"] == "REDACTED" and cur["a"]["value"] == 2.0
+    assert cur["b"]["content"] == "REDACTED" and cur["b"]["value"] == -10.0
+    assert cur["c"]["content"] == "z" and cur["c"]["value"] == 10.0
+    # schema never drifts: assigned literal was cast to the registered type
+    assert dict(pipe.current().dtypes)["value"] == "double"
+
+
+def test_update_rejects_key_and_unknown_columns(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    t = pipe.table.refresh()
+    with pytest.raises(ValueError, match="key columns"):
+        update_where(spark, t, {"repo": "rX"}, F.lit(True))
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, t, {"nope": 1}, F.lit(True))
+
+
+def test_update_post_image_respects_constraints(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, [(1, "r1", "a", "x", 1.0)]), batch_id="b0")
+    t = pipe.table.refresh()
+    add_constraint(spark, t, "pos_value", "value > 0")
+    v = t.refresh().version
+    with pytest.raises(ConstraintViolation, match="pos_value"):
+        update_where(spark, t, {"value": -9.0}, F.col("path") == "a")
+    assert t.refresh().version == v  # nothing committed
+    # a passing update still goes through
+    res = update_where(spark, t, {"value": 5.0}, F.col("path") == "a")
+    assert res.n_matched == 1
+    assert pipe.current().collect()[0]["value"] == 5.0
+
+
+def test_update_predicate_on_assigned_column(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    t = pipe.table.refresh()
+    # match is stamped BEFORE the transform: setting value=100 where
+    # value<0 must update exactly the 2 negative rows, not re-evaluate
+    res = update_where(spark, t, {"value": 100.0}, F.col("value") < 0)
+    assert res.n_matched == 2
+    vals = sorted(
+        r["value"] for r in pipe.current().where("value is not null").collect()
+    )
+    assert vals == [1.0, 10.0, 100.0, 100.0]
+
+
+def test_dml_on_mor_folds_deltas_and_ignores_superseded_rows(spark, tmp_path):
+    mor = _pipe(spark, tmp_path / "mor", strategy="mor")
+    cow = _pipe(spark, tmp_path / "cow", strategy="union_agg")
+    b0 = _batch(spark, SEED)
+    # path c superseded: old value 10.0 → new 7.0 in a later delta
+    b1 = _batch(spark, [(6, "r2", "c", "z2", 7.0), (7, "r4", "f", "u", 3.0)])
+    for p in (mor, cow):
+        p.apply_batch(b0, batch_id="b0")
+        p.apply_batch(b1, batch_id="b1")
+
+    # predicate matches the SUPERSEDED image of c (value=10) only: current
+    # state has c at 7.0, so nothing may be deleted
+    t = mor.table.refresh()
+    assert any(f.get("kind") == "delta" for f in t.state["files"])
+    res = delete_where(spark, t, F.col("value") == 10.0)
+    assert res.skipped and res.n_matched == 0
+
+    files_before = {f["path"]: f["bucket"] for f in mor.table.refresh().state["files"]}
+    for p in (mor, cow):
+        r = delete_where(spark, p.table.refresh(), F.col("value") < 0)
+        assert r.n_matched == 2
+        r2 = update_where(
+            spark, p.table.refresh(), {"content": F.upper("content")},
+            F.col("repo") == "r2",
+        )
+        assert r2.n_matched == 2  # c (superseded to 7.0) + d (NULL value)
+    a = mor.current().orderBy("repo", "path").collect()
+    b = cow.current().orderBy("repo", "path").collect()
+    assert a == b
+
+    # DML doubled as targeted compaction: every bucket the DML rewrote
+    # (its pre-DML files vanished) holds only base files now
+    t = mor.table.refresh()
+    after = {f["path"] for f in t.state["files"]}
+    replaced = {b for p, b in files_before.items() if p not in after}
+    assert replaced
+    assert not any(
+        f.get("kind") == "delta" and f["bucket"] in replaced
+        for f in t.state["files"]
+    )
+
+
+def test_delete_preserves_tombstones_against_replay(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, strategy="mor")
+    pipe.apply_batch(_batch(spark, [(1, "r1", "a", "x", 1.0),
+                                    (2, "r1", "b", "y", 2.0)]), batch_id="b0")
+    # CDC delete of key (r1, a) at seq 3
+    dels = _batch(spark, [(3, "r1", "a", None, None)]).withColumn(
+        "is_deleted", F.lit(True)
+    )
+    pipe.apply_batch(dels, batch_id="b1")
+    t = pipe.table.refresh()
+
+    # DML delete matching every live row: the tombstone row must be carried
+    res = delete_where(spark, t, F.lit(True))
+    assert res.n_matched == 1  # only b is live
+    assert pipe.current().count() == 0
+    raw = t.refresh().read(spark)
+    assert raw.where(F.col("is_deleted")).count() == 1  # tombstone intact
+
+    # an out-of-order re-offer of the OLD insert (seq 1 < tombstone seq 3)
+    # must not resurrect the key — exactly why DML never drops tombstones
+    pipe.apply_batch(_batch(spark, [(1, "r1", "a", "x", 1.0)]), batch_id="b2")
+    assert pipe.current().where(F.col("path") == "a").count() == 0
