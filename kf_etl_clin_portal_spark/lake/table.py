@@ -1182,6 +1182,79 @@ class SnapshotTable:
         )
         return spark.createDataFrame(rows, schema)
 
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Per-partition lineage: one row per data file of a snapshot —
+        the file's bucket (= hash partition), row count, bytes, kind
+        (base/delta), zone-map stats, AND the commit that added it
+        (version, snapshot id, batch id, source seq offset range) — the
+        Iceberg ``files`` metadata-table analog, at the granularity the
+        exactly-once audit needs: which source offsets landed in which
+        partition file, under which snapshot. Metadata-only (one pass over
+        the commit log, no data I/O); `manifest_df` is the per-commit
+        rollup of the same lineage."""
+        self.refresh()
+        top = self.version if version is None else version
+        st = self.state if version is None else self.state_at(version)
+        added: dict[str, dict[str, Any]] = {}
+        floor = st.get("expire_below", 0)
+        for v in range(floor, top + 1):
+            e = self._read_entry(v)
+            lin = e.get("lineage") or {}
+            info = {
+                "added_version": e["version"],
+                "added_snapshot_id": e["snapshot_id"],
+                "operation": e["operation"],
+                "batch_id": lin.get("batch_id"),
+                "seq_min": lin.get("seq_min"),
+                "seq_max": lin.get("seq_max"),
+            }
+            fs = e.get("new_files") if e.get("type") == "delta" else e.get("files")
+            for f in fs or []:
+                added[f["path"]] = info
+        rows = [
+            {
+                "path": f["path"],
+                "bucket": f["bucket"],
+                "kind": f.get("kind", "base"),
+                "rows": f.get("rows"),
+                "bytes": f.get("bytes"),
+                "schema_id": f["schema_id"],
+                "stats_json": json.dumps(f.get("stats"), sort_keys=True)
+                if f.get("stats") is not None
+                else None,
+                **added.get(
+                    f["path"],
+                    {
+                        "added_version": None,
+                        "added_snapshot_id": None,
+                        "operation": None,
+                        "batch_id": None,
+                        "seq_min": None,
+                        "seq_max": None,
+                    },
+                ),
+            }
+            for f in st["files"]
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("schema_id", T.IntegerType()),
+                T.StructField("stats_json", T.StringType()),
+                T.StructField("added_version", T.IntegerType()),
+                T.StructField("added_snapshot_id", T.StringType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("batch_id", T.StringType()),
+                T.StructField("seq_min", T.LongType()),
+                T.StructField("seq_max", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
 
 class BatchAlreadyApplied(Exception):
     """Raised when an epoch-fenced batch_id is committed twice (exactly-once)."""

@@ -291,3 +291,56 @@ def test_write_audit_publish_gates_release(spark, events_path, tmp_path):
     # consumers on the ref saw nothing until the audit finally passes
     pipe.publish_if(lambda df: df.count() > 0, ref="published")
     assert pipe.table.resolve_ref("published") > v_released
+
+
+# ------------------------------------------------------- per-file lineage
+def test_files_df_per_partition_lineage(spark, events_path, tmp_path):
+    """files_df: one row per data file, carrying the commit (version,
+    snapshot, batch id, seq offset range) that added it — the per-partition
+    lineage/manifest table. Metadata-only; must stay consistent across MoR
+    appends, compaction, and time travel."""
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), merge_strategy="mor")
+    ev = spark.read.parquet(events_path)
+    pipe.replay(ev, n_batches=3, feed_id="lin")
+    t = pipe.table.refresh()
+
+    fdf = t.files_df(spark)
+    rows = fdf.collect()
+    assert len(rows) == len(t.state["files"])
+    by_path = {r["path"]: r for r in rows}
+    # every live file is attributed to exactly the commit that added it
+    hist = {h["version"]: h for h in t.history()}
+    for r in rows:
+        assert r["added_version"] in hist
+        h = hist[r["added_version"]]
+        assert r["added_snapshot_id"] == h["snapshot_id"]
+        assert r["operation"] == h["operation"]
+        assert r["rows"] > 0 and r["bytes"] > 0
+    # delta files carry their batch's seq offset range
+    deltas = [r for r in rows if r["kind"] == "delta"]
+    assert deltas
+    for r in deltas:
+        assert r["batch_id"] is not None
+        assert r["seq_min"] is not None and r["seq_max"] >= r["seq_min"]
+    # rows roll up to the same totals the per-commit manifest reports
+    n_manifest = sum(
+        x["rows_written"] or 0
+        for x in t.manifest_df(spark).collect()
+        if x["operation"] in ("merge_mor",)
+    )
+    assert sum(r["rows"] for r in deltas) + sum(
+        r["rows"] for r in rows if r["kind"] != "delta"
+        and r["operation"] == "merge_mor"
+    ) == n_manifest
+
+    v_before = t.version
+    pipe.compact()
+    t.refresh()
+    after = {r["path"]: r for r in t.files_df(spark).collect()}
+    # compacted buckets' files are attributed to the compaction commit
+    fresh = [r for p, r in after.items() if p not in by_path]
+    assert fresh and all(r["added_version"] > v_before for r in fresh)
+    assert all(r["kind"] == "base" and r["batch_id"] is None for r in fresh)
+    # time travel: the pre-compaction snapshot still reports the old files
+    old = t.files_df(spark, version=v_before).collect()
+    assert {r["path"] for r in old} == set(by_path)
