@@ -99,6 +99,10 @@ def merge_batch(
     # merge recomputes from the fresh snapshot. Bounded: conflicts need a
     # concurrent bucket-replacing writer, which table maintenance runs
     # single-flighted; 3 recomputes covers any realistic interleaving.
+    import time
+
+    extra_lineage = dict(extra_lineage or {})
+    extra_lineage.setdefault("_t0", time.monotonic())
     last_exc: Exception | None = None
     for _ in range(3):
         table.refresh()
@@ -311,10 +315,28 @@ def _merge_join(
         latest.unpersist()
 
 
+def _throughput(extra_lineage: dict | None, n_events: int) -> dict:
+    """Fold the merge's wall clock into its lineage row: callers stamp
+    "_t0" (monotonic) at batch entry; the commit records wall_secs +
+    events_per_sec so the manifest table doubles as the stream's
+    throughput record (north-rule: lineage *plus throughput metrics* in
+    the checkpoint/manifest table)."""
+    import time
+
+    lin = dict(extra_lineage or {})
+    t0 = lin.pop("_t0", None)
+    if t0 is not None:
+        wall = max(time.monotonic() - t0, 1e-9)
+        lin["wall_secs"] = round(wall, 3)
+        lin["events_per_sec"] = round(n_events / wall)
+    return lin
+
+
 def _commit_merge(
     table, new_files, affected, diff, target_schema, batch_id,
     n_events, n_deletes, seq_min, seq_max, extra_lineage=None, basis=None,
 ) -> MergeResult:
+    extra_lineage = _throughput(extra_lineage, n_events)
     try:
         commit = table.commit(
             operation="merge",
@@ -378,6 +400,10 @@ def merge_batch_mor(
     max_by comparator over (seq, commit) picks the winner at read time);
     `tests` assert CoW and MoR replays produce byte-identical current state.
     """
+    import time
+
+    extra_lineage = dict(extra_lineage or {})
+    extra_lineage.setdefault("_t0", time.monotonic())
     table.refresh()
     if batch_id is not None and table.is_batch_applied(batch_id):
         return MergeResult(skipped=True, batch_id=batch_id)
@@ -458,7 +484,7 @@ def merge_batch_mor(
             "n_deletes": n_deletes,
             "buckets_touched": buckets_touched,
             "schema_evolved": diff.changes_table,
-            **(extra_lineage or {}),
+            **_throughput(extra_lineage, n_events),
         },
     )
     return MergeResult(

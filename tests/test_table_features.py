@@ -344,3 +344,26 @@ def test_files_df_per_partition_lineage(spark, events_path, tmp_path):
     # time travel: the pre-compaction snapshot still reports the old files
     old = t.files_df(spark, version=v_before).collect()
     assert {r["path"] for r in old} == set(by_path)
+
+
+def test_manifest_records_throughput(spark, events_path, tmp_path):
+    """Every merge commit's lineage carries wall_secs + events_per_sec —
+    the manifest doubles as the stream's throughput record."""
+    for strat in ("mor", "union_agg"):
+        pipe = CDCPipeline(spark, str(tmp_path / strat), merge_strategy=strat)
+        pipe.replay(spark.read.parquet(events_path), n_batches=2, feed_id="tp")
+        merges = [
+            r for r in pipe.table.manifest_df(spark).collect()
+            if r["operation"] in ("merge", "merge_mor")
+        ]
+        assert merges
+        for r in merges:
+            assert r["wall_secs"] and r["wall_secs"] > 0
+            assert r["events_per_sec"] and r["events_per_sec"] > 0
+            # wall_secs is rounded to ms in the lineage row; allow 1% slack
+            est = r["n_events"] / r["wall_secs"]
+            assert abs(r["events_per_sec"] - est) <= max(1.0, 0.01 * est)
+        # the internal "_t0" stamp never leaks into committed lineage
+        assert all(
+            "_t0" not in (h["lineage"] or {}) for h in pipe.table.history()
+        )
