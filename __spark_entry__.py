@@ -874,6 +874,81 @@ def q_dml_correction(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_merge_into_clauses(spark, sf):
+    """Conditional MERGE INTO (`lake/merge_into.py`) end-to-end through a
+    real MoR lake: target = latest event per user (2 out-of-order
+    micro-batches), source = per-user purchase rollup, half the rollup
+    shifted to unseen user ids. Clause cascade: matched & n_purch >= 5 →
+    DELETE; matched & sum_v > t.value → UPDATE; not matched → INSERT.
+    The oracle replays the identical cascade as SQL CASE over a FULL
+    OUTER JOIN of the latest state with the same rollup."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.merge_into import (
+        WhenMatchedDelete,
+        WhenMatchedUpdate,
+        WhenNotMatchedInsert,
+        merge_into,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    rollup = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purch"),
+            F.sum(F.floor("value").cast("long")).alias("sum_v"),
+            F.max("seq").alias("max_seq"),
+        )
+    )
+    src = rollup.where(F.pmod("user_id", F.lit(2)) == 0).unionByName(
+        rollup.where(F.pmod("user_id", F.lit(2)) == 1).withColumn(
+            "user_id", F.col("user_id") + F.lit(10_000_000)
+        )
+    ).select(
+        "user_id",
+        F.col("max_seq").alias("seq"),
+        F.lit("rollup").alias("event_type"),
+        F.col("sum_v").cast("double").alias("value"),
+        F.col("n_purch"),
+        F.col("sum_v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mi_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        for i in range(2):
+            pipe.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"mi-b{i}",
+            )
+        merge_into(spark, pipe.table, src, [
+            WhenMatchedDelete(condition=F.col("s.n_purch") >= 5),
+            WhenMatchedUpdate(
+                {"value": F.col("s.sum_v").cast("double"),
+                 "event_type": "merged"},
+                condition=F.col("s.sum_v") > F.col("t.value"),
+            ),
+            WhenNotMatchedInsert(
+                values={"event_type": "inserted",
+                        "value": F.col("s.sum_v").cast("double"),
+                        "seq": F.col("s.seq")},
+            ),
+        ], seq_col="seq")
+        out = pipe.current().select(
+            "user_id", F.col("seq").alias("event_id"), "event_type", "value"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_event_window_hits(spark, sf):
     """Interval join (`operators/rangejoin.py`): clicks landing inside each
     purchase's [ts, ts + floor(value) seconds] window, per user — binned
@@ -1004,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
         "dml_correction": q_dml_correction,
+        "merge_into_clauses": q_merge_into_clauses,
         "zorder_curve": q_zorder_curve,
         "event_window_hits": q_event_window_hits,
         "table_profile": q_table_profile,
@@ -1084,6 +1160,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(fv) AS BIGINT) AS total,
                    CAST(sum(fv) AS DOUBLE) / count(fv) AS avg_v
             FROM fl GROUP BY event_type
+        """,
+        "merge_into_clauses": """
+            WITH latest AS (
+              SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) rn
+                FROM events) WHERE rn = 1
+            ), ru AS (
+              SELECT user_id, count(*) AS n_purch,
+                     CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+                     max(event_id) AS max_seq
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            ), src AS (
+              SELECT user_id, n_purch, sum_v, max_seq FROM ru WHERE user_id % 2 = 0
+              UNION ALL
+              SELECT user_id + 10000000 AS user_id, n_purch, sum_v, max_seq
+              FROM ru WHERE user_id % 2 = 1
+            ), merged AS (
+              SELECT
+                COALESCE(t.user_id, s.user_id) AS user_id,
+                CASE WHEN t.user_id IS NULL THEN s.max_seq
+                     ELSE t.event_id END AS event_id,
+                CASE WHEN t.user_id IS NULL THEN 'inserted'
+                     WHEN s.user_id IS NOT NULL
+                          AND NOT COALESCE(s.n_purch >= 5, FALSE)
+                          AND COALESCE(s.sum_v > t.value, FALSE) THEN 'merged'
+                     ELSE t.event_type END AS event_type,
+                CASE WHEN t.user_id IS NULL THEN CAST(s.sum_v AS DOUBLE)
+                     WHEN s.user_id IS NOT NULL
+                          AND NOT COALESCE(s.n_purch >= 5, FALSE)
+                          AND COALESCE(s.sum_v > t.value, FALSE)
+                       THEN CAST(s.sum_v AS DOUBLE)
+                     ELSE t.value END AS value,
+                CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                          AND COALESCE(s.n_purch >= 5, FALSE)
+                     THEN 1 ELSE 0 END AS del
+              FROM latest t FULL JOIN src s ON t.user_id = s.user_id
+            )
+            SELECT user_id, event_id, event_type, value
+            FROM merged WHERE del = 0
         """,
         "dml_correction": """
             WITH latest AS (

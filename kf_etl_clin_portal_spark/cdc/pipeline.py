@@ -310,6 +310,15 @@ class CDCPipeline:
         return update_where(self.spark, self.table, assignments, predicate,
                             stats_filter=stats_filter, seq_col="seq")
 
+    def merge_into(self, source, clauses, on_duplicate: str = "error"):
+        """Conditional MERGE INTO with When* clauses (`lake/merge_into.py`)
+        — the set-oriented batch-reconciliation surface complementing the
+        streaming latest-by-seq MERGE."""
+        from kf_etl_clin_portal_spark.lake.merge_into import merge_into
+
+        return merge_into(self.spark, self.table, source, clauses,
+                          seq_col="seq", on_duplicate=on_duplicate)
+
     def expire(self, keep_last: int = 1) -> dict:
         """Physically reclaim data files only old snapshots reference
         (ref targets kept). See SnapshotTable.expire_snapshots."""

@@ -1,0 +1,392 @@
+"""General conditional MERGE INTO — the Delta/Iceberg `MERGE INTO target
+USING source ON key WHEN MATCHED [AND cond] THEN UPDATE/DELETE | WHEN NOT
+MATCHED [AND cond] THEN INSERT | WHEN NOT MATCHED BY SOURCE …` builder.
+
+The CDC pipeline's own MERGE (`lake/merge.py`) is the streaming hot path:
+latest-by-seq upsert semantics, one wide shuffle, no join against the
+target required. MERGE INTO is the complementary *set-oriented* surface a
+lake user reaches for in batch jobs: reconcile a correction table,
+apply a slowly-changing dimension feed with business conditions, or
+archive rows absent from a new extract — per-clause conditions decide
+row-by-row what happens, which latest-by-seq cannot express.
+
+Execution (scale discipline):
+- Touched buckets = buckets the SOURCE keys hash into (one agg over the
+  source, collect_set of ≤ num_buckets ints) — a 10-row correction table
+  against a 10^10-row target rewrites only the buckets those 10 keys live
+  in. `WHEN NOT MATCHED BY SOURCE` clauses inspect every target row by
+  definition, so their presence widens the rewrite to all buckets.
+- ONE shuffle per side: a full-outer hash join on the key with
+  `shuffle.partitions` pinned to `num_buckets`, so the exchange IS the
+  bucket layout and the file writer needs no second repartition.
+- MoR deltas of touched buckets are folded in the same job (per-key
+  winner resolution before the join — DML's discipline), so MERGE INTO
+  doubles as targeted compaction.
+- Clause cascade is a single codegen'd CASE ladder — no UDFs, no
+  per-clause passes.
+
+Semantics (ANSI/Delta):
+- Clause order matters: the FIRST clause of the matching family whose
+  condition holds wins; no clause holding leaves the row unchanged
+  (matched / by-source) or drops it (not-matched).
+- Several source rows hitting one target key is ambiguous: default
+  raises (the ANSI cardinality violation); ``on_duplicate="last_wins"``
+  pre-resolves the source by max ``seq_col`` for CDC-shaped feeds.
+- Conditions/assignments are Columns over the aliases ``s`` (source) and
+  ``t`` (target): ``F.col("s.value") > F.col("t.value")``.
+- Tombstoned keys are NOT "matched" (the key is logically absent); a
+  NOT MATCHED INSERT for such a key physically replaces the tombstone
+  row — an out-of-band correction consciously overriding the delete
+  marker (the batch fence still blocks whole-batch re-offers; a raw
+  re-offered pre-delete event with a lower seq loses to the inserted
+  row only if the inserted seq is higher — same contract as any insert).
+
+Exactly-once/conflicts: basis-validated bucket-replacing commit with
+conflict retry, like every writer in this lake.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.table import (
+    BUCKET_COL,
+    CommitConflict,
+    SnapshotTable,
+    bucket_expr,
+    retry_on_conflict,
+)
+
+TOMBSTONE_COL = "is_deleted"
+
+
+@dataclass(frozen=True)
+class WhenMatchedUpdate:
+    assignments: dict  # {target col: Column over s/t | literal}
+    condition: Column | None = None
+
+
+@dataclass(frozen=True)
+class WhenMatchedDelete:
+    condition: Column | None = None
+
+
+@dataclass(frozen=True)
+class WhenNotMatchedInsert:
+    values: dict | None = None  # None → insert the source row as-is
+    condition: Column | None = None
+
+
+@dataclass(frozen=True)
+class WhenNotMatchedBySourceUpdate:
+    assignments: dict
+    condition: Column | None = None
+
+
+@dataclass(frozen=True)
+class WhenNotMatchedBySourceDelete:
+    condition: Column | None = None
+
+
+@dataclass(frozen=True)
+class MergeIntoResult:
+    version: int
+    n_updated: int
+    n_deleted: int
+    n_inserted: int
+    buckets_rewritten: int
+    skipped: bool
+
+
+def _lit(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def merge_into(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: DataFrame,
+    clauses: list,
+    seq_col: str = "seq",
+    on_duplicate: str = "error",
+) -> MergeIntoResult:
+    """Apply ``clauses`` (When* dataclasses, order = priority) to ``table``
+    using ``source``, joined on the table's key columns."""
+    if not clauses:
+        raise ValueError("merge_into needs at least one WHEN clause")
+    matched = [c for c in clauses if isinstance(c, (WhenMatchedUpdate, WhenMatchedDelete))]
+    not_matched = [c for c in clauses if isinstance(c, WhenNotMatchedInsert)]
+    by_source = [
+        c for c in clauses
+        if isinstance(c, (WhenNotMatchedBySourceUpdate, WhenNotMatchedBySourceDelete))
+    ]
+    if len(matched) + len(not_matched) + len(by_source) != len(clauses):
+        raise ValueError("unknown clause type in clauses")
+    if on_duplicate not in ("error", "last_wins"):
+        raise ValueError("on_duplicate must be 'error' or 'last_wins'")
+
+    schema = table.refresh().schema
+    fields = {f.name: f for f in schema.fields}
+    key = table.key_cols
+    for c in clauses:
+        asg = getattr(c, "assignments", None)
+        if asg:
+            bad = sorted(set(asg) - set(fields))
+            if bad:
+                raise ValueError(f"unknown columns in SET: {bad}")
+            keyed = sorted(set(asg) & set(key))
+            if keyed:
+                raise ValueError(f"key columns are not assignable: {keyed}")
+        vals = getattr(c, "values", None)
+        if vals:
+            bad = sorted(set(vals) - set(fields))
+            if bad:
+                raise ValueError(f"unknown columns in INSERT values: {bad}")
+            keyed = sorted(set(vals) & set(key))
+            if keyed:
+                raise ValueError(
+                    f"insert keys always come from the source row; do not "
+                    f"assign them explicitly: {keyed}"
+                )
+
+    def _run(pinned: DataFrame) -> MergeIntoResult:
+        table.refresh()
+        basis = table.version
+        num_buckets = table.num_buckets
+        has_deltas = any(f.get("kind") == "delta" for f in table.state["files"])
+
+        # -------- source: ambiguity resolution + touched buckets ----------
+        src = pinned
+        src_bucket = bucket_expr(key, num_buckets)
+        stats = src.withColumn(BUCKET_COL, src_bucket).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in key]).alias("n_keys"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
+        ).first()
+        n_src = int(stats["n"] or 0)
+        if n_src == 0 and not by_source:
+            return MergeIntoResult(basis, 0, 0, 0, 0, skipped=True)
+        if n_src != int(stats["n_keys"] or 0):
+            if on_duplicate == "error":
+                raise ValueError(
+                    f"source has {n_src - stats['n_keys']} duplicate key row(s); "
+                    "MERGE is ambiguous (pass on_duplicate='last_wins' to "
+                    f"pre-resolve by max {seq_col!r})"
+                )
+            row = F.struct(*[F.col(c) for c in src.columns])
+            src = (
+                src.groupBy(*key)
+                .agg(F.max_by(row, F.col(seq_col)).alias("__row"))
+                .select(F.col("__row.*"))
+            )
+        touched = (
+            sorted(range(num_buckets)) if by_source else sorted(stats["buckets"] or [])
+        )
+
+        # -------- target: touched buckets, winners resolved ---------------
+        target = table.read(spark, buckets=touched)
+        if has_deltas:
+            from kf_etl_clin_portal_spark.lake.merge import _order_expr
+
+            row = F.struct(*[F.col(c) for c in target.columns])
+            target = (
+                target.groupBy(*key)
+                .agg(F.max_by(row, _order_expr(seq_col, target.schema)).alias("__row"))
+                .select(F.col("__row.*"))
+            )
+
+        # -------- ONE full-outer join; exchange == bucket layout ----------
+        # the source is joined RAW (not schema-aligned): clause conditions
+        # and assignments may reference source-only columns (s.n_purch of a
+        # rollup, s.reason of a correction feed); schema discipline is
+        # applied per-column at insert/update time instead
+        data_cols = [f.name for f in schema.fields]
+        src_cols = set(src.columns)
+        t = target.alias("t")
+        s = src.alias("s")
+        cond = None
+        for k in key:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            cond = c if cond is None else (cond & c)
+        old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
+        try:
+            j = t.join(s, cond, "full_outer")
+
+            # key presence must be tested on a column that's never null in
+            # an existing row: keys qualify (they're the identity)
+            t_present = None
+            s_present = None
+            for k in key:
+                tp = F.col(f"t.{k}").isNotNull()
+                sp = F.col(f"s.{k}").isNotNull()
+                t_present = tp if t_present is None else (t_present | tp)
+                s_present = sp if s_present is None else (s_present | sp)
+            t_live = t_present & ~F.coalesce(F.col(f"t.{TOMBSTONE_COL}"), F.lit(False)) \
+                if TOMBSTONE_COL in data_cols else t_present
+            is_matched = t_live & s_present
+            is_src_only = s_present & ~t_live  # tombstoned key == not matched
+            # by-source clauses see LIVE rows only: deleting/updating a
+            # tombstone row would forfeit its replay protection
+            is_tgt_only = t_live & ~s_present
+
+            def passthrough(c: str) -> Column:
+                return F.col(f"t.{c}")
+
+            def updated(asg: dict, c: str) -> Column:
+                if c in asg:
+                    return _lit(asg[c]).cast(fields[c].dataType)
+                return F.col(f"t.{c}")
+
+            def inserted(values: dict | None, c: str) -> Column:
+                if c in key:
+                    # the inserted row's identity is the source key, always
+                    return F.col(f"s.{c}").cast(fields[c].dataType)
+                if values is not None and c in values:
+                    return _lit(values[c]).cast(fields[c].dataType)
+                if c == TOMBSTONE_COL:
+                    # an inserted row is live; NULL here would vanish under
+                    # the standard `~is_deleted` current-state filter
+                    return F.lit(False)
+                if values is None and c in src_cols:
+                    return F.col(f"s.{c}").cast(fields[c].dataType)
+                return F.lit(None).cast(fields[c].dataType)
+
+            # CASE cascade per column + a keep/drop flag; sentinel action id
+            # lets us count updates/deletes/inserts in the same pass
+            def cascade(c: str) -> Column:
+                expr = F.col(f"t.{c}") if c in data_cols else F.lit(None)
+                # build from the LAST clause backwards so the first clause
+                # ends up outermost (first-match-wins)
+                chains = []
+                for cl in matched:
+                    cc = F.lit(True) if cl.condition is None else cl.condition
+                    if isinstance(cl, WhenMatchedUpdate):
+                        chains.append((is_matched & cc, updated(cl.assignments, c)))
+                    else:
+                        chains.append((is_matched & cc, F.lit(None)))  # deleted
+                for cl in not_matched:
+                    cc = F.lit(True) if cl.condition is None else cl.condition
+                    chains.append((is_src_only & cc, inserted(cl.values, c)))
+                for cl in by_source:
+                    cc = F.lit(True) if cl.condition is None else cl.condition
+                    if isinstance(cl, WhenNotMatchedBySourceUpdate):
+                        chains.append((is_tgt_only & cc, updated(cl.assignments, c)))
+                    else:
+                        chains.append((is_tgt_only & cc, F.lit(None)))
+                out = None
+                for when, val in chains:
+                    out = F.when(when, val) if out is None else out.when(when, val)
+                return (out.otherwise(expr) if out is not None else expr).alias(c)
+
+            def action() -> Column:
+                # 0 keep-unchanged, 1 update, 2 delete, 3 insert, 4 drop
+                chains = []
+                for cl in matched:
+                    cc = F.lit(True) if cl.condition is None else cl.condition
+                    chains.append(
+                        (is_matched & cc,
+                         F.lit(1 if isinstance(cl, WhenMatchedUpdate) else 2))
+                    )
+                for cl in not_matched:
+                    cc = F.lit(True) if cl.condition is None else cl.condition
+                    chains.append((is_src_only & cc, F.lit(3)))
+                for cl in by_source:
+                    cc = F.lit(True) if cl.condition is None else cl.condition
+                    chains.append(
+                        (is_tgt_only & cc,
+                         F.lit(1 if isinstance(cl, WhenNotMatchedBySourceUpdate) else 2))
+                    )
+                out = None
+                for when, val in chains:
+                    out = F.when(when, val) if out is None else out.when(when, val)
+                # default: drop only PURE source-only rows (no insert clause
+                # fired, nothing to keep); any physically-present target row
+                # — including a tombstone whose key the source mentions but
+                # no insert accepted — is carried unchanged
+                default = F.when(s_present & ~t_present, F.lit(4)).otherwise(F.lit(0))
+                return (out.otherwise(default) if out is not None else default).alias(
+                    "__action"
+                )
+
+            from pyspark.sql import Observation
+
+            resolved = j.select(*[cascade(c) for c in data_cols], action())
+
+            # contract check BEFORE any file lands: post-images of rows this
+            # merge writes anew (updates + inserts) must satisfy the table's
+            # CHECK constraints. One extra agg job over the join — and only
+            # when the table actually declares constraints.
+            from kf_etl_clin_portal_spark.lake.constraints import (
+                enforce_constraints,
+                table_constraints,
+            )
+
+            if table_constraints(table):
+                enforce_constraints(
+                    resolved.where(F.col("__action").isin(1, 3)).drop("__action"),
+                    table,
+                    what="merge_into post-image",
+                )
+
+            obs = Observation()
+            resolved = resolved.observe(
+                obs,
+                F.sum((F.col("__action") == 1).cast("long")).alias("n_upd"),
+                F.sum((F.col("__action") == 2).cast("long")).alias("n_del"),
+                F.sum((F.col("__action") == 3).cast("long")).alias("n_ins"),
+            )
+            out = (
+                resolved.where(~F.col("__action").isin(2, 4))
+                .drop("__action")
+                .withColumn(BUCKET_COL, bucket_expr(key, num_buckets))
+            )
+            new_files = table.write_data_files(out, table.state["current_schema_id"])
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+
+        got = obs.get
+        n_upd, n_del, n_ins = (int(got[k] or 0) for k in ("n_upd", "n_del", "n_ins"))
+        if n_upd + n_del + n_ins == 0:
+            table.discard_files(new_files)
+            return MergeIntoResult(basis, 0, 0, 0, 0, skipped=True)
+        try:
+            commit = table.commit(
+                operation="merge_into",
+                new_files=new_files,
+                replaced_buckets=set(touched),
+                basis_version=basis,
+                lineage={
+                    "mode": "merge_into",
+                    "n_updated": n_upd,
+                    "n_deleted": n_del,
+                    "n_inserted": n_ins,
+                    "buckets_touched": len(touched),
+                    "deltas_folded": has_deltas,
+                },
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return MergeIntoResult(
+            commit.version, n_upd, n_del, n_ins, len(touched), skipped=False
+        )
+
+    def attempt() -> MergeIntoResult:
+        # The source is evaluated by MULTIPLE jobs by design (bucket-stats
+        # pass → optional constraint pass → the join/write pass): pin ONE
+        # evaluation so a nondeterministic source (limit, sample, rand)
+        # is applied consistently — without this, the stats job can prune
+        # to buckets a different evaluation's rows don't hash into,
+        # silently dropping clauses. The source is MERGE's small side;
+        # persisting it is the discipline a broadcast would impose anyway.
+        pinned = source.persist()
+        try:
+            return _run(pinned)
+        finally:
+            pinned.unpersist()
+
+    return retry_on_conflict(attempt)

@@ -1,0 +1,200 @@
+"""Conditional MERGE INTO (lake/merge_into.py): clause cascade semantics,
+ANSI duplicate-source rejection, bucket pruning, tombstone discipline,
+MoR delta folding, and CHECK-constraint gating of post-images."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.constraints import (
+    ConstraintViolation,
+    add_constraint,
+)
+from kf_etl_clin_portal_spark.lake.merge_into import (
+    MergeIntoResult,
+    WhenMatchedDelete,
+    WhenMatchedUpdate,
+    WhenNotMatchedBySourceDelete,
+    WhenNotMatchedInsert,
+    merge_into,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, repo string, path string, content string, value double"
+    )
+
+
+def _pipe(spark, root, strategy="union_agg", buckets=4):
+    return CDCPipeline(spark, str(root), key_cols=("repo", "path"),
+                       num_buckets=buckets, merge_strategy=strategy)
+
+
+SEED = [
+    (1, "r1", "a", "x", 1.0),
+    (2, "r1", "b", "y", -5.0),
+    (3, "r2", "c", "z", 10.0),
+    (4, "r3", "e", "v", 2.0),
+]
+
+
+def test_clause_cascade_update_delete_insert(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    src = _batch(spark, [
+        (10, "r1", "a", "corrA", 100.0),   # matched, value>0 → update
+        (11, "r1", "b", "corrB", 200.0),   # matched, t.value<0 → delete
+        (12, "r9", "n", "newN", 7.0),      # not matched → insert as-is
+    ])
+    res = merge_into(spark, pipe.table, src, [
+        WhenMatchedDelete(condition=F.col("t.value") < 0),
+        WhenMatchedUpdate(
+            assignments={"content": F.col("s.content"), "value": F.col("s.value")}
+        ),
+        WhenNotMatchedInsert(),
+    ])
+    assert isinstance(res, MergeIntoResult)
+    assert (res.n_updated, res.n_deleted, res.n_inserted) == (1, 1, 1)
+    cur = {(r["repo"], r["path"]): r for r in pipe.current().collect()}
+    assert cur[("r1", "a")]["content"] == "corrA" and cur[("r1", "a")]["value"] == 100.0
+    assert ("r1", "b") not in cur
+    assert cur[("r9", "n")]["content"] == "newN" and cur[("r9", "n")]["seq"] == 12
+    # untouched rows intact
+    assert cur[("r2", "c")]["value"] == 10.0 and cur[("r3", "e")]["value"] == 2.0
+
+
+def test_first_matching_clause_wins(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    src = _batch(spark, [(10, "r2", "c", "ignored", 0.0)])
+    merge_into(spark, pipe.table, src, [
+        WhenMatchedUpdate({"content": "FIRST"}, condition=F.col("t.value") >= 10),
+        WhenMatchedUpdate({"content": "SECOND"}),
+    ])
+    row = pipe.current().where("path = 'c'").collect()[0]
+    assert row["content"] == "FIRST"
+
+
+def test_duplicate_source_keys_ansi_error_and_last_wins(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    dup = _batch(spark, [
+        (10, "r2", "c", "older", 1.0),
+        (20, "r2", "c", "newer", 2.0),
+    ])
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_into(spark, pipe.table, dup, [WhenMatchedUpdate({"content": F.col("s.content")})])
+    res = merge_into(
+        spark, pipe.table, dup,
+        [WhenMatchedUpdate({"content": F.col("s.content")})],
+        on_duplicate="last_wins",
+    )
+    assert res.n_updated == 1
+    assert pipe.current().where("path='c'").collect()[0]["content"] == "newer"
+
+
+def test_clause_validation(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    src = _batch(spark, [(9, "r1", "a", "q", 0.0)])
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(spark, pipe.table, src, [WhenMatchedUpdate({"repo": "x"})])
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into(spark, pipe.table, src, [WhenMatchedUpdate({"nope": 1})])
+    with pytest.raises(ValueError, match="WHEN clause"):
+        merge_into(spark, pipe.table, src, [])
+
+
+def test_tombstone_not_matched_insert_replaces_else_carried(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, strategy="mor")
+    pipe.apply_batch(_batch(spark, [(1, "r1", "a", "x", 1.0),
+                                    (2, "r1", "b", "y", 2.0)]), batch_id="b0")
+    dels = _batch(spark, [(5, "r1", "a", None, None),
+                          (6, "r1", "b", None, None)]).withColumn(
+        "is_deleted", F.lit(True))
+    pipe.apply_batch(dels, batch_id="b1")
+    assert pipe.current().count() == 0
+
+    # source mentions both dead keys; insert condition accepts only 'a'
+    src = _batch(spark, [(10, "r1", "a", "revived", 9.0),
+                         (11, "r1", "b", "rejected", 9.0)])
+    res = merge_into(spark, pipe.table, src, [
+        WhenMatchedUpdate({"content": "never"}),  # dead keys are NOT matched
+        WhenNotMatchedInsert(condition=F.col("s.path") == "a"),
+    ])
+    assert (res.n_updated, res.n_inserted) == (0, 1)
+    cur = pipe.current().collect()
+    assert len(cur) == 1 and cur[0]["path"] == "a" and cur[0]["content"] == "revived"
+    raw = pipe.table.refresh().read(spark)
+    # b's tombstone is carried (no insert fired → replay protection kept);
+    # a's was replaced by the live insert
+    tombs = {r["path"] for r in raw.where("is_deleted").collect()}
+    assert tombs == {"b"}
+
+
+def test_by_source_delete_archives_and_widens(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, SEED), batch_id="b0")
+    # new extract contains only r1/a and r2/c → everything else is deleted
+    src = _batch(spark, [(10, "r1", "a", "x", 1.0), (11, "r2", "c", "z", 10.0)])
+    res = merge_into(spark, pipe.table, src, [
+        WhenNotMatchedBySourceDelete(),
+    ])
+    assert res.n_deleted == 2
+    assert res.buckets_rewritten == pipe.table.num_buckets  # by-source = full scan
+    assert sorted(r["path"] for r in pipe.current().collect()) == ["a", "c"]
+
+
+def test_bucket_pruning_small_source(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, buckets=8)
+    rows = [(i, f"r{i % 7}", f"p{i}", "c", float(i)) for i in range(1, 200)]
+    pipe.apply_batch(_batch(spark, rows), batch_id="b0")
+    t = pipe.table.refresh()
+    before = {f["path"] for f in t.state["files"]}
+    src = _batch(spark, [(1000, "r1", "p1", "fix", 0.0)])
+    res = merge_into(spark, t, src, [WhenMatchedUpdate({"content": F.col("s.content")})])
+    assert res.n_updated == 1 and res.buckets_rewritten == 1
+    t.refresh()
+    after = {f["path"] for f in t.state["files"]}
+    # exactly one bucket's file was replaced; the rest carried by path
+    assert len(before - after) == 1 and len(after - before) == 1
+
+
+def test_mor_deltas_folded_and_superseded_rows_invisible(spark, tmp_path):
+    mor = _pipe(spark, tmp_path / "m", strategy="mor")
+    cow = _pipe(spark, tmp_path / "c", strategy="union_agg")
+    for p in (mor, cow):
+        p.apply_batch(_batch(spark, SEED), batch_id="b0")
+        p.apply_batch(_batch(spark, [(9, "r2", "c", "z9", 50.0)]), batch_id="b1")
+    # t.value=10 is the SUPERSEDED image of c; current is 50 → must update
+    clauses = [
+        WhenMatchedUpdate({"value": F.col("t.value") + 1},
+                          condition=F.col("t.value") >= 50),
+    ]
+    for p in (mor, cow):
+        r = merge_into(
+            spark, p.table.refresh(),
+            _batch(spark, [(10, "r2", "c", "q", 0.0)]), clauses,
+        )
+        assert r.n_updated == 1
+    assert (
+        mor.current().orderBy("repo", "path").collect()
+        == cow.current().orderBy("repo", "path").collect()
+    )
+    assert mor.current().where("path='c'").collect()[0]["value"] == 51.0
+
+
+def test_constraints_gate_post_images(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, [(1, "r1", "a", "x", 1.0)]), batch_id="b0")
+    t = pipe.table.refresh()
+    add_constraint(spark, t, "pos_value", "value > 0")
+    v = t.refresh().version
+    with pytest.raises(ConstraintViolation, match="pos_value"):
+        merge_into(spark, t, _batch(spark, [(9, "r9", "z", "bad", -1.0)]),
+                   [WhenNotMatchedInsert()])
+    assert t.refresh().version == v
+    res = merge_into(spark, t, _batch(spark, [(9, "r9", "z", "ok", 3.0)]),
+                     [WhenNotMatchedInsert()])
+    assert res.n_inserted == 1
