@@ -46,12 +46,23 @@ def stream_feed_into_table(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     views: list[ViewSpec] | None = None,
+    transform=None,
 ):
     """Run the feed directory through the pipeline as a stream; returns the
     StreamingQuery (caller awaits termination). available_now=True drains
     everything currently in the directory then stops (test/replay mode);
     False runs continuously. ``views`` chains incremental aggregate-view
-    maintenance after each batch (see ViewSpec)."""
+    maintenance after each batch (see ViewSpec).
+
+    ``transform``: optional ``callable(batch_df) -> DataFrame`` applied to
+    each micro-batch BEFORE the MERGE — the stream-static enrichment hook
+    (broadcast-join a dimension table, derive/normalize columns, drop junk
+    rows). Runs inside foreachBatch, so any DataFrame op is legal,
+    including joins against lake snapshots; keep dimension sides
+    broadcastable or pre-bucketed — the transform executes once per
+    micro-batch on the hot path. Schema changes it introduces flow through
+    MERGE's ordinary schema evolution; exactly-once is unaffected (the
+    epoch fence wraps the transformed batch)."""
     reader = (
         spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger or 16)
@@ -63,6 +74,8 @@ def stream_feed_into_table(
         # DataFrame.observe: QueryExecutionListener events never reach an
         # Observation from inside a foreachBatch callback (verified on
         # Spark 4.1), so obs.get would deadlock the stream.
+        if transform is not None:
+            batch_df = transform(batch_df)
         pipeline.apply_batch(
             batch_df, batch_id=f"{stream_id}-e{epoch_id:06d}", prune=True
         )

@@ -126,3 +126,52 @@ def test_stream_maintains_ivm_view(spark, tmp_path):
     assert view_rows() == recompute()
     report = verify_parity(pipe.current(), feed_dir)
     assert report["ok"], report
+
+
+def test_stream_transform_enriches_before_merge(spark, tmp_path):
+    """The transform hook: every micro-batch is broadcast-joined against a
+    static dimension (repo → org) and normalized BEFORE the MERGE; the
+    evolved column lands in the table, parity vs the transformed feed
+    holds, and exactly-once is untouched (same feed re-streamed with a
+    fresh checkpoint fences every batch)."""
+    events = generate_change_events(spark, 3_000, seed=17)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, events, feed_dir, n_files=4)
+
+    repos = [r["repo"] for r in events.select("repo").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(r, f"org_{hash(r) % 3}") for r in repos], "repo string, org string"
+    )
+
+    def enrich(batch):
+        return batch.join(F.broadcast(dim), on="repo", how="left").withColumn(
+            "org", F.coalesce(F.col("org"), F.lit("unknown"))
+        )
+
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=8)
+    q = stream_feed_into_table(
+        spark, feed_dir, spark.read.parquet(feed_dir).schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="tf",
+        max_files_per_trigger=2, transform=enrich,
+    )
+    q.awaitTermination(300)
+
+    cur = pipe.current()
+    assert "org" in cur.columns
+    assert cur.where(F.col("org").isNull()).count() == 0
+    # parity of the enriched state vs an enriched batch replay
+    expected_dir = str(tmp_path / "expected")
+    enrich(spark.read.parquet(feed_dir)).write.parquet(expected_dir)
+    report = verify_parity(cur, expected_dir)
+    assert report["ok"], report
+
+    # exactly-once: a second stream over the same feed (new checkpoint,
+    # same stream_id → same epoch batch ids) must fence everything
+    v = pipe.table.refresh().version
+    q2 = stream_feed_into_table(
+        spark, feed_dir, spark.read.parquet(feed_dir).schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt2"), stream_id="tf",
+        max_files_per_trigger=2, transform=enrich,
+    )
+    q2.awaitTermination(300)
+    assert pipe.table.refresh().version == v
