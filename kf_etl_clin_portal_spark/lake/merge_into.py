@@ -112,9 +112,14 @@ def merge_into(
     clauses: list,
     seq_col: str = "seq",
     on_duplicate: str = "error",
-) -> MergeIntoResult:
+    plan_only: bool = False,
+) -> "MergeIntoResult | DataFrame":
     """Apply ``clauses`` (When* dataclasses, order = priority) to ``table``
-    using ``source``, joined on the table's key columns."""
+    using ``source``, joined on the table's key columns.
+
+    ``plan_only=True`` returns the resolved output DataFrame WITHOUT
+    writing or committing — for `.explain` plan audits (the join strategy,
+    exchange count, and CASE cascade are all visible in that plan)."""
     if not clauses:
         raise ValueError("merge_into needs at least one WHEN clause")
     matched = [c for c in clauses if isinstance(c, (WhenMatchedUpdate, WhenMatchedDelete))]
@@ -344,6 +349,8 @@ def merge_into(
                 .drop("__action")
                 .withColumn(BUCKET_COL, bucket_expr(key, num_buckets))
             )
+            if plan_only:
+                return out
             new_files = table.write_data_files(out, table.state["current_schema_id"])
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)

@@ -152,6 +152,38 @@ def main():
     if "BatchEvalPython" in p or "ArrowEvalPython" in p:
         problems.append("zorder_curve: Python eval in the Morton expression")
 
+    # 8d. MERGE INTO: one hash-family join (SMJ/SHJ on the key), never a
+    #     BNLJ/cartesian, and the clause cascade stays JVM-side (pure CASE,
+    #     no Python eval)
+    from kf_etl_clin_portal_spark.lake.merge_into import (
+        WhenMatchedUpdate,
+        WhenNotMatchedInsert,
+        merge_into,
+    )
+
+    # the audit table is empty (only plans were built); source rows come
+    # from the generated feed — the plan shape is what's under test
+    mi_src = (
+        ev.select("repo", "path").distinct().limit(5)
+        .withColumn("seq", F.lit(10**9))
+    )
+    mi_out = merge_into(
+        spark, pipe.table, mi_src,
+        [WhenMatchedUpdate({"lang": F.lit("x")}), WhenNotMatchedInsert()],
+        plan_only=True,
+    )
+    p = plan_of(mi_out)
+    if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+        problems.append("merge_into: nested-loop/cartesian join planned")
+    if not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p):
+        problems.append("merge_into: no hash-family join planned")
+    if "FullOuter" not in p:
+        problems.append("merge_into: join is not full-outer")
+    if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+        problems.append("merge_into: Python eval in the clause cascade")
+    print("== merge_into join ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l))
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
