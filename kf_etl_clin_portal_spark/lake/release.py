@@ -1,0 +1,187 @@
+"""Atomic multi-table releases — the cross-table publish the reference
+performs as N independent ES alias swaps (`published/PublishUtils.scala:7-16`,
+`RunPublishClinical.scala:28-38`: one alias move per (jobType, study) index,
+each at-most-once, with no all-or-nothing story if the run dies midway).
+
+Here a *release* pins a set of tables to explicit snapshot versions and
+becomes visible in ONE filesystem rename:
+
+- ``cut(name, tables)`` records {alias → (root, version, snapshot_id)} at
+  each table's current version, sets a ``release-<name>`` ref on every
+  table (so `expire_snapshots` — which always retains ref targets — can
+  never reclaim a released snapshot), then writes
+  ``releases/<name>.json`` via tmp+rename. A crash mid-cut leaves stray
+  refs but NO manifest: the release does not exist; re-cutting heals.
+- ``publish(name)`` atomically repoints the ``CURRENT`` pointer file
+  (os.replace). Readers resolving through the pointer see the old release
+  or the new one — never a mix of tables from both.
+- ``read(spark, alias, release=None)`` reads the pinned snapshot via
+  ordinary time travel; later merges never leak into a released view.
+
+This is the Iceberg/Nessie "tag a consistent set of tables" pattern built
+on the engine's own snapshot refs + POSIX rename atomicity — no extra
+coordination service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+class ReleaseError(Exception):
+    pass
+
+
+def _data_fingerprint(state: dict[str, Any]) -> str:
+    """Content identity of a snapshot: the data file set + active schema.
+    Metadata-only commits (set_ref from an earlier cut, properties) do not
+    change it, so `diff` reports real data movement, not ref churn."""
+    import hashlib
+
+    files = sorted((f["path"], f.get("size", 0)) for f in state["files"])
+    payload = json.dumps([files, state.get("current_schema_id")], sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class ReleaseManager:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "releases"), exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _manifest_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ReleaseError(f"bad release name: {name!r}")
+        return os.path.join(self.root, "releases", f"{name}.json")
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    # ------------------------------------------------------------- write
+    def cut(self, name: str, tables: dict[str, SnapshotTable]) -> dict[str, Any]:
+        """Pin every table at its current version under release ``name``.
+        Refuses to overwrite an existing release (releases are immutable —
+        cut a new name instead)."""
+        path = self._manifest_path(name)
+        if os.path.exists(path):
+            raise ReleaseError(f"release {name!r} already exists (immutable)")
+        if not tables:
+            raise ReleaseError("a release needs at least one table")
+        entries: dict[str, Any] = {}
+        for alias, t in tables.items():
+            t.refresh()
+            v = t.version
+            # ref FIRST: from this commit on, expire_snapshots retains v.
+            # (Crash after some refs, before the manifest: stray refs, no
+            # release — harmless, re-cut overwrites them.)
+            t.set_ref(f"release-{name}", version=v)
+            entries[alias] = {
+                "root": t.root,
+                "version": v,
+                "snapshot_id": t.state_at(v)["snapshot_id"],
+                "fingerprint": _data_fingerprint(t.state_at(v)),
+            }
+        manifest = {"name": name, "tables": entries}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # the release exists from THIS instant
+        return manifest
+
+    def publish(self, name: str) -> None:
+        """Atomically make ``name`` the CURRENT release (one rename: readers
+        see the whole old set or the whole new set, never a mix)."""
+        if not os.path.exists(self._manifest_path(name)):
+            raise ReleaseError(f"unknown release {name!r}")
+        tmp = self._current_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, self._current_path)
+
+    def drop(self, name: str) -> None:
+        """Delete a release: remove its manifest first (it stops existing
+        atomically), then the per-table refs (releasing the snapshots back
+        to the expiry policy). CURRENT must not point at it."""
+        if self.current() == name:
+            raise ReleaseError(f"release {name!r} is CURRENT; publish another first")
+        m = self.manifest(name)
+        os.unlink(self._manifest_path(name))
+        for alias, e in m["tables"].items():
+            try:
+                SnapshotTable(e["root"]).drop_ref(f"release-{name}")
+            except (FileNotFoundError, ValueError):
+                pass  # table gone / ref already dropped — the manifest is the contract
+
+    # -------------------------------------------------------------- read
+    def current(self) -> str | None:
+        try:
+            with open(self._current_path) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def list(self) -> list[str]:
+        d = os.path.join(self.root, "releases")
+        return sorted(
+            fn[:-5] for fn in os.listdir(d) if fn.endswith(".json")
+        )
+
+    def manifest(self, name: str | None = None) -> dict[str, Any]:
+        name = name or self.current()
+        if name is None:
+            raise ReleaseError("no CURRENT release published")
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ReleaseError(f"unknown release {name!r}") from None
+
+    def read(
+        self, spark: SparkSession, alias: str, release: str | None = None,
+        seq_col: str = "seq",
+    ) -> DataFrame:
+        """The pinned LIVE state of ``alias`` under a release (default:
+        CURRENT): time-travel read at the pinned version, MoR winners
+        resolved, tombstones dropped — what `CDCPipeline.current()` shows,
+        frozen at release time."""
+        from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, read_merged
+
+        m = self.manifest(release)
+        if alias not in m["tables"]:
+            raise ReleaseError(f"release {m['name']!r} has no table {alias!r}")
+        e = m["tables"][alias]
+        t = SnapshotTable(e["root"])
+        df = read_merged(spark, t, seq_col=seq_col, version=e["version"])
+        if TOMBSTONE_COL in df.columns:
+            import pyspark.sql.functions as F
+
+            df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
+                TOMBSTONE_COL
+            )
+        return df
+
+    def diff(self, a: str, b: str) -> dict[str, Any]:
+        """Per-alias version movement between two releases (audit surface)."""
+        ma, mb = self.manifest(a), self.manifest(b)
+        out: dict[str, Any] = {}
+        for alias in sorted(set(ma["tables"]) | set(mb["tables"])):
+            ea, eb = ma["tables"].get(alias), mb["tables"].get(alias)
+
+            def _ident(e):  # data identity; version only for old manifests
+                if e is None:
+                    return None
+                return e.get("fingerprint", e["version"])
+
+            out[alias] = {
+                "from": ea and ea["version"],
+                "to": eb and eb["version"],
+                "changed": _ident(ea) != _ident(eb),
+            }
+        return out

@@ -216,7 +216,11 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
 
     refs = dict(state.get("refs", {}))
     if delta.get("refs_set"):
-        refs.update(delta["refs_set"])
+        for k, v in delta["refs_set"].items():
+            if v is None:  # ref deletion (drop_ref)
+                refs.pop(k, None)
+            else:
+                refs[k] = v
 
     props = dict(state["properties"])
     if delta.get("properties_set"):
@@ -498,6 +502,45 @@ class SnapshotTable:
             self._state, self._version = new_state, version_new
             self._maybe_checkpoint()
             return CommitInfo(version_new, snapshot_id, "publish", delta["lineage"])
+
+    def drop_ref(self, name: str) -> CommitInfo:
+        """Delete a named ref (metadata-only commit). The snapshot it
+        pointed at stays readable by version until `expire_snapshots`
+        reclaims it — dropping a ref releases the retention pin, nothing
+        else."""
+        self.refresh()
+        if name not in self.refs():
+            raise ValueError(f"no such ref: {name!r}")
+        for _ in range(20):
+            self.refresh()
+            st = self.state
+            version_new = self.version + 1
+            snapshot_id = uuid.uuid4().hex
+            ts = _now()
+            delta = {
+                "type": "delta",
+                "version": version_new,
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": st["snapshot_id"],
+                "ts": ts,
+                "operation": "drop_ref",
+                "refs_set": {name: None},
+                "lineage": {
+                    "operation": "drop_ref",
+                    "ref": name,
+                    "version": version_new,
+                    "snapshot_id": snapshot_id,
+                    "ts": ts,
+                },
+            }
+            new_state = _apply_delta(st, delta)
+            try:
+                self._write_log(delta, expected_version=version_new)
+            except FileExistsError:
+                continue
+            self._state, self._version = new_state, version_new
+            self._maybe_checkpoint()
+            return CommitInfo(version_new, snapshot_id, "drop_ref", delta["lineage"])
 
     def set_properties(self, props: dict[str, str]) -> CommitInfo:
         """Metadata-only property evolution (the `ALTER TABLE ... SET

@@ -1,0 +1,147 @@
+"""Atomic multi-table releases (lake/release.py) and ref deletion.
+
+The reference publishes a release as N independent ES alias swaps, one per
+(jobType, study) index (`published/PublishUtils.scala:7-16`,
+`RunPublishClinical.scala:28-38`) — no cross-index atomicity. Here a release
+pins a *set* of tables at explicit snapshot versions, becomes CURRENT in one
+rename, and its snapshots are expiry-proof via per-table refs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.release import ReleaseError, ReleaseManager
+
+
+def _counts(df):
+    return df.count()
+
+
+@pytest.fixture(scope="module")
+def two_tables(spark, tmp_path_factory):
+    """Two live CDC tables with different feeds, plus their feeds for later
+    advancement."""
+    root = tmp_path_factory.mktemp("rel")
+    feed_a = generate_change_events(spark, 4_000, seed=41)
+    feed_b = generate_change_events(spark, 3_000, seed=42)
+    pa = CDCPipeline(spark, str(root / "ta"), num_buckets=4)
+    pb = CDCPipeline(spark, str(root / "tb"), num_buckets=4, merge_strategy="mor")
+    pa.replay(feed_a, n_batches=2, feed_id="a")
+    pb.replay(feed_b, n_batches=2, feed_id="b")
+    return root, pa, pb, feed_a, feed_b
+
+
+def test_cut_publish_read_pins_versions(spark, two_tables, tmp_path):
+    root, pa, pb, feed_a, _ = two_tables
+    rm = ReleaseManager(str(tmp_path / "relroot"))
+    assert rm.current() is None
+
+    snap_a = {tuple(r) for r in pa.current().select("repo", "path", "seq").collect()}
+    m = rm.cut("r1", {"code": pa.table, "docs": pb.table})
+    assert set(m["tables"]) == {"code", "docs"}
+    # refs pinned on both tables
+    assert "release-r1" in pa.table.refresh().refs()
+    assert "release-r1" in pb.table.refresh().refs()
+
+    rm.publish("r1")
+    assert rm.current() == "r1"
+
+    # advance table A past the release; the released read must not move
+    more = generate_change_events(spark, 2_000, seed=43).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000)
+    )
+    pa.replay(more, n_batches=1, feed_id="a2")
+    assert pa.table.refresh().version > m["tables"]["code"]["version"]
+
+    pinned = {
+        tuple(r)
+        for r in rm.read(spark, "code").select("repo", "path", "seq").collect()
+    }
+    assert pinned == snap_a
+    live = {tuple(r) for r in pa.current().select("repo", "path", "seq").collect()}
+    assert live != snap_a  # the live table DID move
+
+    # a second release sees the new state; diff reports the movement
+    m2 = rm.cut("r2", {"code": pa.table, "docs": pb.table})
+    rm.publish("r2")
+    assert rm.current() == "r2"
+    moved = {
+        tuple(r)
+        for r in rm.read(spark, "code").select("repo", "path", "seq").collect()
+    }
+    assert moved == live
+    d = rm.diff("r1", "r2")
+    assert d["code"]["changed"] and not d["docs"]["changed"]
+    assert rm.list() == ["r1", "r2"]
+
+
+def test_releases_are_immutable_and_validated(spark, two_tables, tmp_path):
+    _, pa, _, _, _ = two_tables
+    rm = ReleaseManager(str(tmp_path / "relroot"))
+    rm.cut("v1", {"code": pa.table})
+    with pytest.raises(ReleaseError, match="immutable"):
+        rm.cut("v1", {"code": pa.table})
+    with pytest.raises(ReleaseError, match="unknown"):
+        rm.publish("nope")
+    with pytest.raises(ReleaseError, match="bad release name"):
+        rm.cut("../evil", {"code": pa.table})
+    with pytest.raises(ReleaseError, match="at least one"):
+        rm.cut("empty", {})
+    with pytest.raises(ReleaseError, match="no CURRENT"):
+        rm.manifest()
+
+
+def test_release_pins_survive_snapshot_expiry(spark, tmp_path):
+    """expire_snapshots always retains ref targets, so a released snapshot
+    stays readable no matter how far the table advances; dropping the
+    release releases the pin and the next expiry reclaims it."""
+    feed = generate_change_events(spark, 3_000, seed=44)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, feed_id="f")
+    rm = ReleaseManager(str(tmp_path / "rel"))
+    m = rm.cut("keep", {"code": pipe.table})
+    n_pinned = rm.read(spark, "code", release="keep").count()
+
+    # advance several CoW versions (each strands the replaced files)
+    for i in range(3):
+        more = generate_change_events(spark, 1_000, seed=50 + i).withColumn(
+            "seq", F.col("seq") + F.lit((i + 1) * 10_000_000)
+        )
+        pipe.replay(more, n_batches=1, feed_id=f"g{i}")
+    rep = pipe.table.expire_snapshots(keep_last=1)
+    # the released version is older than keep_last=1 yet still readable
+    assert rm.read(spark, "code", release="keep").count() == n_pinned
+
+    # drop the release: manifest gone, ref gone, expiry may now reclaim
+    rm.publish("keep")
+    with pytest.raises(ReleaseError, match="CURRENT"):
+        rm.drop("keep")
+    rm.cut("next", {"code": pipe.table})
+    rm.publish("next")
+    rm.drop("keep")
+    assert rm.list() == ["next"]
+    assert "release-keep" not in pipe.table.refresh().refs()
+    rep2 = pipe.table.expire_snapshots(keep_last=1)
+    assert rep2["expired_below"] > m["tables"]["code"]["version"]
+    with pytest.raises(ReleaseError, match="unknown"):
+        rm.read(spark, "code", release="keep")
+
+
+def test_drop_ref_commit_semantics(spark, tmp_path):
+    feed = generate_change_events(spark, 1_000, seed=45)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=2)
+    pipe.replay(feed, n_batches=1, feed_id="f")
+    t = pipe.table
+    t.set_ref("published")
+    v = t.refresh().version
+    assert "published" in t.refs()
+    info = t.drop_ref("published")
+    assert info.operation == "drop_ref" and info.version == v + 1
+    assert "published" not in t.refresh().refs()
+    # the commit is a metadata delta: data still readable, history intact
+    assert t.read(spark).count() > 0
+    assert "published" in t.state_at(v).get("refs", {})
+    with pytest.raises(ValueError, match="no such ref"):
+        t.drop_ref("published")
