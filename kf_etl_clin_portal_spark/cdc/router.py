@@ -1,0 +1,149 @@
+"""Fan out ONE change feed into N lake tables — the CDC-router analog of
+the reference's per-entity normalized tables (every FHIR resourceType gets
+its own Delta table, `config/.../ConfigurationGenerator.scala:49-69`;
+`fhavro-export` likewise exports one dataset per resource). The reference
+routes by running a *separate staged job per entity* over a pre-split raw
+layer; a binlog tail can't do that — one stream arrives interleaved, so
+the router splits each micro-batch in-flight.
+
+Design (scale + exactly-once):
+
+- **One pass to tag.** A single first-match-wins ``CASE`` over the route
+  predicates computes ``__route`` (pure codegen, no Python); the tagged
+  batch is persisted once and each route's MERGE filters its own slice
+  from cached blocks — the feed is scanned once per batch, not once per
+  table, and each table's merge shuffles only its own rows with its own
+  bucket pruning intact.
+- **Per-table fences ⇒ convergent all-or-nothing.** Each destination
+  applies the slice under the SAME batch_id against its OWN epoch fence.
+  A crash mid-fanout leaves a prefix of tables applied; re-offering the
+  batch (streaming retry, replay resume) fences the applied prefix as
+  no-ops and applies the rest — the batch monotonically converges to
+  applied-everywhere with no cross-table coordinator, the same way a
+  multi-topic Kafka consumer converges per-partition. (A reader wanting
+  a *consistent cross-table view* pins one with `lake/release.py` —
+  visibility atomicity is the release's job, not the writer's.)
+- **No silent row loss.** Unmatched rows are counted in the same tag
+  pass; policy is explicit: ``error`` (default), ``drop``, or a
+  catch-all default route.
+
+Predicates must be deterministic row functions (retries re-evaluate them;
+a ``rand()`` predicate would re-deal rows across tables on replay —
+exactly the ambiguity MERGE's pinned-source rule exists to prevent).
+
+``FanoutRouter.apply_batch(events, batch_id, prune=...)`` is signature-
+compatible with ``CDCPipeline.apply_batch``, so it drops straight into
+``streaming/micro_batch.py:stream_feed_into_table`` as the ``pipeline``:
+a Structured Streaming tail fans out with zero extra glue.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+_ROUTE_COL = "__route"
+
+
+@dataclass
+class Route:
+    name: str
+    pipeline: CDCPipeline
+    predicate: Column | str  # boolean expression over the event row
+
+
+class FanoutRouter:
+    def __init__(self, routes: list[Route], on_unmatched: str = "error"):
+        if not routes:
+            raise ValueError("FanoutRouter needs at least one route")
+        names = [r.name for r in routes]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate route names: {names}")
+        if on_unmatched not in ("error", "drop") and on_unmatched not in names:
+            raise ValueError(
+                "on_unmatched must be 'error', 'drop', or a route name; "
+                f"got {on_unmatched!r}"
+            )
+        self.routes = routes
+        self.on_unmatched = on_unmatched
+
+    # ------------------------------------------------------------- routing
+    def _tag(self, events: DataFrame) -> DataFrame:
+        """First-match-wins route tag as one codegen CASE — overlapping
+        predicates are therefore still a disjoint partition of the batch."""
+        expr = None
+        for r in self.routes:
+            pred = F.expr(r.predicate) if isinstance(r.predicate, str) else r.predicate
+            clause = F.when(pred, F.lit(r.name))
+            expr = clause if expr is None else expr.when(pred, F.lit(r.name))
+        default = (
+            F.lit(self.on_unmatched)
+            if self.on_unmatched not in ("error", "drop")
+            else F.lit(None).cast("string")
+        )
+        return events.withColumn(_ROUTE_COL, expr.otherwise(default))
+
+    # -------------------------------------------------------------- apply
+    def apply_batch(
+        self, events: DataFrame, batch_id: str, prune: bool | None = None
+    ) -> dict[str, Any]:
+        """Split ``events`` and MERGE each slice into its route's table
+        under ``batch_id``. Returns {route_name: MergeResult}. Safe to
+        re-offer: every destination fences independently."""
+        tagged = self._tag(events).persist()
+        try:
+            if self.on_unmatched == "error":
+                n_unmatched = tagged.where(F.col(_ROUTE_COL).isNull()).count()
+                if n_unmatched:
+                    sample = [
+                        r.asDict()
+                        for r in tagged.where(F.col(_ROUTE_COL).isNull())
+                        .drop(_ROUTE_COL)
+                        .limit(3)
+                        .collect()
+                    ]
+                    raise ValueError(
+                        f"{n_unmatched} event(s) matched no route "
+                        f"(on_unmatched='error'); sample: {sample}"
+                    )
+            results: dict[str, Any] = {}
+            # deterministic route order: a crash leaves a fenced PREFIX,
+            # so resume work is exactly the un-applied suffix
+            for r in self.routes:
+                slice_df = tagged.where(F.col(_ROUTE_COL) == r.name).drop(_ROUTE_COL)
+                results[r.name] = r.pipeline.apply_batch(
+                    slice_df, batch_id=batch_id, prune=prune
+                )
+            return results
+        finally:
+            tagged.unpersist()
+
+    # -------------------------------------------------------------- replay
+    def replay(
+        self,
+        events: DataFrame,
+        n_batches: int = 8,
+        feed_id: str = "fanout",
+        max_seq: int | None = None,
+        stop_after: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """Seq-chunked batch replay through the router (the fanout analog
+        of ``CDCPipeline.replay``); ``stop_after`` kills mid-stream for
+        resume tests."""
+        if max_seq is None:
+            max_seq = events.agg(F.max("seq")).first()[0]
+        bounds = [round(i * max_seq / n_batches) for i in range(n_batches + 1)]
+        out = []
+        for i in range(n_batches):
+            if stop_after is not None and i >= stop_after:
+                break
+            chunk = events.where(
+                (F.col("seq") > bounds[i]) & (F.col("seq") <= bounds[i + 1])
+            )
+            out.append(self.apply_batch(chunk, batch_id=f"{feed_id}-b{i:05d}"))
+        return out

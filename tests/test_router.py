@@ -1,0 +1,183 @@
+"""FanoutRouter: one change feed → N lake tables (cdc/router.py).
+
+The reference materializes one normalized table per FHIR entity via a
+separate staged job each (`config/.../ConfigurationGenerator.scala:49-69`);
+here the interleaved binlog splits in-flight, with per-table epoch fences
+making every batch converge to applied-everywhere under crash/resume.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.cdc.router import FanoutRouter, Route
+from kf_etl_clin_portal_spark.streaming.micro_batch import stream_feed_into_table
+
+
+@pytest.fixture(scope="module")
+def feed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rt") / "feed.parquet")
+    generate_change_events(spark, 8_000, seed=61).write.parquet(path)
+    return path
+
+
+def _routes(spark, base, strategies=("union_agg", "mor")):
+    """py / go / everything-else, mixed merge strategies."""
+    pa = CDCPipeline(spark, f"{base}/t_py", num_buckets=4,
+                     merge_strategy=strategies[0])
+    pb = CDCPipeline(spark, f"{base}/t_go", num_buckets=4,
+                     merge_strategy=strategies[1])
+    pc = CDCPipeline(spark, f"{base}/t_rest", num_buckets=4)
+    return [
+        Route("py", pa, F.col("lang") == "python"),
+        Route("go", pb, "lang = 'go'"),  # string predicates work too
+        Route("rest", pc, F.lit(True)),
+    ]
+
+
+def _slice_parity(spark, feed_path, route, pred_sql):
+    sliced_dir = feed_path + f".slice_{route.name}"
+    if not os.path.exists(sliced_dir):
+        spark.read.parquet(feed_path).where(pred_sql).write.parquet(sliced_dir)
+    rep = verify_parity(route.pipeline.current(), sliced_dir)
+    assert rep["ok"], (route.name, rep)
+
+
+def test_fanout_replay_per_table_parity(spark, feed, tmp_path):
+    routes = _routes(spark, str(tmp_path))
+    router = FanoutRouter(routes)
+    router.replay(spark.read.parquet(feed), n_batches=3, feed_id="f")
+    _slice_parity(spark, feed, routes[0], "lang = 'python'")
+    _slice_parity(spark, feed, routes[1], "lang = 'go'")
+    _slice_parity(spark, feed, routes[2], "lang NOT IN ('python','go')")
+    # disjoint + total: table row counts sum to distinct live keys
+    total = sum(r.pipeline.current().count() for r in routes)
+    ev = spark.read.parquet(feed)
+    row = F.struct(*[F.col(c) for c in ev.columns])
+    live = (
+        ev.groupBy("repo", "path")
+        .agg(F.max_by(row, F.struct("seq", "commit")).alias("r"))
+        .where(F.col("r.op") != "delete")
+        .count()
+    )
+    assert total == live
+
+
+def test_fanout_crash_resume_converges(spark, feed, tmp_path):
+    """Apply a batch to only the first route (the crash-between-tables
+    window), then re-offer through the full router: the applied table
+    fences (version unchanged), the rest catch up, final parity holds."""
+    routes = _routes(spark, str(tmp_path))
+    router = FanoutRouter(routes)
+    ev = spark.read.parquet(feed)
+    router.replay(ev, n_batches=2, feed_id="f", stop_after=1)
+
+    # crash simulation: batch b00001 reaches ONLY route 'py'
+    max_seq = ev.agg(F.max("seq")).first()[0]
+    b1 = ev.where(F.col("seq") > round(max_seq / 2))
+    FanoutRouter(routes[:1], on_unmatched="drop").apply_batch(
+        b1, batch_id="f-b00001"
+    )
+    v_py = routes[0].pipeline.table.refresh().version
+    assert not routes[1].pipeline.table.refresh().is_batch_applied("f-b00001")
+
+    # resume: full router re-offers the same batch
+    res = router.apply_batch(b1, batch_id="f-b00001")
+    assert res["py"].skipped  # fenced
+    assert not res["go"].skipped and not res["rest"].skipped
+    assert routes[0].pipeline.table.refresh().version == v_py
+    _slice_parity(spark, feed, routes[0], "lang = 'python'")
+    _slice_parity(spark, feed, routes[1], "lang = 'go'")
+    _slice_parity(spark, feed, routes[2], "lang NOT IN ('python','go')")
+
+
+def test_unmatched_policies(spark, feed, tmp_path):
+    ev = spark.read.parquet(feed)
+    p1 = CDCPipeline(spark, str(tmp_path / "a"), num_buckets=2)
+    only_py = [Route("py", p1, "lang = 'python'")]
+    with pytest.raises(ValueError, match="matched no route"):
+        FanoutRouter(only_py, on_unmatched="error").apply_batch(ev, "b0")
+    # error raised BEFORE any merge: nothing committed
+    assert not os.path.exists(str(tmp_path / "a") + "/_log") or (
+        p1.table.refresh().version == 0
+    )
+
+    FanoutRouter(only_py, on_unmatched="drop").apply_batch(ev, "b0")
+    rep = verify_parity(
+        p1.current(), _write_slice(spark, feed, "lang = 'python'", tmp_path / "s1")
+    )
+    assert rep["ok"], rep
+
+    # catch-all default route
+    p2 = CDCPipeline(spark, str(tmp_path / "b"), num_buckets=2)
+    p3 = CDCPipeline(spark, str(tmp_path / "c"), num_buckets=2)
+    r = FanoutRouter(
+        [Route("py", p2, "lang = 'python'"), Route("other", p3, "lang = 'go'")],
+        on_unmatched="other",
+    )
+    r.apply_batch(ev, "b0")
+    rep = verify_parity(
+        p3.current(), _write_slice(spark, feed, "lang <> 'python'", tmp_path / "s2")
+    )
+    assert rep["ok"], rep
+
+    with pytest.raises(ValueError, match="route name"):
+        FanoutRouter(only_py, on_unmatched="nope")
+    with pytest.raises(ValueError, match="duplicate"):
+        FanoutRouter(only_py + only_py)
+
+
+def _write_slice(spark, feed, pred, out):
+    out = str(out)
+    spark.read.parquet(feed).where(pred).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_overlapping_predicates_first_match_wins(spark, feed, tmp_path):
+    """'python OR go' then 'go': the second route must receive NOTHING
+    that the first already claimed — no row lands in two tables."""
+    ev = spark.read.parquet(feed)
+    p1 = CDCPipeline(spark, str(tmp_path / "a"), num_buckets=2)
+    p2 = CDCPipeline(spark, str(tmp_path / "b"), num_buckets=2)
+    r = FanoutRouter(
+        [Route("first", p1, "lang IN ('python','go')"),
+         Route("second", p2, "lang = 'go'")],
+        on_unmatched="drop",
+    )
+    r.apply_batch(ev, "b0")
+    assert p2.table.refresh().version == 0  # never created a commit
+    rep = verify_parity(
+        p1.current(),
+        _write_slice(spark, feed, "lang IN ('python','go')", tmp_path / "s"),
+    )
+    assert rep["ok"], rep
+
+
+def test_streaming_fanout(spark, feed, tmp_path):
+    """FanoutRouter drops into stream_feed_into_table as the pipeline:
+    a structured-streaming tail fans out with per-table parity, and a
+    re-stream over the same feed fences every table."""
+    routes = _routes(spark, str(tmp_path))
+    router = FanoutRouter(routes)
+    schema = spark.read.parquet(feed).schema
+    q = stream_feed_into_table(
+        spark, feed, schema, router,
+        checkpoint_dir=str(tmp_path / "ck"), stream_id="sf",
+        max_files_per_trigger=4,
+    )
+    q.awaitTermination(300)
+    _slice_parity(spark, feed, routes[0], "lang = 'python'")
+    _slice_parity(spark, feed, routes[2], "lang NOT IN ('python','go')")
+
+    versions = [r.pipeline.table.refresh().version for r in routes]
+    q2 = stream_feed_into_table(
+        spark, feed, schema, router,
+        checkpoint_dir=str(tmp_path / "ck2"), stream_id="sf",
+        max_files_per_trigger=4,
+    )
+    q2.awaitTermination(300)
+    assert [r.pipeline.table.refresh().version for r in routes] == versions
