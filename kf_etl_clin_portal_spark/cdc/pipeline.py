@@ -71,6 +71,7 @@ class CDCPipeline:
         merge_strategy: str = "union_agg",
         prune: bool | None = None,
         table_properties: dict[str, str] | None = None,
+        quarantine_root: str | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -80,7 +81,27 @@ class CDCPipeline:
         self.merge_strategy = merge_strategy
         self.prune = prune
         self.table_properties = table_properties
+        self.quarantine_root = quarantine_root
         self._table: SnapshotTable | None = None
+        self._quarantine: "CDCPipeline | None" = None
+
+    # ------------------------------------------------------------ quarantine
+    @property
+    def quarantine(self) -> "CDCPipeline | None":
+        """The dead-letter pipeline (lazily built): constraint-violating
+        rows land here instead of failing the batch, keyed on ``seq`` (the
+        feed's unique LSN — every violating EVENT is one DLQ row, carrying
+        a ``violated`` array naming the failed constraints). Its merges
+        fence under the same batch ids as the main table, so crash/resume
+        between the two converges exactly like the fanout router."""
+        if self.quarantine_root is None:
+            return None
+        if self._quarantine is None:
+            self._quarantine = CDCPipeline(
+                self.spark, self.quarantine_root, key_cols=("seq",),
+                num_buckets=4,
+            )
+        return self._quarantine
 
     # ---------------------------------------------------------------- table
     @property
@@ -145,6 +166,45 @@ class CDCPipeline:
     ) -> MergeResult:
         batch = self.prepare_batch(events)
         self.ensure_table(batch.schema)
+        if self.quarantine_root is not None:
+            from kf_etl_clin_portal_spark.lake.constraints import (
+                split_violations,
+                table_constraints,
+            )
+
+            if table_constraints(self.table):
+                # one cached evaluation of the batch; both slices filter a
+                # cheap codegen CASE off the cached blocks (no upstream
+                # recompute, no extra shuffle)
+                pinned = batch.persist()
+                try:
+                    extra = dict(extra_lineage or {})
+                    # stamp wall-clock start NOW so the commit's throughput
+                    # row covers split + DLQ merge, not just the main merge
+                    extra.setdefault("_t0", time.monotonic())
+                    clean, bad = split_violations(pinned, self.table)
+                    n_bad = bad.count()
+                    if n_bad:
+                        # DLQ first: a crash between the two merges leaves
+                        # the re-offer to fence the DLQ and apply the main
+                        # slice — same convergence story as the fanout
+                        # router (both fence under this batch_id)
+                        self.quarantine.apply_batch(
+                            bad, batch_id=batch_id, prune=prune
+                        )
+                    extra["n_quarantined"] = n_bad
+                    return self._merge(clean, batch_id, prune, extra)
+                finally:
+                    pinned.unpersist()
+        return self._merge(batch, batch_id, prune, extra_lineage)
+
+    def _merge(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        prune: bool | None,
+        extra_lineage: dict | None,
+    ) -> MergeResult:
         if self.merge_strategy == "mor":
             # prune=True (the streaming foreachBatch path) doubles as "no
             # Observation": listener events never reach obs.get there

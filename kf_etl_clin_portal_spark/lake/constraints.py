@@ -54,20 +54,80 @@ def _violation_counts(
     return {n: int(row[n] or 0) for n in constraints}
 
 
-def enforce_constraints(df: DataFrame, table, what: str = "batch") -> None:
-    """Raise ConstraintViolation if any live row of ``df`` fails any of the
-    table's constraints; no-op (no job) for tables without constraints."""
+POLICY_PROP = "constraints.policy"  # "fail" (default) | "warn"
+
+
+def enforce_constraints(df: DataFrame, table, what: str = "batch") -> dict[str, int]:
+    """Evaluate the table's constraints over ``df``'s live rows and apply
+    the table's policy (``constraints.policy`` property):
+
+    - ``fail`` (default): raise ConstraintViolation with per-constraint
+      counts — the whole batch is rejected before any file lands.
+    - ``warn``: emit a warning and return the counts (callers may stash
+      them in commit lineage); the batch proceeds — the DLT "expect"
+      (warn-level expectation) analog.
+
+    Row-level quarantine is NOT a writer policy: it needs a destination
+    table, so it's wired at the pipeline layer
+    (`CDCPipeline(quarantine_root=...)` pre-splits the batch with
+    `split_violations`; by the time a writer runs, its slice is clean).
+    No-op (no job) for tables without constraints."""
     cons = table_constraints(table)
     if not cons:
-        return
-    bad = {n: c for n, c in _violation_counts(df, cons).items() if c}
-    if bad:
-        detail = "; ".join(
-            f"{n!r} ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items())
-        )
-        raise ConstraintViolation(
-            f"{what} rejected — CHECK constraint violation(s): {detail}"
-        )
+        return {}
+    counts = _violation_counts(df, cons)
+    bad = {n: c for n, c in counts.items() if c}
+    if not bad:
+        return counts
+    policy = table.state["properties"].get(POLICY_PROP, "fail")
+    detail = "; ".join(
+        f"{n!r} ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items())
+    )
+    if policy == "warn":
+        import warnings
+
+        warnings.warn(f"{what}: CHECK constraint violation(s) allowed "
+                      f"through (policy=warn): {detail}")
+        return counts
+    raise ConstraintViolation(
+        f"{what} rejected — CHECK constraint violation(s): {detail}"
+    )
+
+
+VIOLATED_COL = "violated"
+
+
+def split_violations(
+    df: DataFrame, table, tombstone_col: str = "is_deleted"
+) -> "tuple[DataFrame, DataFrame]":
+    """(clean, bad): ``bad`` carries a ``violated`` array<string> naming
+    every failed constraint (quarantine/DLQ payload — an operator reads
+    WHY the row was held, re-ingests after fixing); ``clean`` is
+    column-identical to ``df``. One codegen CASE per constraint, no extra
+    aggregation job — the split is lazy, callers filter both sides off one
+    cached tag pass. Tombstones are always clean (a delete carries no
+    payload to validate); NULL expression results pass, per SQL CHECK."""
+    cons = table_constraints(table)
+    if not cons:
+        return df, None
+    live = (
+        ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        if tombstone_col in df.columns
+        else F.lit(True)
+    )
+    flags = [
+        F.when(live & F.expr(expr).eqNullSafe(F.lit(False)), F.lit(name))
+        for name, expr in sorted(cons.items())
+    ]
+    tagged = df.withColumn(
+        # cast pins containsNull=true (array_compact infers false, but
+        # parquet always reads arrays back nullable — the round trip must
+        # agree or schema alignment on the DLQ table rejects its own files)
+        VIOLATED_COL, F.array_compact(F.array(*flags)).cast("array<string>")
+    )
+    clean = tagged.where(F.size(VIOLATED_COL) == 0).drop(VIOLATED_COL)
+    bad = tagged.where(F.size(VIOLATED_COL) > 0)
+    return clean, bad
 
 
 def add_constraint(

@@ -1203,6 +1203,7 @@ class SnapshotTable:
                     "rows_written": lin.get("rows_written"),
                     "bytes_written": lin.get("bytes_written"),
                     "buckets_touched": lin.get("buckets_touched"),
+                    "n_quarantined": lin.get("n_quarantined"),
                     "wall_secs": lin.get("wall_secs"),
                     "events_per_sec": lin.get("events_per_sec"),
                     "ts": lin.get("ts"),
@@ -1222,6 +1223,7 @@ class SnapshotTable:
                 T.StructField("rows_written", T.LongType()),
                 T.StructField("bytes_written", T.LongType()),
                 T.StructField("buckets_touched", T.IntegerType()),
+                T.StructField("n_quarantined", T.LongType()),
                 T.StructField("wall_secs", T.DoubleType()),
                 T.StructField("events_per_sec", T.LongType()),
                 T.StructField("ts", T.StringType()),

@@ -1,0 +1,132 @@
+"""Constraint policies: quarantine (dead-letter table) and warn — the
+Delta Live Tables expectations analog (expect / expect_or_drop /
+expect_or_fail), layered on the engine's CHECK constraints. fail stays
+the default and is covered by test_constraints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.constraints import (
+    POLICY_PROP,
+    VIOLATED_COL,
+)
+
+NO_GO = {"constraint.no_go": "lang <> 'go'", "constraint.has_repo": "repo IS NOT NULL"}
+
+
+@pytest.fixture(scope="module")
+def feed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("q") / "feed.parquet")
+    generate_change_events(spark, 6_000, seed=71).write.parquet(path)
+    return path
+
+
+def _clean_slice(spark, feed, out):
+    # deletes are constraint-exempt: they stay in the clean feed
+    out = str(out)
+    spark.read.parquet(feed).where(
+        "op = 'delete' OR lang <> 'go'"
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_quarantine_splits_batches(spark, feed, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        table_properties=NO_GO, quarantine_root=str(tmp_path / "dlq"),
+    )
+    ev = spark.read.parquet(feed)
+    pipe.replay(ev, n_batches=3, feed_id="f")
+
+    # main table == replay of the clean slice only
+    rep = verify_parity(pipe.current(), _clean_slice(spark, feed, tmp_path / "c"))
+    assert rep["ok"], rep
+    assert pipe.current().where("lang = 'go'").count() == 0
+
+    # DLQ holds every violating EVENT (not just latest per key), each
+    # naming the constraint it failed
+    dlq = pipe.quarantine.current()
+    n_bad_events = ev.where("op <> 'delete' AND lang = 'go'").count()
+    assert dlq.count() == n_bad_events > 0
+    assert dlq.where(~F.array_contains(VIOLATED_COL, "no_go")).count() == 0
+    # lineage records the per-batch quarantined counts
+    lin = (
+        pipe.table.manifest_df(spark)
+        .where("operation = 'merge'")
+        .agg(F.sum("n_quarantined"))
+        .first()[0]
+    )
+    assert int(lin) == n_bad_events
+
+
+def test_quarantine_exactly_once_and_crash_resume(spark, feed, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        table_properties=NO_GO, quarantine_root=str(tmp_path / "dlq"),
+    )
+    ev = spark.read.parquet(feed)
+    pipe.replay(ev, n_batches=2, feed_id="f")
+    v_main = pipe.table.refresh().version
+    v_dlq = pipe.quarantine.table.refresh().version
+
+    # full re-offer: both tables fence every batch
+    pipe.replay(ev, n_batches=2, feed_id="f")
+    assert pipe.table.refresh().version == v_main
+    assert pipe.quarantine.table.refresh().version == v_dlq
+
+    # crash window: DLQ applied, main not (DLQ-first ordering) — simulate
+    # by offering a new batch to the DLQ pipeline directly, then the full
+    # apply converges: DLQ fences, main applies
+    nxt = generate_change_events(spark, 1_500, seed=72).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000)
+    )
+    from kf_etl_clin_portal_spark.lake.constraints import split_violations
+
+    batch = pipe.prepare_batch(nxt)
+    _, bad = split_violations(batch, pipe.table)
+    pipe.quarantine.apply_batch(bad, batch_id="f2-b00000")
+    v_dlq = pipe.quarantine.table.refresh().version
+    pipe.apply_batch(nxt, batch_id="f2-b00000")
+    assert pipe.quarantine.table.refresh().version == v_dlq  # fenced
+    assert pipe.current().where("seq > 10000000").count() > 0  # main applied
+
+
+def test_tombstones_pass_quarantine(spark, tmp_path):
+    """A delete whose key previously violated must still delete cleanly
+    (deletes carry no payload to validate)."""
+    rows = [
+        (1, "upsert", "r1", "a.go", "c1", "go", "x", 0),
+        (2, "upsert", "r1", "b.py", "c2", "python", "y", 0),
+        (3, "delete", "r1", "a.go", "c3", None, None, 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string, "
+              "lang string, content string, delivery_batch int",
+    )
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=2,
+        table_properties=NO_GO, quarantine_root=str(tmp_path / "dlq"),
+    )
+    pipe.apply_batch(ev, batch_id="b0")
+    cur = pipe.current()
+    assert [r["path"] for r in cur.collect()] == ["b.py"]
+    # the violating upsert went to DLQ; the delete did NOT
+    dlq = pipe.quarantine.current()
+    assert dlq.count() == 1 and dlq.first()["seq"] == 1
+
+
+def test_warn_policy_lets_batch_through(spark, feed, tmp_path):
+    props = dict(NO_GO)
+    props[POLICY_PROP] = "warn"
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4,
+                       table_properties=props)
+    ev = spark.read.parquet(feed)
+    with pytest.warns(UserWarning, match="no_go"):
+        pipe.replay(ev, n_batches=2, feed_id="f")
+    # everything merged, including violating rows; full-feed parity
+    rep = verify_parity(pipe.current(), feed)
+    assert rep["ok"], rep
+    assert pipe.current().where("lang = 'go'").count() > 0
