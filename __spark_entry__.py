@@ -667,6 +667,23 @@ def q_orders_sample(spark, sf):
     )
 
 
+def q_docs_stratified(spark, sf):
+    """Per-stratum deterministic corpus mixing (training-data sampling):
+    downsample en to 25%, drop de entirely, keep the rest — the portable
+    hash-mod `sampleBy` (operators/sample.py:stratified_sample), so the
+    declared mix is bit-reproducible in DuckDB."""
+    from kf_etl_clin_portal_spark.operators.sample import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        {"en": 0.25, "de": 0.0},
+        key_col="doc_id",
+        default_fraction=1.0,
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf):
     return minhash_near_dups(_t(spark, sf, "documents"), min_agreement=0.3)
 
@@ -1069,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_cube": q_status_cube,
         "sql_segment_share": q_sql_segment_share,
         "orders_sample": q_orders_sample,
+        "docs_stratified": q_docs_stratified,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1547,6 +1565,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_sample": f"""
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE {OSQL.h60_sql("CAST(o_orderkey AS VARCHAR)")} % 10 < 1
+        """,
+        "docs_stratified": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {OSQL.h60_sql("CAST(doc_id AS VARCHAR)")} % 10000 <
+              CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 0 ELSE 10000 END
         """,
         "shingle_profile": f"""
             SELECT doc_id, len({sh})::BIGINT AS n_shingles FROM documents

@@ -46,3 +46,41 @@ def hash_sample(
     return df.where(
         F.pmod(h60(key.cast("string")), F.lit(denominator)) < F.lit(numerator)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str | Column,
+    default_fraction: float = 0.0,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-data *mixing*
+    primitive (downsample the dominant language / upweight the rare one:
+    the `df.stat.sampleBy` use case, made engine-portable).
+
+    A row survives iff ``pmod(h60(key), denominator) <
+    round(fraction[stratum] * denominator)`` — the same portable hash-mod
+    rule as ``hash_sample``, with the threshold looked up per stratum from
+    a map literal (one JVM ``element_at``, no join, no shuffle; the filter
+    sits directly on the scan). Deterministic across engines and
+    partitionings, so a declared corpus mix is exactly reproducible in a
+    lineage and DuckDB-oracle-checkable. Strata absent from ``fractions``
+    fall back to ``default_fraction`` (0 = drop — allowlist semantics;
+    1.0 = keep — denylist semantics).
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    pairs: list[Column] = []
+    for s, f in sorted(fractions.items()):
+        pairs += [F.lit(s), F.lit(int(round(f * denominator)))]
+    threshold = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(round(default_fraction * denominator))),
+    )
+    return df.where(F.pmod(h60(key.cast("string")), F.lit(denominator)) < threshold)

@@ -160,3 +160,39 @@ def test_hash_sample_validates_ratio(spark):
         hash_sample(df, "id", 0, 10)
     with _pytest.raises(ValueError):
         hash_sample(df, "id", 11, 10)
+
+
+def test_stratified_sample_mix_and_determinism(spark, sf_dir):
+    """Per-stratum thresholds hold (allowlist + denylist semantics), the
+    mix is repartition-stable, and survivors are a SUBSET per stratum
+    (hash-mod nesting: a 0.1 sample ⊂ a 0.25 sample of the same key)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kf_etl_clin_portal_spark.operators.sample import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang", {"en": 0.25, "de": 0.0}, "doc_id",
+                            default_fraction=1.0)
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "de" not in by_lang
+    assert 0 < by_lang["en"] < full["en"]
+    for lang in full:
+        if lang not in ("en", "de"):
+            assert by_lang[lang] == full[lang]  # default 1.0 keeps all
+
+    # partitioning-stable (portable hash, not per-partition Bernoulli)
+    assert stratified_sample(docs.repartition(17), "lang",
+                             {"en": 0.25, "de": 0.0}, "doc_id",
+                             default_fraction=1.0).count() == out.count()
+
+    # nested samples: smaller fraction is a subset of the larger
+    small = stratified_sample(docs, "lang", {"en": 0.1}, "doc_id")
+    big = stratified_sample(docs, "lang", {"en": 0.25}, "doc_id")
+    assert small.join(big, "doc_id", "left_anti").count() == 0
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
