@@ -1,0 +1,100 @@
+"""SQL surface over lake tables — `spark.sql` views of resolved table
+state, metadata tables, and release-pinned consistent sets.
+
+The reference answers queries by shipping every table into Elasticsearch
+indices behind published aliases (`RunIndexClinical/RunIndexGenomic`,
+`published/PublishUtils.scala:7-16`); here the lake itself is the query
+surface: registering a table exposes its RESOLVED live state (MoR winners
+folded, tombstones dropped) plus Iceberg-style metadata tables
+(``<name>__files``, ``<name>__manifest``) to plain ``spark.sql``.
+
+Pinning semantics — the deliberate design choice: a registered view
+captures the snapshot resolved AT REGISTRATION (the underlying DataFrame's
+file list is fixed when `read` plans it). Queries against the view are
+repeatable while writers keep committing — snapshot isolation for free —
+and `register_tables` again (idempotent, `createOrReplaceTempView`)
+refreshes to the newest snapshot. `register_release` leans into the same
+property: every alias of a release is registered at its pinned version, so
+cross-table SQL (joins across the set) is CONSISTENT — the thing N
+independent ES alias swaps can never give.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, read_merged
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _live(spark: SparkSession, table: SnapshotTable, version=None, ref=None):
+    import pyspark.sql.functions as F
+
+    df = read_merged(spark, table, version=version, ref=ref)
+    if TOMBSTONE_COL in df.columns:
+        df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
+            TOMBSTONE_COL
+        )
+    return df
+
+
+def register_tables(
+    spark: SparkSession,
+    tables: dict,
+    version: int | None = None,
+    ref: str | None = None,
+    metadata: bool = True,
+) -> list[str]:
+    """Register each {name: SnapshotTable | CDCPipeline} as temp views:
+    ``<name>`` (resolved live state) and, with ``metadata=True``,
+    ``<name>__files`` / ``<name>__manifest`` (the Iceberg `$files` /
+    `$snapshots` analogs). Returns the view names created. Re-calling
+    refreshes every view to the table's current snapshot."""
+    created: list[str] = []
+    for name, t in tables.items():
+        if not _NAME_RE.match(name):
+            raise ValueError(f"bad view name: {name!r}")
+        table = t.table if hasattr(t, "table") else t
+        table.refresh()
+        _live(spark, table, version=version, ref=ref).createOrReplaceTempView(name)
+        created.append(name)
+        if metadata:
+            table.files_df(spark, version=version).createOrReplaceTempView(
+                f"{name}__files"
+            )
+            table.manifest_df(spark).createOrReplaceTempView(f"{name}__manifest")
+            created += [f"{name}__files", f"{name}__manifest"]
+    return created
+
+
+def register_release(
+    spark: SparkSession,
+    manager,
+    release: str | None = None,
+    prefix: str = "",
+    metadata: bool = False,
+) -> list[str]:
+    """Register every alias of a release (default: CURRENT) at its PINNED
+    version — one consistent cross-table SQL namespace. Later merges never
+    leak in; re-register after publishing a new release to move the whole
+    namespace atomically (from the session's perspective: all views swap
+    in one call, between statements)."""
+    m = manager.manifest(release)
+    created: list[str] = []
+    for alias, e in sorted(m["tables"].items()):
+        name = f"{prefix}{alias}"
+        if not _NAME_RE.match(name):
+            raise ValueError(f"bad view name: {name!r}")
+        t = SnapshotTable(e["root"])
+        _live(spark, t, version=e["version"]).createOrReplaceTempView(name)
+        created.append(name)
+        if metadata:
+            t.files_df(spark, version=e["version"]).createOrReplaceTempView(
+                f"{name}__files"
+            )
+            created.append(f"{name}__files")
+    return created

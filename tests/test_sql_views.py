@@ -1,0 +1,90 @@
+"""SQL surface (lake/sql.py): spark.sql over resolved lake state, metadata
+tables, snapshot-isolated pinning, and release-consistent namespaces."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.release import ReleaseManager
+from kf_etl_clin_portal_spark.lake.sql import register_release, register_tables
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sqlv")
+    pa = CDCPipeline(spark, str(root / "code"), num_buckets=4, merge_strategy="mor")
+    pb = CDCPipeline(spark, str(root / "docs"), num_buckets=4)
+    pa.replay(generate_change_events(spark, 4_000, seed=81), n_batches=2, feed_id="a")
+    pb.replay(generate_change_events(spark, 2_000, seed=82), n_batches=2, feed_id="b")
+    return pa, pb
+
+
+def test_register_and_query_with_joins(spark, lake):
+    pa, pb = lake
+    names = register_tables(spark, {"code": pa, "docs": pb})
+    assert set(names) >= {"code", "docs", "code__files", "code__manifest"}
+    # resolved live state: MoR winners folded, no tombstones, no dupes
+    n = spark.sql("SELECT count(*) AS n FROM code").first()["n"]
+    assert n == pa.current().count()
+    dup = spark.sql(
+        "SELECT repo, path FROM code GROUP BY repo, path HAVING count(*) > 1"
+    ).count()
+    assert dup == 0
+    # cross-table SQL join works
+    j = spark.sql(
+        """SELECT c.repo, count(*) AS n_pairs
+           FROM code c JOIN docs d USING (repo) GROUP BY c.repo"""
+    )
+    assert j.count() > 0
+    # metadata tables answer operational questions in SQL
+    mf = spark.sql(
+        "SELECT sum(n_events) AS ev FROM code__manifest "
+        "WHERE operation IN ('merge','merge_mor')"
+    ).first()["ev"]
+    assert mf == 4_000
+    assert spark.sql("SELECT count(*) FROM code__files").first()[0] == len(
+        pa.table.refresh().state["files"]
+    )
+
+
+def test_views_are_snapshot_isolated(spark, lake):
+    pa, _ = lake
+    register_tables(spark, {"code_pin": pa}, metadata=False)
+    before = spark.sql("SELECT count(*) AS n FROM code_pin").first()["n"]
+    more = generate_change_events(spark, 1_000, seed=83).withColumn(
+        "seq", F.col("seq") + F.lit(50_000_000)
+    )
+    pa.replay(more, n_batches=1, feed_id="a2")
+    # the registered view still answers from the registration-time snapshot
+    assert spark.sql("SELECT count(*) AS n FROM code_pin").first()["n"] == before
+    # re-registering refreshes
+    register_tables(spark, {"code_pin": pa}, metadata=False)
+    after = spark.sql("SELECT count(*) AS n FROM code_pin").first()["n"]
+    assert after == pa.current().count() != before
+
+
+def test_register_release_namespace(spark, lake, tmp_path):
+    pa, pb = lake
+    rm = ReleaseManager(str(tmp_path / "rel"))
+    rm.cut("v1", {"code": pa.table, "docs": pb.table})
+    rm.publish("v1")
+    names = register_release(spark, rm, prefix="rel_")
+    assert names == ["rel_code", "rel_docs"]
+    pinned = spark.sql("SELECT count(*) AS n FROM rel_code").first()["n"]
+
+    more = generate_change_events(spark, 1_000, seed=84).withColumn(
+        "seq", F.col("seq") + F.lit(90_000_000)
+    )
+    pa.replay(more, n_batches=1, feed_id="a3")
+    # release views never move until a new release is registered
+    assert spark.sql("SELECT count(*) AS n FROM rel_code").first()["n"] == pinned
+    rm.cut("v2", {"code": pa.table, "docs": pb.table})
+    rm.publish("v2")
+    register_release(spark, rm, prefix="rel_")
+    assert spark.sql("SELECT count(*) AS n FROM rel_code").first()["n"] == (
+        pa.current().count()
+    )
+
+    with pytest.raises(ValueError, match="bad view name"):
+        register_tables(spark, {"bad name": pa})
