@@ -198,6 +198,51 @@ class CDCPipeline:
                     pinned.unpersist()
         return self._merge(batch, batch_id, prune, extra_lineage)
 
+    def reingest_quarantine(self) -> dict:
+        """Replay dead-lettered events back through the main MERGE after
+        the contract changed (a constraint dropped/relaxed, or upstream
+        data corrected via DLQ `update_where`). The full DLQ is re-offered
+        as ONE batch whose id is derived from the DLQ's version — calling
+        twice at the same state fences as a no-op; rows that STILL violate
+        simply land back in the DLQ (idempotent by their unique seq), and
+        rows the current constraints now accept are deleted from the DLQ
+        by evaluating the constraint expressions themselves as the DELETE
+        predicate (pure expression — no driver-side key list, scales to
+        any DLQ size). Crash between the merge and the DLQ delete heals on
+        the next call: the merge fences, the delete re-runs."""
+        if self.quarantine_root is None:
+            raise ValueError("pipeline has no quarantine_root configured")
+        from kf_etl_clin_portal_spark.lake.constraints import (
+            VIOLATED_COL,
+            table_constraints,
+        )
+
+        q = self.quarantine
+        rows = q.current()
+        n_candidates = rows.count()
+        if n_candidates == 0:
+            return {"n_candidates": 0, "n_reingested": 0, "result": None}
+        batch_id = f"dlq-reingest-v{q.table.refresh().version}"
+        res = self.apply_batch(rows.drop(VIOLATED_COL), batch_id=batch_id)
+        cons = table_constraints(self.table)
+        n_reingested = n_candidates
+        if cons:
+            # a row leaves the DLQ iff it passes EVERY current constraint
+            ok = F.lit(True)
+            for expr in cons.values():
+                ok = ok & ~F.expr(expr).eqNullSafe(F.lit(False))
+            dml = q.delete_where(ok)
+            n_reingested = dml.n_matched
+        else:
+            dml = q.delete_where(F.lit(True))
+            n_reingested = dml.n_matched
+        return {
+            "n_candidates": n_candidates,
+            "n_reingested": n_reingested,
+            "n_still_quarantined": n_candidates - n_reingested,
+            "result": res,
+        }
+
     def _merge(
         self,
         batch: DataFrame,

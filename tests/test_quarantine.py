@@ -130,3 +130,64 @@ def test_warn_policy_lets_batch_through(spark, feed, tmp_path):
     rep = verify_parity(pipe.current(), feed)
     assert rep["ok"], rep
     assert pipe.current().where("lang = 'go'").count() > 0
+
+
+def test_reingest_after_constraint_drop(spark, feed, tmp_path):
+    """Drop the constraint, reingest: DLQ drains into the main table and
+    full-feed parity holds; a second call at the drained state is a
+    no-op; with the constraint still active, reingest keeps violators."""
+    from kf_etl_clin_portal_spark.lake.constraints import drop_constraint
+
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        table_properties=NO_GO, quarantine_root=str(tmp_path / "dlq"),
+    )
+    ev = spark.read.parquet(feed)
+    pipe.replay(ev, n_batches=2, feed_id="f")
+    n_bad = pipe.quarantine.current().count()
+    assert n_bad > 0
+
+    # constraint still active: nothing leaves the DLQ (violators bounce)
+    rep = pipe.reingest_quarantine()
+    assert rep["n_reingested"] == 0 and rep["n_still_quarantined"] == n_bad
+    assert pipe.quarantine.current().count() == n_bad
+
+    drop_constraint(pipe.table, "no_go")
+    rep = pipe.reingest_quarantine()
+    assert rep["n_reingested"] == n_bad and rep["n_still_quarantined"] == 0
+    assert pipe.quarantine.current().count() == 0
+    # main table now equals a full, unconstrained replay of the feed
+    parity = verify_parity(pipe.current(), feed)
+    assert parity["ok"], parity
+
+    # drained DLQ: reingest is a no-op
+    rep = pipe.reingest_quarantine()
+    assert rep == {"n_candidates": 0, "n_reingested": 0, "result": None}
+
+
+def test_reingest_partial_with_two_constraints(spark, tmp_path):
+    """Two constraints; only one is dropped — rows violating the surviving
+    one must stay dead-lettered, the rest reingest."""
+    from kf_etl_clin_portal_spark.lake.constraints import drop_constraint
+
+    rows = [
+        (1, "upsert", "r1", "a.go", "c1", "go", "x", 0),
+        (2, "upsert", None, "b.py", "c2", "python", "y", 0),
+        (3, "upsert", "r1", "c.py", "c3", "python", "z", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string, "
+              "lang string, content string, delivery_batch int",
+    )
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=2,
+        table_properties=NO_GO, quarantine_root=str(tmp_path / "dlq"),
+    )
+    pipe.apply_batch(ev, batch_id="b0")
+    assert pipe.quarantine.current().count() == 2  # go row + null-repo row
+    drop_constraint(pipe.table, "no_go")
+    rep = pipe.reingest_quarantine()
+    assert rep["n_reingested"] == 1 and rep["n_still_quarantined"] == 1
+    dlq = pipe.quarantine.current().collect()
+    assert len(dlq) == 1 and dlq[0]["seq"] == 2  # null repo still held
+    assert pipe.current().where("path = 'a.go'").count() == 1
