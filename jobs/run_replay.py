@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="add a write-time CHECK constraint before the replay "
                          "(repeatable); later batches violating it are "
                          "rejected with counts")
+    ap.add_argument("--quarantine", default=None, metavar="ROOT",
+                    help="dead-letter table root: constraint-violating "
+                         "events are MERGEd there (keyed on seq, with a "
+                         "'violated' column) instead of failing the batch; "
+                         "--verify then checks main-table parity against "
+                         "the feed minus the dead-lettered events")
     ap.add_argument("--zorder", default=None, metavar="COL[,COL...]",
                     help="after replay/compaction, rewrite the table "
                          "Z-order-clustered on these columns (multi-column "
@@ -119,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
     pipe = CDCPipeline(
         spark, args.table, num_buckets=args.buckets,
         merge_strategy=args.merge_strategy,
+        quarantine_root=args.quarantine,
     )
 
     if args.constraint:
@@ -200,9 +207,24 @@ def main(argv: list[str] | None = None) -> int:
 
         cols = [c for c in args.zorder.split(",") if c]
         report["zorder_version"] = zorder_buckets(spark, pipe.table, cols)
+    if args.quarantine:
+        dlq = pipe.quarantine.current()
+        report["quarantined_rows"] = dlq.count()
     if args.verify:
         from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
-        rep = verify_parity(pipe.current(), args.feed)
+
+        verify_feed = args.feed
+        if args.quarantine and report.get("quarantined_rows"):
+            # main-table contract under quarantine: state == replay of the
+            # feed MINUS the dead-lettered events (anti-join on seq)
+            import tempfile
+
+            verify_feed = tempfile.mkdtemp(prefix="cdc_clean_") + "/feed"
+            dlq_seqs = pipe.quarantine.current().select("seq")
+            spark.read.parquet(args.feed).join(
+                dlq_seqs, on="seq", how="left_anti"
+            ).write.parquet(verify_feed)
+        rep = verify_parity(pipe.current(), verify_feed)
         report["parity_ok"] = rep["ok"]
         if not rep["ok"]:
             print(json.dumps(report))

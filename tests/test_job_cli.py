@@ -157,3 +157,38 @@ def test_run_replay_cli_round2_maintenance_flags(tmp_path):
     rep2 = json.loads([ln for ln in out2.stdout.splitlines() if ln.startswith("{")][-1])
     assert rep2["skipped"] == rep2["batches"]
     assert "audit_failed" in rep2 and "published_version" not in rep2
+
+
+def test_run_replay_cli_quarantine(tmp_path):
+    """--constraint + --quarantine: violating events dead-letter instead of
+    failing the run, and --verify checks parity against the feed minus
+    the dead-lettered events."""
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "run_replay.py"),
+            "--generate", "4000",
+            "--feed", feed,
+            "--table", table,
+            "--batches", "3",
+            "--constraint", "no_go=lang <> 'go'",
+            "--quarantine", str(tmp_path / "dlq"),
+            "--verify",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(lines[-1])
+    assert rep["parity_ok"] is True
+    assert rep["quarantined_rows"] > 0
+    assert rep["events"] + rep["quarantined_rows"] >= 4000 - rep["quarantined_rows"]
