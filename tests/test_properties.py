@@ -195,3 +195,48 @@ def test_ivm_equals_pandas_recompute_spec(spark, rows, cut, tmp_path_factory):
         lang: (n, s if nn else None) for lang, (n, s, nn) in spec.items()
     }
     assert got == want
+
+
+router_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["py", "go", "rs", "js", "c"]),   # lang
+        st.integers(min_value=0, max_value=99),           # id
+    ),
+    min_size=1,
+    max_size=40,
+)
+router_routes = st.lists(
+    st.sets(st.sampled_from(["py", "go", "rs", "js"]), min_size=1, max_size=3),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=router_rows, routes=router_routes)
+def test_router_tag_first_match_partition_law(spark, rows, routes):
+    """The router's tag pass against an independent Python spec: every row
+    gets the FIRST route whose (possibly overlapping) predicate matches,
+    else NULL — i.e. routes always partition the batch, by construction."""
+    from kf_etl_clin_portal_spark.cdc.router import FanoutRouter, Route, _ROUTE_COL
+
+    df = spark.createDataFrame(rows, "lang string, id long")
+    rts = [
+        Route(f"r{i}", pipeline=None, predicate=F.col("lang").isin(*sorted(langs)))
+        for i, langs in enumerate(routes)
+    ]
+    r = FanoutRouter.__new__(FanoutRouter)  # tag law only; no pipelines
+    r.routes, r.on_unmatched = rts, "error"
+    got = {
+        (row["lang"], row["id"], i): row[_ROUTE_COL]
+        for i, row in enumerate(r._tag(df).collect())
+    }
+
+    def spec(lang):
+        for i, langs in enumerate(routes):
+            if lang in langs:
+                return f"r{i}"
+        return None
+
+    assert all(v == spec(k[0]) for k, v in got.items())
+    assert len(got) == len(rows)  # tagging never drops or duplicates rows
