@@ -258,8 +258,20 @@ def main() -> None:
                     for v in (bw_small, bw_big)
                 )
             )
+            # (c) absolute bandwidth floor — SYMMETRIC sustained contention
+            #     depresses both sides equally (no skew, no steal, minima
+            #     corroborate) yet still biases the ratio: the big
+            #     compaction job is bandwidth-bound and loses more than the
+            #     1-core run does. A quiet instance of this host sustains
+            #     10+ GB/s single-thread memcpy (measured across sessions,
+            #     BASELINE.md); runs whose best probe never reaches the
+            #     floor never saw a quiet machine. Tunable for other hosts
+            #     via SPARK_GRAFT_BENCH_MEMBW_FLOOR (GB/s; 0 disables).
+            bw_floor = float(os.environ.get("SPARK_GRAFT_BENCH_MEMBW_FLOOR", "8.5"))
+            bw_low = bool(bw_all and bw_floor > 0 and bw_all < bw_floor)
             noisy = (
-                _needs_retry(runs[n_small]) or _needs_retry(runs[n_big]) or bw_skew
+                _needs_retry(runs[n_small]) or _needs_retry(runs[n_big])
+                or bw_skew or bw_low
             )
             if noisy:
                 print("# WARNING: retry budget exhausted while steady batches "
