@@ -81,3 +81,41 @@ def new_events_only(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events of the same key whose timestamp lands in
+    ``[left_ts, left_ts + within]`` — the attribution/correlation shape
+    (click→purchase, alert→ack) the reference's batch-rerun model can't
+    express on live data (its nearest idiom is a full-history batch join
+    re-run per release).
+
+    Built entirely from Spark's native stream-stream join machinery:
+    watermarks on BOTH inputs plus the time-range predicate are what let
+    the state store evict rows once they can no longer match (state is
+    bounded by ``watermark + within`` of data per key, not the stream's
+    history). Left/outer variants emit unmatched rows only after the
+    watermark proves no match can arrive — semantics Spark enforces, not
+    this wrapper. Column names are prefixed ``l_``/``r_`` (except the
+    shared key) — stream-stream self-joins otherwise collide.
+    """
+    lcols = [F.col(c).alias(c if c == key_col else f"l_{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"r_{c}") for c in right.columns]
+    lw = left.select(*lcols).withWatermark(f"l_{left_ts}", watermark)
+    rw = right.select(*rcols).withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (F.col(key_col) == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(f"r_{key_col}")

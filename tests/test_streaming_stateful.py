@@ -115,3 +115,47 @@ def test_watermark_drops_late_events(spark, tmp_path):
         if r["window_start"].second == 0
     ]
     assert counts == [2]  # unchanged: late event discarded by watermark
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join over two file streams equals the same
+    interval join run as a batch query on the full data — and the joined
+    pairs respect the [l_ts, l_ts + within] bound."""
+    import datetime as dt
+
+    from kf_etl_clin_portal_spark.streaming.stateful import stream_interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = [("u1", 1, ts(0)), ("u1", 2, ts(40)), ("u2", 3, ts(5)),
+              ("u3", 4, ts(10))]
+    buys = [("u1", 101, ts(8)), ("u1", 102, ts(45)), ("u2", 103, ts(50)),
+            ("u3", 104, ts(11)), ("u3", 105, ts(12))]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_feed_file(spark, ldir, clicks, "f0")
+    _write_feed_file(spark, rdir, buys, "f0")
+
+    ls = spark.readStream.schema(EV_SCHEMA).parquet(ldir + "/*")
+    rs = spark.readStream.schema(EV_SCHEMA).parquet(rdir + "/*")
+    joined = stream_interval_join(ls, rs, "key", "ts", "ts",
+                                  within="10 minutes", watermark="5 minutes")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(joined, out_dir, ckpt)
+    got = {
+        (r["key"], r["l_seq"], r["r_seq"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch oracle: same predicate on the static frames
+    lb = spark.createDataFrame(clicks, EV_SCHEMA)
+    rb = spark.createDataFrame(buys, EV_SCHEMA)
+    want = {
+        (l["key"], l["seq"], r["seq"])
+        for l in lb.collect()
+        for r in rb.collect()
+        if l["key"] == r["key"]
+        and l["ts"] <= r["ts"] <= l["ts"] + dt.timedelta(minutes=10)
+    }
+    assert got == want and len(want) == 4  # u1:1-101, u1:2-102, u3:4-104/105
