@@ -1,0 +1,88 @@
+"""Table cloning — fork a consistent snapshot into an independent table
+(the Delta ``CLONE`` / Iceberg snapshot-export analog; the reference's
+nearest idiom is re-running the whole export pipeline into a second
+bucket).
+
+``clone_table(src, dst_root, version=...)`` copies ONLY the data files the
+chosen snapshot references and writes a single full-state commit at the
+clone's version 0 — so the clone is:
+
+- **consistent**: exactly the source's state at that version (MoR delta
+  files included — winner resolution replays identically);
+- **trimmed**: no expired/compacted/orphaned garbage, no history tail —
+  clone size = live snapshot size, not source directory size;
+- **independent**: a DEEP copy on purpose. A shallow clone (manifest
+  pointing into the source's data dir) would break the storage layer's
+  core invariant that `expire_snapshots`/`remove_orphans` may delete any
+  file no LOCAL snapshot references — the source would need to know about
+  every clone forever. Deep copy keeps maintenance local; at lake scale
+  run it where storage does server-side copy (s3 CopyObject analog).
+
+The exactly-once fence map and feed watermarks are carried over by
+default, so a clone used as a dev fork of a live ingest keeps fencing
+re-offered batches exactly like its source would (``reset_fences=True``
+for a clone that should accept the feed from scratch). Refs are NOT
+carried: they name versions of the source's history, which the clone
+doesn't have.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from copy import deepcopy
+from typing import Any
+
+from kf_etl_clin_portal_spark.lake.table import _DATA_DIR, _LOG_DIR, SnapshotTable, _now
+
+
+def clone_table(
+    src: SnapshotTable,
+    dst_root: str,
+    version: int | None = None,
+    reset_fences: bool = False,
+) -> SnapshotTable:
+    """Deep-clone ``src`` at ``version`` (default: current) into a new
+    table at ``dst_root``; returns the clone's handle."""
+    if SnapshotTable.exists(dst_root):
+        raise ValueError(f"destination already holds a table: {dst_root}")
+    src.refresh()
+    v = src.version if version is None else version
+    st: dict[str, Any] = deepcopy(src.state_at(v))
+
+    os.makedirs(os.path.join(dst_root, _LOG_DIR), exist_ok=True)
+    os.makedirs(os.path.join(dst_root, _DATA_DIR), exist_ok=True)
+    bytes_copied = 0
+    for f in st["files"]:
+        s = os.path.join(src.root, f["path"])
+        d = os.path.join(dst_root, f["path"])
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        shutil.copyfile(s, d)
+        bytes_copied += os.path.getsize(d)
+
+    st.update(
+        {
+            "version": 0,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_snapshot_id": None,
+            "ts": _now(),
+            "operation": "clone",
+            "refs": {},  # they name source-history versions the clone lacks
+            "lineage": {
+                "operation": "clone",
+                "source_root": src.root,
+                "source_version": v,
+                "source_snapshot_id": st["snapshot_id"],
+                "files_copied": len(st["files"]),
+                "bytes_copied": bytes_copied,
+            },
+        }
+    )
+    st.pop("expire_below", None)  # fresh history: nothing is expired here
+    if reset_fences:
+        st["applied_batches"], st["fence_watermarks"] = {}, {}
+
+    t = SnapshotTable(dst_root)
+    t._write_commit(st, expected_version=0)
+    return t.refresh()

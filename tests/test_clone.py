@@ -1,0 +1,84 @@
+"""Deep table clones (lake/clone.py): consistent, trimmed, independent."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.clone import clone_table
+from kf_etl_clin_portal_spark.lake.merge import read_merged
+
+
+def _state_set(df):
+    return {
+        tuple(r)
+        for r in df.select(*[F.col(c).cast("string") for c in sorted(df.columns)]).collect()
+    }
+
+
+def test_clone_is_consistent_trimmed_independent(spark, tmp_path):
+    feed_path = str(tmp_path / "feed")
+    generate_change_events(spark, 5_000, seed=91).write.parquet(feed_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4,
+                      merge_strategy="mor")
+    src.replay(spark.read.parquet(feed_path), n_batches=3, feed_id="f")
+    v = src.table.refresh().version
+
+    dst = clone_table(src.table, str(tmp_path / "dst"))
+    clone_pipe = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=4,
+                             merge_strategy="mor")
+    # consistent: byte-identical resolved state (MoR deltas replay equally)
+    assert _state_set(clone_pipe.current()) == _state_set(src.current())
+    rep = verify_parity(clone_pipe.current(), feed_path)
+    assert rep["ok"], rep
+
+    # trimmed: the clone's data dir holds EXACTLY the referenced files
+    referenced = {f["path"] for f in dst.state["files"]}
+    on_disk = set()
+    for dp, _, fns in os.walk(str(tmp_path / "dst" / "data")):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(dp, fn),
+                                            str(tmp_path / "dst")))
+    assert on_disk == referenced
+    assert dst.version == 0 and dst.state["operation"] == "clone"
+    assert dst.state["lineage"]["source_version"] == v
+
+    # independent: divergence in either direction doesn't leak
+    more = generate_change_events(spark, 1_000, seed=92).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000))
+    src.replay(more, n_batches=1, feed_id="g")
+    assert _state_set(clone_pipe.current()) != _state_set(src.current())
+    src.table.expire_snapshots(keep_last=1)  # src maintenance: clone unharmed
+    assert clone_pipe.current().count() > 0
+
+    # fences carried: re-offering the source's feed fences on the clone
+    cv = clone_pipe.table.refresh().version
+    clone_pipe.replay(spark.read.parquet(feed_path), n_batches=3, feed_id="f")
+    assert clone_pipe.table.refresh().version == cv
+
+    with pytest.raises(ValueError, match="already holds"):
+        clone_table(src.table, str(tmp_path / "dst"))
+
+
+def test_clone_old_version_and_reset_fences(spark, tmp_path):
+    feed = generate_change_events(spark, 3_000, seed=93)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4)
+    src.replay(feed, n_batches=3, feed_id="f")
+    mid = src.table.refresh().version - 1
+
+    old = clone_table(src.table, str(tmp_path / "old"), version=mid)
+    a = _state_set(read_merged(spark, old))
+    b = _state_set(src.table.read(spark, version=mid))
+    assert a == b
+
+    fresh = clone_table(src.table, str(tmp_path / "fresh"), reset_fences=True)
+    fresh_pipe = CDCPipeline(spark, str(tmp_path / "fresh"), num_buckets=4)
+    v0 = fresh_pipe.table.refresh().version
+    fresh_pipe.replay(feed, n_batches=3, feed_id="f")  # NOT fenced: re-applies
+    assert fresh_pipe.table.refresh().version > v0
+    # idempotent MERGE: re-applying the same events changes nothing
+    assert _state_set(fresh_pipe.current()) == _state_set(src.current())
