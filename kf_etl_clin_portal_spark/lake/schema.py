@@ -100,6 +100,32 @@ def evolve_schema(table_schema: T.StructType, diff: SchemaDiff) -> T.StructType:
     return T.StructType(fields)
 
 
+def normalize_nullability(dt: T.DataType) -> T.DataType:
+    """Recursively force the nullability shape parquet round-trips to:
+    array containsNull=True, map valueContainsNull=True, struct fields
+    nullable. Registering anything stricter lets a table reject its own
+    files on read (`cast array<string> to array<string>` analysis errors —
+    the containsNull=False an `array()`/`array_compact` expression infers
+    does not survive a parquet write/read). Widening nullability is always
+    read-compatible, so table creation normalizes unconditionally."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(normalize_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            normalize_nullability(dt.keyType),
+            normalize_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, normalize_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def align_df(df: DataFrame, target_schema: T.StructType) -> DataFrame:
     """Project df onto target_schema: cast widenable columns, fill missing
     columns with typed nulls. Column order follows target_schema.

@@ -62,7 +62,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kf_etl_clin_portal_spark.lake.schema import align_df, remap_by_field_id
+from kf_etl_clin_portal_spark.lake.schema import (
+    align_df,
+    normalize_nullability,
+    remap_by_field_id,
+)
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -287,6 +291,10 @@ class SnapshotTable:
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         t = cls(root)
+        # register the nullability shape parquet round-trips to — anything
+        # stricter (array containsNull=false from an array() expression)
+        # would make the table reject its own files on read-alignment
+        schema = normalize_nullability(schema)
         state = {
             "version": 0,
             "snapshot_id": uuid.uuid4().hex,
@@ -1027,7 +1035,10 @@ class SnapshotTable:
                     )
                 schema_id = set_current_schema_id
             elif new_schema is not None:
-                current = T.StructType.fromJson(st["schemas"][str(schema_id)])
+                new_schema = normalize_nullability(new_schema)
+                current = normalize_nullability(
+                    T.StructType.fromJson(st["schemas"][str(schema_id)])
+                )
                 if new_schema != current:
                     parent_map = field_map(st, schema_id)
                     schema_id = max(int(k) for k in st["schemas"]) + 1
