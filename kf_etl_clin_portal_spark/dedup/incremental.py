@@ -1,0 +1,174 @@
+"""Incremental near-duplicate detection over the change feed.
+
+Full-corpus dedup (`dedup/minhash.py`) re-shingles and re-hashes EVERY
+document per run — at 100 TB of text that is the dominant cost, and it is
+pure waste when a micro-batch changed 0.01% of the corpus. This module
+keeps a **MinHash signature index** as a lake table maintained from the
+source's change data feed (the same cursor/fence machinery as
+`lake/changes.py:mirror_changes`), so per poll:
+
+- **Signature maintenance is O(changed text)**: only rows in the polled
+  version range are shingled/hashed (the expensive part); deletions
+  tombstone their index row. Exactly-once: the cursor commits atomically
+  with the index MERGE, re-offers fence.
+- **Candidate generation never shuffles the corpus**: the changed docs'
+  band keys (tiny) are broadcast against a column-pruned scan of the index
+  (key + 16 longs per doc — ~100 bytes/doc vs ~10 KB/doc of text, a
+  ~100× smaller scan than re-processing), matched map-side by broadcast
+  hash join. Two passes: a band-frequency pass that drops degenerate
+  buckets (the `max_bucket` guard — counted against the FULL index, so a
+  boilerplate band can't quadratically explode the pair output), then the
+  pair pass. Estimated Jaccard = signature agreement, thresholded before
+  anything large materializes.
+
+The reference has no incremental story at all — its prepared layer
+recomputes from scratch each release (SURVEY.md §3); this is the shape a
+continuously-ingesting training-data pipeline actually needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.hashing import (
+    lsh_band_keys,
+    minhash_signature,
+    word_shingles,
+)
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    CHANGE_TS_COL,
+    CHANGE_VERSION_COL,
+    mirror_cursor,
+    read_changes,
+)
+from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+def update_minhash_index(
+    spark: SparkSession,
+    src: SnapshotTable,
+    index_pipe,
+    text_col: str = "content",
+    seq_col: str = "seq",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    source_id: str = "mhidx",
+    strict: bool = True,
+) -> dict[str, Any]:
+    """Poll ``src``'s change feed once and MERGE (signature, band_keys)
+    rows for the changed documents into ``index_pipe`` (a CDCPipeline
+    keyed like the source). Returns {applied, since, until, rows}."""
+    src.refresh()
+    until = src.version
+    since, epoch = mirror_cursor(index_pipe.table, source_id) if (
+        SnapshotTable.exists(index_pipe.root)
+    ) else (0, -1)
+    if until <= since:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+
+    ch = read_changes(spark, src, since_version=since, until_version=until,
+                      strict=strict)
+    key_cols = src.key_cols
+    dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    sig = minhash_signature(
+        word_shingles(F.col(text_col), shingle_n), k=k, seed=seed
+    )
+    batch = ch.drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL).select(
+        *key_cols,
+        F.col(seq_col),
+        F.col(TOMBSTONE_COL),
+        # casts pin containsNull=true: parquet reads arrays back nullable,
+        # so the registered schema must agree or alignment rejects the
+        # table's own files (same pitfall as constraints.VIOLATED_COL)
+        F.when(~dead, sig).cast("array<bigint>").alias("signature"),
+        F.when(~dead, lsh_band_keys(sig, bands, rows_per_band))
+        .cast("array<string>").alias("band_keys"),
+    )
+    res = index_pipe.apply_batch(
+        batch,
+        batch_id=f"cdf.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            "mirror_source": source_id,
+            "mirror_until": until,
+            "mirror_epoch": epoch + 1,
+        },
+    )
+    if res.skipped:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+    return {
+        "applied": True, "since": since, "until": until,
+        "rows": res.n_events, "dst_version": res.version,
+    }
+
+
+def neardup_pairs_for_changed(
+    spark: SparkSession,
+    index_pipe,
+    changed_keys: DataFrame,
+    min_jaccard: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs touching the given changed keys:
+    (changed doc key..., other doc key... as ``other_*``, est_jaccard).
+
+    ``changed_keys``: a small DataFrame of the source key columns (e.g.
+    the keys from the last `update_minhash_index` poll). Broadcast by
+    construction — candidate generation is two broadcast-join scans of
+    the compact index, never a corpus shuffle."""
+    key_cols = index_pipe.table.key_cols
+    index = index_pipe.current().select(*key_cols, "signature", "band_keys")
+
+    changed = (
+        index.join(F.broadcast(changed_keys.select(*key_cols).distinct()),
+                   on=key_cols, how="left_semi")
+        .select(*key_cols, "signature",
+                F.explode("band_keys").alias("band_key"))
+    )
+
+    idx_banded = index.select(
+        *key_cols, "signature", F.explode("band_keys").alias("band_key")
+    )
+    # pass 1: frequency of each CHANGED band across the FULL index — the
+    # degenerate-bucket guard measured where it matters (output is tiny:
+    # ≤ |changed| × bands rows)
+    changed_bands = changed.select("band_key").distinct()
+    band_df = (
+        idx_banded.join(F.broadcast(changed_bands), on="band_key")
+        .groupBy("band_key").agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_bucket)
+        .select("band_key")
+    )
+    live_changed = changed.join(F.broadcast(band_df), on="band_key")
+
+    # pass 2: bucket members for the surviving bands
+    other = idx_banded.select(
+        *[F.col(c).alias(f"other_{c}") for c in key_cols],
+        F.col("signature").alias("other_signature"),
+        "band_key",
+    )
+    same = F.lit(True)
+    for c in key_cols:
+        same = same & (F.col(c) == F.col(f"other_{c}"))
+    agree = F.aggregate(
+        F.zip_with("signature", "other_signature",
+                   lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    k_expr = F.size("signature")
+    return (
+        other.join(F.broadcast(live_changed), on="band_key")
+        .where(~same)
+        .drop("band_key")
+        .distinct()
+        .withColumn("est_jaccard", agree / k_expr)
+        .where(F.col("est_jaccard") >= min_jaccard)
+        .drop("signature", "other_signature")
+    )

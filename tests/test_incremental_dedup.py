@@ -1,0 +1,149 @@
+"""Incremental near-dup detection (dedup/incremental.py): the signature
+index tracks the source O(changed text) per poll, and candidate pairs for
+changed docs equal the full-corpus LSH recompute restricted to those docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.dedup.incremental import (
+    neardup_pairs_for_changed,
+    update_minhash_index,
+)
+from kf_etl_clin_portal_spark.dedup.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+PARAMS = dict(shingle_n=2, k=16, bands=4, rows_per_band=4, seed=7)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "import numpy as np and pandas as pd for the data pipeline module",
+    "select repo path commit lang content from events where seq is max",
+    "a completely different sentence about distributed stream processing",
+]
+
+
+def _feed(spark, rows):
+    """rows: (seq, repo, path, content) — upsert events; content None = delete."""
+    data = [
+        (seq, "delete" if content is None else "upsert", repo, path,
+         f"c{seq}", "python", content, 0)
+        for seq, repo, path, content in rows
+    ]
+    return spark.createDataFrame(
+        data, "seq long, op string, repo string, path string, commit string, "
+              "lang string, content string, delivery_batch int",
+    )
+
+
+def _index_state(spark, index_pipe):
+    return {
+        (r["repo"], r["path"], tuple(r["signature"]))
+        for r in index_pipe.current().collect()
+    }
+
+
+def _spec_signatures(spark, src_pipe):
+    cur = src_pipe.current().withColumn(
+        "doc_key", F.concat_ws("/", "repo", "path")
+    )
+    return {
+        (r["doc_key"], tuple(r["signature"]))
+        for r in minhash_signatures(
+            cur, text_col="content", id_col="doc_key",
+            shingle_n=PARAMS["shingle_n"], k=PARAMS["k"], seed=PARAMS["seed"],
+        ).collect()
+    }
+
+
+@pytest.fixture()
+def pipes(spark, tmp_path):
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4,
+                      merge_strategy="mor")
+    idx = CDCPipeline(spark, str(tmp_path / "idx"), num_buckets=4)
+    return src, idx
+
+
+def test_index_tracks_source_incrementally(spark, pipes):
+    src, idx = pipes
+    r1 = [(i + 1, "r1", f"f{i}.py", t) for i, t in enumerate(BASE)]
+    src.apply_batch(_feed(spark, r1), batch_id="b0")
+    rep = update_minhash_index(spark, src.table, idx, **PARAMS)
+    assert rep["applied"] and rep["rows"] == len(BASE)
+    want = _spec_signatures(spark, src)
+    got = {(f"{r}/{p}", s) for r, p, s in _index_state(spark, idx)}
+    assert got == want
+
+    # second poll: one edit, one new doc, one delete → exactly 3 index rows
+    r2 = [(10, "r1", "f0.py", BASE[0] + " with a tiny edit"),
+          (11, "r1", "new.py", BASE[1]),
+          (12, "r1", "f3.py", None)]
+    src.apply_batch(_feed(spark, r2), batch_id="b1")
+    rep = update_minhash_index(spark, src.table, idx, **PARAMS)
+    assert rep["applied"] and rep["rows"] == 3
+    got = {(f"{r}/{p}", s) for r, p, s in _index_state(spark, idx)}
+    assert got == _spec_signatures(spark, src)  # incl. f3.py gone
+
+    # idle poll: nothing to do, cursor parked
+    rep = update_minhash_index(spark, src.table, idx, **PARAMS)
+    assert not rep["applied"]
+
+
+def test_changed_pairs_equal_full_recompute(spark, pipes):
+    src, idx = pipes
+    rows = [(i + 1, "r1", f"d{i}.py", t) for i, t in enumerate(BASE)]
+    # near-dups of BASE[0] and BASE[2]
+    rows += [(50, "r1", "dup0.py", BASE[0] + " extra"),
+             (51, "r1", "dup2.py", BASE[2])]
+    src.apply_batch(_feed(spark, rows), batch_id="b0")
+    update_minhash_index(spark, src.table, idx, **PARAMS)
+
+    changed = spark.createDataFrame(
+        [("r1", "dup0.py"), ("r1", "dup2.py")], "repo string, path string"
+    )
+    got = {
+        tuple(sorted([(r["repo"], r["path"]), (r["other_repo"], r["other_path"])]))
+        for r in neardup_pairs_for_changed(
+            spark, idx, changed, min_jaccard=0.5, max_bucket=50
+        ).collect()
+    }
+
+    # spec: full-corpus LSH candidates + signature-agreement threshold,
+    # restricted to pairs touching the changed docs
+    cur = src.current().withColumn("doc_key", F.concat_ws("/", "repo", "path"))
+    sigs = minhash_signatures(cur, text_col="content", id_col="doc_key",
+                              shingle_n=PARAMS["shingle_n"], k=PARAMS["k"],
+                              seed=PARAMS["seed"])
+    cands = lsh_candidate_pairs(sigs, id_col="doc_key",
+                                bands=PARAMS["bands"],
+                                rows_per_band=PARAMS["rows_per_band"],
+                                max_bucket=50)
+    sig_map = {r["doc_key"]: r["signature"] for r in sigs.collect()}
+    changed_keys = {"r1/dup0.py", "r1/dup2.py"}
+
+    def key(d):
+        repo, path = d.split("/", 1)
+        return (repo, path)
+
+    want = set()
+    for r in cands.collect():
+        a, b = r["id_a"], r["id_b"]
+        if not ({a, b} & changed_keys):
+            continue
+        agree = sum(x == y for x, y in zip(sig_map[a], sig_map[b]))
+        if agree / PARAMS["k"] >= 0.5:
+            want.add(tuple(sorted([key(a), key(b)])))
+    assert got == want
+    assert any("dup0.py" in str(p) for p in got)  # the planted dup is found
+
+
+def test_reoffer_fences_index_poll(spark, pipes):
+    src, idx = pipes
+    src.apply_batch(_feed(spark, [(1, "r1", "a.py", BASE[0])]), batch_id="b0")
+    update_minhash_index(spark, src.table, idx, **PARAMS)
+    v = idx.table.refresh().version
+    # same range re-offered directly (simulated crash-after-commit replay)
+    rep = update_minhash_index(spark, src.table, idx, **PARAMS)
+    assert not rep["applied"] and idx.table.refresh().version == v
