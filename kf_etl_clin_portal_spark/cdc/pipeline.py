@@ -72,6 +72,7 @@ class CDCPipeline:
         prune: bool | None = None,
         table_properties: dict[str, str] | None = None,
         quarantine_root: str | None = None,
+        quarantine_buckets: int = 4,
     ):
         self.spark = spark
         self.root = root
@@ -82,6 +83,7 @@ class CDCPipeline:
         self.prune = prune
         self.table_properties = table_properties
         self.quarantine_root = quarantine_root
+        self.quarantine_buckets = quarantine_buckets
         self._table: SnapshotTable | None = None
         self._quarantine: "CDCPipeline | None" = None
 
@@ -97,9 +99,11 @@ class CDCPipeline:
         if self.quarantine_root is None:
             return None
         if self._quarantine is None:
+            # small by default (a DLQ should be near-empty); `rebucket` is
+            # the growth path if a bad contract floods it
             self._quarantine = CDCPipeline(
                 self.spark, self.quarantine_root, key_cols=("seq",),
-                num_buckets=4,
+                num_buckets=self.quarantine_buckets,
             )
         return self._quarantine
 
