@@ -208,8 +208,15 @@ def main(argv: list[str] | None = None) -> int:
         cols = [c for c in args.zorder.split(",") if c]
         report["zorder_version"] = zorder_buckets(spark, pipe.table, cols)
     if args.quarantine:
-        dlq = pipe.quarantine.current()
-        report["quarantined_rows"] = dlq.count()
+        from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+        # the DLQ table is created lazily on the first violating batch —
+        # a fully-clean replay has no table and 0 quarantined rows
+        report["quarantined_rows"] = (
+            pipe.quarantine.current().count()
+            if SnapshotTable.exists(args.quarantine)
+            else 0
+        )
     if args.verify:
         from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
 

@@ -221,15 +221,27 @@ class CDCPipeline:
             table_constraints,
         )
 
+        if not SnapshotTable.exists(self.quarantine_root):
+            # nothing was ever quarantined — the lazy DLQ table doesn't exist
+            return {"n_candidates": 0, "n_reingested": 0, "result": None}
+        from kf_etl_clin_portal_spark.lake.constraints import split_violations
+
         q = self.quarantine
         rows = q.current()
         n_candidates = rows.count()
         if n_candidates == 0:
             return {"n_candidates": 0, "n_reingested": 0, "result": None}
+        # split HERE and merge only the accepted slice — still-violating
+        # rows are never re-offered to the DLQ (they are the DLQ), so the
+        # DLQ version only moves when the delete below accepts something:
+        # the version-derived batch id is stable across no-progress calls
+        # and the main merge fences on a crash-between-merge-and-delete.
         batch_id = f"dlq-reingest-v{q.table.refresh().version}"
-        res = self.apply_batch(rows.drop(VIOLATED_COL), batch_id=batch_id)
+        batch = self.prepare_batch(rows.drop(VIOLATED_COL))
+        self.ensure_table(batch.schema)
         cons = table_constraints(self.table)
-        n_reingested = n_candidates
+        clean = split_violations(batch, self.table)[0] if cons else batch
+        res = self._merge(clean, batch_id, None, {"reingest_batch": batch_id})
         if cons:
             # a row leaves the DLQ iff it passes EVERY current constraint
             ok = F.lit(True)

@@ -97,8 +97,13 @@ class FanoutRouter:
         re-offer: every destination fences independently."""
         tagged = self._tag(events).persist()
         try:
-            if self.on_unmatched == "error":
+            n_unmatched = 0
+            if self.on_unmatched in ("error", "drop"):
+                # counted under BOTH policies: 'drop' is an explicit choice,
+                # but never a silent one — the count is returned so a
+                # route-predicate typo is operator-visible
                 n_unmatched = tagged.where(F.col(_ROUTE_COL).isNull()).count()
+            if self.on_unmatched == "error":
                 if n_unmatched:
                     sample = [
                         r.asDict()
@@ -112,6 +117,8 @@ class FanoutRouter:
                         f"(on_unmatched='error'); sample: {sample}"
                     )
             results: dict[str, Any] = {}
+            if self.on_unmatched == "drop":
+                results["__unmatched"] = n_unmatched
             # deterministic route order: a crash leaves a fenced PREFIX,
             # so resume work is exactly the un-applied suffix
             for r in self.routes:
@@ -137,6 +144,8 @@ class FanoutRouter:
         resume tests."""
         if max_seq is None:
             max_seq = events.agg(F.max("seq")).first()[0]
+        if max_seq is None:
+            return []  # empty feed: nothing to route
         bounds = [round(i * max_seq / n_batches) for i in range(n_batches + 1)]
         out = []
         for i in range(n_batches):

@@ -527,6 +527,25 @@ def read_merged(
     )
 
 
+def read_live(
+    spark: SparkSession,
+    table: SnapshotTable,
+    seq_col: str = "seq",
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Resolved LIVE state: read_merged winners with tombstones dropped —
+    the single definition of "what a consumer sees" shared by
+    `CDCPipeline.current`, SQL views, and release reads (one place to
+    change winner/tombstone semantics)."""
+    df = read_merged(spark, table, seq_col=seq_col, version=version, ref=ref)
+    if TOMBSTONE_COL in df.columns:
+        df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
+            TOMBSTONE_COL
+        )
+    return df
+
+
 def lookup_keys(
     spark: SparkSession,
     table: SnapshotTable,

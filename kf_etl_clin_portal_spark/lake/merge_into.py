@@ -172,7 +172,9 @@ def merge_into(
             F.collect_set(BUCKET_COL).alias("buckets"),
         ).first()
         n_src = int(stats["n"] or 0)
-        if n_src == 0 and not by_source:
+        if n_src == 0 and not by_source and not plan_only:
+            # plan_only flows through: the audit contract is "always a
+            # DataFrame" (an empty source plans against zero buckets)
             return MergeIntoResult(basis, 0, 0, 0, 0, skipped=True)
         if n_src != int(stats["n_keys"] or 0):
             if on_duplicate == "error":

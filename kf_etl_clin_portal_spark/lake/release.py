@@ -44,7 +44,7 @@ def _data_fingerprint(state: dict[str, Any]) -> str:
     change it, so `diff` reports real data movement, not ref churn."""
     import hashlib
 
-    files = sorted((f["path"], f.get("size", 0)) for f in state["files"])
+    files = sorted((f["path"], f.get("bytes", 0)) for f in state["files"])
     payload = json.dumps([files, state.get("current_schema_id")], sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
@@ -151,21 +151,14 @@ class ReleaseManager:
         CURRENT): time-travel read at the pinned version, MoR winners
         resolved, tombstones dropped — what `CDCPipeline.current()` shows,
         frozen at release time."""
-        from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, read_merged
+        from kf_etl_clin_portal_spark.lake.merge import read_live
 
         m = self.manifest(release)
         if alias not in m["tables"]:
             raise ReleaseError(f"release {m['name']!r} has no table {alias!r}")
         e = m["tables"][alias]
         t = SnapshotTable(e["root"])
-        df = read_merged(spark, t, seq_col=seq_col, version=e["version"])
-        if TOMBSTONE_COL in df.columns:
-            import pyspark.sql.functions as F
-
-            df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
-                TOMBSTONE_COL
-            )
-        return df
+        return read_live(spark, t, seq_col=seq_col, version=e["version"])
 
     def diff(self, a: str, b: str) -> dict[str, Any]:
         """Per-alias version movement between two releases (audit surface)."""
@@ -174,10 +167,17 @@ class ReleaseManager:
         for alias in sorted(set(ma["tables"]) | set(mb["tables"])):
             ea, eb = ma["tables"].get(alias), mb["tables"].get(alias)
 
-            def _ident(e):  # data identity; version only for old manifests
+            def _ident(e):
                 if e is None:
                     return None
-                return e.get("fingerprint", e["version"])
+                # fingerprints compare only when BOTH sides have one —
+                # a fingerprint never equals the other side's integer
+                # version, so a mixed old/new pair falls back to versions
+                if ea is not None and eb is not None and (
+                    "fingerprint" in ea and "fingerprint" in eb
+                ):
+                    return e["fingerprint"]
+                return e["version"]
 
             out[alias] = {
                 "from": ea and ea["version"],

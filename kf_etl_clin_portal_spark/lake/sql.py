@@ -25,21 +25,10 @@ import re
 
 from pyspark.sql import SparkSession
 
-from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, read_merged
+from kf_etl_clin_portal_spark.lake.merge import read_live as _live
 from kf_etl_clin_portal_spark.lake.table import SnapshotTable
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-
-
-def _live(spark: SparkSession, table: SnapshotTable, version=None, ref=None):
-    import pyspark.sql.functions as F
-
-    df = read_merged(spark, table, version=version, ref=ref)
-    if TOMBSTONE_COL in df.columns:
-        df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
-            TOMBSTONE_COL
-        )
-    return df
 
 
 def register_tables(

@@ -510,6 +510,10 @@ class SnapshotTable:
             self._state, self._version = new_state, version_new
             self._maybe_checkpoint()
             return CommitInfo(version_new, snapshot_id, "publish", delta["lineage"])
+        raise RuntimeError(
+            f"set_ref({name!r}): lost the commit race 20 times under "
+            "sustained concurrent writers; retry"
+        )
 
     def drop_ref(self, name: str) -> CommitInfo:
         """Delete a named ref (metadata-only commit). The snapshot it
@@ -549,6 +553,10 @@ class SnapshotTable:
             self._state, self._version = new_state, version_new
             self._maybe_checkpoint()
             return CommitInfo(version_new, snapshot_id, "drop_ref", delta["lineage"])
+        raise RuntimeError(
+            f"drop_ref({name!r}): lost the commit race 20 times under "
+            "sustained concurrent writers; retry (the ref is still set)"
+        )
 
     def set_properties(self, props: dict[str, str]) -> CommitInfo:
         """Metadata-only property evolution (the `ALTER TABLE ... SET

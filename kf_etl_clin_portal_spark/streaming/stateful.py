@@ -118,4 +118,9 @@ def stream_interval_join(
         & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
         & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, how).drop(f"r_{key_col}")
+    joined = lw.join(rw, cond, how)
+    # outer modes: a right-only row has a NULL left key — surface the key
+    # from whichever side holds it before dropping the duplicate column
+    return joined.withColumn(
+        key_col, F.coalesce(F.col(key_col), F.col(f"r_{key_col}"))
+    ).drop(f"r_{key_col}")

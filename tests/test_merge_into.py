@@ -198,3 +198,29 @@ def test_constraints_gate_post_images(spark, tmp_path):
     res = merge_into(spark, t, _batch(spark, [(9, "r9", "z", "ok", 3.0)]),
                      [WhenNotMatchedInsert()])
     assert res.n_inserted == 1
+
+
+def test_plan_only_returns_dataframe_even_for_empty_source(spark, tmp_path):
+    from pyspark.sql import DataFrame
+
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.merge_into import (
+        WhenMatchedUpdate,
+        WhenNotMatchedInsert,
+        merge_into,
+    )
+
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=2)
+    pipe.apply_batch(generate_change_events(spark, 300, seed=5), batch_id="b0")
+    src = pipe.current().limit(0).select("repo", "path").withColumn(
+        "seq", F.lit(10**9))
+    out = merge_into(
+        spark, pipe.table, src,
+        [WhenMatchedUpdate({"lang": F.lit("x")}), WhenNotMatchedInsert()],
+        plan_only=True,
+    )
+    assert isinstance(out, DataFrame)
+    out.explain()  # plannable
+    assert out.count() == 0
+    assert pipe.table.refresh().version == 1  # nothing was written

@@ -191,3 +191,38 @@ def test_reingest_partial_with_two_constraints(spark, tmp_path):
     dlq = pipe.quarantine.current().collect()
     assert len(dlq) == 1 and dlq[0]["seq"] == 2  # null repo still held
     assert pipe.current().where("path = 'a.go'").count() == 1
+
+
+def test_reingest_noprogress_is_stable(spark, tmp_path):
+    """A reingest that accepts nothing must not move EITHER table — the
+    DLQ is never re-merged into itself and the version-derived batch id
+    stays put, so a cron-driven reingest against a stuck DLQ is free."""
+    rows = [(1, "upsert", "r1", "a.go", "c1", "go", "x", 0)]
+    ev = spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string, "
+              "lang string, content string, delivery_batch int")
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=2,
+                       table_properties=NO_GO,
+                       quarantine_root=str(tmp_path / "dlq"))
+    pipe.apply_batch(ev, batch_id="b0")
+    vq = pipe.quarantine.table.refresh().version
+    vm = pipe.table.refresh().version
+    for _ in range(3):
+        rep = pipe.reingest_quarantine()
+        assert rep["n_reingested"] == 0
+    assert pipe.quarantine.table.refresh().version == vq
+    assert pipe.table.refresh().version == vm
+
+
+def test_reingest_without_dlq_table(spark, tmp_path):
+    """Quarantine configured but nothing ever violated: no DLQ table
+    exists and reingest is a clean no-op."""
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=2,
+                       quarantine_root=str(tmp_path / "dlq"))
+    ev = spark.createDataFrame(
+        [(1, "upsert", "r1", "a.py", "c1", "python", "x", 0)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, delivery_batch int")
+    pipe.apply_batch(ev, batch_id="b0")
+    assert pipe.reingest_quarantine() == {
+        "n_candidates": 0, "n_reingested": 0, "result": None}

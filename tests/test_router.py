@@ -181,3 +181,17 @@ def test_streaming_fanout(spark, feed, tmp_path):
     )
     q2.awaitTermination(300)
     assert [r.pipeline.table.refresh().version for r in routes] == versions
+
+
+def test_empty_feed_and_drop_visibility(spark, tmp_path):
+    p = CDCPipeline(spark, str(tmp_path / "a"), num_buckets=2)
+    r = FanoutRouter([Route("py", p, "lang = 'python'")], on_unmatched="drop")
+    ev = spark.createDataFrame(
+        [], "seq long, op string, repo string, path string, commit string, "
+            "lang string, content string, delivery_batch int")
+    assert r.replay(ev) == []  # empty feed: no batches, no crash
+    full = generate_change_events(spark, 500, seed=63)
+    res = r.apply_batch(full, "b0")
+    # dropped rows are counted, never silent
+    n_py = full.where("lang = 'python'").count()
+    assert res["__unmatched"] == full.count() - n_py > 0

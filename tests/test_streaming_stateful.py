@@ -159,3 +159,54 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         and l["ts"] <= r["ts"] <= l["ts"] + dt.timedelta(minutes=10)
     }
     assert got == want and len(want) == 4  # u1:1-101, u1:2-102, u3:4-104/105
+
+
+def test_stream_interval_join_left_outer_keeps_key(spark, tmp_path):
+    """Outer mode: unmatched left rows emit (after the watermark closes
+    them out) and the key column is never NULL on matched rows."""
+    import datetime as dt
+
+    from kf_etl_clin_portal_spark.streaming.stateful import stream_interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = [("u1", 1, ts(0)), ("u9", 2, ts(1)), ("u1", 3, ts(120))]
+    buys = [("u1", 101, ts(5))]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_feed_file(spark, ldir, clicks, "f0")
+    _write_feed_file(spark, rdir, buys, "f0")
+    ls = spark.readStream.schema(EV_SCHEMA).parquet(ldir + "/*")
+    rs = spark.readStream.schema(EV_SCHEMA).parquet(rdir + "/*")
+    joined = stream_interval_join(ls, rs, "key", "ts", "ts",
+                                  within="10 minutes", watermark="5 minutes",
+                                  how="left_outer")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(joined, out, ckpt)
+    rows = {(r["key"], r["l_seq"], r["r_seq"])
+            for r in spark.read.parquet(out).collect()}
+    assert ("u1", 1, 101) in rows
+    assert all(k is not None for k, _, _ in rows)  # key survives the drop
+
+    # NULL-side rows flush only when a LATER batch advances the watermark
+    # past their bound (Spark semantics: outer results are withheld until
+    # no match can arrive) — feed one more event and re-run the query on
+    # the same checkpoint
+    def mk():
+        l2 = spark.readStream.schema(EV_SCHEMA).parquet(ldir + "/*")
+        r2 = spark.readStream.schema(EV_SCHEMA).parquet(rdir + "/*")
+        return stream_interval_join(l2, r2, "key", "ts", "ts",
+                                    within="10 minutes",
+                                    watermark="5 minutes", how="left_outer")
+
+    # the GLOBAL watermark is the min over both inputs — advance both
+    _write_feed_file(spark, ldir, [("zz", 9, ts(300))], "f1")
+    _write_feed_file(spark, rdir, [("zz", 900, ts(300))], "f1")
+    _run_available_now(mk(), out, ckpt)
+    rows = {(r["key"], r["l_seq"], r["r_seq"])
+            for r in spark.read.parquet(out).collect()}
+    # the u9 click had no match: emitted with a NULL right side, key intact
+    assert ("u9", 2, None) in rows
+    assert all(k is not None for k, _, _ in rows)
