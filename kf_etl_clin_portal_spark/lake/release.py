@@ -160,6 +160,31 @@ class ReleaseManager:
         t = SnapshotTable(e["root"])
         return read_live(spark, t, seq_col=seq_col, version=e["version"])
 
+    def changes(
+        self, spark: SparkSession, alias: str, a: str, b: str,
+        strict: bool = True,
+    ) -> DataFrame:
+        """Row-level changelog of ``alias`` between releases ``a`` and
+        ``b`` — the release-audit question ("what exactly moved?") answered
+        from the table's own change data feed between the two pinned
+        versions, O(changed bytes). Requires the table to run MoR merges
+        (the CDF strict-raises on CoW commits, like `read_changes`)."""
+        from kf_etl_clin_portal_spark.lake.changes import read_changes
+
+        ma, mb = self.manifest(a), self.manifest(b)
+        for m in (ma, mb):
+            if alias not in m["tables"]:
+                raise ReleaseError(f"release {m['name']!r} has no table {alias!r}")
+        va, vb = ma["tables"][alias]["version"], mb["tables"][alias]["version"]
+        if vb < va:
+            raise ReleaseError(
+                f"release {b!r} pins {alias!r} at v{vb}, earlier than "
+                f"{a!r}'s v{va}; swap the arguments"
+            )
+        t = SnapshotTable(ma["tables"][alias]["root"])
+        return read_changes(spark, t, since_version=va, until_version=vb,
+                            strict=strict)
+
     def diff(self, a: str, b: str) -> dict[str, Any]:
         """Per-alias version movement between two releases (audit surface)."""
         ma, mb = self.manifest(a), self.manifest(b)

@@ -145,3 +145,31 @@ def test_drop_ref_commit_semantics(spark, tmp_path):
     assert "published" in t.state_at(v).get("refs", {})
     with pytest.raises(ValueError, match="no such ref"):
         t.drop_ref("published")
+
+
+def test_release_changes_returns_row_level_delta(spark, tmp_path):
+    """`changes(alias, a, b)` == the change feed between the two pinned
+    versions: exactly the rows that moved, nothing else."""
+    feed = generate_change_events(spark, 3_000, seed=46)
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4,
+                       merge_strategy="mor")
+    pipe.replay(feed, n_batches=2, feed_id="f")
+    rm = ReleaseManager(str(tmp_path / "rel"))
+    rm.cut("a", {"code": pipe.table})
+
+    more = generate_change_events(spark, 800, seed=47).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000))
+    pipe.replay(more, n_batches=1, feed_id="g")
+    rm.cut("b", {"code": pipe.table})
+
+    ch = rm.changes(spark, "code", "a", "b")
+    # every changed row comes from the second feed; count matches its
+    # per-key latest (the merge dedups within the batch)
+    assert ch.where(F.col("seq") <= 10_000_000).count() == 0
+    latest_keys = more.select("repo", "path").distinct().count()
+    assert ch.count() == latest_keys
+
+    with pytest.raises(ReleaseError, match="swap"):
+        rm.changes(spark, "code", "b", "a")
+    with pytest.raises(ReleaseError, match="no table"):
+        rm.changes(spark, "nope", "a", "b")
