@@ -1,0 +1,93 @@
+"""Snapshot export — hand a RESOLVED table state to consumers outside the
+lake (the reference's equivalent step ships every prepared table into
+Elasticsearch for its consumers, `RunIndexClinical/RunIndexGenomic`; most
+downstream consumers of a lake just want plain columnar files).
+
+``export_snapshot`` writes the resolved live state (MoR winners folded,
+tombstones dropped — `read_live`) as plain parquet/json/csv plus an
+``_export_manifest.json`` recording provenance (source root, version,
+snapshot id, schema, row count): the consumer needs no engine code to read
+the data, and the manifest makes the export reproducible/attributable.
+Write is directory-atomic: data lands in a ``_tmp`` sibling and renames
+into place, so readers never see a half-written export.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from kf_etl_clin_portal_spark.lake.merge import read_live
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+_FORMATS = ("parquet", "json", "csv")
+
+
+def export_snapshot(
+    spark: SparkSession,
+    table: SnapshotTable,
+    dst: str,
+    version: int | None = None,
+    ref: str | None = None,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> dict[str, Any]:
+    """Export the resolved live state to ``dst``; returns the manifest."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if os.path.exists(dst) and os.listdir(dst):
+        raise ValueError(f"export destination is not empty: {dst}")
+    table.refresh()
+    v = table.version if version is None else version
+    if ref is not None:
+        v = table.resolve_ref(ref)
+    df = read_live(spark, table, version=v)
+    if coalesce:
+        df = df.coalesce(coalesce)
+
+    tmp = dst.rstrip("/") + "._tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # debris from a crashed earlier export
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+
+    # count from the source frame, not a format round-trip (csv with
+    # embedded newlines needs multiLine to re-read — the consumer's
+    # concern; the manifest records what was written)
+    n = df.count()
+    st = table.state_at(v)
+    manifest = {
+        "source_root": table.root,
+        "version": v,
+        "snapshot_id": st["snapshot_id"],
+        "format": fmt,
+        "partition_by": partition_by or [],
+        "row_count": n,
+        "schema": df.schema.jsonValue(),
+    }
+    with open(os.path.join(tmp, "_export_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, dst) if not os.path.exists(dst) else _move_into(tmp, dst)
+    return manifest
+
+
+def _move_into(tmp: str, dst: str) -> None:
+    # dst exists but is empty (validated above): move contents atomically
+    # enough for local fs semantics — each entry is one rename
+    for name in os.listdir(tmp):
+        os.replace(os.path.join(tmp, name), os.path.join(dst, name))
+    os.rmdir(tmp)
+
+
+def read_export_manifest(dst: str) -> dict[str, Any]:
+    with open(os.path.join(dst, "_export_manifest.json")) as f:
+        return json.load(f)

@@ -1,0 +1,65 @@
+"""Snapshot export (lake/export.py): plain files + provenance manifest."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.export import (
+    export_snapshot,
+    read_export_manifest,
+)
+
+
+def _state_set(df):
+    cols = sorted(df.columns)
+    return {tuple(r) for r in
+            df.select(*[F.col(c).cast("string") for c in cols]).collect()}
+
+
+def test_export_parquet_matches_resolved_state(spark, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4,
+                       merge_strategy="mor")
+    pipe.replay(generate_change_events(spark, 3_000, seed=55),
+                n_batches=2, feed_id="f")
+    dst = str(tmp_path / "out")
+    m = export_snapshot(spark, pipe.table, dst)
+    got = spark.read.parquet(dst)  # no engine code needed to read it
+    assert _state_set(got) == _state_set(pipe.current())
+    assert m["row_count"] == pipe.current().count()
+    assert read_export_manifest(dst)["snapshot_id"] == m["snapshot_id"]
+
+    # the export is frozen: later merges don't touch it
+    more = generate_change_events(spark, 500, seed=56).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000))
+    pipe.replay(more, n_batches=1, feed_id="g")
+    assert spark.read.parquet(dst).count() == m["row_count"]
+
+    with pytest.raises(ValueError, match="not empty"):
+        export_snapshot(spark, pipe.table, dst)
+
+    # pinned-version export equals the first one
+    dst2 = str(tmp_path / "out2")
+    m2 = export_snapshot(spark, pipe.table, dst2, version=m["version"])
+    assert _state_set(spark.read.parquet(dst2)) == _state_set(got)
+    assert m2["snapshot_id"] == m["snapshot_id"]
+
+
+def test_export_csv_partitioned(spark, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=2)
+    pipe.replay(generate_change_events(spark, 1_000, seed=57),
+                n_batches=1, feed_id="f")
+    dst = str(tmp_path / "csv")
+    m = export_snapshot(spark, pipe.table, dst, fmt="csv",
+                        partition_by=["lang"], coalesce=1)
+    assert m["row_count"] == pipe.current().count()
+    # hive-style lang=... partition dirs exist
+    assert any(d.startswith("lang=") for d in os.listdir(dst))
+    # content has embedded newlines: csv consumers need multiLine+escape
+    back = spark.read.option("header", "true").option("multiLine", "true") \
+        .option("escape", '"').csv(dst)
+    assert back.count() == m["row_count"]
+    with pytest.raises(ValueError, match="fmt"):
+        export_snapshot(spark, pipe.table, str(tmp_path / "x"), fmt="orcx")
