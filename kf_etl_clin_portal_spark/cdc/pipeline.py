@@ -346,10 +346,14 @@ class CDCPipeline:
     ) -> DataFrame:
         # read_merged resolves per-key winners when delta (MoR) files exist;
         # degenerates to a plain snapshot read on an all-base table
-        df = read_merged(self.spark, self.table, seq_col="seq", ref=ref)
         if not include_tombstones:
-            df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
-        return df
+            # read_live: null-safe tombstone drop, tolerant of tables where
+            # the column doesn't exist yet / was evolved in later (imported
+            # snapshots, pre-evolution rows read the column back as null)
+            from kf_etl_clin_portal_spark.lake.merge import read_live
+
+            return read_live(self.spark, self.table, seq_col="seq", ref=ref)
+        return read_merged(self.spark, self.table, seq_col="seq", ref=ref)
 
     def lookup(
         self, keys: list[dict], include_tombstones: bool = False

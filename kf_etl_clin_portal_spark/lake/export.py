@@ -91,3 +91,61 @@ def _move_into(tmp: str, dst: str) -> None:
 def read_export_manifest(dst: str) -> dict[str, Any]:
     with open(os.path.join(dst, "_export_manifest.json")) as f:
         return json.load(f)
+
+
+def export_release(
+    spark: SparkSession,
+    manager,
+    dst_root: str,
+    release: str | None = None,
+    fmt: str = "parquet",
+) -> dict[str, Any]:
+    """Export EVERY alias of a release (default: CURRENT) at its pinned
+    version under ``dst_root/<alias>/`` — the whole consistent set in one
+    call, plus a top-level ``_release_manifest.json``. The exported set is
+    mutually consistent BY CONSTRUCTION (the pins were cut atomically),
+    which N independent exports of live tables can never guarantee."""
+    m = manager.manifest(release)
+    os.makedirs(dst_root, exist_ok=True)
+    out: dict[str, Any] = {"release": m["name"], "tables": {}}
+    for alias, e in sorted(m["tables"].items()):
+        t = SnapshotTable(e["root"])
+        out["tables"][alias] = export_snapshot(
+            spark, t, os.path.join(dst_root, alias),
+            version=e["version"], fmt=fmt,
+        )
+    tmp = os.path.join(dst_root, "_release_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(dst_root, "_release_manifest.json"))
+    return out
+
+
+def import_snapshot(
+    spark: SparkSession,
+    export_dir: str,
+    dst_root: str,
+    key_cols: list[str],
+    num_buckets: int = 16,
+) -> SnapshotTable:
+    """Load a parquet export back into a NEW lake table (migration /
+    restore round trip): the export's resolved rows become the table's
+    base state, re-bucketed under the new key/bucket spec; the import
+    records the export's provenance in its creation lineage. The new
+    table is a full citizen — later MERGE/DML/maintenance all apply."""
+    from kf_etl_clin_portal_spark.lake.load import overwrite
+
+    m = read_export_manifest(export_dir)
+    if m["format"] != "parquet":
+        raise ValueError(f"import supports parquet exports, got {m['format']}")
+    df = spark.read.parquet(export_dir)
+    t = SnapshotTable.create(
+        dst_root, df.schema, key_cols=list(key_cols), num_buckets=num_buckets,
+        properties={
+            "import.source_root": m["source_root"],
+            "import.source_version": str(m["version"]),
+            "import.source_snapshot_id": m["snapshot_id"],
+        },
+    )
+    overwrite(spark, t, df)
+    return t.refresh()

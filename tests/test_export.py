@@ -63,3 +63,41 @@ def test_export_csv_partitioned(spark, tmp_path):
     assert back.count() == m["row_count"]
     with pytest.raises(ValueError, match="fmt"):
         export_snapshot(spark, pipe.table, str(tmp_path / "x"), fmt="orcx")
+
+
+def test_export_release_and_import_round_trip(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.export import (
+        export_release,
+        import_snapshot,
+    )
+    from kf_etl_clin_portal_spark.lake.release import ReleaseManager
+
+    pa = CDCPipeline(spark, str(tmp_path / "ta"), num_buckets=4,
+                     merge_strategy="mor")
+    pb = CDCPipeline(spark, str(tmp_path / "tb"), num_buckets=4)
+    pa.replay(generate_change_events(spark, 2_000, seed=58),
+              n_batches=2, feed_id="a")
+    pb.replay(generate_change_events(spark, 1_000, seed=59),
+              n_batches=1, feed_id="b")
+    rm = ReleaseManager(str(tmp_path / "rel"))
+    rm.cut("v1", {"code": pa.table, "docs": pb.table})
+    rm.publish("v1")
+
+    dst = str(tmp_path / "exp")
+    rel = export_release(spark, rm, dst)
+    assert set(rel["tables"]) == {"code", "docs"}
+    assert _state_set(spark.read.parquet(f"{dst}/code")) == _state_set(
+        pa.current())
+
+    # migration round trip: import → identical resolved state, and the
+    # imported table accepts further MERGEs (full citizen)
+    t2 = import_snapshot(spark, f"{dst}/code", str(tmp_path / "t2"),
+                         key_cols=["repo", "path"], num_buckets=8)
+    p2 = CDCPipeline(spark, str(tmp_path / "t2"), num_buckets=8)
+    assert _state_set(p2.current()) == _state_set(pa.current())
+    assert t2.state["properties"]["import.source_snapshot_id"] == (
+        rel["tables"]["code"]["snapshot_id"])
+    more = generate_change_events(spark, 300, seed=60).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000))
+    p2.replay(more, n_batches=1, feed_id="m")
+    assert p2.current().count() > 0
