@@ -1,0 +1,365 @@
+"""Native Spark data source for the lake change feed (PySpark 4 Python
+Data Source API).
+
+``lake/changes.py:read_changes`` gives batch polling; this module makes the
+same feed a first-class Spark SOURCE, so the standard engine surfaces work
+unchanged:
+
+    spark.dataSource.register(LakeChangesDataSource)
+    df = (spark.read.format("lake_changes")
+          .option("root", root).option("sinceVersion", 3).load())
+    q  = (spark.readStream.format("lake_changes")
+          .option("root", root).load()
+          .writeStream...)
+
+Why this matters at scale: Structured Streaming's own offset log now
+checkpoints the table version — a downstream stage (`table A → stream →
+table B`) restarts exactly where it left off with Spark-managed offsets,
+and each micro-batch reads ONLY the delta files committed in its version
+range (O(changed bytes), like `read_changes`). Planning is driver-side
+metadata (the commit log); reading is executor-side pyarrow over one delta
+file per input partition — per-FILE parallelism, no driver data movement
+(the `SimpleDataSourceStreamReader` driver-funnel variant is deliberately
+not used).
+
+Semantics match `read_changes` (kf-etl-clin-portal's staged full re-export
+jobs — e.g. fhavro-export re-reading the world each run — replaced by an
+incremental scan; reference behavior per SURVEY.md §2.1 S7/S8):
+
+- rows come from ``merge_mor`` / ``append`` commits' added files, aligned
+  to the schema pinned at stream start (field-id rename resolution + cast
+  + null backfill, computed driver-side into a per-file column plan the
+  executors apply with Arrow `cast` — no Python-per-row anywhere);
+- maintenance commits contribute no rows;
+- CoW ``merge`` / ``overwrite`` commits raise at planning time unless
+  ``strict=false`` (a silent partial feed is a correctness bug);
+- ``_change_version`` / ``_change_ts`` / ``_change_op`` metadata columns,
+  tombstones surfaced as ``_change_op='delete'``.
+
+Offsets are ``{"version": N}`` — monotone table versions, so replayed
+ranges re-plan identical immutable commits (deterministic replay under
+checkpoint recovery; the engine's batch-id fence downstream makes the
+whole chain exactly-once even if the sink re-offers).
+
+Options (keys case-insensitive): ``root`` (required); ``startingVersion``
+(int, default 0 = full history; or ``latest``); ``maxVersionsPerBatch``
+(int, default 0 = unbounded) caps how many table versions one micro-batch
+may cover (admission control for a stream catching up on a long history);
+``strict`` (default true); ``tombstoneCol`` (default ``is_deleted``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    CHANGE_TS_COL,
+    CHANGE_VERSION_COL,
+    _MAINTENANCE_OPS,
+    _ROW_CHANGE_OPS,
+)
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable, field_map
+
+
+def _opt(options: dict, key: str, default: Any = None) -> Any:
+    """Python data source options arrive with case-insensitive keys;
+    normalize lookups so .option("maxVersionsPerBatch", ..) just works."""
+    for k in (key, key.lower()):
+        if k in options:
+            return options[k]
+    lowered = {str(k).lower(): v for k, v in options.items()}
+    return lowered.get(key.lower(), default)
+
+
+def _arrow_type(dt: T.DataType):
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dt)
+
+
+@dataclass
+class _ColPlan:
+    """One output column: read ``src`` from the file (None = null-backfill)
+    and cast to ``arrow_type`` (pickled to executors; pa.DataType pickles)."""
+
+    out: str
+    src: str | None
+    arrow_type: Any
+
+
+class ChangeFilePartition(InputPartition):
+    """One committed delta file = one Spark input partition."""
+
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        ts: str,
+        plan: list[_ColPlan],
+        tombstone_src: str | None,
+    ):
+        self.path = path
+        self.version = version
+        self.ts = ts
+        self.plan = plan
+        self.tombstone_src = tombstone_src
+
+
+def _output_schema(table: SnapshotTable) -> T.StructType:
+    return T.StructType(
+        list(table.schema.fields)
+        + [
+            T.StructField(CHANGE_VERSION_COL, T.LongType()),
+            T.StructField(CHANGE_TS_COL, T.StringType()),
+            T.StructField(CHANGE_OP_COL, T.StringType()),
+        ]
+    )
+
+
+def _plan_partitions(
+    table: SnapshotTable,
+    since: int,
+    until: int,
+    pinned_fields: list[T.StructField],
+    pinned_ids: dict[str, Any],
+    strict: bool,
+    tombstone_col: str,
+) -> list[ChangeFilePartition]:
+    """Driver-side planning: walk commit entries in (since, until], emit one
+    partition per added delta file with its column plan (field-id rename
+    resolution + widen-cast + null backfill, resolved here so executors do
+    pure Arrow work). Entries are immutable, so a replayed offset range
+    plans byte-identical partitions."""
+    st = table.state
+    parts: list[ChangeFilePartition] = []
+    for v in range(since + 1, until + 1):
+        entry = table._read_entry(v)
+        op = entry["operation"]
+        if op in _MAINTENANCE_OPS:
+            continue
+        if op not in _ROW_CHANGE_OPS:
+            if strict:
+                raise ValueError(
+                    f"version {v} is a {op!r} commit: no isolated change rows "
+                    "exist for it. Use merge_strategy='mor' upstream, or "
+                    "option('strict','false') to skip."
+                )
+            continue
+        if entry.get("type") != "delta" and "new_files" not in entry:
+            if strict:
+                raise ValueError(
+                    f"version {v} is a legacy full-state commit with no "
+                    "added-files record"
+                )
+            continue
+        for f in entry.get("new_files") or []:
+            gmap = field_map(st, f["schema_id"])
+            id_to_src = {fid: name for name, fid in gmap.items()}
+            plan = [
+                _ColPlan(
+                    out=fld.name,
+                    src=id_to_src.get(pinned_ids.get(fld.name, fld.name)),
+                    arrow_type=_arrow_type(fld.dataType),
+                )
+                for fld in pinned_fields
+            ]
+            parts.append(
+                ChangeFilePartition(
+                    path=os.path.join(table.root, f["path"]),
+                    version=v,
+                    ts=entry["ts"],
+                    plan=plan,
+                    tombstone_src=id_to_src.get(
+                        pinned_ids.get(tombstone_col, tombstone_col)
+                    ),
+                )
+            )
+    return parts
+
+
+def _nonempty(parts: list[ChangeFilePartition]) -> list[ChangeFilePartition]:
+    """An empty partition list makes PySpark's planner hand read() a bare
+    None; represent 'no changes in range' as one explicit empty sentinel."""
+    if parts:
+        return parts
+    return [ChangeFilePartition(path="", version=-1, ts="", plan=[], tombstone_src=None)]
+
+
+def _read_partition(part: ChangeFilePartition) -> Iterator[Any]:
+    """Executor-side: one delta file → aligned Arrow batches. Column-pruned
+    parquet read, vectorized casts, constant metadata columns — zero
+    per-row Python."""
+    if part is None or not part.path:  # empty-range sentinel
+        return
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    want = sorted(
+        {p.src for p in part.plan if p.src is not None}
+        | ({part.tombstone_src} if part.tombstone_src else set())
+    )
+    tbl = pq.read_table(part.path, columns=want)
+    n = tbl.num_rows
+    arrays: list[Any] = []
+    names: list[str] = []
+    for p in part.plan:
+        if p.src is None:
+            arrays.append(pa.nulls(n, type=p.arrow_type))
+        else:
+            col = tbl.column(p.src)
+            if col.type != p.arrow_type:
+                col = col.cast(p.arrow_type)
+            arrays.append(col)
+        names.append(p.out)
+    arrays.append(pa.repeat(pa.scalar(part.version, type=pa.int64()), n))
+    names.append(CHANGE_VERSION_COL)
+    arrays.append(pa.repeat(pa.scalar(part.ts, type=pa.string()), n))
+    names.append(CHANGE_TS_COL)
+    if part.tombstone_src is not None:
+        dead = tbl.column(part.tombstone_src)
+        if dead.type != pa.bool_():
+            dead = dead.cast(pa.bool_())
+        op = pc.if_else(
+            pc.fill_null(dead.combine_chunks(), False),
+            pa.scalar("delete"),
+            pa.scalar("upsert"),
+        )
+    else:
+        op = pa.repeat(pa.scalar("upsert", type=pa.string()), n)
+    arrays.append(op)
+    names.append(CHANGE_OP_COL)
+    yield from pa.table(arrays, names=names).to_batches()
+
+
+class LakeChangesBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._root = _opt(options, "root")
+        if not self._root:
+            raise ValueError("lake_changes requires .option('root', <table root>)")
+        self._since = int(_opt(options, "sinceVersion", 0))
+        self._until = _opt(options, "untilVersion")
+        self._strict = str(_opt(options, "strict", "true")).lower() != "false"
+        self._tombstone = _opt(options, "tombstoneCol", "is_deleted")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        table = SnapshotTable(self._root)
+        until = table.version if self._until is None else int(self._until)
+        pinned = table.schema.fields
+        pinned_ids = field_map(table.state, table.state["current_schema_id"])
+        return _nonempty(
+            _plan_partitions(
+                table,
+                self._since,
+                until,
+                pinned,
+                pinned_ids,
+                self._strict,
+                self._tombstone,
+            )
+        )
+
+    def read(self, partition: InputPartition) -> Iterator[Any]:
+        return _read_partition(partition)
+
+
+class LakeChangesStreamReader(DataSourceStreamReader):
+    """Offsets are table versions. ``latestOffset`` caps the advance at
+    ``maxVersionsPerBatch`` versions past the last planned end (first batch
+    after a checkpoint restart is uncapped — the planner has not yet seen
+    the restored start offset when latestOffset is first called)."""
+
+    def __init__(self, options: dict):
+        self._root = _opt(options, "root")
+        if not self._root:
+            raise ValueError("lake_changes requires .option('root', <table root>)")
+        self._strict = str(_opt(options, "strict", "true")).lower() != "false"
+        self._tombstone = _opt(options, "tombstoneCol", "is_deleted")
+        self._max_versions = int(_opt(options, "maxVersionsPerBatch", 0))
+        self._table = SnapshotTable(self._root)
+        # pin the output schema at reader construction: a stream's schema is
+        # fixed for its lifetime; columns added upstream later are ignored
+        # until the stream restarts (standard Structured Streaming contract)
+        self._pinned_fields = list(self._table.schema.fields)
+        self._pinned_ids = dict(
+            field_map(self._table.state, self._table.state["current_schema_id"])
+        )
+        start = _opt(options, "startingVersion", 0)
+        self._initial = (
+            self._table.version if str(start).lower() == "latest" else int(start)
+        )
+        self._last_end: int | None = None
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        self._table.refresh()
+        cur = self._table.version
+        if self._max_versions > 0 and self._last_end is not None:
+            cur = min(cur, self._last_end + self._max_versions)
+        self._last_end = cur
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        since, until = int(start["version"]), int(end["version"])
+        self._last_end = max(self._last_end or 0, until)
+        if until > self._table.version:
+            self._table.refresh()
+        return _nonempty(
+            _plan_partitions(
+                self._table,
+                since,
+                until,
+                self._pinned_fields,
+                self._pinned_ids,
+                self._strict,
+                self._tombstone,
+            )
+        )
+
+    def read(self, partition: InputPartition) -> Iterator[Any]:
+        return _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class LakeChangesDataSource(DataSource):
+    """format("lake_changes") — batch and streaming reads of a
+    SnapshotTable's change feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_changes"
+
+    def schema(self) -> T.StructType:
+        root = _opt(self.options, "root")
+        if not root:
+            raise ValueError("lake_changes requires .option('root', <table root>)")
+        return _output_schema(SnapshotTable(root))
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return LakeChangesBatchReader(dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return LakeChangesStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent format registration: spark.dataSource.register."""
+    spark.dataSource.register(LakeChangesDataSource)

@@ -1,0 +1,204 @@
+"""Native Spark data source over the lake change feed
+(`streaming/datasource.py`, PySpark 4 Python Data Source API).
+
+Gates: batch `spark.read.format("lake_changes")` is row-identical to
+`read_changes`; `spark.readStream` over the same format replays the feed
+exactly-once across a checkpointed restart; `maxVersionsPerBatch` paces
+catch-up; strict mode refuses CoW commits; schema evolution aligns old
+delta files (null backfill + widen cast) executor-side.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events, with_evolution
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.changes import read_changes
+from kf_etl_clin_portal_spark.streaming.datasource import (
+    LakeChangesDataSource,
+    LakeChangesStreamReader,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(LakeChangesDataSource)
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    return generate_change_events(spark, 4_000, seed=11).cache()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r) for r in df.select(*[F.col(c).cast("string") for c in cols]).collect()
+    )
+
+
+def _mor(spark, root):
+    return CDCPipeline(spark, root, num_buckets=4, merge_strategy="mor")
+
+
+def test_batch_read_matches_read_changes(spark, feed, tmp_path):
+    pipe = _mor(spark, str(tmp_path / "tbl"))
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="ds")
+    pipe.compact()  # maintenance commit: must contribute no rows
+
+    via_ds = (
+        spark.read.format("lake_changes").option("root", pipe.root).load()
+    )
+    via_api = read_changes(spark, pipe.table, since_version=0)
+    assert sorted(via_ds.columns) == sorted(via_api.columns)
+    assert _rows(via_ds) == _rows(via_api)
+    # both ops present (the feed has deletes)
+    ops = {r["_change_op"] for r in via_ds.select("_change_op").distinct().collect()}
+    assert ops == {"upsert", "delete"}
+
+
+def test_batch_read_since_version(spark, feed, tmp_path):
+    pipe = _mor(spark, str(tmp_path / "tbl"))
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="ds", stop_after=2)
+    mid = pipe.table.refresh().version
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="ds")
+    via_ds = (
+        spark.read.format("lake_changes")
+        .option("root", pipe.root)
+        .option("sinceVersion", mid)
+        .load()
+    )
+    via_api = read_changes(spark, pipe.table, since_version=mid)
+    assert _rows(via_ds) == _rows(via_api)
+    assert via_ds.agg(F.min("_change_version")).first()[0] > mid
+
+
+def test_stream_exactly_once_across_restart(spark, feed, tmp_path):
+    """availableNow stream drains the feed; more commits land; a second run
+    on the SAME checkpoint emits only the new range — Spark's offset log
+    carries the table version."""
+    pipe = _mor(spark, str(tmp_path / "tbl"))
+    pipe.replay(feed, n_batches=4, by="delivery", feed_id="ds", stop_after=2)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_changes")
+            .option("root", pipe.root)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    v_mid = pipe.table.refresh().version
+    got_1 = spark.read.parquet(out)
+    exp_1 = read_changes(spark, pipe.table, 0, until_version=v_mid)
+    assert _rows(got_1) == _rows(exp_1)
+
+    pipe.replay(feed, n_batches=4, by="delivery", feed_id="ds")
+    run_once()
+    got_2 = spark.read.parquet(out)
+    exp_2 = read_changes(spark, pipe.table, 0)
+    # restart emitted ONLY (v_mid, head] — totals match, no duplicates
+    assert _rows(got_2) == _rows(exp_2)
+    assert got_2.where(F.col("_change_version") <= v_mid).count() == exp_1.count()
+
+
+def test_stream_max_versions_pacing(spark, feed, tmp_path):
+    """Planner unit test: latestOffset advances at most maxVersionsPerBatch
+    versions per call once a batch has been planned."""
+    pipe = _mor(spark, str(tmp_path / "tbl"))
+    pipe.replay(feed, n_batches=4, by="delivery", feed_id="ds")
+    head = pipe.table.refresh().version
+    assert head >= 4
+
+    r = LakeChangesStreamReader(
+        {"root": pipe.root, "maxversionsperbatch": "1", "startingversion": "0"}
+    )
+    start = r.initialOffset()
+    assert start == {"version": 0}
+    seen_ends = []
+    cur = start
+    for _ in range(head):
+        end = r.latestOffset()
+        parts = r.partitions(cur, end)
+        assert all(p.version > cur["version"] for p in parts if p.path)
+        seen_ends.append(end["version"])
+        cur = end
+        if end["version"] >= head:
+            break
+    # strictly increasing, steps of ≤1 after the first planned batch
+    steps = [b - a for a, b in zip(seen_ends, seen_ends[1:])]
+    assert all(s <= 1 for s in steps)
+    assert seen_ends[-1] == head
+
+
+def test_strict_refuses_cow_commits(spark, feed, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4)  # CoW
+    pipe.replay(feed, n_batches=2, by="delivery", feed_id="ds")
+    df = spark.read.format("lake_changes").option("root", pipe.root).load()
+    with pytest.raises(Exception, match="no isolated change rows"):
+        df.count()
+    # strict=false skips CoW commits and returns an explicitly partial feed
+    n = (
+        spark.read.format("lake_changes")
+        .option("root", pipe.root)
+        .option("strict", "false")
+        .load()
+        .count()
+    )
+    assert n == 0
+
+
+def test_schema_evolution_aligned_in_arrow(spark, tmp_path):
+    """Old delta files (no size_bytes, lines:int) must come back under the
+    evolved schema: null-backfilled size_bytes, lines cast to long — the
+    per-file column plan applied by the executor-side Arrow reader."""
+    events = generate_change_events(spark, 2_000, seed=7)
+    early, late = with_evolution(events, cutover_seq=1_000)
+    pipe = _mor(spark, str(tmp_path / "tbl"))
+    pipe.apply_batch(early, batch_id="evo-b0")
+    pipe.apply_batch(late, batch_id="evo-b1")
+
+    via_ds = spark.read.format("lake_changes").option("root", pipe.root).load()
+    via_api = read_changes(spark, pipe.table, since_version=0)
+    fields = {f.name: f.dataType.typeName() for f in via_ds.schema.fields}
+    assert fields["lines"] == "long" and fields["size_bytes"] == "long"
+    assert _rows(via_ds) == _rows(via_api)
+    early_rows = via_ds.where(F.col("_change_version") == 1)
+    assert early_rows.where(F.col("size_bytes").isNotNull()).count() == 0
+    assert early_rows.where(F.col("lines").isNotNull()).count() > 0
+
+
+def test_stream_feeds_downstream_pipeline(spark, feed, tmp_path):
+    """Medallion chaining through the native source: stream table A's feed
+    into pipeline B via foreachBatch MERGE; B converges to A's state."""
+    src = _mor(spark, str(tmp_path / "src"))
+    src.replay(feed, n_batches=2, by="delivery", feed_id="ds")
+    dst = _mor(spark, str(tmp_path / "dst"))
+
+    def apply(batch_df, epoch_id):
+        batch = batch_df.drop("_change_version", "_change_ts", "_change_op")
+        if batch.isEmpty():
+            return
+        dst.apply_batch(batch, batch_id=f"stream-b{epoch_id:05d}")
+
+    q = (
+        spark.readStream.format("lake_changes")
+        .option("root", src.root)
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(apply)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(dst.current()) == _rows(src.current())
