@@ -1,0 +1,91 @@
+"""Cluster deployment shape: `spark-submit --py-files engine.zip
+jobs/run_replay.py` must run with the engine imported FROM THE ZIP — the
+north rule's execution mode, exercised for real (own JVM, no repo on the
+path). Also gates the packaging tool's determinism.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+def _build_zip(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from package_pyfiles import build_zip
+    finally:
+        sys.path.pop(0)
+    return build_zip(str(tmp_path / "engine.zip"))
+
+
+def test_zip_is_deterministic_and_importable(tmp_path):
+    a = _build_zip(tmp_path)
+    b_path = str(tmp_path / "engine2.zip")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from package_pyfiles import build_zip
+    finally:
+        sys.path.pop(0)
+    b = build_zip(b_path)
+    assert a["sha256"] == b["sha256"]
+    assert a["files"] > 40
+    # the zip alone resolves the package (zipimport, as on executors)
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import kf_etl_clin_portal_spark.lake.merge as m; "
+        "import kf_etl_clin_portal_spark.streaming.datasource as d; "
+        "print(m.__name__, d.__name__)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, a["zip"]],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": ""},
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "kf_etl_clin_portal_spark.lake.merge" in out.stdout
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_replay(tmp_path):
+    """Full submit: neutral cwd, PYTHONPATH cleared, the job script copied
+    out of the repo — every `kf_etl_clin_portal_spark` import must come
+    from the --py-files zip, exactly as on a real cluster."""
+    info = _build_zip(tmp_path)
+    job = str(tmp_path / "run_replay.py")
+    shutil.copyfile(os.path.join(REPO, "jobs", "run_replay.py"), job)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", info["zip"],
+            job,
+            "--generate", "4000",
+            "--feed", str(tmp_path / "feed"),
+            "--table", str(tmp_path / "tbl"),
+            "--buckets", "4",
+            "--verify",
+            "--publish",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["parity_ok"] is True
+    assert result["events"] == 4000
+    assert result["published_version"] == result["table_version"]

@@ -1,0 +1,71 @@
+"""Build the --py-files artifact for cluster submission.
+
+The north-rule deployment shape is `spark-submit --py-files engine.zip
+jobs/run_replay.py ...` on a multi-executor cluster; this tool produces
+that zip. Python resolves imports from the zip on the driver and every
+executor (zipimport), so nothing is installed on cluster nodes.
+
+Deterministic output: entries are sorted and timestamps zeroed, so the
+same tree always produces a byte-identical artifact (reproducible deploys;
+a changed hash means changed code, nothing else).
+
+Usage::
+
+    python tools/package_pyfiles.py [--out dist/engine.zip]
+
+Prints one JSON line: {"zip": path, "files": N, "bytes": N, "sha256": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import zipfile
+
+_PKG = "kf_etl_clin_portal_spark"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(out_path: str, repo_root: str = _REPO) -> dict:
+    """Zip the engine package (sources only) into ``out_path``."""
+    pkg_root = os.path.join(repo_root, _PKG)
+    if not os.path.isdir(pkg_root):
+        raise FileNotFoundError(pkg_root)
+    rels: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(pkg_root):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                rels.append(
+                    os.path.relpath(os.path.join(dirpath, fn), repo_root)
+                )
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    with zipfile.ZipFile(out_path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        for rel in sorted(rels):
+            with open(os.path.join(repo_root, rel), "rb") as f:
+                data = f.read()
+            info = zipfile.ZipInfo(rel.replace(os.sep, "/"), date_time=(1980, 1, 1, 0, 0, 0))
+            info.external_attr = 0o644 << 16
+            zf.writestr(info, data)
+    with open(out_path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    return {
+        "zip": os.path.abspath(out_path),
+        "files": len(rels),
+        "bytes": os.path.getsize(out_path),
+        "sha256": digest,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=os.path.join(_REPO, "dist", "engine.zip"))
+    args = ap.parse_args(argv)
+    print(json.dumps(build_zip(args.out)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
