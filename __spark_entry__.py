@@ -1040,6 +1040,53 @@ def q_zorder_curve(spark, sf):
 ZORDER_GATE_BOUNDS = [(0.0, 200_000.0), (800.0, 600_000.0)]
 
 
+def q_cdc_changes_datasource(spark, sf):
+    """Change feed through the NATIVE Spark data source
+    (`streaming/datasource.py`, PySpark 4 Python Data Source API): the
+    events WAL replays into a MoR table in 3 pmod-split micro-batches
+    (key user_id, seq event_id), then `spark.read.format("lake_changes")`
+    reads the table's committed change feed back. MoR delta files hold the
+    within-batch winner per key (one-shuffle max_by over seq), so the
+    oracle recomputes winners per (user_id, seq%3) in SQL; versions map
+    deterministically (create=0, batch i commits at i+1). `_change_ts` is
+    wall-clock and excluded; no tombstones here, so `_change_op` is
+    uniformly 'upsert' (delete surfacing is pytest-gated in
+    test_datasource)."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.streaming.datasource import LakeChangesDataSource
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="cdf_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        for i in range(3):
+            pipe.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(3)) == i),
+                batch_id=f"gate-b{i}",
+            )
+        spark.dataSource.register(LakeChangesDataSource)
+        out = (
+            spark.read.format("lake_changes")
+            .option("root", pipe.root)
+            .load()
+            .select(
+                "user_id", "seq", "event_type", "value",
+                "_change_version", "_change_op",
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1096,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_purchase": q_event_asof_purchase,
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
+        "cdc_changes_datasource": q_cdc_changes_datasource,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
         "zorder_curve": q_zorder_curve,
@@ -1178,6 +1226,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(fv) AS BIGINT) AS total,
                    CAST(sum(fv) AS DOUBLE) / count(fv) AS avg_v
             FROM fl GROUP BY event_type
+        """,
+        "cdc_changes_datasource": """
+            WITH w AS (
+              SELECT user_id, event_id AS seq, event_type, value,
+                     (event_id % 3) AS bi,
+                     row_number() OVER (PARTITION BY user_id, (event_id % 3)
+                                        ORDER BY event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id, seq, event_type, value,
+                   CAST(bi + 1 AS BIGINT) AS "_change_version",
+                   'upsert' AS "_change_op"
+            FROM w WHERE rn = 1
         """,
         "merge_into_clauses": """
             WITH latest AS (
