@@ -406,16 +406,19 @@ class CDCPipeline:
         return None
 
     def mirror_from(
-        self, src: SnapshotTable, source_id: str = "mirror", strict: bool = True
+        self, src: SnapshotTable, source_id: str = "mirror", strict: bool = True,
+        mode: str = "feed",
     ) -> dict:
         """Poll ``src``'s change feed once and merge the delta into this
         pipeline's table — exactly-once incremental table→table replication
-        (cursor lives in this table's commit lineage). See
+        (cursor lives in this table's commit lineage). ``mode="auto"``
+        follows ANY upstream history: per-commit feed when available,
+        snapshot-diff (source-wins) across CoW/DML/rollback commits. See
         `lake/changes.py:mirror_changes`."""
         from kf_etl_clin_portal_spark.lake.changes import mirror_changes
 
         return mirror_changes(self.spark, src, self, source_id=source_id,
-                              strict=strict)
+                              strict=strict, mode=mode)
 
     def delete_where(self, predicate, stats_filter: dict | None = None):
         """Row-level ``DELETE FROM … WHERE`` — out-of-band correction as a
@@ -435,14 +438,16 @@ class CDCPipeline:
         return update_where(self.spark, self.table, assignments, predicate,
                             stats_filter=stats_filter, seq_col="seq")
 
-    def merge_into(self, source, clauses, on_duplicate: str = "error"):
+    def merge_into(self, source, clauses, on_duplicate: str = "error",
+                   extra_lineage: dict | None = None):
         """Conditional MERGE INTO with When* clauses (`lake/merge_into.py`)
         — the set-oriented batch-reconciliation surface complementing the
         streaming latest-by-seq MERGE."""
         from kf_etl_clin_portal_spark.lake.merge_into import merge_into
 
         return merge_into(self.spark, self.table, source, clauses,
-                          seq_col="seq", on_duplicate=on_duplicate)
+                          seq_col="seq", on_duplicate=on_duplicate,
+                          extra_lineage=extra_lineage)
 
     def expire(self, keep_last: int = 1) -> dict:
         """Physically reclaim data files only old snapshots reference

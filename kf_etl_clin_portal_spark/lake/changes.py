@@ -53,8 +53,19 @@ _ROW_CHANGE_OPS = {"merge_mor", "append"}
 # is deliberately NOT here — it changes logical rows with no isolated
 # change-row files, so a strict feed must raise (mirrors re-sync instead).
 _MAINTENANCE_OPS = {
-    "compact_deltas", "compact", "rebucket", "vacuum", "publish", "create", "expire",
-    "rename_column", "drop_column", "zorder", "set_properties",
+    "compact_deltas", "compact", "rebucket", "vacuum", "publish", "drop_ref",
+    "create", "expire", "rename_column", "drop_column", "zorder",
+    "set_properties", "evolve_schema",
+}
+
+# bucket-replacing ops whose commit metadata (replaced_buckets ∪ new-file
+# buckets) soundly bounds WHERE the logical state may have changed — the
+# prune set for `diff_changes`. Anything outside this set and
+# _MAINTENANCE_OPS (or any future op) falls back to a full diff: pruning
+# is an optimization, never a correctness assumption.
+_PRUNABLE_CHANGE_OPS = {
+    "merge", "merge_mor", "append", "overwrite", "overwrite_where",
+    "merge_into", "delete_where", "update_where", "rollback",
 }
 
 
@@ -157,6 +168,188 @@ def changed_buckets(
     return out
 
 
+# ---------------------------------------------------------- snapshot diff
+#
+# Net row-level changes between two snapshots, computed by DIFFING them —
+# the answer for copy-on-write histories, where `read_changes` must raise
+# (a CoW merge/overwrite/DML rewrites whole buckets; its added files are
+# not isolated change rows). Iceberg has the same split: incremental scan
+# works on append/row-delta snapshots, `create_changelog_view` computes
+# overwrite changes by anti-joining snapshots. Semantics differ from
+# `read_changes` deliberately:
+#
+# - NET, not per-commit: a key upserted 5 times then deleted inside the
+#   range emits ONE row (the delete). `_change_version` is always the
+#   range's upper bound.
+# - LIVE-state semantics: tombstone-only churn (a vacuum physically
+#   dropping tombstone rows, a delete of an already-dead key) emits
+#   nothing; live row content/metadata changes emit the post-image.
+# - Works across ANY commit kind — including rollback (net diff = the
+#   inverse changes) and overwrite (physically dropped live keys emit a
+#   fabricated tombstone post-image), both of which have no per-commit
+#   feed at all.
+#
+# I/O is pruned to the buckets that row-changing commits in the range
+# touched (commit metadata only — `replaced_buckets` ∪ new-file buckets);
+# a rebucket or unknown op in the range falls back to a full two-sided
+# diff rather than trusting incomparable bucket ids. Each side resolves
+# MoR winners first, so the diff is exact for any merge strategy.
+
+
+def _diff_prune_buckets(
+    table: SnapshotTable, since_version: int, until: int
+) -> list[int] | None:
+    """Buckets where live state may differ, from commit metadata alone;
+    None = cannot prune (rebucket/unknown op in range, or partition spec
+    differs between the endpoints)."""
+    if (
+        table.state_at(since_version)["partition"]
+        != table.state_at(until)["partition"]
+    ):
+        return None
+    out: set[int] = set()
+    for v in range(since_version + 1, until + 1):
+        entry = table._read_entry(v)
+        op = entry["operation"]
+        if op in _MAINTENANCE_OPS and op != "rebucket":
+            continue
+        if op not in _PRUNABLE_CHANGE_OPS:
+            return None  # rebucket (ids renumbered) or an op we don't know
+        out.update(entry.get("replaced_buckets") or [])
+        out.update(f["bucket"] for f in entry.get("new_files") or [])
+    return sorted(out)
+
+
+def _snapshot_resolved(
+    spark: SparkSession,
+    table: SnapshotTable,
+    version: int,
+    buckets: list[int] | None,
+    seq_col: str,
+) -> DataFrame:
+    """One side of the diff: the snapshot at ``version`` restricted to
+    ``buckets``, MoR winners resolved (same comparator as the write path)
+    so each key appears at most once, tombstone rows retained."""
+    st = table.state_at(version)
+    files = st["files"]
+    if buckets is not None:
+        wanted = set(buckets)
+        files = [f for f in files if f["bucket"] in wanted]
+    df = table.read(spark, version=version, buckets=buckets)
+    if any(f.get("kind") == "delta" for f in files):
+        from kf_etl_clin_portal_spark.lake.merge import _order_expr
+
+        row = F.struct(*[F.col(c) for c in df.columns])
+        df = (
+            df.groupBy(*table.key_cols)
+            .agg(F.max_by(row, _order_expr(seq_col, df.schema)).alias("__row"))
+            .select(F.col("__row.*"))
+        )
+    return df
+
+
+def diff_changes(
+    spark: SparkSession,
+    table: SnapshotTable,
+    since_version: int,
+    until_version: int | None = None,
+    seq_col: str = "seq",
+    tombstone_col: str = "is_deleted",
+) -> DataFrame:
+    """Net live-state changes between versions ``since_version`` and
+    ``until_version`` (default: head), as the until-snapshot's schema plus
+    ``_change_version`` (= the range's upper bound) / ``_change_ts`` /
+    ``_change_op`` ("upsert" | "delete").
+
+    upsert → the post-image row (key newly live, or any column of its
+    winner row changed — including ``seq_col``-only metadata changes);
+    delete → the tombstone post-image (fabricated from the pre-image when
+    the key was physically dropped, e.g. by an overwrite). Keys whose
+    winner rows are identical at both ends — and dead→dead keys — emit
+    nothing. Complements `read_changes` (per-commit, MoR-only): this works
+    on ANY history, at the cost of reading both endpoint snapshots of the
+    touched buckets instead of only the delta bytes.
+    """
+    table.refresh()
+    until = table.version if until_version is None else until_version
+    if not 0 <= since_version <= until <= table.version:
+        raise ValueError(
+            f"bad version range ({since_version}, {until}] for table at v{table.version}"
+        )
+    st_u = table.state_at(until)
+    until_schema = T.StructType.fromJson(st_u["schemas"][str(st_u["current_schema_id"])])
+    cols = [f.name for f in until_schema.fields]
+    change_fields = [
+        T.StructField(CHANGE_VERSION_COL, T.LongType()),
+        T.StructField(CHANGE_TS_COL, T.StringType()),
+        T.StructField(CHANGE_OP_COL, T.StringType()),
+    ]
+    if since_version == until:
+        return spark.createDataFrame(
+            [], T.StructType(list(until_schema.fields) + change_fields)
+        )
+
+    buckets = _diff_prune_buckets(table, since_version, until)
+    post = _snapshot_resolved(spark, table, until, buckets, seq_col)
+    pre = _snapshot_resolved(spark, table, since_version, buckets, seq_col)
+    st_s = table.state_at(since_version)
+    if st_s["current_schema_id"] != st_u["current_schema_id"]:
+        # renamed columns keep their data (field-id resolution), added
+        # columns null-backfill, widened columns upcast — the pre side is
+        # compared under the until snapshot's schema, so a pure rename
+        # emits nothing
+        pre = remap_by_field_id(
+            pre,
+            field_map(st_s, st_s["current_schema_id"]),
+            field_map(st_u, st_u["current_schema_id"]),
+        )
+    pre = align_df(pre, until_schema)
+
+    a, b = post.alias("a"), pre.alias("b")
+    cond = None
+    for k in table.key_cols:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = a.join(b, cond, "full_outer")
+
+    a_present, b_present = None, None
+    for k in table.key_cols:
+        ap, bp = F.col(f"a.{k}").isNotNull(), F.col(f"b.{k}").isNotNull()
+        a_present = ap if a_present is None else (a_present | ap)
+        b_present = bp if b_present is None else (b_present | bp)
+    if tombstone_col in cols:
+        a_live = a_present & ~F.coalesce(F.col(f"a.{tombstone_col}"), F.lit(False))
+        b_live = b_present & ~F.coalesce(F.col(f"b.{tombstone_col}"), F.lit(False))
+    else:
+        a_live, b_live = a_present, b_present
+    same = F.struct(*[F.col(f"a.{c}") for c in cols]).eqNullSafe(
+        F.struct(*[F.col(f"b.{c}") for c in cols])
+    )
+    is_upsert = a_live & (~b_live | ~same)
+    is_delete = b_live & ~a_live
+    pick_a = a_present  # post-image whenever the key still physically exists
+
+    out_cols = []
+    for c in cols:
+        col = F.when(pick_a, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}"))
+        if c == tombstone_col:
+            # fabricated tombstone for physically-dropped live keys
+            col = F.when(is_delete, F.lit(True)).otherwise(col)
+        out_cols.append(col.alias(c))
+    entry_u = table._read_entry(until)
+    return (
+        j.where(is_upsert | is_delete)
+        .select(
+            *out_cols,
+            F.lit(until).cast("long").alias(CHANGE_VERSION_COL),
+            F.lit(entry_u["ts"]).alias(CHANGE_TS_COL),
+            F.when(is_delete, F.lit("delete")).otherwise(F.lit("upsert")).alias(
+                CHANGE_OP_COL
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------- mirroring
 #
 # Incremental table→table replication over the change feed: mirror a MoR
@@ -185,14 +378,89 @@ def mirror_cursor(dst_table: SnapshotTable, source_id: str) -> tuple[int, int]:
     return 0, -1
 
 
+def _feed_capable(table: SnapshotTable, since: int, until: int) -> bool:
+    """True iff every commit in the range has an exact per-commit change
+    feed (read_changes would not raise)."""
+    for v in range(since + 1, until + 1):
+        entry = table._read_entry(v)
+        op = entry["operation"]
+        if op in _MAINTENANCE_OPS:
+            continue
+        if op not in _ROW_CHANGE_OPS:
+            return False
+        if entry.get("type") != "delta" and "new_files" not in entry:
+            return False  # legacy full-state commit: added files unknown
+    return True
+
+
+def _apply_diff(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst_pipe,
+    since: int,
+    until: int,
+    lineage: dict,
+) -> Any:
+    """Apply a net snapshot diff to the mirror with SOURCE-WINS semantics
+    (`merge_into`: matched → update every shared column, not-matched →
+    insert live rows). Diff rows are authoritative post-images at the
+    range's upper bound, so this is idempotent by VALUE — a crash-replay
+    that recomputes the same (or an extended) range converges without any
+    fence, and histories the seq-guarded merge cannot follow (DML deletes
+    reuse the key's seq, a rollback regresses it) apply correctly."""
+    from kf_etl_clin_portal_spark.lake.merge_into import (
+        WhenMatchedUpdate,
+        WhenNotMatchedInsert,
+        merge_into,
+    )
+
+    ch = diff_changes(spark, src, since_version=since, until_version=until)
+    batch = ch.drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+    dst_pipe.ensure_table(batch.schema)
+    tbl = dst_pipe.table
+    tbl.evolve_schema_to(batch.schema)
+    src_cols = set(batch.columns)
+    assigns = {
+        c: F.col(f"s.{c}")
+        for c in tbl.refresh().schema.fieldNames()
+        if c not in tbl.key_cols and c in src_cols
+    }
+    if "is_deleted" in src_cols:
+        live = ~F.coalesce(F.col("s.is_deleted"), F.lit(False))
+    else:
+        live = F.lit(True)
+    return merge_into(
+        spark,
+        tbl,
+        batch,
+        [WhenMatchedUpdate(assigns), WhenNotMatchedInsert(condition=live)],
+        extra_lineage=lineage,
+    )
+
+
 def mirror_changes(
     spark: SparkSession,
     src: SnapshotTable,
     dst_pipe,
     source_id: str = "mirror",
     strict: bool = True,
+    mode: str = "feed",
 ) -> dict[str, Any]:
     """Poll ``src``'s change feed once and MERGE the delta into ``dst_pipe``.
+
+    ``mode`` picks how changes are read AND applied:
+
+    - ``"feed"`` (default): per-commit change rows via `read_changes`
+      (O(changed bytes); MoR/append histories only), applied through the
+      pipeline's seq-guarded MERGE with an epoch fence.
+    - ``"diff"``: net changes via `diff_changes` (any history — CoW
+      merges, overwrites, DML, rollback), applied source-wins via
+      `merge_into`; idempotent by value instead of by fence. Schema
+      evolution follows the source (metadata-only `evolve_schema_to`).
+    - ``"auto"``: ``"feed"`` when every commit in the range supports it,
+      else ``"diff"`` — one mirror loop that survives any upstream op mix
+      (ranges are applied atomically, so the cursor never lands between a
+      feed-able prefix and a CoW commit).
 
     Exactly-once, both directions of failure:
     - crash BEFORE the dst commit → next poll recomputes the same
@@ -209,13 +477,39 @@ def mirror_changes(
     Single-follower per ``source_id`` (like compaction); run several
     mirrors with distinct source_ids if fan-out is needed.
     """
+    if mode not in ("feed", "diff", "auto"):
+        raise ValueError("mode must be 'feed', 'diff', or 'auto'")
     src.refresh()
     until = src.version
     since, epoch = mirror_cursor(dst_pipe.table, source_id) if (
         SnapshotTable.exists(dst_pipe.root)
     ) else (0, -1)
     if until <= since:
-        return {"applied": False, "since": since, "until": until, "rows": 0}
+        return {"applied": False, "since": since, "until": until, "rows": 0,
+                "mode": mode}
+
+    effective = mode
+    if mode == "auto":
+        effective = "feed" if _feed_capable(src, since, until) else "diff"
+    lineage = {
+        _MIRROR_SRC_KEY: source_id,
+        _MIRROR_UNTIL_KEY: until,
+        _MIRROR_EPOCH_KEY: epoch + 1,
+    }
+    if effective == "diff":
+        res = _apply_diff(spark, src, dst_pipe, since, until, lineage)
+        if res.skipped:
+            return {"applied": False, "since": since, "until": until, "rows": 0,
+                    "mode": "diff"}
+        return {
+            "applied": True,
+            "since": since,
+            "until": until,
+            "rows": res.n_updated + res.n_deleted + res.n_inserted,
+            "dst_version": res.version,
+            "epoch": epoch + 1,
+            "mode": "diff",
+        }
 
     ch = read_changes(spark, src, since_version=since, until_version=until,
                       strict=strict)
@@ -223,16 +517,13 @@ def mirror_changes(
     res = dst_pipe.apply_batch(
         batch,
         batch_id=f"cdf.{source_id}-b{epoch + 1:05d}",
-        extra_lineage={
-            _MIRROR_SRC_KEY: source_id,
-            _MIRROR_UNTIL_KEY: until,
-            _MIRROR_EPOCH_KEY: epoch + 1,
-        },
+        extra_lineage=lineage,
     )
     if res.skipped:
         # nothing but maintenance in the range (or a fenced re-offer):
         # no commit happened, so the cursor intentionally does not move
-        return {"applied": False, "since": since, "until": until, "rows": 0}
+        return {"applied": False, "since": since, "until": until, "rows": 0,
+                "mode": "feed"}
     return {
         "applied": True,
         "since": since,
@@ -240,4 +531,5 @@ def mirror_changes(
         "rows": res.n_events,
         "dst_version": res.version,
         "epoch": epoch + 1,
+        "mode": "feed",
     }

@@ -113,13 +113,17 @@ def merge_into(
     seq_col: str = "seq",
     on_duplicate: str = "error",
     plan_only: bool = False,
+    extra_lineage: dict | None = None,
 ) -> "MergeIntoResult | DataFrame":
     """Apply ``clauses`` (When* dataclasses, order = priority) to ``table``
     using ``source``, joined on the table's key columns.
 
     ``plan_only=True`` returns the resolved output DataFrame WITHOUT
     writing or committing — for `.explain` plan audits (the join strategy,
-    exchange count, and CASE cascade are all visible in that plan)."""
+    exchange count, and CASE cascade are all visible in that plan).
+    ``extra_lineage`` is merged into the commit's lineage row — how a
+    caller that owns a cursor (e.g. a diff-mode mirror) commits it
+    atomically with the data."""
     if not clauses:
         raise ValueError("merge_into needs at least one WHEN clause")
     matched = [c for c in clauses if isinstance(c, (WhenMatchedUpdate, WhenMatchedDelete))]
@@ -369,6 +373,7 @@ def merge_into(
                 replaced_buckets=set(touched),
                 basis_version=basis,
                 lineage={
+                    **(extra_lineage or {}),
                     "mode": "merge_into",
                     "n_updated": n_upd,
                     "n_deleted": n_del,

@@ -702,6 +702,46 @@ class SnapshotTable:
             lineage={"mode": "drop_column", "column": name},
         )
 
+    def evolve_schema_to(self, target_schema: T.StructType) -> "CommitInfo | None":
+        """Metadata-only schema evolution commit (the `ALTER TABLE ... ADD
+        COLUMNS` analog): adopt ``target_schema`` as the current schema
+        without writing a single data row. Only additive/widening changes
+        are allowed — the same compatibility contract the MERGE write path
+        enforces (`lake/schema.py:schema_diff`); an incompatible change
+        (dropped column, narrowed type) raises ValueError, exactly like a
+        batch carrying it would. New columns mint fresh field ids; existing
+        columns keep theirs, so old files keep resolving by id.
+
+        Use case: a follower table (mirror, diff-apply) adopting its
+        upstream's evolved schema BEFORE applying data that carries the new
+        columns — evolution stays metadata-only on both sides. Returns None
+        when the schema is already current (no empty commit)."""
+        from kf_etl_clin_portal_spark.lake.schema import (
+            evolve_schema,
+            normalize_nullability,
+            schema_diff,
+        )
+
+        self.refresh()
+        target_schema = normalize_nullability(target_schema)
+        if target_schema == self.schema:
+            return None
+        diff = schema_diff(self.schema, target_schema)
+        evolved = normalize_nullability(evolve_schema(self.schema, diff))
+        if evolved == self.schema:
+            # target only narrows/omits columns — nothing to adopt
+            return None
+        return self.commit(
+            operation="evolve_schema",
+            new_files=[],
+            new_schema=evolved,
+            lineage={
+                "mode": "evolve_schema",
+                "added": sorted(f.name for f in diff.added),
+                "widened": sorted(n for n, _ in diff.widened),
+            },
+        )
+
     def remove_orphans(self, grace_secs: float = 3600.0) -> dict[str, Any]:
         """Delete data files on disk that no retained snapshot references —
         leftovers of crashed writers (staged output whose commit never

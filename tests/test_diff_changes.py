@@ -1,0 +1,307 @@
+"""Snapshot-diff change feed (`lake/changes.py:diff_changes`) and the
+diff-mode mirror.
+
+`read_changes` is exact only for MoR/append histories; `diff_changes` covers
+everything else — CoW merges, overwrites, row-level DML, rollback — by
+diffing two snapshots (bucket-pruned via commit metadata, MoR winners
+resolved per side). Net/live semantics: one row per key whose winner row
+changed across the range; tombstone-only churn (vacuum) emits nothing.
+
+The expected-diff oracle here is an independent recompute: resolve winners
+at both endpoint versions with `read_merged`, full-outer join in pandas,
+classify. The mirror tests then close the loop: applying the diff
+source-wins (`mirror_changes(mode="diff")`) reproduces the source's live
+state across histories the seq-guarded feed mirror cannot follow (DML
+deletes reuse the key's seq; rollback regresses it).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    CHANGE_TS_COL,
+    CHANGE_VERSION_COL,
+    diff_changes,
+    mirror_changes,
+)
+from kf_etl_clin_portal_spark.lake.merge import read_merged
+
+KEY = ("repo", "path")
+
+
+@pytest.fixture(scope="module")
+def feed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("diff_feed") / "events.parquet")
+    generate_change_events(spark, 4_000, seed=61).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _rows_by_key(spark, table, version):
+    """{key: full-row tuple} of resolved winners (tombstones retained) —
+    the independent oracle for one diff side."""
+    df = read_merged(spark, table, version=version)
+    cols = sorted(df.columns)
+    out = {}
+    for r in df.select(*[F.col(c).cast("string") for c in cols]).collect():
+        d = dict(zip(cols, r))
+        out[tuple(d[k] for k in KEY)] = tuple(d[c] for c in cols)
+    return out, cols
+
+
+def expected_diff(spark, table, v1, v2):
+    """(op, key) → row mapping a correct net diff must produce."""
+    pre, cols = _rows_by_key(spark, table, v1)
+    post, _ = _rows_by_key(spark, table, v2)
+    dead = cols.index("is_deleted")
+    exp = {}
+    for k, row in post.items():
+        live = row[dead] != "true"
+        was = pre.get(k)
+        was_live = was is not None and was[dead] != "true"
+        if live and (was is None or was != row):
+            exp[("upsert", k)] = row
+        elif not live and was_live:
+            exp[("delete", k)] = row
+    for k, was in pre.items():
+        if k not in post and was[dead] != "true":
+            # physically dropped live key: fabricated tombstone post-image
+            exp[("delete", k)] = tuple(
+                "true" if i == dead else was[i] for i in range(len(was))
+            )
+    return exp
+
+
+def actual_diff(spark, table, v1, v2):
+    df = diff_changes(spark, table, since_version=v1, until_version=v2)
+    assert df.where(F.col(CHANGE_VERSION_COL) != v2).count() == 0
+    data_cols = sorted(
+        c for c in df.columns
+        if c not in (CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+    )
+    out = {}
+    for r in df.select(
+        CHANGE_OP_COL, *[F.col(c).cast("string") for c in data_cols]
+    ).collect():
+        d = dict(zip([CHANGE_OP_COL, *data_cols], r))
+        key = tuple(d[k] for k in KEY)
+        assert key not in {k for _, k in out}  # at most one row per key
+        out[(d[CHANGE_OP_COL], key)] = tuple(d[c] for c in data_cols)
+    return out
+
+
+def _assert_diff_matches(spark, table, v1, v2):
+    assert actual_diff(spark, table, v1, v2) == expected_diff(spark, table, v1, v2)
+
+
+def test_diff_over_cow_merges(spark, feed, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="d", stop_after=1)
+    v1 = pipe.table.refresh().version
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="d")
+    v3 = pipe.table.refresh().version
+    assert v3 > v1
+
+    # bootstrap range: every live row, as upserts; no tombstones
+    boot = actual_diff(spark, pipe.table, 0, v3)
+    assert boot == expected_diff(spark, pipe.table, 0, v3)
+    assert all(op == "upsert" for op, _ in boot)
+    assert len(boot) == pipe.current().count()
+
+    # interior range over CoW merge commits (read_changes would raise here)
+    with pytest.raises(ValueError, match="merge"):
+        from kf_etl_clin_portal_spark.lake.changes import read_changes
+
+        read_changes(spark, pipe.table, v1)
+    _assert_diff_matches(spark, pipe.table, v1, v3)
+
+    # empty range; bad range
+    assert diff_changes(spark, pipe.table, v3, v3).count() == 0
+    with pytest.raises(ValueError, match="bad version range"):
+        diff_changes(spark, pipe.table, v3 + 1)
+
+
+def test_diff_over_dml_overwrite_vacuum(spark, feed, tmp_path):
+    from kf_etl_clin_portal_spark.lake.load import overwrite
+
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, by="delivery", feed_id="d")
+    v0 = pipe.table.refresh().version
+
+    # row-level DML: delete (keeps the key's seq) + update
+    res = pipe.delete_where(F.col("lang") == "go")
+    assert res.n_matched > 0
+    pipe.update_where({"lang": F.lit("golang")}, F.col("lang") == "rust")
+    v1 = pipe.table.refresh().version
+    d = actual_diff(spark, pipe.table, v0, v1)
+    assert d == expected_diff(spark, pipe.table, v0, v1)
+    assert any(op == "delete" for op, _ in d)
+    assert any(op == "upsert" for op, _ in d)
+
+    # vacuum-only range: live state unchanged → empty diff; a range
+    # spanning DML + vacuum still reports each delete exactly once (as a
+    # fabricated tombstone — the physical one is gone)
+    assert pipe.vacuum(10**18) > 0  # drops the DML tombstones
+    v2 = pipe.table.refresh().version
+    assert actual_diff(spark, pipe.table, v1, v2) == {}
+    _assert_diff_matches(spark, pipe.table, v0, v2)
+
+    # overwrite that physically drops keys → fabricated tombstone deletes
+    kept = pipe.current().where(F.col("lang") != "python")
+    kept = kept.withColumn("is_deleted", F.lit(False))
+    overwrite(spark, pipe.table, kept)
+    v3 = pipe.table.refresh().version
+    d3 = actual_diff(spark, pipe.table, v2, v3)
+    assert d3 == expected_diff(spark, pipe.table, v2, v3)
+    assert {k for op, k in d3 if op == "delete"}  # python keys dropped
+
+
+def test_diff_over_rollback_and_mor(spark, feed, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4,
+                       merge_strategy="mor")
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="d", stop_after=2)
+    v1 = pipe.table.refresh().version
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="d")
+    v2 = pipe.table.refresh().version
+
+    # MoR: winners resolved per side (uncompacted deltas on both ends)
+    _assert_diff_matches(spark, pipe.table, v1, v2)
+
+    # rollback: net diff = the inverse changes; diff(v1 → head) is empty
+    pipe.rollback(v1)
+    head = pipe.table.refresh().version
+    assert actual_diff(spark, pipe.table, v1, head) == {}
+    _assert_diff_matches(spark, pipe.table, v2, head)
+    inv = actual_diff(spark, pipe.table, v2, head)
+    fwd = actual_diff(spark, pipe.table, v1, v2)
+    fwd_new = {k for op, k in fwd if op == "upsert"}
+    assert {k for op, k in inv} <= fwd_new | {k for op, k in fwd}
+
+
+def test_diff_rename_is_invisible_and_rebucket_falls_back(spark, feed, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, by="delivery", feed_id="d", stop_after=1)
+    v1 = pipe.table.refresh().version
+
+    # metadata-only rename: zero net changes, and the diff's schema is the
+    # until-side (new) name even for ranges starting before the rename
+    pipe.table.rename_column("lang", "language")
+    v2 = pipe.table.refresh().version
+    df = diff_changes(spark, pipe.table, v1, v2)
+    assert df.count() == 0 and "language" in df.columns
+
+    # rebucket in range → bucket ids incomparable → full-diff fallback,
+    # result still exact
+    pipe.rebucket(8)
+    feed2 = feed.withColumnRenamed("lang", "language")
+    pipe.replay(feed2, n_batches=2, by="delivery", feed_id="d")
+    head = pipe.table.refresh().version
+    from kf_etl_clin_portal_spark.lake.changes import _diff_prune_buckets
+
+    assert _diff_prune_buckets(pipe.table, v1, head) is None
+    assert actual_diff(spark, pipe.table, v1, head).keys() == expected_diff(
+        spark, pipe.table, v1, head
+    ).keys()
+
+
+def test_evolve_schema_to(spark, feed, tmp_path):
+    from pyspark.sql import types as T
+
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=2, by="delivery", feed_id="d", stop_after=1)
+    t = pipe.table.refresh()
+    v = t.version
+
+    target = T.StructType(
+        list(t.schema.fields) + [T.StructField("stars", T.LongType())]
+    )
+    assert t.evolve_schema_to(target) is not None
+    assert t.version == v + 1 and "stars" in t.schema.fieldNames()
+    # metadata-only: no files written, old rows null-backfilled
+    assert t._read_entry(t.version)["new_files"] == []
+    assert t.read(spark).where(F.col("stars").isNotNull()).count() == 0
+    # idempotent no-op; incompatible change raises
+    assert t.evolve_schema_to(target) is None
+    bad = T.StructType(
+        [
+            T.StructField(
+                f.name, T.IntegerType() if f.name == "content" else f.dataType
+            )
+            for f in t.schema.fields
+        ]
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        t.evolve_schema_to(bad)
+
+
+def _live_set(df):
+    cols = sorted(df.columns)
+    return {
+        tuple(r)
+        for r in df.select(*[F.col(c).cast("string") for c in cols]).collect()
+    }
+
+
+def test_mirror_diff_mode_follows_any_history(spark, feed, tmp_path):
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4)  # CoW!
+    dst = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=8)
+
+    src.replay(feed, n_batches=3, by="delivery", feed_id="m", stop_after=1)
+    r1 = dst.mirror_from(src.table, source_id="s", mode="diff")
+    assert r1["applied"] and r1["mode"] == "diff" and r1["epoch"] == 0
+    assert _live_set(dst.current()) == _live_set(src.current())
+
+    # cursor is durable: immediate re-poll is a no-op
+    assert not dst.mirror_from(src.table, source_id="s", mode="diff")["applied"]
+
+    # DML delete (reuses the key's seq — the feed mirror could NOT apply
+    # this through the seq guard) then more CoW merges
+    src.delete_where(F.col("lang") == "java")
+    src.replay(feed, n_batches=3, by="delivery", feed_id="m")
+    r2 = dst.mirror_from(src.table, source_id="s", mode="diff")
+    assert r2["applied"] and r2["since"] == r1["until"]
+    assert _live_set(dst.current()) == _live_set(src.current())
+
+    # rollback (seq regresses) still converges under source-wins
+    src.rollback(r2["until"] - 1)
+    r3 = dst.mirror_from(src.table, source_id="s", mode="diff")
+    assert r3["applied"]
+    assert _live_set(dst.current()) == _live_set(src.current())
+
+    # schema evolution flows through: src evolves a new column, dst follows
+    extra = (
+        feed.limit(50)
+        .withColumn("seq", F.col("seq") + F.lit(10**9))
+        .withColumn("stars", F.xxhash64("path"))
+    )
+    src.apply_batch(extra, batch_id="evolved")
+    r4 = dst.mirror_from(src.table, source_id="s", mode="diff")
+    assert r4["applied"]
+    assert "stars" in dst.table.refresh().schema.fieldNames()
+    assert _live_set(dst.current()) == _live_set(src.current())
+
+
+def test_mirror_auto_picks_feed_or_diff(spark, feed, tmp_path):
+    mor = CDCPipeline(spark, str(tmp_path / "mor"), num_buckets=4,
+                      merge_strategy="mor")
+    cow = CDCPipeline(spark, str(tmp_path / "cow"), num_buckets=4)
+    d1 = CDCPipeline(spark, str(tmp_path / "d1"), num_buckets=4)
+    d2 = CDCPipeline(spark, str(tmp_path / "d2"), num_buckets=4)
+
+    mor.replay(feed, n_batches=2, by="delivery", feed_id="a")
+    cow.replay(feed, n_batches=2, by="delivery", feed_id="a")
+
+    ra = mirror_changes(spark, mor.table, d1, source_id="x", mode="auto")
+    rb = mirror_changes(spark, cow.table, d2, source_id="x", mode="auto")
+    assert ra["mode"] == "feed" and rb["mode"] == "diff"
+    assert _live_set(d1.current()) == _live_set(mor.current())
+    assert _live_set(d2.current()) == _live_set(cow.current())
+
+    # a MoR source that then takes a DML hit: auto switches to diff for
+    # the range containing it and the mirror still converges
+    mor.delete_where(F.col("lang") == "markdown")
+    rc = mirror_changes(spark, mor.table, d1, source_id="x", mode="auto")
+    assert rc["mode"] == "diff" and rc["applied"]
+    assert _live_set(d1.current()) == _live_set(mor.current())
