@@ -1087,6 +1087,56 @@ def q_cdc_changes_datasource(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_diff_feed(spark, sf):
+    """Snapshot-diff change feed (`lake/changes.py:diff_changes`) over a
+    copy-on-write history the per-commit feed must reject: events replay
+    in two halves (even event_id, then odd) into a CoW MERGE table keyed
+    on user_id, then a delete batch tombstones every user_id % 7 == 0.
+    ``diff_changes(v1 -> head)`` must emit exactly the keys whose LIVE
+    winner changed across the range — upserts where an odd event outranks
+    the even winner (or the key is odd-only), delete post-images for the
+    %7 keys that were live at v1; odd-only %7 keys (dead→dead) emit
+    nothing. The oracle recomputes the net diff in SQL: pre = even-seq
+    winners, post = all-events winners + synthetic delete rows, classify.
+    Versions are deterministic (create=0, batch i commits at i);
+    `_change_ts` is wall-clock and excluded."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.changes import diff_changes
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="diff_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        pipe.apply_batch(ev.where(F.pmod("seq", F.lit(2)) == 0), batch_id="dg-a")
+        pipe.apply_batch(ev.where(F.pmod("seq", F.lit(2)) == 1), batch_id="dg-b")
+        dels = (
+            ev.select("user_id").distinct()
+            .where(F.pmod("user_id", F.lit(7)) == 0)
+            .select(
+                "user_id",
+                (F.lit(1_000_000_000) + F.col("user_id")).alias("seq"),
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        pipe.apply_batch(dels, batch_id="dg-del")
+        out = diff_changes(spark, pipe.table, since_version=1).select(
+            "user_id", "seq", "event_type", "value", "is_deleted",
+            "_change_version", "_change_op",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1144,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
         "cdc_changes_datasource": q_cdc_changes_datasource,
+        "cdc_diff_feed": q_cdc_diff_feed,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
         "zorder_curve": q_zorder_curve,
@@ -1239,6 +1290,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bi + 1 AS BIGINT) AS "_change_version",
                    'upsert' AS "_change_op"
             FROM w WHERE rn = 1
+        """,
+        "cdc_diff_feed": """
+            WITH ev AS (
+              SELECT user_id, event_id AS seq, event_type, value FROM events
+            ), pre AS (
+              SELECT user_id, seq, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY seq DESC) rn
+                FROM ev WHERE seq % 2 = 0) WHERE rn = 1
+            ), post AS (
+              SELECT user_id, seq, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY seq DESC) rn
+                FROM ev) WHERE rn = 1
+            )
+            SELECT p.user_id, p.seq, p.event_type, p.value,
+                   FALSE AS is_deleted,
+                   CAST(3 AS BIGINT) AS "_change_version",
+                   'upsert' AS "_change_op"
+            FROM post p LEFT JOIN pre b ON p.user_id = b.user_id
+            WHERE p.user_id % 7 <> 0 AND (b.user_id IS NULL OR p.seq <> b.seq)
+            UNION ALL
+            SELECT b.user_id, 1000000000 + b.user_id AS seq,
+                   CAST(NULL AS VARCHAR) AS event_type,
+                   CAST(NULL AS DOUBLE) AS value,
+                   TRUE AS is_deleted,
+                   CAST(3 AS BIGINT) AS "_change_version",
+                   'delete' AS "_change_op"
+            FROM pre b WHERE b.user_id % 7 = 0
         """,
         "merge_into_clauses": """
             WITH latest AS (
