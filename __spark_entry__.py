@@ -1137,6 +1137,52 @@ def q_cdc_diff_feed(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_diff_cdf(spark, sf):
+    """Retraction-shaped change feed (`diff_changes(emit="cdf")`) over the
+    same CoW history as `cdc_diff_feed`: even-seq batch, odd-seq batch,
+    then a delete batch tombstoning user_id % 7 == 0. The CDF emit must
+    produce `insert` post-images for odd-only keys, `update_preimage` +
+    `update_postimage` pairs where an odd event outranks the even winner,
+    and `delete` PRE-images (the even winner as it was at v1 — not a
+    fabricated tombstone) for the %7 keys live at v1. The oracle
+    recomputes all four classes from even-seq vs all-events winners."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.changes import diff_changes
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="diffcdf_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        pipe.apply_batch(ev.where(F.pmod("seq", F.lit(2)) == 0), batch_id="dc-a")
+        pipe.apply_batch(ev.where(F.pmod("seq", F.lit(2)) == 1), batch_id="dc-b")
+        dels = (
+            ev.select("user_id").distinct()
+            .where(F.pmod("user_id", F.lit(7)) == 0)
+            .select(
+                "user_id",
+                (F.lit(1_000_000_000) + F.col("user_id")).alias("seq"),
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        pipe.apply_batch(dels, batch_id="dc-del")
+        out = diff_changes(spark, pipe.table, since_version=1, emit="cdf").select(
+            "user_id", "seq", "event_type", "value", "is_deleted",
+            "_change_version", "_change_op",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1195,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_event_rollup": q_ivm_event_rollup,
         "cdc_changes_datasource": q_cdc_changes_datasource,
         "cdc_diff_feed": q_cdc_diff_feed,
+        "cdc_diff_cdf": q_cdc_diff_cdf,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
         "zorder_curve": q_zorder_curve,
@@ -1316,6 +1363,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS event_type,
                    CAST(NULL AS DOUBLE) AS value,
                    TRUE AS is_deleted,
+                   CAST(3 AS BIGINT) AS "_change_version",
+                   'delete' AS "_change_op"
+            FROM pre b WHERE b.user_id % 7 = 0
+        """,
+        "cdc_diff_cdf": """
+            WITH ev AS (
+              SELECT user_id, event_id AS seq, event_type, value FROM events
+            ), pre AS (
+              SELECT user_id, seq, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY seq DESC) rn
+                FROM ev WHERE seq % 2 = 0) WHERE rn = 1
+            ), post AS (
+              SELECT user_id, seq, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY seq DESC) rn
+                FROM ev) WHERE rn = 1
+            )
+            SELECT p.user_id, p.seq, p.event_type, p.value,
+                   FALSE AS is_deleted,
+                   CAST(3 AS BIGINT) AS "_change_version",
+                   'insert' AS "_change_op"
+            FROM post p LEFT JOIN pre b ON p.user_id = b.user_id
+            WHERE b.user_id IS NULL AND p.user_id % 7 <> 0
+            UNION ALL
+            SELECT b.user_id, b.seq, b.event_type, b.value,
+                   FALSE AS is_deleted,
+                   CAST(3 AS BIGINT) AS "_change_version",
+                   'update_preimage' AS "_change_op"
+            FROM post p JOIN pre b ON p.user_id = b.user_id
+            WHERE p.seq <> b.seq AND p.user_id % 7 <> 0
+            UNION ALL
+            SELECT p.user_id, p.seq, p.event_type, p.value,
+                   FALSE AS is_deleted,
+                   CAST(3 AS BIGINT) AS "_change_version",
+                   'update_postimage' AS "_change_op"
+            FROM post p JOIN pre b ON p.user_id = b.user_id
+            WHERE p.seq <> b.seq AND p.user_id % 7 <> 0
+            UNION ALL
+            SELECT b.user_id, b.seq, b.event_type, b.value,
+                   FALSE AS is_deleted,
                    CAST(3 AS BIGINT) AS "_change_version",
                    'delete' AS "_change_op"
             FROM pre b WHERE b.user_id % 7 = 0

@@ -255,21 +255,34 @@ def diff_changes(
     until_version: int | None = None,
     seq_col: str = "seq",
     tombstone_col: str = "is_deleted",
+    emit: str = "net",
 ) -> DataFrame:
     """Net live-state changes between versions ``since_version`` and
     ``until_version`` (default: head), as the until-snapshot's schema plus
     ``_change_version`` (= the range's upper bound) / ``_change_ts`` /
-    ``_change_op`` ("upsert" | "delete").
+    ``_change_op``.
 
+    ``emit="net"`` (default) — one row per changed key:
     upsert → the post-image row (key newly live, or any column of its
     winner row changed — including ``seq_col``-only metadata changes);
     delete → the tombstone post-image (fabricated from the pre-image when
-    the key was physically dropped, e.g. by an overwrite). Keys whose
-    winner rows are identical at both ends — and dead→dead keys — emit
-    nothing. Complements `read_changes` (per-commit, MoR-only): this works
-    on ANY history, at the cost of reading both endpoint snapshots of the
-    touched buckets instead of only the delta bytes.
+    the key was physically dropped, e.g. by an overwrite).
+
+    ``emit="cdf"`` — Delta-CDF-shaped retraction rows for consumers that
+    maintain downstream state (aggregates, secondary indexes):
+    ``insert`` → post-image of a newly-live key; ``update_preimage`` +
+    ``update_postimage`` → both winner rows of a live key whose row
+    changed; ``delete`` → the PRE-image of a no-longer-live key (the row
+    as it was, exactly what a retraction must subtract — no fabrication).
+
+    Keys whose winner rows are identical at both ends — and dead→dead
+    keys — emit nothing in either mode. Complements `read_changes`
+    (per-commit, MoR-only): this works on ANY history, at the cost of
+    reading both endpoint snapshots of the touched buckets instead of only
+    the delta bytes.
     """
+    if emit not in ("net", "cdf"):
+        raise ValueError("emit must be 'net' or 'cdf'")
     table.refresh()
     until = table.version if until_version is None else until_version
     if not 0 <= since_version <= until <= table.version:
@@ -327,6 +340,40 @@ def diff_changes(
     )
     is_upsert = a_live & (~b_live | ~same)
     is_delete = b_live & ~a_live
+    entry_u = table._read_entry(until)
+
+    if emit == "cdf":
+        # one pass over the join: conditional (op, row) entries, exploded —
+        # updates fan out to exactly two rows without re-scanning the join
+        a_row = F.struct(*[F.col(f"a.{c}").alias(c) for c in cols])
+        b_row = F.struct(*[F.col(f"b.{c}").alias(c) for c in cols])
+        is_insert = a_live & ~b_live
+        is_update = a_live & b_live & ~same
+
+        def _entry(cond_, op, row):
+            return F.when(
+                cond_, F.struct(F.lit(op).alias("_op"), row.alias("_row"))
+            )
+
+        entries = F.array_compact(
+            F.array(
+                _entry(is_insert, "insert", a_row),
+                _entry(is_update, "update_preimage", b_row),
+                _entry(is_update, "update_postimage", a_row),
+                _entry(is_delete, "delete", b_row),
+            )
+        )
+        return (
+            j.where(is_upsert | is_delete)
+            .select(F.explode(entries).alias("_e"))
+            .select(
+                *[F.col(f"_e._row.{c}").alias(c) for c in cols],
+                F.lit(until).cast("long").alias(CHANGE_VERSION_COL),
+                F.lit(entry_u["ts"]).alias(CHANGE_TS_COL),
+                F.col("_e._op").alias(CHANGE_OP_COL),
+            )
+        )
+
     pick_a = a_present  # post-image whenever the key still physically exists
 
     out_cols = []
@@ -336,7 +383,6 @@ def diff_changes(
             # fabricated tombstone for physically-dropped live keys
             col = F.when(is_delete, F.lit(True)).otherwise(col)
         out_cols.append(col.alias(c))
-    entry_u = table._read_entry(until)
     return (
         j.where(is_upsert | is_delete)
         .select(

@@ -50,7 +50,10 @@ from kf_etl_clin_portal_spark.lake.changes import (
     CHANGE_OP_COL,
     CHANGE_TS_COL,
     CHANGE_VERSION_COL,
+    _diff_prune_buckets,
+    _feed_capable,
     changed_buckets,
+    diff_changes,
     read_changes,
 )
 from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, _order_expr
@@ -98,9 +101,21 @@ def maintain_agg(
     source_id: str = "ivm",
     seq_col: str = "seq",
     strict: bool = True,
+    mode: str = "feed",
 ) -> dict[str, Any]:
     """Poll ``src``'s change feed once and fold the delta into ``dst_pipe``,
     a CDCPipeline keyed on exactly ``group_cols``.
+
+    ``mode`` picks how changed keys and their post-images are obtained:
+    ``"feed"`` (default) reads per-commit change rows (`read_changes`,
+    O(changed bytes); MoR/append histories); ``"diff"`` reads the net
+    snapshot diff (`diff_changes`) — the post-images of exactly the keys
+    whose winner changed — so the view follows ANY history: CoW merges,
+    overwrites, row-level DML, rollback; ``"auto"`` uses the feed when
+    every commit in the range supports it, else the diff. The retraction
+    side (old winners at the cursor version) is computed the same way in
+    both modes, so one maintained table can alternate between them
+    poll-by-poll.
 
     Maintained columns: ``n`` (live-row count, long) and, per entry
     ``{name: sql_expr}`` in ``sum_exprs``, ``sum_<name>`` (double; SQL-sum
@@ -113,6 +128,8 @@ def maintain_agg(
     leaves the cursor parked.
     """
     sum_exprs = dict(sum_exprs or {})
+    if mode not in ("feed", "diff", "auto"):
+        raise ValueError("mode must be 'feed', 'diff', or 'auto'")
     if dst_pipe.key_cols != list(group_cols):
         raise ValueError(
             f"destination pipeline key_cols {dst_pipe.key_cols} must equal "
@@ -127,25 +144,38 @@ def maintain_agg(
     )
     if until <= since:
         return {"applied": False, "since": since, "until": until, "groups": 0}
+    effective = mode
+    if mode == "auto":
+        effective = "feed" if _feed_capable(src, since, until) else "diff"
 
-    feed = read_changes(
-        spark, src, since_version=since, until_version=until, strict=strict
-    ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
     key_cols = src.key_cols
     current_schema = src.schema
-    feed = align_df(feed, current_schema)
 
-    # ---- pre-image: old winners of the changed keys, at the cursor version.
-    # Bucket pruning uses the commit entries' bucket ids, which are only
-    # meaningful if the partition spec didn't change inside the range
-    # (rebucket is a maintenance commit — possible mid-range). Correctness
-    # never depends on the pruning: the semi-join on changed keys does the
-    # real restriction.
-    spec_since = src.state_at(since).get("partition") if since > 0 else None
-    spec_until = src.state_at(until).get("partition")
-    same_spec = since == 0 or spec_since == spec_until
-    bkts = sorted(changed_buckets(src, since, until)) if same_spec else None
-    changed_keys = feed.select(*key_cols).distinct()
+    # ---- changed keys + pre-image pruning set. Bucket pruning uses commit
+    # entries' bucket ids, which are only meaningful if the partition spec
+    # didn't change inside the range (rebucket — possible mid-range).
+    # Correctness never depends on the pruning: the semi-join on changed
+    # keys does the real restriction.
+    if effective == "diff":
+        ch = diff_changes(
+            spark, src, since_version=since, until_version=until, seq_col=seq_col
+        ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+        new = align_df(ch, current_schema)
+        changed_keys = new.select(*key_cols).distinct()
+        bkts = _diff_prune_buckets(src, since, until)  # None = full read
+    else:
+        feed = read_changes(
+            spark, src, since_version=since, until_version=until, strict=strict
+        ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+        feed = align_df(feed, current_schema)
+        changed_keys = feed.select(*key_cols).distinct()
+        spec_since = src.state_at(since).get("partition") if since > 0 else None
+        spec_until = src.state_at(until).get("partition")
+        same_spec = since == 0 or spec_since == spec_until
+        bkts = sorted(changed_buckets(src, since, until)) if same_spec else None
+
+    # ---- retraction side: old winners of the changed keys, at the cursor
+    # version (bucket-pruned read on the source)
     if since > 0:
         old_raw = src.read(spark, version=since, buckets=bkts)
         old_raw = align_df(old_raw, current_schema)
@@ -157,10 +187,12 @@ def maintain_agg(
     else:
         old = spark.createDataFrame([], current_schema)
 
-    # ---- post-image: new winners = engine comparator over (old ∪ feed).
-    # The feed alone is NOT the new state: an out-of-order emission can
-    # lose to the pre-image row (MoR resolves base ∪ deltas by max seq).
-    new = _latest_per_key(old.unionByName(feed), key_cols, seq_col)
+    # ---- post-image. Diff rows ARE the new winners of exactly the changed
+    # keys. The per-commit feed alone is NOT: an out-of-order emission can
+    # lose to the pre-image row (MoR resolves base ∪ deltas by max seq), so
+    # the feed path resolves the engine comparator over (old ∪ feed).
+    if effective != "diff":
+        new = _latest_per_key(old.unionByName(feed), key_cols, seq_col)
 
     # ---- group delta: +1-weighted new contributions, −1-weighted old ones
     signed = _live(new).withColumn("__w", F.lit(1)).unionByName(
@@ -228,7 +260,8 @@ def maintain_agg(
         },
     )
     if res.skipped:
-        return {"applied": False, "since": since, "until": until, "groups": 0}
+        return {"applied": False, "since": since, "until": until, "groups": 0,
+                "mode": effective}
     return {
         "applied": True,
         "since": since,
@@ -236,6 +269,7 @@ def maintain_agg(
         "groups": res.n_events,
         "dst_version": res.version,
         "epoch": epoch + 1,
+        "mode": effective,
     }
 
 

@@ -236,6 +236,73 @@ def test_evolve_schema_to(spark, feed, tmp_path):
         t.evolve_schema_to(bad)
 
 
+def expected_cdf(spark, table, v1, v2):
+    """(op, row) set a correct CDF emit must produce — independent
+    recompute from resolved winners at both endpoints."""
+    pre, cols = _rows_by_key(spark, table, v1)
+    post, _ = _rows_by_key(spark, table, v2)
+    dead = cols.index("is_deleted")
+    exp = set()
+    for k, row in post.items():
+        live = row[dead] != "true"
+        was = pre.get(k)
+        was_live = was is not None and was[dead] != "true"
+        if live and not was_live:
+            exp.add(("insert", row))
+        elif live and was_live and was != row:
+            exp.add(("update_preimage", was))
+            exp.add(("update_postimage", row))
+        elif not live and was_live:
+            exp.add(("delete", was))
+    for k, was in pre.items():
+        if k not in post and was[dead] != "true":
+            exp.add(("delete", was))  # physically dropped: pre-image, as-was
+    return exp
+
+
+def test_diff_cdf_emit(spark, feed, tmp_path):
+    from kf_etl_clin_portal_spark.lake.load import overwrite
+
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="d", stop_after=1)
+    v1 = pipe.table.refresh().version
+    pipe.replay(feed, n_batches=3, by="delivery", feed_id="d")
+    pipe.delete_where(F.col("lang") == "go")
+    kept = pipe.current().where(F.col("lang") != "python")
+    overwrite(spark, pipe.table, kept.withColumn("is_deleted", F.lit(False)))
+    v2 = pipe.table.refresh().version
+
+    df = diff_changes(spark, pipe.table, v1, v2, emit="cdf")
+    data_cols = sorted(
+        c for c in df.columns
+        if c not in (CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+    )
+    got = set()
+    for r in df.select(
+        CHANGE_OP_COL, *[F.col(c).cast("string") for c in data_cols]
+    ).collect():
+        d = dict(zip([CHANGE_OP_COL, *data_cols], r))
+        got.add((d[CHANGE_OP_COL], tuple(d[c] for c in data_cols)))
+    exp = expected_cdf(spark, pipe.table, v1, v2)
+    assert got == exp
+    assert {op for op, _ in got} == {
+        "insert", "update_preimage", "update_postimage", "delete"
+    }
+
+    # retraction algebra: pre-state − (pre-images ∪ deletes) + (inserts ∪
+    # post-images) == post-state (live rows only)
+    pre, cols = _rows_by_key(spark, pipe.table, v1)
+    post, _ = _rows_by_key(spark, pipe.table, v2)
+    dead = cols.index("is_deleted")
+    state = {r for r in pre.values() if r[dead] != "true"}
+    state -= {r for op, r in got if op in ("update_preimage", "delete")}
+    state |= {r for op, r in got if op in ("insert", "update_postimage")}
+    assert state == {r for r in post.values() if r[dead] != "true"}
+
+    with pytest.raises(ValueError, match="emit"):
+        diff_changes(spark, pipe.table, v1, v2, emit="bogus")
+
+
 def _live_set(df):
     cols = sorted(df.columns)
     return {

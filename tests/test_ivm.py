@@ -198,6 +198,83 @@ def test_ivm_out_of_order_emission_loses_to_preimage(spark, tmp_path):
     assert set(m) == {"python"} and m["python"] == (1, 5.0, 5.0)
 
 
+def test_ivm_diff_mode_follows_cow_dml_overwrite(spark, tmp_path):
+    """mode="diff" keeps the view exact over a history the per-commit feed
+    cannot follow at all: CoW merges, row-level DML, and a physical
+    overwrite that drops keys."""
+    from kf_etl_clin_portal_spark.lake.load import overwrite
+
+    feed = generate_change_events(spark, 4_000, seed=13)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4)  # CoW default
+    dst = CDCPipeline(
+        spark, str(tmp_path / "view"), key_cols=("lang",), num_buckets=2,
+        merge_strategy="mor",
+    )
+
+    src.replay(feed, n_batches=3, by="delivery", feed_id="f", stop_after=1)
+    r1 = maintain_agg(
+        spark, src.table, dst, ["lang"], {"v": LEN_EXPR}, source_id="s",
+        mode="diff",
+    )
+    assert r1["applied"] and r1["mode"] == "diff"
+    view = agg_view(dst).select(
+        "lang", "n", F.col("sum_v").alias("sum_v"), F.col("avg_v").alias("avg_v")
+    )
+    _assert_view_matches(view, _recompute(src, "lang", LEN_EXPR), "lang")
+
+    src.replay(feed, n_batches=3, by="delivery", feed_id="f")
+    src.delete_where(F.col("lang") == "go")
+    kept = src.current().where(F.col("lang") != "python")
+    overwrite(spark, src.table, kept.withColumn("is_deleted", F.lit(False)))
+    r2 = maintain_agg(
+        spark, src.table, dst, ["lang"], {"v": LEN_EXPR}, source_id="s",
+        mode="diff",
+    )
+    assert r2["applied"] and r2["since"] == r1["until"]
+    view = agg_view(dst).select(
+        "lang", "n", F.col("sum_v").alias("sum_v"), F.col("avg_v").alias("avg_v")
+    )
+    _assert_view_matches(view, _recompute(src, "lang", LEN_EXPR), "lang")
+
+
+def test_ivm_auto_mode_picks_feed_then_diff(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.load import overwrite
+
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2,
+                      merge_strategy="mor")
+    dst = CDCPipeline(
+        spark, str(tmp_path / "view"), key_cols=("lang",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    src.apply_batch(
+        _mk(spark, [
+            (1, "upsert", "a.py", "python", "aaaa", 10.0),
+            (2, "upsert", "c.go", "go", "cc", 2.0),
+        ]),
+        batch_id="b1",
+    )
+    r1 = maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                      source_id="s", mode="auto")
+    assert r1["applied"] and r1["mode"] == "feed"
+
+    # overwrite makes the next range feed-incapable → auto falls to diff
+    kept = src.current().where(F.col("lang") != "go")
+    overwrite(spark, src.table, kept.withColumn("is_deleted", F.lit(False)))
+    r2 = maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                      source_id="s", mode="auto")
+    assert r2["applied"] and r2["mode"] == "diff"
+    m = _as_map(
+        agg_view(dst).select("lang", "n", F.col("sum_v").alias("sum_v"),
+                             F.col("avg_v").alias("avg_v")),
+        "lang",
+    )
+    assert m == {"python": (1, 10.0, 10.0)}
+
+    with pytest.raises(ValueError, match="mode"):
+        maintain_agg(spark, src.table, dst, ["lang"], {}, source_id="s",
+                     mode="bogus")
+
+
 def test_ivm_cursor_is_durable_and_fenced(spark, tmp_path):
     """Crash-after-commit: a fresh process re-polling the same source sees
     the cursor in the destination lineage and applies nothing."""
