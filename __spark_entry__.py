@@ -1183,6 +1183,102 @@ def q_cdc_diff_cdf(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_join_view(spark, sf):
+    """Incrementally maintained denormalized join view
+    (`lake/joinview.py:maintain_join`): orders (fact, keyed o_orderkey, fk
+    o_custkey) left-joined onto customer (dim, keyed c_custkey). Poll 1
+    folds the initial load; then orders %3 reprice (+1000, seq bump),
+    orders %13 delete, customers %5 acctbal bump, customers %11 delete;
+    poll 2 folds both deltas — the fact path enriches against a
+    bucket-pruned dim read, the dim path re-enriches affected view rows
+    from the dim diff alone (deleted customers null out). The final view
+    must equal the oracle's LEFT JOIN over the net state."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.joinview import maintain_join
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    tmp = tempfile.mkdtemp(prefix="jv_gate_")
+    try:
+        fact = CDCPipeline(
+            spark, os.path.join(tmp, "f"), key_cols=("o_orderkey",), num_buckets=8
+        )
+        dim = CDCPipeline(
+            spark, os.path.join(tmp, "d"), key_cols=("c_custkey",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        dst = CDCPipeline(
+            spark, os.path.join(tmp, "v"), key_cols=("o_orderkey",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        fact.apply_batch(
+            orders.withColumn("seq", F.col("o_orderkey").cast("long")),
+            batch_id="jv-f1",
+        )
+        dim.apply_batch(
+            cust.withColumn("seq", F.col("c_custkey").cast("long")),
+            batch_id="jv-d1",
+        )
+        maintain_join(
+            spark, fact.table, dim.table, dst, {"o_custkey": "c_custkey"},
+            source_id="g",
+        )
+        fact.apply_batch(
+            orders.where(F.pmod("o_orderkey", F.lit(3)) == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+            .withColumn(
+                "seq", (F.lit(1_000_000_000) + F.col("o_orderkey")).cast("long")
+            ),
+            batch_id="jv-f2",
+        )
+        fact.apply_batch(
+            orders.where(F.pmod("o_orderkey", F.lit(13)) == 0).select(
+                "o_orderkey",
+                F.lit(None).cast(orders.schema["o_custkey"].dataType).alias("o_custkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                (F.lit(2_000_000_000) + F.col("o_orderkey")).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            ),
+            batch_id="jv-f3",
+        )
+        dim.apply_batch(
+            cust.where(F.pmod("c_custkey", F.lit(5)) == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+            .withColumn(
+                "seq", (F.lit(1_000_000_000) + F.col("c_custkey")).cast("long")
+            ),
+            batch_id="jv-d2",
+        )
+        dim.apply_batch(
+            cust.where(F.pmod("c_custkey", F.lit(11)) == 0).select(
+                "c_custkey",
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                (F.lit(2_000_000_000) + F.col("c_custkey")).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            ),
+            batch_id="jv-d3",
+        )
+        maintain_join(
+            spark, fact.table, dim.table, dst, {"o_custkey": "c_custkey"},
+            source_id="g",
+        )
+        out = dst.current().select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1242,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_datasource": q_cdc_changes_datasource,
         "cdc_diff_feed": q_cdc_diff_feed,
         "cdc_diff_cdf": q_cdc_diff_cdf,
+        "cdc_join_view": q_cdc_join_view,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
         "zorder_curve": q_zorder_curve,
@@ -1407,6 +1504,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS "_change_version",
                    'delete' AS "_change_op"
             FROM pre b WHERE b.user_id % 7 = 0
+        """,
+        "cdc_join_view": """
+            WITH f AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 3 = 0
+                          THEN CAST(o_totalprice AS DOUBLE) + 1000.0
+                          ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+              FROM orders WHERE o_orderkey % 13 <> 0
+            ), d AS (
+              SELECT c_custkey, c_name,
+                     CASE WHEN c_custkey % 5 = 0
+                          THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                          ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+              FROM customer WHERE c_custkey % 11 <> 0
+            )
+            SELECT f.o_orderkey, f.o_custkey, f.o_totalprice,
+                   d.c_name, d.c_acctbal
+            FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
         """,
         "merge_into_clauses": """
             WITH latest AS (

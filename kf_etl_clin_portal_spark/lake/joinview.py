@@ -1,0 +1,282 @@
+"""Incrementally maintained denormalized join views (fact ⟕ dim).
+
+``maintain_join`` keeps a destination table exactly in sync with
+
+    SELECT f.*, d.<value columns>
+    FROM fact f LEFT JOIN dim d ON f.<fk> = d.<dim key>
+
+by folding the *change deltas* of both sources per poll — the two-sided
+incremental view maintenance rule specialized to the star-schema case
+where the join key is the dimension's PRIMARY KEY (each fact row matches
+at most one dim row, so the view stays keyed on the fact's key and every
+update is a plain keyed MERGE):
+
+- **fact delta** (the hot side): the net snapshot diff of the fact table
+  (`diff_changes` — any history: MoR, CoW, DML, rollback) gives the new
+  winners of exactly the changed fact keys; they are enriched against the
+  dim snapshot read **bucket-pruned to the referenced dim keys' buckets**
+  (the dim is keyed — therefore bucketed — on the join key, so the lookup
+  touches only the buckets the fk values hash into; the bucket-id set is
+  ≤ num_buckets ints of driver traffic, same pattern as `lake/ivm.py`).
+  Cost: O(changed fact bytes) + O(referenced dim buckets).
+- **dim delta** (the cold side): the dim's net diff yields the changed
+  join-key values AND their new winner rows, so re-enrichment needs **no
+  dim table read at all** — affected view rows are re-joined against the
+  diff rows themselves (dim deletes null the dim columns out; a later
+  re-insert re-enriches, which purely delta-chained designs get wrong).
+  Finding the affected view rows costs one scan of the VIEW (it is
+  bucketed by the fact key, not the fk), so this path is **skipped
+  entirely when the dim is idle** — the common star-schema regime is a
+  hot fact stream against quiet dimensions. Rows also touched by this
+  poll's fact delta are excluded (the fact path already emits their
+  correct post-image).
+
+Both source cursors commit atomically in the destination's own lineage
+row (same two-sided crash story as `mirror_changes` / `maintain_agg`):
+a crash before the commit re-derives the identical batch from the durable
+cursors; a crash after it fences on the epoch batch id.
+
+The view's ``seq`` is the poll epoch (monotone per poll): diff rows are
+authoritative post-images at the range's upper bound, and an epoch seq
+guarantees a later poll's row always outranks an earlier one — carrying
+the fact's own seq would tie on dim-driven re-enrichments (same fact row,
+new dim image) and ties resolve arbitrarily.
+
+The reference's equivalent is the staged "prepare" jobs that rebuild
+every denormalized entity from the whole normalized layer each run
+(`etl/src/main/scala/bio/ferlab/etl/prepared/clinical/*.scala`, e.g.
+SimpleParticipant re-joining participant × study × outcomes); here the
+denormalized view follows both sources at O(delta) like every other
+stage.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    CHANGE_TS_COL,
+    CHANGE_VERSION_COL,
+    diff_changes,
+)
+from kf_etl_clin_portal_spark.lake.ivm import _latest_per_key, _live
+from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL
+from kf_etl_clin_portal_spark.lake.schema import align_df
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable, bucket_expr
+
+_JV_SRC_KEY = "joinview_source"
+_JV_FACT_KEY = "joinview_fact_until"
+_JV_DIM_KEY = "joinview_dim_until"
+_JV_EPOCH_KEY = "joinview_epoch"
+
+_META_COLS = (TOMBSTONE_COL,)
+
+
+def joinview_cursor(
+    dst_table: SnapshotTable, source_id: str
+) -> tuple[int, int, int]:
+    """(fact version folded in, dim version folded in, poll epoch) from the
+    destination's commit lineage — O(commits since the last poll)."""
+    dst_table.refresh()
+    for v in range(dst_table.version, 0, -1):
+        lin = dst_table._read_entry(v).get("lineage") or {}
+        if lin.get(_JV_SRC_KEY) == source_id and lin.get(_JV_FACT_KEY) is not None:
+            return (
+                int(lin[_JV_FACT_KEY]),
+                int(lin[_JV_DIM_KEY]),
+                int(lin.get(_JV_EPOCH_KEY, -1)),
+            )
+    return 0, 0, -1
+
+
+def dim_value_cols(dim: SnapshotTable, seq_col: str = "seq") -> list[str]:
+    """The dim columns a join view carries: everything except the dim's
+    key columns and engine metadata (seq, tombstone)."""
+    skip = set(dim.key_cols) | {seq_col} | set(_META_COLS)
+    return [f.name for f in dim.schema.fields if f.name not in skip]
+
+
+def maintain_join(
+    spark: SparkSession,
+    fact: SnapshotTable,
+    dim: SnapshotTable,
+    dst_pipe,
+    on: dict[str, str],
+    source_id: str = "joinview",
+    seq_col: str = "seq",
+) -> dict[str, Any]:
+    """Poll both sources' change feeds once and fold the join delta into
+    ``dst_pipe``, a CDCPipeline keyed on exactly ``fact.key_cols``.
+
+    ``on`` maps fact column(s) → dim key column(s) and must cover the
+    dim's full key (the join key IS the dim's primary key — the property
+    that keeps the view keyed and every maintenance step a plain MERGE).
+
+    View schema: the fact's columns (tombstone semantics carried through:
+    a dead fact key tombstones the view row) plus the dim's value columns
+    (NULL when the fk is NULL, dangling, or the dim row is deleted). The
+    view's ``seq`` is the poll epoch. Read it with ``dst_pipe.current()``.
+
+    Single follower per ``source_id``; polls whose ranges hold only
+    maintenance commits apply nothing and leave the cursor parked.
+    """
+    if list(dst_pipe.key_cols) != list(fact.key_cols):
+        raise ValueError(
+            f"destination key_cols {dst_pipe.key_cols} must equal the fact's "
+            f"{fact.key_cols} — the view is keyed by the fact row"
+        )
+    if sorted(on.values()) != sorted(dim.key_cols):
+        raise ValueError(
+            f"`on` must map fact columns onto the dim's full key "
+            f"{dim.key_cols}, got {sorted(on.values())}"
+        )
+    fact.refresh()
+    dim.refresh()
+    fact_cols = set(fact.schema.fieldNames())
+    missing = [c for c in on if c not in fact_cols]
+    if missing:
+        raise ValueError(f"`on` names fact columns that don't exist: {missing}")
+    d_vals = dim_value_cols(dim, seq_col)
+    clash = sorted(set(d_vals) & fact_cols)
+    if clash:
+        raise ValueError(
+            f"dim value columns collide with fact columns: {clash} — "
+            f"rename them on one side before maintaining a join view"
+        )
+
+    f_until, d_until = fact.version, dim.version
+    f_since, d_since, epoch = (
+        joinview_cursor(dst_pipe.table, source_id)
+        if SnapshotTable.exists(dst_pipe.root)
+        else (0, 0, -1)
+    )
+    if f_until <= f_since and d_until <= d_since:
+        return {
+            "applied": False, "fact_since": f_since, "fact_until": f_until,
+            "dim_since": d_since, "dim_until": d_until, "rows": 0,
+        }
+
+    fact_schema = fact.schema
+    dim_schema = dim.schema
+    jk = list(on.items())  # [(fact_col, dim_key_col), ...]
+
+    # ---- fact delta, enriched against the dim at d_until (bucket-pruned:
+    # the dim is bucketed by the join key, so only the buckets the changed
+    # rows' fk values hash into are read)
+    df_f = align_df(
+        diff_changes(
+            spark, fact, since_version=f_since, until_version=f_until,
+            seq_col=seq_col,
+        ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL),
+        fact_schema,
+    )
+    f_live = df_f.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+    f_dead = df_f.where(F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+
+    spec = dim.state_at(d_until)["partition"]
+    ref_buckets = [
+        r["b"]
+        for r in f_live.select(
+            bucket_expr([fc for fc, _ in jk], spec["num_buckets"]).alias("b")
+        )
+        .where(F.col("b").isNotNull())
+        .distinct()
+        .collect()  # ≤ num_buckets ints — bounded driver traffic
+    ]
+    # the dim key may share the fact fk's name — join under reserved temp
+    # names so the post-join drop is unambiguous
+    tmp_jk = {dk: f"__jv_k{i}" for i, (_, dk) in enumerate(jk)}
+
+    def _keyed_dim(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.col(dk).alias(t) for dk, t in tmp_jk.items()], *d_vals
+        )
+
+    dim_now = _keyed_dim(
+        _live(
+            _latest_per_key(
+                align_df(
+                    dim.read(
+                        spark, version=d_until, buckets=sorted(ref_buckets)
+                    ),
+                    dim_schema,
+                ),
+                dim.key_cols,
+                seq_col,
+            )
+        )
+    )
+    cond = [
+        F.col(fc) == F.col(tmp_jk[dk]) for fc, dk in jk
+    ]
+    path1 = (
+        f_live.join(dim_now, cond, "left").drop(*tmp_jk.values())
+    ).unionByName(
+        f_dead.select(
+            "*",
+            *[
+                F.lit(None).cast(dim_schema[c].dataType).alias(c)
+                for c in d_vals
+            ],
+        )
+    )
+
+    # ---- dim delta: re-enrich affected view rows from the diff rows
+    # themselves (no dim read); skipped when the dim is idle
+    if d_until > d_since:
+        df_d = align_df(
+            diff_changes(
+                spark, dim, since_version=d_since, until_version=d_until,
+                seq_col=seq_col,
+            ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL),
+            dim_schema,
+        )
+        changed_jk = df_d.select(*dim.key_cols).distinct()
+        cur = dst_pipe.current() if SnapshotTable.exists(dst_pipe.root) else None
+        if cur is not None:
+            affected = cur.join(
+                changed_jk,
+                [cur[fc] == changed_jk[dk] for fc, dk in jk],
+                "left_semi",
+            ).join(  # this poll's fact delta already emits these keys' rows
+                df_f.select(*fact.key_cols), on=list(fact.key_cols),
+                how="left_anti",
+            )
+            dim_new = _keyed_dim(_live(df_d))
+            base = affected.drop(*[c for c in d_vals if c in affected.columns])
+            path2 = (
+                base.join(
+                    dim_new,
+                    [F.col(fc) == F.col(tmp_jk[dk]) for fc, dk in jk],
+                    "left",
+                )
+                .drop(*tmp_jk.values())
+                .withColumn(TOMBSTONE_COL, F.lit(False))
+            )
+            path1 = path1.unionByName(path2, allowMissingColumns=True)
+
+    batch = path1.withColumn(seq_col, F.lit(epoch + 1).cast("long"))
+    res = dst_pipe.apply_batch(
+        batch,
+        batch_id=f"jv.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            _JV_SRC_KEY: source_id,
+            _JV_FACT_KEY: f_until,
+            _JV_DIM_KEY: d_until,
+            _JV_EPOCH_KEY: epoch + 1,
+        },
+    )
+    if res.skipped:
+        return {
+            "applied": False, "fact_since": f_since, "fact_until": f_until,
+            "dim_since": d_since, "dim_until": d_until, "rows": 0,
+        }
+    return {
+        "applied": True, "fact_since": f_since, "fact_until": f_until,
+        "dim_since": d_since, "dim_until": d_until, "rows": res.n_events,
+        "dst_version": res.version, "epoch": epoch + 1,
+    }

@@ -1,0 +1,202 @@
+"""Maintained denormalized join views (lake/joinview.py).
+
+Oracle for every poll: a full recompute — fact.current() LEFT JOIN
+dim.current() on the fk — must equal the maintained view exactly. Covers
+dangling fks, NULL fks, fk moves between dim parents, dim updates /
+deletes (view columns null out) / re-inserts after delete (the case pure
+delta-chaining gets wrong), fact DML, crash-replay fencing, and the
+same-name fk↔dim-key join (drop-by-reference path).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.joinview import joinview_cursor, maintain_join
+
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("size", T.DoubleType()),
+    ]
+)
+
+DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("family", T.StringType()),
+    ]
+)
+
+VIEW_COLS = ["path", "lang", "size", "rating", "family"]
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(rows, FACT_SCHEMA)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+def _assert_view(dst, fact_pipe, dim_pipe):
+    got = sorted(map(tuple, dst.current().select(*VIEW_COLS).collect()))
+    d = dim_pipe.current().select("lang", "rating", "family")
+    want = sorted(
+        map(
+            tuple,
+            fact_pipe.current()
+            .join(d, "lang", "left")
+            .select(*VIEW_COLS)
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def _pipes(spark, tmp_path):
+    fact = CDCPipeline(spark, str(tmp_path / "fact"), key_cols=("path",),
+                       num_buckets=4)  # CoW — the diff-based poll follows it
+    dim = CDCPipeline(spark, str(tmp_path / "dim"), key_cols=("lang",),
+                      num_buckets=4, merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "view"), key_cols=("path",),
+                      num_buckets=4, merge_strategy="mor")
+    return fact, dim, dst
+
+
+def test_joinview_tracks_recompute_over_polls(spark, tmp_path):
+    fact, dim, dst = _pipes(spark, tmp_path)
+
+    fact.apply_batch(_fact(spark, [
+        (1, "upsert", "a.py", "python", 10.0),
+        (2, "upsert", "b.go", "go", 20.0),
+        (3, "upsert", "c.rs", "rust", 30.0),   # dangling fk: no rust dim yet
+        (4, "upsert", "d.py", None, 5.0),      # NULL fk never matches
+    ]), batch_id="f1")
+    dim.apply_batch(_dim(spark, [
+        (1, "upsert", "python", 4.5, "scripting"),
+        (2, "upsert", "go", 4.0, "compiled"),
+    ]), batch_id="d1")
+    r1 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r1["applied"] and r1["epoch"] == 0 and r1["rows"] == 4
+    _assert_view(dst, fact, dim)
+
+    # idle poll: neither source moved
+    r_idle = maintain_join(spark, fact.table, dim.table, dst,
+                           {"lang": "lang"}, source_id="s")
+    assert not r_idle["applied"]
+
+    # fact-only poll (dim quiet → the view-scan path never runs):
+    # fk move python→go, delete, insert
+    fact.apply_batch(_fact(spark, [
+        (5, "upsert", "a.py", "go", 11.0),
+        (6, "delete", "b.go", None, None),
+        (7, "upsert", "e.go", "go", 7.0),
+    ]), batch_id="f2")
+    r2 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r2["applied"] and r2["fact_since"] == r1["fact_until"]
+    _assert_view(dst, fact, dim)
+
+    # dim-only poll: rating update, dim delete (go rows null out), rust
+    # insert (the dangling c.rs row re-enriches)
+    dim.apply_batch(_dim(spark, [
+        (3, "upsert", "python", 4.8, "scripting"),
+        (4, "delete", "go", None, None),
+        (5, "upsert", "rust", 5.0, "systems"),
+    ]), batch_id="d2")
+    r3 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r3["applied"] and r3["dim_since"] == r2["dim_until"]
+    _assert_view(dst, fact, dim)
+
+    # both sides in one poll; the dim re-insert after delete must
+    # re-enrich surviving go rows (pure delta-chaining loses these)
+    fact.apply_batch(_fact(spark, [(8, "upsert", "f.go", "go", 1.0)]),
+                     batch_id="f3")
+    dim.apply_batch(_dim(spark, [(6, "upsert", "go", 3.5, "compiled")]),
+                    batch_id="d3")
+    r4 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r4["applied"]
+    _assert_view(dst, fact, dim)
+    got = {r["path"]: r["rating"] for r in dst.current().collect()}
+    assert got["a.py"] == 3.5 and got["e.go"] == 3.5 and got["f.go"] == 3.5
+
+    # row-level DML on both sources — histories only the snapshot diff
+    # can follow
+    fact.delete_where(F.col("size") > 15.0)
+    dim.update_where({"rating": F.lit(1.0)}, F.col("lang") == "python")
+    r5 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r5["applied"]
+    _assert_view(dst, fact, dim)
+
+
+def test_joinview_cursor_durable_and_fenced(spark, tmp_path):
+    fact, dim, dst = _pipes(spark, tmp_path)
+    fact.apply_batch(_fact(spark, [(1, "upsert", "a.py", "python", 1.0)]),
+                     batch_id="f1")
+    dim.apply_batch(_dim(spark, [(1, "upsert", "python", 4.5, "s")]),
+                    batch_id="d1")
+    r1 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r1["applied"]
+    before = sorted(map(tuple, dst.current().collect()))
+    assert joinview_cursor(dst.table, "s") == (
+        r1["fact_until"], r1["dim_until"], 0
+    )
+
+    # "new process": fresh destination pipeline over the same root
+    dst2 = CDCPipeline(spark, dst.root, key_cols=("path",), num_buckets=4,
+                       merge_strategy="mor")
+    r2 = maintain_join(spark, fact.table, dim.table, dst2, {"lang": "lang"},
+                       source_id="s")
+    assert not r2["applied"]
+    assert sorted(map(tuple, dst2.current().collect())) == before
+
+
+def test_joinview_validations(spark, tmp_path):
+    fact, dim, dst = _pipes(spark, tmp_path)
+    fact.apply_batch(_fact(spark, [(1, "upsert", "a.py", "python", 1.0)]),
+                     batch_id="f1")
+    dim.apply_batch(_dim(spark, [(1, "upsert", "python", 4.5, "s")]),
+                    batch_id="d1")
+
+    bad_key = CDCPipeline(spark, str(tmp_path / "bad1"), key_cols=("lang",),
+                          num_buckets=2)
+    with pytest.raises(ValueError, match="destination key_cols"):
+        maintain_join(spark, fact.table, dim.table, bad_key, {"lang": "lang"})
+
+    with pytest.raises(ValueError, match="full key"):
+        maintain_join(spark, fact.table, dim.table, dst, {"lang": "nope"})
+
+    with pytest.raises(ValueError, match="don't exist"):
+        maintain_join(spark, fact.table, dim.table, dst, {"nope": "lang"})
+
+    # a dim value column shadowing a fact column must be rejected
+    clash_dim = CDCPipeline(spark, str(tmp_path / "dimclash"),
+                            key_cols=("lang",), num_buckets=2)
+    clash_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("size", T.DoubleType()),  # collides with fact
+        ]
+    )
+    clash_dim.apply_batch(
+        spark.createDataFrame([(1, "upsert", "python", 9.0)], clash_schema),
+        batch_id="c1",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        maintain_join(spark, fact.table, clash_dim.table, dst,
+                      {"lang": "lang"})
