@@ -108,9 +108,14 @@ def maintain_join(
     on: dict[str, str],
     source_id: str = "joinview",
     seq_col: str = "seq",
-) -> dict[str, Any]:
+    plan_only: bool = False,
+) -> "dict[str, Any] | DataFrame":
     """Poll both sources' change feeds once and fold the join delta into
     ``dst_pipe``, a CDCPipeline keyed on exactly ``fact.key_cols``.
+
+    ``plan_only=True`` returns the maintenance batch DataFrame unwritten
+    (cursors untouched) — for plan audits, same contract as
+    ``merge_into(plan_only=True)``.
 
     ``on`` maps fact column(s) → dim key column(s) and must cover the
     dim's full key (the join key IS the dim's primary key — the property
@@ -166,7 +171,8 @@ def maintain_join(
 
     # ---- fact delta, enriched against the dim at d_until (bucket-pruned:
     # the dim is bucketed by the join key, so only the buckets the changed
-    # rows' fk values hash into are read)
+    # rows' fk values hash into are read). Persisted: consumed by the
+    # bucket-id collect, the enrich join, and the path-2 anti-join.
     df_f = align_df(
         diff_changes(
             spark, fact, since_version=f_since, until_version=f_until,
@@ -174,6 +180,8 @@ def maintain_join(
         ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL),
         fact_schema,
     )
+    if not plan_only:
+        df_f = df_f.persist()
     f_live = df_f.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
     f_dead = df_f.where(F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
 
@@ -260,16 +268,21 @@ def maintain_join(
             path1 = path1.unionByName(path2, allowMissingColumns=True)
 
     batch = path1.withColumn(seq_col, F.lit(epoch + 1).cast("long"))
-    res = dst_pipe.apply_batch(
-        batch,
-        batch_id=f"jv.{source_id}-b{epoch + 1:05d}",
-        extra_lineage={
-            _JV_SRC_KEY: source_id,
-            _JV_FACT_KEY: f_until,
-            _JV_DIM_KEY: d_until,
-            _JV_EPOCH_KEY: epoch + 1,
-        },
-    )
+    if plan_only:
+        return batch
+    try:
+        res = dst_pipe.apply_batch(
+            batch,
+            batch_id=f"jv.{source_id}-b{epoch + 1:05d}",
+            extra_lineage={
+                _JV_SRC_KEY: source_id,
+                _JV_FACT_KEY: f_until,
+                _JV_DIM_KEY: d_until,
+                _JV_EPOCH_KEY: epoch + 1,
+            },
+        )
+    finally:
+        df_f.unpersist()
     if res.skipped:
         return {
             "applied": False, "fact_since": f_since, "fact_until": f_until,

@@ -184,6 +184,61 @@ def main():
     print("== merge_into join ==")
     print("\n".join(l for l in p.splitlines() if "Join" in l))
 
+    # 8e. join-view maintenance batch: hash-family joins only (the enrich
+    #     and the dim-delta re-enrich), never BNLJ/cartesian, no Python
+    #     eval anywhere in the maintenance plan
+    from kf_etl_clin_portal_spark.lake.joinview import maintain_join
+
+    jfact = CDCPipeline(
+        spark, tempfile.mkdtemp() + "/jf", key_cols=("path",), num_buckets=4
+    )
+    jdim = CDCPipeline(
+        spark, tempfile.mkdtemp() + "/jd", key_cols=("lang",), num_buckets=4
+    )
+    jdst = CDCPipeline(
+        spark, tempfile.mkdtemp() + "/jv", key_cols=("path",), num_buckets=4
+    )
+    jfact.apply_batch(
+        ev.select("seq", "op", "path", "lang"), batch_id="ea-f1"
+    )
+    jdim.apply_batch(
+        ev.select(
+            F.col("seq"), F.lit("upsert").alias("op"), "lang",
+            F.length("content").cast("double").alias("weight"),
+        ).groupBy("lang").agg(
+            F.max("seq").alias("seq"), F.first("op").alias("op"),
+            F.max("weight").alias("weight"),
+        ).select("seq", "op", "lang", "weight"),
+        batch_id="ea-d1",
+    )
+    maintain_join(spark, jfact.table, jdim.table, jdst, {"lang": "lang"},
+                  source_id="ea")
+    jfact.apply_batch(
+        ev.select("seq", "op", "path", "lang")
+        .withColumn("seq", F.col("seq") + 10**9).limit(100),
+        batch_id="ea-f2",
+    )
+    jdim.apply_batch(
+        jdim.current().select(
+            (F.col("seq") + 10**9).alias("seq"), F.lit("upsert").alias("op"),
+            "lang", (F.col("weight") + 1).alias("weight"),
+        ).limit(2),
+        batch_id="ea-d2",
+    )
+    jv_batch = maintain_join(
+        spark, jfact.table, jdim.table, jdst, {"lang": "lang"},
+        source_id="ea", plan_only=True,
+    )
+    p = plan_of(jv_batch)
+    if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+        problems.append("joinview: nested-loop/cartesian join planned")
+    if not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p):
+        problems.append("joinview: no hash-family join planned")
+    if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+        problems.append("joinview: Python eval in the maintenance plan")
+    print("== joinview maintenance joins ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l))
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
