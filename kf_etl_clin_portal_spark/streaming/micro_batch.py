@@ -20,6 +20,23 @@ from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
 
 
 @dataclass
+class JoinViewSpec:
+    """A continuously-maintained denormalized join view
+    (`lake/joinview.py`) chained after each micro-batch MERGE: the
+    streamed table is the FACT side; ``dim`` is any other lake table (it
+    may advance concurrently — each poll folds whatever both sources
+    committed since the last one). Same exactly-once story as ViewSpec:
+    both source cursors live in the view's own lineage, the epoch fence
+    heals re-delivery, and a crash between MERGE and poll is healed by
+    the next poll."""
+
+    pipe: CDCPipeline  # keyed on the fact's key_cols
+    dim: object  # SnapshotTable
+    on: dict[str, str]  # fact fk column -> dim key column
+    source_id: str = "stream-joinview"
+
+
+@dataclass
 class ViewSpec:
     """A continuously-maintained aggregate view (`lake/ivm.py`) chained
     after each micro-batch MERGE: the stream lands the batch, then each
@@ -46,13 +63,16 @@ def stream_feed_into_table(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     views: list[ViewSpec] | None = None,
+    join_views: list[JoinViewSpec] | None = None,
     transform=None,
 ):
     """Run the feed directory through the pipeline as a stream; returns the
     StreamingQuery (caller awaits termination). available_now=True drains
     everything currently in the directory then stops (test/replay mode);
     False runs continuously. ``views`` chains incremental aggregate-view
-    maintenance after each batch (see ViewSpec).
+    maintenance after each batch (see ViewSpec); ``join_views`` likewise
+    chains denormalized join views with the streamed table as the fact
+    side (see JoinViewSpec).
 
     ``transform``: optional ``callable(batch_df) -> DataFrame`` applied to
     each micro-batch BEFORE the MERGE — the stream-static enrichment hook
@@ -90,6 +110,18 @@ def stream_feed_into_table(
                     v.group_cols,
                     v.sum_exprs,
                     source_id=v.source_id,
+                )
+        if join_views:
+            from kf_etl_clin_portal_spark.lake.joinview import maintain_join
+
+            for jv in join_views:
+                maintain_join(
+                    spark,
+                    pipeline.table,
+                    jv.dim,
+                    jv.pipe,
+                    jv.on,
+                    source_id=jv.source_id,
                 )
 
     writer = reader.writeStream.foreachBatch(handle).option(

@@ -175,3 +175,81 @@ def test_stream_transform_enriches_before_merge(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert pipe.table.refresh().version == v
+
+
+def test_stream_maintains_join_view(spark, tmp_path):
+    """A JoinViewSpec chained into the stream: after the drain the
+    maintained denormalized view equals fact.current() ⟕ dim.current(),
+    and a restart with more feed files plus a concurrent dim update /
+    delete keeps it consistent (both cursors + fence heal re-delivery)."""
+    from kf_etl_clin_portal_spark.streaming.micro_batch import JoinViewSpec
+
+    events = generate_change_events(spark, 3_000, seed=23)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, events.where(F.col("seq") <= 1_500), feed_dir,
+                      n_files=3)
+
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4,
+                       merge_strategy="mor")
+    dim = CDCPipeline(spark, str(tmp_path / "dim"), key_cols=("lang",),
+                      num_buckets=2)
+    langs = sorted(r["lang"] for r in events.select("lang").distinct().collect())
+    dim.apply_batch(
+        spark.createDataFrame(
+            [(i + 1, "upsert", l, float(i)) for i, l in enumerate(langs)],
+            "seq long, op string, lang string, rating double",
+        ),
+        batch_id="d1",
+    )
+    view = CDCPipeline(spark, str(tmp_path / "jview"), num_buckets=4,
+                       merge_strategy="mor")
+    spec = JoinViewSpec(pipe=view, dim=dim.table, on={"lang": "lang"},
+                        source_id="sjv")
+
+    def recompute():
+        d = dim.current().select("lang", "rating")
+        return sorted(
+            map(tuple, pipe.current().join(d, "lang", "left")
+                .select("repo", "path", "lang", "rating").collect())
+        )
+
+    def view_rows():
+        return sorted(
+            map(tuple,
+                view.current().select("repo", "path", "lang", "rating").collect())
+        )
+
+    schema = spark.read.parquet(feed_dir).schema
+    q = stream_feed_into_table(
+        spark, feed_dir, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="sjv",
+        max_files_per_trigger=1, join_views=[spec],
+    )
+    q.awaitTermination(300)
+    assert view_rows() == recompute()
+
+    # dim moves between drains (update + delete) and more feed files land;
+    # the next drain folds both sides' deltas
+    dim.apply_batch(
+        spark.createDataFrame(
+            [
+                (100, "upsert", langs[0], 99.0),
+                (101, "delete", langs[1], None),
+            ],
+            "seq long, op string, lang string, rating double",
+        ),
+        batch_id="d2",
+    )
+    events.where(F.col("seq") > 1_500).repartition(2).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    q = stream_feed_into_table(
+        spark, feed_dir, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="sjv",
+        max_files_per_trigger=1, join_views=[spec],
+    )
+    q.awaitTermination(300)
+    assert view_rows() == recompute()
+    nulled = view.current().where(F.col("lang") == langs[1])
+    if nulled.count():
+        assert nulled.where(F.col("rating").isNotNull()).count() == 0
