@@ -200,3 +200,66 @@ def test_joinview_validations(spark, tmp_path):
     with pytest.raises(ValueError, match="collide"):
         maintain_join(spark, fact.table, clash_dim.table, dst,
                       {"lang": "lang"})
+
+
+def test_joinview_star_schema_chaining(spark, tmp_path):
+    """Join views compose: view1 = fact ⟕ dim1 is itself a lake table, so
+    view2 = view1 ⟕ dim2 follows a two-dimension star schema through two
+    chained polls, each at O(delta) — including a dim1-only change that
+    must ripple through view1's diff into view2."""
+    fact = CDCPipeline(spark, str(tmp_path / "fact"), key_cols=("path",),
+                       num_buckets=4)
+    dim1 = CDCPipeline(spark, str(tmp_path / "d1"), key_cols=("lang",),
+                       num_buckets=2)
+    dim2 = CDCPipeline(spark, str(tmp_path / "d2"), key_cols=("family",),
+                       num_buckets=2)
+    v1 = CDCPipeline(spark, str(tmp_path / "v1"), key_cols=("path",),
+                     num_buckets=4, merge_strategy="mor")
+    v2 = CDCPipeline(spark, str(tmp_path / "v2"), key_cols=("path",),
+                     num_buckets=4, merge_strategy="mor")
+    D1 = "seq long, op string, lang string, rating double, family string"
+    D2 = "seq long, op string, family string, tier string"
+
+    fact.apply_batch(_fact(spark, [
+        (1, "upsert", "a.py", "python", 1.0),
+        (2, "upsert", "b.go", "go", 2.0),
+    ]), batch_id="f1")
+    dim1.apply_batch(spark.createDataFrame(
+        [(1, "upsert", "python", 4.5, "scripting"),
+         (2, "upsert", "go", 4.0, "compiled")], D1), batch_id="d1a")
+    dim2.apply_batch(spark.createDataFrame(
+        [(1, "upsert", "scripting", "t1"),
+         (2, "upsert", "compiled", "t2")], D2), batch_id="d2a")
+
+    def poll():
+        maintain_join(spark, fact.table, dim1.table, v1, {"lang": "lang"},
+                      source_id="c1")
+        maintain_join(spark, v1.table, dim2.table, v2, {"family": "family"},
+                      source_id="c2")
+
+    cols = ["path", "lang", "size", "rating", "family", "tier"]
+
+    def recompute():
+        d1 = dim1.current().select("lang", "rating", "family")
+        d2 = dim2.current().select("family", "tier")
+        return sorted(map(tuple, fact.current().join(d1, "lang", "left")
+                          .join(d2, "family", "left").select(*cols).collect()))
+
+    poll()
+    assert sorted(map(tuple, v2.current().select(*cols).collect())) == recompute()
+
+    # dim1-only change: go's family moves compiled→scripting — view1's diff
+    # must carry the new family into view2's fact path (tier flips t2→t1)
+    dim1.apply_batch(spark.createDataFrame(
+        [(3, "upsert", "go", 4.1, "scripting")], D1), batch_id="d1b")
+    poll()
+    assert sorted(map(tuple, v2.current().select(*cols).collect())) == recompute()
+
+    # dim2-only change + fact update to a dangling lang in the same round
+    dim2.apply_batch(spark.createDataFrame(
+        [(3, "upsert", "scripting", "t9"), (4, "delete", "compiled", None)],
+        D2), batch_id="d2b")
+    fact.apply_batch(_fact(spark, [(5, "upsert", "a.py", "rust", 1.5)]),
+                     batch_id="f2")
+    poll()
+    assert sorted(map(tuple, v2.current().select(*cols).collect())) == recompute()
