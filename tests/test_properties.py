@@ -240,3 +240,58 @@ def test_router_tag_first_match_partition_law(spark, rows, routes):
 
     assert all(v == spec(k[0]) for k, v in got.items())
     assert len(got) == len(rows)  # tagging never drops or duplicates rows
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ivm_events, cut=st.integers(min_value=1, max_value=39))
+def test_diff_cdf_retraction_algebra_spec(spark, rows, cut, tmp_path_factory):
+    """For ANY event sequence split at an arbitrary batch boundary, the
+    CDF emit between the two snapshots satisfies the retraction algebra:
+    live(pre) − (update_preimages ∪ deletes) + (inserts ∪
+    update_postimages) == live(post), against an independent pandas fold."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.changes import CHANGE_OP_COL, diff_changes
+
+    tmp = tmp_path_factory.mktemp("cdf_prop")
+    events = [
+        (i + 1, "delete" if d else "upsert", f"k{k}", "p", f"c{i}", g, "",
+         float(v) if v is not None else None)
+        for i, (k, g, v, d) in enumerate(rows)
+    ]
+    schema = ("seq long, op string, repo string, path string, commit string, "
+              "lang string, content string, value double")
+    cut = min(cut, len(events) - 1)
+    pipe = CDCPipeline(spark, str(tmp / "t"), num_buckets=2,
+                       merge_strategy="mor")
+    pipe.apply_batch(spark.createDataFrame(events[:cut], schema), batch_id="b0")
+    v1 = pipe.table.refresh().version
+    if events[cut:]:
+        pipe.apply_batch(spark.createDataFrame(events[cut:], schema),
+                         batch_id="b1")
+    v2 = pipe.table.refresh().version
+
+    cols = ["seq", "repo", "path", "commit", "lang", "value"]
+
+    def live_spec(evs):
+        state = {}
+        for e in evs:
+            state[(e[2], e[3])] = e
+        return {
+            (e[0], e[2], e[3], e[4], e[5], e[7])
+            for e in state.values() if e[1] != "delete"
+        }
+
+    cdf = {
+        (r[CHANGE_OP_COL], tuple(r[c] for c in cols))
+        for r in diff_changes(spark, pipe.table, v1, v2, emit="cdf")
+        .select(CHANGE_OP_COL, *cols).collect()
+    }
+    state = set(live_spec(events[:cut]))
+    state -= {t for op, t in cdf if op in ("update_preimage", "delete")}
+    state |= {t for op, t in cdf if op in ("insert", "update_postimage")}
+    assert state == live_spec(events)
+    # pre/post pairs always come in twos, on the same key
+    pre_keys = sorted((t[1], t[2]) for op, t in cdf if op == "update_preimage")
+    post_keys = sorted((t[1], t[2]) for op, t in cdf if op == "update_postimage")
+    assert pre_keys == post_keys
