@@ -100,6 +100,33 @@ def dim_value_cols(dim: SnapshotTable, seq_col: str = "seq") -> list[str]:
     return [f.name for f in dim.schema.fields if f.name not in skip]
 
 
+def _affected_view_read(spark, dst_pipe, jk, df_d):
+    """The dim-delta path's view read, zone-map-pruned when it is safe:
+    on an ALL-BASE view (CoW-managed, or MoR after compaction) every key
+    appears in exactly one file, so skipping files whose fk zone cannot
+    contain any changed dim key can never hide a key's winner — with
+    ``stats.columns`` covering the fk and the view clustered/Z-ordered by
+    it, the scan reads only the touched slice instead of the whole view.
+    Any delta file forces the full resolved read: a key's winning row may
+    sit in a file whose fk zone is outside the changed range (the fk
+    changed in an earlier poll), and skipping it would resurrect the stale
+    row. Returns (live view DataFrame, path tag for observability)."""
+    dst_table = dst_pipe.table.refresh()
+    files = dst_table.state["files"]
+    all_base = bool(files) and all(f.get("kind") != "delta" for f in files)
+    if all_base and len(jk) == 1:
+        fc, dk = jk[0]
+        mm = df_d.agg(F.min(dk).alias("lo"), F.max(dk).alias("hi")).first()
+        if mm["lo"] is not None:
+            raw = dst_table.read(spark, stats_filter={fc: (mm["lo"], mm["hi"])})
+            if TOMBSTONE_COL in raw.columns:
+                raw = raw.where(
+                    ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+                ).drop(TOMBSTONE_COL)
+            return raw, "pruned"
+    return dst_pipe.current(), "scan"
+
+
 def maintain_join(
     spark: SparkSession,
     fact: SnapshotTable,
@@ -235,6 +262,7 @@ def maintain_join(
 
     # ---- dim delta: re-enrich affected view rows from the diff rows
     # themselves (no dim read); skipped when the dim is idle
+    dim_path = "idle"
     if d_until > d_since:
         df_d = align_df(
             diff_changes(
@@ -244,7 +272,11 @@ def maintain_join(
             dim_schema,
         )
         changed_jk = df_d.select(*dim.key_cols).distinct()
-        cur = dst_pipe.current() if SnapshotTable.exists(dst_pipe.root) else None
+        cur = None
+        if SnapshotTable.exists(dst_pipe.root):
+            cur, dim_path = _affected_view_read(spark, dst_pipe, jk, df_d)
+        else:
+            dim_path = "first-poll"
         if cur is not None:
             affected = cur.join(
                 changed_jk,
@@ -287,9 +319,10 @@ def maintain_join(
         return {
             "applied": False, "fact_since": f_since, "fact_until": f_until,
             "dim_since": d_since, "dim_until": d_until, "rows": 0,
+            "dim_path": dim_path,
         }
     return {
         "applied": True, "fact_since": f_since, "fact_until": f_until,
         "dim_since": d_since, "dim_until": d_until, "rows": res.n_events,
-        "dst_version": res.version, "epoch": epoch + 1,
+        "dst_version": res.version, "epoch": epoch + 1, "dim_path": dim_path,
     }

@@ -116,6 +116,8 @@ def test_joinview_tracks_recompute_over_polls(spark, tmp_path):
     r3 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
                        source_id="s")
     assert r3["applied"] and r3["dim_since"] == r2["dim_until"]
+    # the MoR view has delta files → stale-winner hazard → full scan
+    assert r3["dim_path"] == "scan" and r2["dim_path"] == "idle"
     _assert_view(dst, fact, dim)
 
     # both sides in one poll; the dim re-insert after delete must
@@ -263,3 +265,53 @@ def test_joinview_star_schema_chaining(spark, tmp_path):
                      batch_id="f2")
     poll()
     assert sorted(map(tuple, v2.current().select(*cols).collect())) == recompute()
+
+
+def test_joinview_dim_path_pruned_on_all_base_view(spark, tmp_path):
+    """On a CoW (all-base) view with fk zone maps, the dim-delta path
+    reads the view with a stats_filter instead of a full resolved scan —
+    and a later fk change (row's winner living in a file whose fk zone no
+    longer covers it) stays correct because only all-base snapshots prune."""
+    fact = CDCPipeline(spark, str(tmp_path / "fact"), key_cols=("path",),
+                       num_buckets=4)
+    dim = CDCPipeline(spark, str(tmp_path / "dim"), key_cols=("lang",),
+                      num_buckets=2)
+    dst = CDCPipeline(
+        spark, str(tmp_path / "view"), key_cols=("path",), num_buckets=4,
+        table_properties={"stats.columns": "seq,lang"},  # CoW default merge
+    )
+    fact.apply_batch(_fact(spark, [
+        (1, "upsert", "a.py", "python", 1.0),
+        (2, "upsert", "b.go", "go", 2.0),
+        (3, "upsert", "c.rs", "rust", 3.0),
+    ]), batch_id="f1")
+    dim.apply_batch(_dim(spark, [
+        (1, "upsert", "python", 4.5, "s"),
+        (2, "upsert", "go", 4.0, "c"),
+        (3, "upsert", "rust", 5.0, "y"),
+    ]), batch_id="d1")
+    r1 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r1["dim_path"] == "first-poll"
+
+    dim.apply_batch(_dim(spark, [(4, "upsert", "go", 3.0, "c")]),
+                    batch_id="d2")
+    r2 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r2["applied"] and r2["dim_path"] == "pruned"
+    _assert_view(dst, fact, dim)
+
+    # fk move (a.py python→go) then another dim-only change: the pruned
+    # read must still see a.py's CURRENT winner (CoW rewrote its file)
+    fact.apply_batch(_fact(spark, [(5, "upsert", "a.py", "go", 1.1)]),
+                     batch_id="f2")
+    maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                  source_id="s")
+    dim.apply_batch(_dim(spark, [(6, "upsert", "go", 2.0, "c")]),
+                    batch_id="d3")
+    r4 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s")
+    assert r4["dim_path"] == "pruned"
+    _assert_view(dst, fact, dim)
+    got = {r["path"]: r["rating"] for r in dst.current().collect()}
+    assert got["a.py"] == 2.0 and got["b.go"] == 2.0
