@@ -1183,6 +1183,53 @@ def q_cdc_diff_cdf(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ivm_derived_rollup(spark, sf):
+    """Incremental aggregate view with a DERIVED grouping expression
+    (`lake/ivm.py:maintain_agg(group_exprs=...)`): same out-of-order 3-batch
+    replay as ivm_event_rollup, but the view key is (event_type, vband)
+    where vband = CASE WHEN value >= 50 'high' ELSE 'low' — an updated
+    user whose value crosses 50 must retract from one band and land in the
+    other. Oracle: GROUP BY over the same expression on latest-per-user
+    state."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.ivm import agg_view, maintain_agg
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    band = "CASE WHEN value >= 50 THEN 'high' ELSE 'low' END"
+    tmp = tempfile.mkdtemp(prefix="ivmd_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        dst = CDCPipeline(
+            spark, os.path.join(tmp, "view"), key_cols=("event_type", "vband"),
+            num_buckets=4, merge_strategy="mor",
+        )
+        for i in range(3):
+            src.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(3)) == i),
+                batch_id=f"gate-b{i}",
+            )
+            maintain_agg(
+                spark, src.table, dst, ["event_type"],
+                {"v": "CAST(FLOOR(value) AS BIGINT)"}, source_id="gate",
+                group_exprs={"vband": band},
+            )
+        out = agg_view(dst).select(
+            "event_type", "vband", "n",
+            F.col("sum_v").cast("long").alias("total"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdc_join_view(spark, sf):
     """Incrementally maintained denormalized join view
     (`lake/joinview.py:maintain_join`): orders (fact, keyed o_orderkey, fk
@@ -1339,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_diff_feed": q_cdc_diff_feed,
         "cdc_diff_cdf": q_cdc_diff_cdf,
         "cdc_join_view": q_cdc_join_view,
+        "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
         "zorder_curve": q_zorder_curve,
@@ -1421,6 +1469,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(fv) AS BIGINT) AS total,
                    CAST(sum(fv) AS DOUBLE) / count(fv) AS avg_v
             FROM fl GROUP BY event_type
+        """,
+        "ivm_derived_rollup": """
+            WITH latest AS (
+              SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) rn
+                FROM events) WHERE rn = 1
+            ), fl AS (
+              SELECT event_type,
+                     CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS vband,
+                     CAST(FLOOR(value) AS BIGINT) AS fv
+              FROM latest
+            )
+            SELECT event_type, vband, count(*) AS n,
+                   CAST(sum(fv) AS BIGINT) AS total
+            FROM fl GROUP BY event_type, vband
         """,
         "cdc_changes_datasource": """
             WITH w AS (

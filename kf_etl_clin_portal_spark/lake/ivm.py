@@ -102,9 +102,18 @@ def maintain_agg(
     seq_col: str = "seq",
     strict: bool = True,
     mode: str = "feed",
+    group_exprs: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Poll ``src``'s change feed once and fold the delta into ``dst_pipe``,
-    a CDCPipeline keyed on exactly ``group_cols``.
+    a CDCPipeline keyed on exactly ``group_cols + list(group_exprs)``.
+
+    ``group_exprs``: optional ``{name: sql_expr}`` DERIVED grouping
+    columns, each a deterministic SQL expression over a source row (e.g.
+    a day bucket from a timestamp, a size class from a length) — the
+    incremental-rollup analog of grouping by an expression. Retraction
+    stays exact because the pre-image row re-derives the same value it
+    contributed under, so a row whose derived group changes moves between
+    view rows like any other group move.
 
     ``mode`` picks how changed keys and their post-images are obtained:
     ``"feed"`` (default) reads per-commit change rows (`read_changes`,
@@ -128,12 +137,15 @@ def maintain_agg(
     leaves the cursor parked.
     """
     sum_exprs = dict(sum_exprs or {})
+    group_exprs = dict(group_exprs or {})
+    full_group = list(group_cols) + list(group_exprs)
     if mode not in ("feed", "diff", "auto"):
         raise ValueError("mode must be 'feed', 'diff', or 'auto'")
-    if dst_pipe.key_cols != list(group_cols):
+    if dst_pipe.key_cols != full_group:
         raise ValueError(
             f"destination pipeline key_cols {dst_pipe.key_cols} must equal "
-            f"group_cols {list(group_cols)} — the view's merge key IS the group"
+            f"group_cols + derived names {full_group} — the view's merge key "
+            f"IS the group"
         )
     src.refresh()
     until = src.version
@@ -198,6 +210,8 @@ def maintain_agg(
     signed = _live(new).withColumn("__w", F.lit(1)).unionByName(
         _live(old).withColumn("__w", F.lit(-1))
     )
+    for name, expr in group_exprs.items():
+        signed = signed.withColumn(name, F.expr(expr))
     aggs = [F.sum("__w").cast("long").alias("__dn")]
     for name, expr in sum_exprs.items():
         x = F.expr(expr).cast("double")
@@ -209,7 +223,7 @@ def maintain_agg(
             .cast("long")
             .alias(f"__dnn_{name}")
         )
-    delta = signed.groupBy(*group_cols).agg(*aggs)
+    delta = signed.groupBy(*full_group).agg(*aggs)
 
     # ---- fold into current aggregate rows (bucket-pruned on the dst side)
     sum_cols = [f"sum_{n}" for n in sum_exprs]
@@ -218,7 +232,7 @@ def maintain_agg(
         dst_table = dst_pipe.table.refresh()
         gb = (
             delta.select(
-                bucket_expr(list(group_cols), dst_table.num_buckets).alias("b")
+                bucket_expr(full_group, dst_table.num_buckets).alias("b")
             )
             .distinct()
             .collect()
@@ -226,19 +240,19 @@ def maintain_agg(
         cur = _live(
             _latest_per_key(
                 dst_pipe.table.read(spark, buckets=sorted(r["b"] for r in gb)),
-                list(group_cols),
+                full_group,
                 seq_col,
             )
-        ).select(*group_cols, "n", *sum_cols, *nn_cols)
+        ).select(*full_group, "n", *sum_cols, *nn_cols)
     else:
         cur = None
 
-    out = delta if cur is None else delta.join(cur, on=list(group_cols), how="left")
+    out = delta if cur is None else delta.join(cur, on=full_group, how="left")
     n_new = (
         (F.coalesce(F.col("n"), F.lit(0)) if cur is not None else F.lit(0))
         + F.col("__dn")
     ).cast("long")
-    proj = [F.col(c) for c in group_cols] + [n_new.alias("n")]
+    proj = [F.col(c) for c in full_group] + [n_new.alias("n")]
     for name in sum_exprs:
         s_old = F.coalesce(F.col(f"sum_{name}"), F.lit(0.0)) if cur is not None else F.lit(0.0)
         nn_old = F.coalesce(F.col(f"nn_{name}"), F.lit(0)) if cur is not None else F.lit(0)

@@ -302,3 +302,56 @@ def test_ivm_cursor_is_durable_and_fenced(spark, tmp_path):
             maintain_agg(spark, src.table, bad, ["lang"], {}, source_id="x")
 
     test_bad_dst_key_rejected()
+
+
+def test_ivm_derived_group_exprs(spark, tmp_path):
+    """A derived grouping expression (size class from content length) is
+    maintained exactly: a content edit that moves a key across the derived
+    boundary retracts from the old class and adds to the new one."""
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2,
+                      merge_strategy="mor")
+    dst = CDCPipeline(
+        spark, str(tmp_path / "view"), key_cols=("lang", "sz"),
+        num_buckets=2, merge_strategy="mor",
+    )
+    SZ = "CASE WHEN length(content) > 3 THEN 'big' ELSE 'small' END"
+
+    def recompute():
+        return {
+            (r["lang"], r["sz"], r["n"], r["sum_v"])
+            for r in src.current()
+            .withColumn("sz", F.expr(SZ))
+            .groupBy("lang", "sz")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col("value")).alias("sum_v"))
+            .collect()
+        }
+
+    def view_rows():
+        from kf_etl_clin_portal_spark.lake.ivm import agg_view
+        return {
+            (r["lang"], r["sz"], r["n"], r["sum_v"])
+            for r in agg_view(dst).select("lang", "sz", "n", "sum_v").collect()
+        }
+
+    src.apply_batch(_mk(spark, [
+        (1, "upsert", "a.py", "python", "aa", 1.0),        # small
+        (2, "upsert", "b.py", "python", "bbbbbb", 2.0),    # big
+        (3, "upsert", "c.go", "go", "cc", 4.0),            # small
+    ]), batch_id="b1")
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                 source_id="s", group_exprs={"sz": SZ})
+    assert view_rows() == recompute()
+
+    # a.py crosses small→big; c.go deleted; new big go row
+    src.apply_batch(_mk(spark, [
+        (4, "upsert", "a.py", "python", "aaaaaa", 1.5),
+        (5, "delete", "c.go", "go", None, None),
+        (6, "upsert", "d.go", "go", "dddddd", 7.0),
+    ]), batch_id="b2")
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                 source_id="s", group_exprs={"sz": SZ})
+    assert view_rows() == recompute()
+
+    with pytest.raises(ValueError, match="derived names"):
+        maintain_agg(spark, src.table, dst, ["lang"], {}, source_id="x")
