@@ -315,3 +315,89 @@ def test_joinview_dim_path_pruned_on_all_base_view(spark, tmp_path):
     _assert_view(dst, fact, dim)
     got = {r["path"]: r["rating"] for r in dst.current().collect()}
     assert got["a.py"] == 2.0 and got["b.go"] == 2.0
+
+
+def test_joinview_agg_as_dim_composition(spark, tmp_path):
+    """The IVM layers compose: a maintain_agg view (orders-per-lang) serves
+    as the DIM of a maintain_join whose fact is the dim table — yielding an
+    aggregate-enriched entity view (lang rows carrying their live rollup),
+    fully incremental on both layers."""
+    from kf_etl_clin_portal_spark.lake.ivm import maintain_agg
+
+    fact = CDCPipeline(spark, str(tmp_path / "fact"), key_cols=("path",),
+                       num_buckets=4, merge_strategy="mor")
+    langs = CDCPipeline(spark, str(tmp_path / "langs"), key_cols=("lang",),
+                        num_buckets=2)
+    rollup = CDCPipeline(spark, str(tmp_path / "rollup"), key_cols=("lang",),
+                         num_buckets=2, merge_strategy="mor")
+    enriched = CDCPipeline(spark, str(tmp_path / "enriched"),
+                           key_cols=("lang",), num_buckets=2,
+                           merge_strategy="mor")
+    D = "seq long, op string, lang string, family string"
+
+    def poll():
+        maintain_agg(spark, fact.table, rollup, ["lang"], {"sz": "size"},
+                     source_id="r")
+        maintain_join(spark, langs.table, rollup.table, enriched,
+                      {"lang": "lang"}, source_id="e")
+
+    def recompute():
+        agg = fact.current().groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("size").alias("sum_sz"),
+        )
+        return sorted(map(tuple, langs.current().join(agg, "lang", "left")
+                          .select("lang", "family", "n", "sum_sz").collect()))
+
+    fact.apply_batch(_fact(spark, [
+        (1, "upsert", "a.py", "python", 10.0),
+        (2, "upsert", "b.py", "python", 5.0),
+        (3, "upsert", "c.go", "go", 2.0),
+    ]), batch_id="f1")
+    langs.apply_batch(spark.createDataFrame(
+        [(1, "upsert", "python", "script"), (2, "upsert", "go", "compiled"),
+         (3, "upsert", "rust", "systems")], D), batch_id="l1")
+    poll()
+    got = sorted(map(tuple, enriched.current()
+                     .select("lang", "family", "n",
+                             F.col("sum_sz").alias("sum_sz")).collect()))
+    assert got == recompute()
+
+    # fact churn only: rollup moves, the enriched view follows via the
+    # rollup's own change history (two chained incremental layers)
+    fact.apply_batch(_fact(spark, [
+        (4, "upsert", "a.py", "go", 11.0),
+        (5, "delete", "b.py", None, None),
+    ]), batch_id="f2")
+    poll()
+    got = sorted(map(tuple, enriched.current()
+                     .select("lang", "family", "n",
+                             F.col("sum_sz").alias("sum_sz")).collect()))
+    assert got == recompute()
+
+
+def test_joinview_crash_between_chained_polls_heals(spark, tmp_path):
+    """A crash after the first layer's poll but before the second layer's
+    (the star-chaining window) leaves the second view stale, not wrong —
+    and the next full round converges both."""
+    fact, dim, dst = _pipes(spark, tmp_path)
+    fact.apply_batch(_fact(spark, [(1, "upsert", "a.py", "python", 1.0)]),
+                     batch_id="f1")
+    dim.apply_batch(_dim(spark, [(1, "upsert", "python", 4.0, "s")]),
+                    batch_id="d1")
+    maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                  source_id="s")
+
+    fact.apply_batch(_fact(spark, [(2, "upsert", "a.py", "python", 9.0)]),
+                     batch_id="f2")
+    # "crash": the fact committed but no poll ran — view serves the last
+    # consistent epoch
+    assert {r["size"] for r in dst.current().collect()} == {1.0}
+
+    # recovery: a fresh process re-polls from the durable cursors
+    dst2 = CDCPipeline(spark, dst.root, key_cols=("path",), num_buckets=4,
+                       merge_strategy="mor")
+    r = maintain_join(spark, fact.table, dim.table, dst2, {"lang": "lang"},
+                      source_id="s")
+    assert r["applied"]
+    _assert_view(dst2, fact, dim)
