@@ -1,0 +1,124 @@
+"""spark-submit entrypoint: one maintenance tick for incremental views.
+
+Polls the configured aggregate / join views of a source table ONCE each
+(exactly-once per view via the cursors in each view's own lineage), then
+prints one JSON report — the cron-able "view maintenance tick" that keeps
+derived tables following their sources at O(delta). Scheduling stays
+outside (cron / Airflow / a stream's foreachBatch); re-running a tick that
+already covered the range is a no-op by design.
+
+Cluster usage::
+
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/run_views.py --source s3://.../cdc_table \
+        --agg  s3://.../lang_rollup:lang:bytes=length(content) \
+        --join s3://.../enriched:lang=lang@s3://.../lang_dim
+
+Local smoke::
+
+    SPARK_GRAFT_MASTER='local[4]' python jobs/run_views.py \
+        --source /tmp/t --agg /tmp/v:lang:n_bytes=length(content)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _parse_agg(spec: str):
+    """ROOT:GROUP[,GROUP...][:NAME=EXPR[;NAME=EXPR...]][@MODE]"""
+    mode = "feed"
+    if "@" in spec:
+        spec, mode = spec.rsplit("@", 1)
+    parts = spec.split(":")
+    if len(parts) < 2 or not parts[1]:
+        raise ValueError(f"--agg needs ROOT:GROUP[,...][:N=EXPR;...], got {spec!r}")
+    sums = {}
+    if len(parts) > 2 and parts[2]:
+        for pair in parts[2].split(";"):
+            name, expr = pair.split("=", 1)
+            sums[name.strip()] = expr.strip()
+    return parts[0], [g for g in parts[1].split(",") if g], sums, mode
+
+
+def _parse_join(spec: str):
+    """ROOT:FK=DIMKEY[,FK=DIMKEY...]@DIM_ROOT"""
+    if "@" not in spec:
+        raise ValueError(f"--join needs ROOT:FK=DIMKEY@DIM_ROOT, got {spec!r}")
+    left, dim_root = spec.rsplit("@", 1)
+    parts = left.split(":")
+    if len(parts) != 2 or not parts[1]:
+        raise ValueError(f"--join needs ROOT:FK=DIMKEY@DIM_ROOT, got {spec!r}")
+    on = {}
+    for pair in parts[1].split(","):
+        fk, dk = pair.split("=", 1)
+        on[fk.strip()] = dk.strip()
+    return parts[0], on, dim_root
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True, help="source CDC table root")
+    ap.add_argument("--agg", action="append", default=[],
+                    metavar="ROOT:GROUPS[:SUMS][@MODE]",
+                    help="aggregate view: ROOT:GROUP[,G2][:NAME=EXPR;...]"
+                         "[@feed|diff|auto] (repeatable)")
+    ap.add_argument("--join", action="append", default=[],
+                    metavar="ROOT:FK=DIMKEY[,..]@DIM_ROOT",
+                    help="denormalized join view with this table as the "
+                         "fact side (repeatable)")
+    ap.add_argument("--source-id", default="views",
+                    help="cursor namespace (one follower per id per view)")
+    ap.add_argument("--view-buckets", type=int, default=8,
+                    help="bucket count for view tables created by this tick")
+    args = ap.parse_args(argv)
+    if not args.agg and not args.join:
+        ap.error("nothing to do: pass --agg and/or --join")
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+    from kf_etl_clin_portal_spark.session import build_session
+
+    spark = build_session(
+        app_name="view-maintenance",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "inherit"),
+    )
+    src = SnapshotTable(args.source).refresh()
+    report = {"source": args.source, "source_version": src.version,
+              "views": {}}
+
+    for spec in args.agg:
+        from kf_etl_clin_portal_spark.lake.ivm import maintain_agg
+
+        root, groups, sums, mode = _parse_agg(spec)
+        vpipe = CDCPipeline(
+            spark, root, key_cols=tuple(groups),
+            num_buckets=args.view_buckets, merge_strategy="mor",
+        )
+        report["views"][root] = maintain_agg(
+            spark, src, vpipe, groups, sums,
+            source_id=args.source_id, mode=mode,
+        )
+
+    for spec in args.join:
+        from kf_etl_clin_portal_spark.lake.joinview import maintain_join
+
+        root, on, dim_root = _parse_join(spec)
+        dim = SnapshotTable(dim_root).refresh()
+        vpipe = CDCPipeline(
+            spark, root, key_cols=tuple(src.key_cols),
+            num_buckets=args.view_buckets, merge_strategy="mor",
+        )
+        report["views"][root] = maintain_join(
+            spark, src, dim, vpipe, on, source_id=args.source_id,
+        )
+
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+from pyspark.sql import functions as F
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -192,3 +194,66 @@ def test_run_replay_cli_quarantine(tmp_path):
     assert rep["parity_ok"] is True
     assert rep["quarantined_rows"] > 0
     assert rep["events"] + rep["quarantined_rows"] >= 4000 - rep["quarantined_rows"]
+
+
+def test_run_views_cli_tick(spark, tmp_path):
+    """Maintenance-tick CLI: seed a MoR source with run_replay and a
+    lang-keyed dim in-process, then one run_views tick maintains an
+    aggregate view (auto mode) and a join view; a second tick is a no-op
+    (cursors parked)."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    src, dim = str(tmp_path / "src"), str(tmp_path / "dim")
+    agg, jv = str(tmp_path / "agg"), str(tmp_path / "jv")
+
+    def run(script, *cli):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", script), *cli],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(lines[-1])
+
+    run("run_replay.py", "--generate", "3000", "--table", src,
+        "--batches", "2", "--merge-strategy", "mor")
+    dim_pipe = CDCPipeline(spark, dim, key_cols=("lang",), num_buckets=2)
+    langs = sorted(
+        r["lang"]
+        for r in spark.read.parquet(f"{src}/data/*/*.parquet")
+        .select("lang").distinct().collect()
+    )
+    dim_pipe.apply_batch(
+        spark.createDataFrame(
+            [(i + 1, "upsert", l, float(i)) for i, l in enumerate(langs)],
+            "seq long, op string, lang string, rating double",
+        ),
+        batch_id="d1",
+    )
+
+    rep = run(
+        "run_views.py", "--source", src,
+        "--agg", f"{agg}:lang:bytes=length(content)@auto",
+        "--join", f"{jv}:lang=lang@{dim}",
+    )
+    assert rep["views"][agg]["applied"] is True
+    assert rep["views"][jv]["applied"] is True
+
+    rep2 = run(
+        "run_views.py", "--source", src,
+        "--agg", f"{agg}:lang:bytes=length(content)@auto",
+        "--join", f"{jv}:lang=lang@{dim}",
+    )
+    assert rep2["views"][agg]["applied"] is False
+    assert rep2["views"][jv]["applied"] is False
+
+    # the maintained view content is readable back in-process and joined
+    view = CDCPipeline(spark, jv, key_cols=("repo", "path"), num_buckets=8,
+                       merge_strategy="mor")
+    rows = view.current()
+    assert rows.count() > 0
+    assert rows.where(F.col("rating").isNull()).count() == 0
