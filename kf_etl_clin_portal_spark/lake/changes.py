@@ -69,6 +69,23 @@ _PRUNABLE_CHANGE_OPS = {
 }
 
 
+def capped_until(
+    table: SnapshotTable, since: int, head: int, max_changes: int
+) -> int:
+    """Largest version ≤ ``head`` whose range (since, v] holds at most
+    ``max_changes`` row-changing commits — the admission-control bound for
+    incremental followers (a view catching up after downtime does bounded
+    work per tick instead of one giant range). Maintenance commits ride
+    along free; metadata-only walk, no data I/O."""
+    n = 0
+    for v in range(since + 1, head + 1):
+        if table._read_entry(v)["operation"] not in _MAINTENANCE_OPS:
+            n += 1
+            if n == max_changes:
+                return v
+    return head
+
+
 def read_changes(
     spark: SparkSession,
     table: SnapshotTable,

@@ -52,6 +52,7 @@ from kf_etl_clin_portal_spark.lake.changes import (
     CHANGE_VERSION_COL,
     _diff_prune_buckets,
     _feed_capable,
+    capped_until,
     changed_buckets,
     diff_changes,
     read_changes,
@@ -103,6 +104,7 @@ def maintain_agg(
     strict: bool = True,
     mode: str = "feed",
     group_exprs: dict[str, str] | None = None,
+    max_versions: int | None = None,
 ) -> dict[str, Any]:
     """Poll ``src``'s change feed once and fold the delta into ``dst_pipe``,
     a CDCPipeline keyed on exactly ``group_cols + list(group_exprs)``.
@@ -132,6 +134,11 @@ def maintain_agg(
     and ``nn_<name>`` (long; count of live rows where the expression is
     non-NULL). Read the view with :func:`agg_view`.
 
+    ``max_versions`` caps a poll at that many ROW-CHANGING source commits
+    (admission control: a view catching up after downtime does bounded
+    work per tick; loop while ``applied`` to converge). Maintenance
+    commits ride along free.
+
     Single follower per ``source_id`` (like mirroring/compaction); the
     poll whose range holds only maintenance commits applies nothing and
     leaves the cursor parked.
@@ -154,6 +161,8 @@ def maintain_agg(
         if SnapshotTable.exists(dst_pipe.root)
         else (0, -1)
     )
+    if max_versions is not None and until > since:
+        until = capped_until(src, since, until, max_versions)
     if until <= since:
         return {"applied": False, "since": since, "until": until, "groups": 0}
     effective = mode
@@ -230,6 +239,18 @@ def maintain_agg(
     nn_cols = [f"nn_{n}" for n in sum_exprs]
     if SnapshotTable.exists(dst_pipe.root):
         dst_table = dst_pipe.table.refresh()
+        have = {
+            c for c in dst_table.schema.fieldNames()
+            if c.startswith(("sum_", "nn_"))
+        }
+        want = set(sum_cols) | set(nn_cols)
+        if have != want:
+            raise ValueError(
+                f"view at {dst_pipe.root} was maintained with different "
+                f"sum_exprs (has {sorted(have)}, poll wants {sorted(want)}) — "
+                f"adding or dropping a sum needs a full backfill: create a "
+                f"new view (or clear this one) and poll it from version 0"
+            )
         gb = (
             delta.select(
                 bucket_expr(full_group, dst_table.num_buckets).alias("b")
@@ -284,6 +305,27 @@ def maintain_agg(
         "dst_version": res.version,
         "epoch": epoch + 1,
         "mode": effective,
+    }
+
+
+def ivm_lag(src: SnapshotTable, dst_table: SnapshotTable,
+            source_id: str = "ivm") -> dict[str, int]:
+    """Follower lag for monitoring: how many source versions (and how many
+    of them row-changing) the view has not folded in yet. Metadata-only."""
+    from kf_etl_clin_portal_spark.lake.changes import _MAINTENANCE_OPS
+
+    src.refresh()
+    cursor, _ = ivm_cursor(dst_table, source_id)
+    pending = sum(
+        1
+        for v in range(cursor + 1, src.version + 1)
+        if src._read_entry(v)["operation"] not in _MAINTENANCE_OPS
+    )
+    return {
+        "cursor": cursor,
+        "head": src.version,
+        "lag_versions": src.version - cursor,
+        "lag_changes": pending,
     }
 
 

@@ -61,6 +61,7 @@ from kf_etl_clin_portal_spark.lake.changes import (
     CHANGE_OP_COL,
     CHANGE_TS_COL,
     CHANGE_VERSION_COL,
+    capped_until,
     diff_changes,
 )
 from kf_etl_clin_portal_spark.lake.ivm import _latest_per_key, _live
@@ -91,6 +92,22 @@ def joinview_cursor(
                 int(lin.get(_JV_EPOCH_KEY, -1)),
             )
     return 0, 0, -1
+
+
+def joinview_lag(
+    fact: SnapshotTable, dim: SnapshotTable, dst_table: SnapshotTable,
+    source_id: str = "joinview",
+) -> dict[str, int]:
+    """Follower lag of a join view against both sources. Metadata-only."""
+    fact.refresh()
+    dim.refresh()
+    f_cur, d_cur, _ = joinview_cursor(dst_table, source_id)
+    return {
+        "fact_cursor": f_cur, "fact_head": fact.version,
+        "fact_lag": fact.version - f_cur,
+        "dim_cursor": d_cur, "dim_head": dim.version,
+        "dim_lag": dim.version - d_cur,
+    }
 
 
 def dim_value_cols(dim: SnapshotTable, seq_col: str = "seq") -> list[str]:
@@ -136,6 +153,7 @@ def maintain_join(
     source_id: str = "joinview",
     seq_col: str = "seq",
     plan_only: bool = False,
+    max_versions: int | None = None,
 ) -> "dict[str, Any] | DataFrame":
     """Poll both sources' change feeds once and fold the join delta into
     ``dst_pipe``, a CDCPipeline keyed on exactly ``fact.key_cols``.
@@ -143,6 +161,11 @@ def maintain_join(
     ``plan_only=True`` returns the maintenance batch DataFrame unwritten
     (cursors untouched) — for plan audits, same contract as
     ``merge_into(plan_only=True)``.
+
+    ``max_versions`` caps each source's range at that many row-changing
+    commits per poll (admission control; loop while ``applied`` to
+    converge) — the view is consistent at any (fact, dim) version pair,
+    so the two sides may catch up at different rates.
 
     ``on`` maps fact column(s) → dim key column(s) and must cover the
     dim's full key (the join key IS the dim's primary key — the property
@@ -186,6 +209,11 @@ def maintain_join(
         if SnapshotTable.exists(dst_pipe.root)
         else (0, 0, -1)
     )
+    if max_versions is not None:
+        if f_until > f_since:
+            f_until = capped_until(fact, f_since, f_until, max_versions)
+        if d_until > d_since:
+            d_until = capped_until(dim, d_since, d_until, max_versions)
     if f_until <= f_since and d_until <= d_since:
         return {
             "applied": False, "fact_since": f_since, "fact_until": f_until,

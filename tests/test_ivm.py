@@ -355,3 +355,64 @@ def test_ivm_derived_group_exprs(spark, tmp_path):
 
     with pytest.raises(ValueError, match="derived names"):
         maintain_agg(spark, src.table, dst, ["lang"], {}, source_id="x")
+
+
+def test_ivm_max_versions_admission_control(spark, tmp_path):
+    """A capped poll folds only max_versions row-changing commits (lag
+    observable via ivm_lag); looping while applied converges to the exact
+    recompute; a compaction commit inside the backlog rides along free."""
+    from kf_etl_clin_portal_spark.lake.ivm import ivm_lag
+
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2,
+                      merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "view"), key_cols=("lang",),
+                      num_buckets=2, merge_strategy="mor")
+    for i in range(4):
+        src.apply_batch(
+            _mk(spark, [(10 * i + 1, "upsert", f"f{i}.py", "python",
+                         "x" * (i + 1), float(i))]),
+            batch_id=f"b{i}",
+        )
+        if i == 1:
+            src.compact()  # maintenance commit inside the backlog
+
+    r1 = maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                      source_id="s", max_versions=2)
+    assert r1["applied"]
+    lag = ivm_lag(src.table, dst.table, "s")
+    assert lag["lag_changes"] == 2 and lag["cursor"] == r1["until"]
+
+    polls = 1
+    while True:
+        r = maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                         source_id="s", max_versions=2)
+        if not r["applied"]:
+            break
+        polls += 1
+    assert polls == 2  # 4 changes / 2 per tick
+    assert ivm_lag(src.table, dst.table, "s")["lag_changes"] == 0
+    _assert_view_matches(
+        agg_view(dst).select("lang", "n", F.col("sum_v").alias("sum_v"),
+                             F.col("avg_v").alias("avg_v")),
+        _recompute(src, "lang", "value"),
+        "lang",
+    )
+
+
+def test_ivm_sum_exprs_drift_rejected(spark, tmp_path):
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2,
+                      merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "view"), key_cols=("lang",),
+                      num_buckets=2, merge_strategy="mor")
+    src.apply_batch(_mk(spark, [(1, "upsert", "a.py", "python", "aa", 1.0)]),
+                    batch_id="b1")
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                 source_id="s")
+    src.apply_batch(_mk(spark, [(2, "upsert", "b.py", "python", "bb", 2.0)]),
+                    batch_id="b2")
+    with pytest.raises(ValueError, match="backfill"):
+        maintain_agg(spark, src.table, dst, ["lang"],
+                     {"v": "value", "w": "length(content)"}, source_id="s")
+    with pytest.raises(ValueError, match="backfill"):
+        maintain_agg(spark, src.table, dst, ["lang"], {}, source_id="s",
+                     group_exprs={})

@@ -401,3 +401,32 @@ def test_joinview_crash_between_chained_polls_heals(spark, tmp_path):
                       source_id="s")
     assert r["applied"]
     _assert_view(dst2, fact, dim)
+
+
+def test_joinview_max_versions_and_lag(spark, tmp_path):
+    """Capped polls fold a bounded number of commits per side; joinview_lag
+    reports the backlog; looping converges to the recompute."""
+    from kf_etl_clin_portal_spark.lake.joinview import joinview_lag
+
+    fact, dim, dst = _pipes(spark, tmp_path)
+    dim.apply_batch(_dim(spark, [
+        (1, "upsert", "python", 4.0, "s"), (2, "upsert", "go", 3.0, "c"),
+    ]), batch_id="d1")
+    for i in range(3):
+        fact.apply_batch(
+            _fact(spark, [(i + 1, "upsert", f"f{i}.py",
+                           "python" if i % 2 else "go", float(i))]),
+            batch_id=f"f{i}",
+        )
+
+    r1 = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                       source_id="s", max_versions=1)
+    assert r1["applied"] and r1["fact_until"] == 1
+    lag = joinview_lag(fact.table, dim.table, dst.table, "s")
+    assert lag["fact_lag"] == 2 and lag["dim_lag"] == 0
+
+    while maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                        source_id="s", max_versions=1)["applied"]:
+        pass
+    assert joinview_lag(fact.table, dim.table, dst.table, "s")["fact_lag"] == 0
+    _assert_view(dst, fact, dim)
