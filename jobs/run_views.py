@@ -74,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="cursor namespace (one follower per id per view)")
     ap.add_argument("--view-buckets", type=int, default=8,
                     help="bucket count for view tables created by this tick")
+    ap.add_argument("--max-versions", type=int, default=None,
+                    help="admission control: fold at most N row-changing "
+                         "source commits per view per tick (re-run the tick "
+                         "to keep converging)")
     args = ap.parse_args(argv)
     if not args.agg and not args.join:
         ap.error("nothing to do: pass --agg and/or --join")
@@ -101,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         report["views"][root] = maintain_agg(
             spark, src, vpipe, groups, sums,
             source_id=args.source_id, mode=mode,
+            max_versions=args.max_versions,
         )
 
     for spec in args.join:
@@ -114,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         report["views"][root] = maintain_join(
             spark, src, dim, vpipe, on, source_id=args.source_id,
+            max_versions=args.max_versions,
         )
 
     print(json.dumps(report))

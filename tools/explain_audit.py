@@ -239,6 +239,22 @@ def main():
     print("== joinview maintenance joins ==")
     print("\n".join(l for l in p.splitlines() if "Join" in l))
 
+    # 8f. snapshot-diff plan: the two-sided diff is a single hash-family
+    #     full-outer join on the key, never BNLJ/cartesian, no Python eval
+    from kf_etl_clin_portal_spark.lake.changes import diff_changes
+
+    p = plan_of(diff_changes(spark, jfact.table, since_version=1))
+    if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+        problems.append("diff_changes: nested-loop/cartesian join planned")
+    if not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p):
+        problems.append("diff_changes: no hash-family join planned")
+    if "FullOuter" not in p:
+        problems.append("diff_changes: join is not full-outer")
+    if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+        problems.append("diff_changes: Python eval in the diff plan")
+    print("== snapshot diff join ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l))
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
