@@ -329,6 +329,69 @@ def ivm_lag(src: SnapshotTable, dst_table: SnapshotTable,
     }
 
 
+def audit_agg_view(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst_pipe,
+    group_cols: list[str],
+    sum_exprs: dict[str, str] | None = None,
+    group_exprs: dict[str, str] | None = None,
+    seq_col: str = "seq",
+    rel_tol: float = 1e-9,
+    max_examples: int = 5,
+) -> dict[str, Any]:
+    """Operational trust check: recompute the aggregate from the source's
+    CURRENT live state (one GROUP BY — O(source), run it like any audit
+    job, not per poll) and compare against the maintained view. Counts and
+    non-null counts must match exactly; double sums within ``rel_tol``.
+    Distributed full-outer compare; only a bounded count + ``max_examples``
+    mismatch rows reach the driver."""
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+
+    sum_exprs = dict(sum_exprs or {})
+    group_exprs = dict(group_exprs or {})
+    full_group = list(group_cols) + list(group_exprs)
+
+    live = read_live(spark, src, seq_col=seq_col)
+    for name, expr in group_exprs.items():
+        live = live.withColumn(name, F.expr(expr))
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
+        a for name, expr in sum_exprs.items()
+        for a in (
+            F.sum(F.expr(expr).cast("double")).alias(f"__sum_{name}"),
+            F.sum(F.expr(expr).cast("double").isNotNull().cast("long"))
+            .cast("long").alias(f"__nn_{name}"),
+        )
+    ]
+    want = live.groupBy(*full_group).agg(*aggs)
+
+    got = dst_pipe.current().select(
+        *full_group, "n",
+        *[F.col(f"sum_{n}") for n in sum_exprs],
+        *[F.col(f"nn_{n}") for n in sum_exprs],
+    )
+    j = got.join(want, on=full_group, how="full_outer")
+    bad = F.col("n").eqNullSafe(F.col("__n")) == F.lit(False)
+    for name in sum_exprs:
+        nn_g, nn_w = F.col(f"nn_{name}"), F.col(f"__nn_{name}")
+        s_g, s_w = F.col(f"sum_{name}"), F.col(f"__sum_{name}")
+        bad = bad | (nn_g.eqNullSafe(nn_w) == F.lit(False))
+        # NULL-sum semantics: the view stores raw doubles; SQL-sum is NULL
+        # when nn==0, so only compare sums where both sides have inputs
+        diff = F.abs(s_g - s_w) > rel_tol * F.greatest(
+            F.abs(s_g), F.abs(s_w), F.lit(1.0)
+        )
+        bad = bad | ((nn_w > 0) & F.coalesce(diff, F.lit(True)))
+    mism = j.where(bad)
+    n_bad = mism.count()
+    return {
+        "ok": n_bad == 0,
+        "groups_checked": j.count(),
+        "mismatches": n_bad,
+        "examples": [r.asDict() for r in mism.limit(max_examples).collect()],
+    }
+
+
 def agg_view(dst_pipe, sum_names: list[str] | None = None) -> DataFrame:
     """Read the maintained view with SQL-faithful derived columns: for each
     maintained name, ``sum_<name>`` is NULL when the group saw no non-NULL

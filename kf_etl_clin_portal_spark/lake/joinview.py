@@ -110,6 +110,63 @@ def joinview_lag(
     }
 
 
+def audit_join_view(
+    spark: SparkSession,
+    fact: SnapshotTable,
+    dim: SnapshotTable,
+    dst_pipe,
+    on: dict[str, str],
+    seq_col: str = "seq",
+    max_examples: int = 5,
+) -> dict[str, Any]:
+    """Operational trust check: recompute fact ⟕ dim from both sources'
+    CURRENT live states (O(source) — an audit job, not a per-poll step)
+    and compare against the maintained view row by row. Distributed
+    full-outer compare on the fact key; null-safe equality per column;
+    only a bounded count + ``max_examples`` mismatch keys reach the
+    driver."""
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+
+    d_vals = dim_value_cols(dim, seq_col)
+    jk = list(on.items())
+    tmp_jk = {dk: f"__jv_k{i}" for i, (_, dk) in enumerate(jk)}
+    dim_live = read_live(spark, dim, seq_col=seq_col).select(
+        *[F.col(dk).alias(t) for dk, t in tmp_jk.items()], *d_vals
+    )
+    fact_live = read_live(spark, fact, seq_col=seq_col)
+    want = fact_live.join(
+        dim_live, [F.col(fc) == F.col(tmp_jk[dk]) for fc, dk in jk], "left"
+    ).drop(*tmp_jk.values())
+
+    data_cols = [
+        c for c in want.columns
+        if c not in fact.key_cols and c != seq_col and c in dst_pipe.current().columns
+    ]
+    got = dst_pipe.current().select(
+        *fact.key_cols, F.lit(True).alias("__g_present"),
+        *[F.col(c).alias(f"__g_{c}") for c in data_cols],
+    )
+    j = want.select(
+        *fact.key_cols, F.lit(True).alias("__w_present"), *data_cols
+    ).join(got, on=list(fact.key_cols), how="full_outer")
+    # a key present on one side only is a mismatch even if every payload
+    # column happens to be NULL on the present side
+    bad = F.col("__w_present").isNull() | F.col("__g_present").isNull()
+    for c in data_cols:
+        bad = bad | (F.col(c).eqNullSafe(F.col(f"__g_{c}")) == F.lit(False))
+    mism = j.where(bad)
+    n_bad = mism.count()
+    return {
+        "ok": n_bad == 0,
+        "rows_checked": j.count(),
+        "mismatches": n_bad,
+        "examples": [
+            r.asDict() for r in mism.select(*fact.key_cols)
+            .limit(max_examples).collect()
+        ],
+    }
+
+
 def dim_value_cols(dim: SnapshotTable, seq_col: str = "seq") -> list[str]:
     """The dim columns a join view carries: everything except the dim's
     key columns and engine metadata (seq, tombstone)."""

@@ -416,3 +416,32 @@ def test_ivm_sum_exprs_drift_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="backfill"):
         maintain_agg(spark, src.table, dst, ["lang"], {}, source_id="s",
                      group_exprs={})
+
+
+def test_ivm_audit_detects_corruption(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.ivm import audit_agg_view
+
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=2,
+                      merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "view"), key_cols=("lang",),
+                      num_buckets=2, merge_strategy="mor")
+    src.apply_batch(_mk(spark, [
+        (1, "upsert", "a.py", "python", "aa", 1.0),
+        (2, "upsert", "b.go", "go", "bb", None),
+    ]), batch_id="b1")
+    maintain_agg(spark, src.table, dst, ["lang"], {"v": "value"},
+                 source_id="s")
+    rep = audit_agg_view(spark, src.table, dst, ["lang"], {"v": "value"})
+    assert rep["ok"] and rep["mismatches"] == 0 and rep["groups_checked"] == 2
+
+    # corrupt the view out-of-band: bump python's count
+    dst.apply_batch(
+        spark.createDataFrame(
+            [("python", 7, 1.0, 1, 99)],
+            "lang string, n long, sum_v double, nn_v long, seq long",
+        ),
+        batch_id="corrupt",
+    )
+    rep = audit_agg_view(spark, src.table, dst, ["lang"], {"v": "value"})
+    assert not rep["ok"] and rep["mismatches"] == 1
+    assert rep["examples"][0]["lang"] == "python"

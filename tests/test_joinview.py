@@ -430,3 +430,32 @@ def test_joinview_max_versions_and_lag(spark, tmp_path):
         pass
     assert joinview_lag(fact.table, dim.table, dst.table, "s")["fact_lag"] == 0
     _assert_view(dst, fact, dim)
+
+
+def test_joinview_audit_detects_corruption(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.joinview import audit_join_view
+
+    fact, dim, dst = _pipes(spark, tmp_path)
+    fact.apply_batch(_fact(spark, [
+        (1, "upsert", "a.py", "python", 1.0),
+        (2, "upsert", "b.go", "go", 2.0),
+    ]), batch_id="f1")
+    dim.apply_batch(_dim(spark, [(1, "upsert", "python", 4.0, "s")]),
+                    batch_id="d1")
+    maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                  source_id="s")
+    rep = audit_join_view(spark, fact.table, dim.table, dst, {"lang": "lang"})
+    assert rep["ok"] and rep["rows_checked"] == 2
+
+    # corrupt: stale rating for a.py written out-of-band
+    dst.apply_batch(
+        spark.createDataFrame(
+            [(99, "upsert", "a.py", "python", 1.0, 123.0, "s")],
+            "seq long, op string, path string, lang string, size double, "
+            "rating double, family string",
+        ),
+        batch_id="corrupt",
+    )
+    rep = audit_join_view(spark, fact.table, dim.table, dst, {"lang": "lang"})
+    assert not rep["ok"] and rep["mismatches"] == 1
+    assert rep["examples"][0]["path"] == "a.py"
