@@ -407,18 +407,19 @@ class CDCPipeline:
 
     def mirror_from(
         self, src: SnapshotTable, source_id: str = "mirror", strict: bool = True,
-        mode: str = "feed",
+        mode: str = "feed", columns: list[str] | None = None,
     ) -> dict:
         """Poll ``src``'s change feed once and merge the delta into this
         pipeline's table — exactly-once incremental table→table replication
         (cursor lives in this table's commit lineage). ``mode="auto"``
         follows ANY upstream history: per-commit feed when available,
-        snapshot-diff (source-wins) across CoW/DML/rollback commits. See
-        `lake/changes.py:mirror_changes`."""
+        snapshot-diff (source-wins) across CoW/DML/rollback commits.
+        ``columns`` makes this a slim PROJECTED mirror (key/seq/tombstone
+        ride along automatically). See `lake/changes.py:mirror_changes`."""
         from kf_etl_clin_portal_spark.lake.changes import mirror_changes
 
         return mirror_changes(self.spark, src, self, source_id=source_id,
-                              strict=strict, mode=mode)
+                              strict=strict, mode=mode, columns=columns)
 
     def delete_where(self, predicate, stats_filter: dict | None = None):
         """Row-level ``DELETE FROM … WHERE`` — out-of-band correction as a

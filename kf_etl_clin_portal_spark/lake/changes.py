@@ -456,6 +456,27 @@ def _feed_capable(table: SnapshotTable, since: int, until: int) -> bool:
     return True
 
 
+def _mirror_projection(
+    src: SnapshotTable, columns: "list[str] | None",
+    tombstone_col: str = "is_deleted", seq_col: str = "seq",
+) -> "list[str] | None":
+    """Resolve a column-projected mirror's column list: the requested
+    columns plus everything replication itself needs (key, seq order,
+    tombstone flag). None = full-width mirror."""
+    if columns is None:
+        return None
+    have = set(src.schema.fieldNames())
+    missing = sorted(set(columns) - have)
+    if missing:
+        raise ValueError(
+            f"mirror columns not in the source schema: {missing}"
+        )
+    keep = list(dict.fromkeys(
+        list(src.key_cols) + [seq_col, tombstone_col] + list(columns)
+    ))
+    return [c for c in keep if c in have]
+
+
 def _apply_diff(
     spark: SparkSession,
     src: SnapshotTable,
@@ -463,6 +484,7 @@ def _apply_diff(
     since: int,
     until: int,
     lineage: dict,
+    columns: "list[str] | None" = None,
 ) -> Any:
     """Apply a net snapshot diff to the mirror with SOURCE-WINS semantics
     (`merge_into`: matched → update every shared column, not-matched →
@@ -479,6 +501,8 @@ def _apply_diff(
 
     ch = diff_changes(spark, src, since_version=since, until_version=until)
     batch = ch.drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+    if columns is not None:
+        batch = batch.select(*columns)
     dst_pipe.ensure_table(batch.schema)
     tbl = dst_pipe.table
     tbl.evolve_schema_to(batch.schema)
@@ -508,8 +532,15 @@ def mirror_changes(
     source_id: str = "mirror",
     strict: bool = True,
     mode: str = "feed",
+    columns: "list[str] | None" = None,
 ) -> dict[str, Any]:
     """Poll ``src``'s change feed once and MERGE the delta into ``dst_pipe``.
+
+    ``columns``: optional PROJECTED mirror — the destination carries only
+    these source columns (plus key / seq / tombstone, added automatically):
+    a slim hot-query replica of a wide table, at a fraction of the bytes.
+    Source columns added later stay out unless named here; naming a column
+    the source doesn't have raises.
 
     ``mode`` picks how changes are read AND applied:
 
@@ -543,6 +574,7 @@ def mirror_changes(
     if mode not in ("feed", "diff", "auto"):
         raise ValueError("mode must be 'feed', 'diff', or 'auto'")
     src.refresh()
+    proj = _mirror_projection(src, columns)
     until = src.version
     since, epoch = mirror_cursor(dst_pipe.table, source_id) if (
         SnapshotTable.exists(dst_pipe.root)
@@ -560,7 +592,8 @@ def mirror_changes(
         _MIRROR_EPOCH_KEY: epoch + 1,
     }
     if effective == "diff":
-        res = _apply_diff(spark, src, dst_pipe, since, until, lineage)
+        res = _apply_diff(spark, src, dst_pipe, since, until, lineage,
+                          columns=proj)
         if res.skipped:
             return {"applied": False, "since": since, "until": until, "rows": 0,
                     "mode": "diff"}
@@ -577,6 +610,8 @@ def mirror_changes(
     ch = read_changes(spark, src, since_version=since, until_version=until,
                       strict=strict)
     batch = ch.drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+    if proj is not None:
+        batch = batch.select(*[c for c in proj if c in batch.columns])
     res = dst_pipe.apply_batch(
         batch,
         batch_id=f"cdf.{source_id}-b{epoch + 1:05d}",

@@ -156,3 +156,43 @@ def test_mirror_chain_src_to_mid_to_leaf(spark, events_path, tmp_path):
     assert _state_set(c.current()) == want
     rep = verify_parity(c.current(), events_path)
     assert rep["ok"], rep
+
+
+def test_projected_mirror_slim_columns(spark, events_path, tmp_path):
+    """A projected mirror carries only the requested columns (plus
+    key/seq/tombstone), follows incremental polls in feed mode AND an
+    overwrite through diff/auto mode, and rejects unknown columns."""
+    events = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4,
+                      merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "slim"), num_buckets=4,
+                      merge_strategy="mor")
+    src.replay(events, n_batches=3, by="delivery", feed_id="f", stop_after=1)
+    r1 = dst.mirror_from(src.table, source_id="m", columns=["lang"])
+    assert r1["applied"]
+    slim_cols = set(dst.current().columns)
+    assert "lang" in slim_cols and "content" not in slim_cols
+
+    def expect():
+        return _state_set(src.current().select("repo", "path", "lang"))
+
+    assert _state_set(dst.current().select("repo", "path", "lang")) == expect()
+
+    # incremental polls follow (updates + deletes in the remaining batches)
+    src.replay(events, n_batches=3, by="delivery", feed_id="f")
+    dst.mirror_from(src.table, source_id="m", columns=["lang"])
+    assert _state_set(dst.current().select("repo", "path", "lang")) == expect()
+
+    # an overwrite (no per-commit feed) follows via auto→diff, projected
+    from kf_etl_clin_portal_spark.lake.load import overwrite
+
+    kept = src.current().where(F.col("lang") != "python")
+    overwrite(spark, src.table, kept.withColumn("is_deleted", F.lit(False)))
+    r3 = dst.mirror_from(src.table, source_id="m", mode="auto",
+                         columns=["lang"])
+    assert r3["applied"] and r3["mode"] == "diff"
+    assert _state_set(dst.current().select("repo", "path", "lang")) == expect()
+    assert "content" not in set(dst.current().columns)
+
+    with pytest.raises(ValueError, match="not in the source"):
+        dst.mirror_from(src.table, source_id="m", columns=["nope"])
