@@ -684,6 +684,27 @@ def q_docs_stratified(spark, sf):
     )
 
 
+def q_docs_temperature_mix(spark, sf):
+    """Temperature-rebalanced corpus mix (T=2, the multilingual-pretraining
+    resampling rule): per-lang keep-fraction ∝ count^(1/T − 1), normalized
+    so the rarest language is fully kept
+    (operators/sample.py:temperature_fractions), applied through the
+    portable hash-mod stratified sampler. Fractions are floor-quantized to
+    the sampler's 1/10000 grid so the oracle reproduces the thresholds
+    with the same double `power` in SQL."""
+    import math
+
+    from kf_etl_clin_portal_spark.operators.sample import (
+        stratified_sample,
+        temperature_fractions,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    fr = temperature_fractions(docs, "lang", 2.0)
+    frq = {s: math.floor(f * 10000) / 10000.0 for s, f in fr.items()}
+    return stratified_sample(docs, "lang", frq, key_col="doc_id")
+
+
 def q_minhash_lsh_pairs(spark, sf):
     return minhash_near_dups(_t(spark, sf, "documents"), min_agreement=0.3)
 
@@ -1373,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_segment_share": q_sql_segment_share,
         "orders_sample": q_orders_sample,
         "docs_stratified": q_docs_stratified,
+        "docs_temperature_mix": q_docs_temperature_mix,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1979,6 +2001,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {OSQL.h60_sql("CAST(doc_id AS VARCHAR)")} % 10000 <
               CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 0 ELSE 10000 END
+        """,
+        "docs_temperature_mix": f"""
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY lang
+            ), m AS (SELECT min(n) AS nm FROM c),
+            t AS (
+              SELECT lang,
+                     CAST(floor(power(n / nm, -0.5) * 10000) AS BIGINT) AS thr
+              FROM c, m
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN t ON d.lang = t.lang
+            WHERE {OSQL.h60_sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < t.thr
         """,
         "shingle_profile": f"""
             SELECT doc_id, len({sh})::BIGINT AS n_shingles FROM documents

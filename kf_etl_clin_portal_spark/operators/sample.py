@@ -48,6 +48,65 @@ def hash_sample(
     )
 
 
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep-fractions for temperature-balanced corpus mixing
+    (the multilingual-pretraining resampling rule: sampled mass ∝
+    count^(1/T)). Feed the result to :func:`stratified_sample`.
+
+    T=1 keeps the natural distribution; T>1 flattens it toward uniform
+    (upweights rare strata); T<1 sharpens it. Without ``target_rows`` the
+    fractions are normalized so the most-upweighted stratum is fully kept
+    (nothing is ever oversampled past 1.0 — this is subsampling, not
+    replication). With ``target_rows`` a water-filling pass picks the
+    scale so the EXPECTED sampled total hits the target while every
+    stratum stays capped at its own size.
+
+    One count-by-stratum aggregation; only (stratum, count) pairs reach
+    the driver — strata are assumed low-cardinality (languages, sources),
+    the usual mixing regime.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    alpha = 1.0 / temperature
+    counts = {
+        r[strata_col]: r["__n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+        if r[strata_col] is not None
+    }
+    if not counts:
+        return {}
+    if target_rows is None:
+        ref = min(counts.values()) if alpha <= 1.0 else max(counts.values())
+        return {
+            s: min(1.0, (n / ref) ** (alpha - 1.0)) for s, n in counts.items()
+        }
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be > 0, got {target_rows}")
+    # water-filling: f_s = min(1, c·n_s^(α−1)) with Σ f_s·n_s = target
+    capped: set = set()
+    c = 0.0
+    while True:
+        uncapped = {s: n for s, n in counts.items() if s not in capped}
+        remaining = target_rows - sum(counts[s] for s in capped)
+        if remaining <= 0 or not uncapped:
+            c = 0.0
+            break
+        c = remaining / sum(n**alpha for n in uncapped.values())
+        newly = {s for s, n in uncapped.items() if c * n ** (alpha - 1.0) >= 1.0}
+        if not newly:
+            break
+        capped |= newly
+    return {
+        s: 1.0 if s in capped else min(1.0, max(0.0, c * n ** (alpha - 1.0)))
+        for s, n in counts.items()
+    }
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

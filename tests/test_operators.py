@@ -196,3 +196,49 @@ def test_stratified_sample_mix_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_temperature_fractions_mixing_law(spark):
+    """Temperature rebalancing: T=1 natural, T>1 flattens (rarest stratum
+    fully kept, mass ∝ n^(1/T)), T<1 sharpens, water-filling hits an
+    expected-row target with per-stratum caps respected."""
+    import pytest as _pt
+
+    from kf_etl_clin_portal_spark.operators.sample import (
+        stratified_sample,
+        temperature_fractions,
+    )
+
+    sizes = {"en": 1000, "de": 100, "fr": 10}
+    rows = [(lang, f"{lang}-{i}") for lang, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "lang string, doc_id string")
+
+    assert set(temperature_fractions(df, "lang", 1.0).values()) == {1.0}
+
+    fr = temperature_fractions(df, "lang", 2.0)
+    assert fr["fr"] == 1.0 and fr["en"] < fr["de"] < 1.0
+    assert fr["en"] == _pt.approx((sizes["en"] / sizes["fr"]) ** -0.5)
+
+    frs = temperature_fractions(df, "lang", 0.5)
+    assert frs["en"] == 1.0 and frs["fr"] < frs["de"] < 1.0
+
+    frt = temperature_fractions(df, "lang", 2.0, target_rows=400)
+    expected = sum(frt[lang] * n for lang, n in sizes.items())
+    assert expected == _pt.approx(400, rel=1e-6)
+    assert frt["fr"] == 1.0 and all(0.0 <= f <= 1.0 for f in frt.values())
+
+    assert set(
+        temperature_fractions(df, "lang", 2.0, target_rows=5000).values()
+    ) == {1.0}
+
+    # end-to-end: the mix feeds stratified_sample; realized counts track
+    # the expectation (hash-mod sampling is near-exact at these sizes)
+    got = stratified_sample(df, "lang", frt, key_col="doc_id").groupBy(
+        "lang"
+    ).count().collect()
+    realized = {r["lang"]: r["count"] for r in got}
+    for lang, n in sizes.items():
+        assert realized.get(lang, 0) == _pt.approx(frt[lang] * n, abs=25)
+
+    with _pt.raises(ValueError, match="temperature"):
+        temperature_fractions(df, "lang", 0.0)
