@@ -705,6 +705,24 @@ def q_docs_temperature_mix(spark, sf):
     return stratified_sample(docs, "lang", frq, key_col="doc_id")
 
 
+def q_doc_decontaminate(spark, sf):
+    """Eval-set decontamination (dedup/decontaminate.py): docs with
+    doc_id % 37 == 0 act as the frozen eval set, the rest as the training
+    corpus; every corpus doc sharing ≥1 distinct word 3-gram with any eval
+    doc is reported with its contaminated-shingle count and the number of
+    eval docs hit. The probe joins on the portable 60-bit shingle hash —
+    the oracle computes the identical md5-based hash, so parity holds by
+    construction, collisions included."""
+    from kf_etl_clin_portal_spark.dedup.decontaminate import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    ev = docs.where(F.pmod("doc_id", F.lit(37)) == 0)
+    corpus = docs.where(F.pmod("doc_id", F.lit(37)) != 0)
+    return contamination_report(corpus, ev, n=3)
+
+
 def q_minhash_lsh_pairs(spark, sf):
     return minhash_near_dups(_t(spark, sf, "documents"), min_agreement=0.3)
 
@@ -1395,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_sample": q_orders_sample,
         "docs_stratified": q_docs_stratified,
         "docs_temperature_mix": q_docs_temperature_mix,
+        "doc_decontaminate": q_doc_decontaminate,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2015,6 +2034,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN t ON d.lang = t.lang
             WHERE {OSQL.h60_sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < t.thr
+        """,
+        "doc_decontaminate": f"""
+            WITH ep AS (
+              SELECT DISTINCT doc_id AS eid, {OSQL.h60_sql("s")} AS h FROM (
+                SELECT doc_id, unnest({sh}) AS s FROM documents
+                WHERE doc_id % 37 = 0)
+            ), cp AS (
+              SELECT DISTINCT doc_id, {OSQL.h60_sql("s")} AS h FROM (
+                SELECT doc_id, unnest({sh}) AS s FROM documents
+                WHERE doc_id % 37 <> 0)
+            )
+            SELECT c.doc_id,
+                   CAST(count(DISTINCT c.h) AS BIGINT) AS n_hits,
+                   CAST(count(DISTINCT e.eid) AS BIGINT) AS n_eval_docs
+            FROM cp c JOIN ep e ON c.h = e.h
+            GROUP BY c.doc_id
         """,
         "shingle_profile": f"""
             SELECT doc_id, len({sh})::BIGINT AS n_shingles FROM documents

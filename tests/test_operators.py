@@ -242,3 +242,49 @@ def test_temperature_fractions_mixing_law(spark):
 
     with _pt.raises(ValueError, match="temperature"):
         temperature_fractions(df, "lang", 0.0)
+
+
+def test_decontamination_flags_and_drops(spark):
+    """Known-overlap corpus: a doc sharing an n-gram with the eval set is
+    flagged with exact hit counts and dropped; clean docs survive; the
+    shuffle-join fallback equals the broadcast path."""
+    from kf_etl_clin_portal_spark.dedup.decontaminate import (
+        contamination_report,
+        drop_contaminated,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "the quick brown fox jumps over the lazy dog"),
+            ("c2", "a completely unrelated sentence about spark plans"),
+            ("c3", "quick brown fox appears here too with more words"),
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "watch the quick brown fox run"),
+         ("e2", "the quick brown fox again")],
+        "doc_id string, text string",
+    )
+    rep = {
+        r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+        for r in contamination_report(corpus, ev, n=3).collect()
+    }
+    # shared 3-grams: "the quick brown" (e1+e2), "quick brown fox" (e1+e2)
+    assert rep["c1"] == (2, 2)
+    assert rep["c3"] == (1, 2)   # only "quick brown fox"
+    assert "c2" not in rep
+
+    kept = {r["doc_id"] for r in drop_contaminated(corpus, ev, n=3).collect()}
+    assert kept == {"c2"}
+    # min_hits threshold: c3 (1 hit) survives, c1 (2 hits) dropped
+    kept2 = {r["doc_id"]
+             for r in drop_contaminated(corpus, ev, n=3, min_hits=2).collect()}
+    assert kept2 == {"c2", "c3"}
+
+    rep_nb = {
+        r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+        for r in contamination_report(corpus, ev, n=3,
+                                      broadcast_eval=False).collect()
+    }
+    assert rep_nb == rep
