@@ -705,6 +705,19 @@ def q_docs_temperature_mix(spark, sf):
     return stratified_sample(docs, "lang", frq, key_col="doc_id")
 
 
+def q_doc_repetition(spark, sf):
+    """Gopher/MassiveText repetition signals
+    (functions/text.py:repetition_stats): per doc, the duplicate-line
+    fraction (pure JVM expression) and the characters covered by the most
+    frequent word 2-gram (per-doc hash aggregation, deterministic
+    (count, gram) tie-break). The oracle recomputes both from the same
+    whitespace tokenization."""
+    from kf_etl_clin_portal_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats(docs, n=2)
+
+
 def q_doc_decontaminate(spark, sf):
     """Eval-set decontamination (dedup/decontaminate.py): docs with
     doc_id % 37 == 0 act as the frozen eval set, the rest as the training
@@ -1414,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified": q_docs_stratified,
         "docs_temperature_mix": q_docs_temperature_mix,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_repetition": q_doc_repetition,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2034,6 +2048,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN t ON d.lang = t.lang
             WHERE {OSQL.h60_sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < t.thr
+        """,
+        "doc_repetition": f"""
+            WITH g AS (
+              SELECT doc_id, unnest({OSQL.shingles_all_sql("text", 2)}) AS g
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+            ), top AS (
+              SELECT doc_id, g, c FROM (
+                SELECT doc_id, g, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, g DESC) rn
+                FROM cnt) WHERE rn = 1
+            ), base AS (
+              SELECT doc_id, length(text) AS L,
+                     CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                               x -> length(trim(x)) > 0)) > 0
+                          THEN CAST(len(list_filter(string_split(text, chr(10)),
+                                                    x -> length(trim(x)) > 0))
+                                    - len(list_distinct(list_filter(
+                                        string_split(text, chr(10)),
+                                        x -> length(trim(x)) > 0)))
+                                    AS DOUBLE)
+                               / len(list_filter(string_split(text, chr(10)),
+                                                 x -> length(trim(x)) > 0))
+                          ELSE 0.0 END AS dup_line_frac
+              FROM documents
+            )
+            SELECT b.doc_id, b.dup_line_frac,
+                   COALESCE(CASE WHEN b.L > 0
+                                 THEN CAST(t.c * length(t.g) AS DOUBLE) / b.L
+                            END, 0.0) AS top2gram_char_frac
+            FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
         """,
         "doc_decontaminate": f"""
             WITH ep AS (

@@ -58,6 +58,21 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles_all(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles WITH multiplicity (array<string>) — the
+    frequency-carrying variant of `word_shingles` for repetition
+    statistics (a duplicate-heavy doc must keep its duplicates)."""
+    w = words(col)
+    k = F.size(w) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(shingles: Column, k: int = 16, seed: int = 42) -> Column:
     """MinHash signature (array<long>, length k) over a shingle array.
 

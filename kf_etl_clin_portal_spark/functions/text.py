@@ -142,3 +142,66 @@ def rolling_hash(col: Column, base: int = 31, mod: int = 2_147_483_647) -> Colum
         F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * F.lit(base) + F.ascii(c), F.lit(mod)),
     )
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier line —
+    the MassiveText/Gopher repetition filter's line-level signal, as one
+    JVM expression (no explode)."""
+    lines = F.filter(
+        F.split(col, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> "DataFrame":
+    """Per-doc repetition signals (the Gopher quality-filter family):
+    ``dup_line_frac`` (duplicate non-empty lines / lines) and
+    ``top{n}gram_char_frac`` (characters covered by the single most
+    frequent word n-gram — count × gram length / doc length; ties broken
+    deterministically by (count, gram) so an independent recompute
+    agrees). The n-gram mode is a per-doc hash aggregation (explode →
+    groupBy(doc, gram) → max_by), never a window sort; cost is linear in
+    corpus tokens and shuffles only (doc, gram, count) triples."""
+    from kf_etl_clin_portal_spark.functions.hashing import word_shingles_all
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles_all(F.col(text_col), n)).alias("__g")
+    )
+    top = (
+        grams.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__c"), F.col("__g")),
+                F.struct(F.col("__c"), F.col("__g")),
+            ).alias("__t")
+        )
+        .select(id_col, F.col("__t.__c").alias("__c"), F.col("__t.__g").alias("__g"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__len"),
+        dup_line_fraction(F.col(text_col)).alias("dup_line_frac"),
+    )
+    frac = (F.col("__c") * F.length("__g")).cast("double") / F.col("__len")
+    return (
+        base.join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.coalesce(
+                F.when(F.col("__len") > 0, frac), F.lit(0.0)
+            ).alias(f"top{n}gram_char_frac"),
+        )
+    )

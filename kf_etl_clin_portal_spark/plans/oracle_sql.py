@@ -112,6 +112,17 @@ def shingles_sql(col: str, n: int = 3) -> str:
     )
 
 
+def shingles_all_sql(col: str, n: int = 3) -> str:
+    """Word n-grams WITH multiplicity — mirrors hashing.word_shingles_all."""
+    w = words_sql(col)
+    return (
+        f"(CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n} + 2), "
+        f"i -> array_to_string({w}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END)"
+    )
+
+
 def minhash_sig_sql(shingles_expr: str, j: int, k: int = 16, seed: int = 42) -> str:
     """j-th MinHash component over a shingle-list SQL expression."""
     a, b = minhash_params(k, seed)[j]

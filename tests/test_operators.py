@@ -288,3 +288,29 @@ def test_decontamination_flags_and_drops(spark):
                                       broadcast_eval=False).collect()
     }
     assert rep_nb == rep
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed repetition signals: duplicate lines and the dominant
+    2-gram are measured exactly; a no-repeat doc scores the base rate."""
+    from kf_etl_clin_portal_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, "same line" twice -> dup 1/4;
+            # "same line" 2-gram count 2 (the top one)
+            ("d1", "same line\nsame line\nother text\nmore words"),
+            ("d2", "all words here are fully distinct tokens"),
+            ("d3", ""),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: (r["dup_line_frac"], r["top2gram_char_frac"])
+           for r in repetition_stats(df, n=2).collect()}
+    assert got["d1"][0] == 0.25
+    t1 = "same line\nsame line\nother text\nmore words"
+    assert got["d1"][1] == 2 * len("same line") / len(t1)
+    assert got["d2"][0] == 0.0
+    # every 2-gram unique -> top count 1; frac = len(top gram)/len(text)
+    assert 0 < got["d2"][1] < 0.5
+    assert got["d3"] == (0.0, 0.0)
