@@ -42,11 +42,20 @@ def curate_corpus(
     shard_budget: int = 100_000,
     minhash_kwargs: dict | None = None,
     exact_clusters: bool = False,
+    max_dup_line_frac: float | None = None,
+    eval_df: DataFrame | None = None,
+    decontaminate_n: int = 8,
 ) -> DataFrame:
     """Returns the curated corpus with per-doc provenance columns:
     ``quality``, ``lang_pred``, ``n_dups`` (exact-dup group size this row
     survived), ``n_tokens``, ``cum_n_tokens``, ``shard_id``,
     ``shard_offset``. Set ``langs=None`` to skip language filtering.
+
+    ``max_dup_line_frac`` adds the Gopher repetition gate (drop docs whose
+    duplicate-line fraction exceeds it — one more codegen'd predicate on
+    the same scan); ``eval_df`` adds benchmark decontamination (drop docs
+    sharing any ``decontaminate_n``-gram with the eval set,
+    `dedup/decontaminate.py`) before the dedup stages.
 
     ``exact_clusters=True`` replaces the drop-larger-id pair policy with
     true connected-component resolution (`operators/components.py`): keep
@@ -59,6 +68,19 @@ def curate_corpus(
     kept = scored.where(F.col("quality") >= min_quality)
     if langs is not None:
         kept = kept.where(F.col("lang_pred").isin(langs))
+    if max_dup_line_frac is not None:
+        kept = kept.where(
+            TX.dup_line_fraction(F.col(text_col)) <= max_dup_line_frac
+        )
+    if eval_df is not None:
+        from kf_etl_clin_portal_spark.dedup.decontaminate import (
+            drop_contaminated,
+        )
+
+        kept = drop_contaminated(
+            kept, eval_df, text_col=text_col, id_col=id_col,
+            n=decontaminate_n,
+        )
 
     deduped = exact_dedup(kept, text_col=text_col, id_col=id_col).drop("fingerprint")
 

@@ -110,3 +110,26 @@ def test_curate_exact_clusters_resolves_shared_neighbor(spark):
     assert "d" in default_ids and "d" in exact_ids
     assert exact_ids <= default_ids
     assert len(exact_ids - {"d"}) == 1  # exactly one survivor per cluster
+
+
+def test_curate_corpus_repetition_and_decontamination_gates(spark):
+    """The two new curation stages compose: a repetition-heavy doc and an
+    eval-contaminated doc are dropped; clean docs flow through to shards."""
+    from kf_etl_clin_portal_spark.operators.curate import curate_corpus
+
+    good = "the quick brown fox jumps over a lazy dog and keeps moving on"
+    repet = "dup line\ndup line\ndup line\nthe only other line here now ok"
+    contam = "contains the secret eval answer phrase plus enough other words"
+    docs = spark.createDataFrame(
+        [("a", good), ("b", repet), ("c", contam)],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "the secret eval answer phrase is this")],
+        "doc_id string, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, langs=None, max_dup_line_frac=0.4,
+        eval_df=ev, decontaminate_n=3, shard_budget=1_000,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {"a"}
