@@ -60,6 +60,50 @@ def register_tables(
     return created
 
 
+def register_changes(
+    spark: SparkSession,
+    name: str,
+    table_or_pipe,
+    since_version: int = 0,
+    until_version: int | None = None,
+    mode: str = "auto",
+) -> str:
+    """Register ``<name>__changes`` — SQL over the table's change feed
+    (the Delta ``table_changes()`` TVF analog). ``mode``: "feed" =
+    per-commit rows via `read_changes` (exact history, MoR only); "diff" =
+    net snapshot diff via `diff_changes` (any history, one row per changed
+    key); "auto" = feed when every commit in the range supports it, else
+    diff. Pinned at registration like every other view; re-register to
+    advance."""
+    from kf_etl_clin_portal_spark.lake.changes import (
+        _feed_capable,
+        diff_changes,
+        read_changes,
+    )
+
+    if not _NAME_RE.match(name):
+        raise ValueError(f"bad view name: {name!r}")
+    if mode not in ("feed", "diff", "auto"):
+        raise ValueError("mode must be 'feed', 'diff', or 'auto'")
+    table = table_or_pipe.table if hasattr(table_or_pipe, "table") else table_or_pipe
+    table.refresh()
+    until = table.version if until_version is None else until_version
+    effective = mode
+    if mode == "auto":
+        effective = "feed" if _feed_capable(table, since_version, until) else "diff"
+    if effective == "feed":
+        df = read_changes(
+            spark, table, since_version=since_version, until_version=until
+        )
+    else:
+        df = diff_changes(
+            spark, table, since_version=since_version, until_version=until
+        )
+    view = f"{name}__changes"
+    df.createOrReplaceTempView(view)
+    return view
+
+
 def register_release(
     spark: SparkSession,
     manager,
