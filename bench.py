@@ -101,6 +101,65 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # ---- incremental view maintenance (BASELINE.md §3 regression track) ----
+    views: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_VIEWS", "1") != "0":
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+        from kf_etl_clin_portal_spark.lake.ivm import maintain_agg
+        from kf_etl_clin_portal_spark.lake.joinview import maintain_join
+
+        vtmp = tempfile.mkdtemp(prefix="bench_views_")
+        try:
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            fact = CDCPipeline(spark, vtmp + "/f", key_cols=("event_id",),
+                               num_buckets=32, merge_strategy="mor")
+            dim = CDCPipeline(spark, vtmp + "/d", key_cols=("user_id",),
+                              num_buckets=16, merge_strategy="mor")
+            jv = CDCPipeline(spark, vtmp + "/v", key_cols=("event_id",),
+                             num_buckets=32, merge_strategy="mor")
+            agg = CDCPipeline(spark, vtmp + "/a", key_cols=("event_type",),
+                              num_buckets=4, merge_strategy="mor")
+            frows = ev.select(
+                "event_id", "user_id", "event_type", "value",
+                F.col("event_id").cast("long").alias("seq"),
+            )
+            fact.apply_batch(frows, batch_id="bv-f1")
+            dim.apply_batch(
+                ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("double").alias("activity"))
+                .withColumn("seq", F.col("user_id").cast("long")),
+                batch_id="bv-d1",
+            )
+            on = {"user_id": "user_id"}
+            t0 = time.monotonic()
+            maintain_join(spark, fact.table, dim.table, jv, on, source_id="bv")
+            views["jv_initial"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            maintain_agg(spark, fact.table, agg, ["event_type"],
+                         {"v": "value"}, source_id="bv")
+            views["agg_initial"] = round(time.monotonic() - t0, 3)
+            fact.apply_batch(
+                frows.where(F.pmod("event_id", F.lit(100)) == 0)
+                .withColumn("value", F.col("value") + 1)
+                .withColumn("seq", F.col("seq") + F.lit(10**9)),
+                batch_id="bv-f2",
+            )
+            t0 = time.monotonic()
+            maintain_join(spark, fact.table, dim.table, jv, on, source_id="bv")
+            views["jv_fact_delta_1pct"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            maintain_agg(spark, fact.table, agg, ["event_type"],
+                         {"v": "value"}, source_id="bv")
+            views["agg_delta_1pct"] = round(time.monotonic() - t0, 3)
+            for k, v in views.items():
+                print(f"# views.{k}: {v:.2f}s", file=sys.stderr)
+        finally:
+            shutil.rmtree(vtmp, ignore_errors=True)
+
     # ---- CDC replay + scaling ---------------------------------------------
     cdc: dict = {}
     if do_scaling:
@@ -301,6 +360,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "views": views,
                 "cdc": cdc,
             }
         )
