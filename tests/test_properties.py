@@ -295,3 +295,95 @@ def test_diff_cdf_retraction_algebra_spec(spark, rows, cut, tmp_path_factory):
     pre_keys = sorted((t[1], t[2]) for op, t in cdf if op == "update_preimage")
     post_keys = sorted((t[1], t[2]) for op, t in cdf if op == "update_postimage")
     assert pre_keys == post_keys
+
+
+jv_fact_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),           # fact key id
+        st.one_of(st.none(), st.sampled_from(["g1", "g2", "g3", "g4"])),  # fk
+        st.integers(min_value=-9, max_value=9),          # value
+        st.booleans(),                                   # delete?
+    ),
+    min_size=1,
+    max_size=24,
+)
+jv_dim_events = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),             # dim key (g4 dangles)
+        st.integers(min_value=0, max_value=99),          # payload
+        st.booleans(),                                   # delete?
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frows=jv_fact_events, drows=jv_dim_events,
+       fcut=st.integers(min_value=0, max_value=24),
+       dcut=st.integers(min_value=0, max_value=12))
+def test_joinview_equals_pandas_spec(spark, frows, drows, fcut, dcut,
+                                     tmp_path_factory):
+    """The maintained join view over ANY interleaving of fact/dim batches
+    (polled after each round) equals an independent fold: latest event per
+    key on each side, live fact rows left-joined onto live dim rows —
+    NULL/dangling fks, fk moves, deletes and re-inserts included."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.joinview import maintain_join
+
+    tmp = tmp_path_factory.mktemp("jv_prop")
+    fact = CDCPipeline(spark, str(tmp / "f"), key_cols=("fk_id",),
+                       num_buckets=2, merge_strategy="mor")
+    dim = CDCPipeline(spark, str(tmp / "d"), key_cols=("grp",), num_buckets=2)
+    dst = CDCPipeline(spark, str(tmp / "v"), key_cols=("fk_id",),
+                      num_buckets=2, merge_strategy="mor")
+    F_SCHEMA = "seq long, op string, fk_id string, grp string, value long"
+    D_SCHEMA = "seq long, op string, grp string, payload long"
+    # prime both tables (empty v0) so a round with no batches can still poll
+    fact.ensure_table(
+        fact.prepare_batch(spark.createDataFrame([], F_SCHEMA)).schema
+    )
+    dim.ensure_table(
+        dim.prepare_batch(spark.createDataFrame([], D_SCHEMA)).schema
+    )
+    fev = [
+        (i + 1, "delete" if d else "upsert", f"k{k}", g,
+         None if d else v)
+        for i, (k, g, v, d) in enumerate(frows)
+    ]
+    dev = [
+        (i + 1, "delete" if d else "upsert", g, None if d else p)
+        for i, (g, p, d) in enumerate(drows)
+    ]
+    fcut, dcut = min(fcut, len(fev)), min(dcut, len(dev))
+    rounds = [(fev[:fcut], dev[:dcut]), (fev[fcut:], dev[dcut:])]
+    for i, (fc, dc) in enumerate(rounds):
+        if fc:
+            fact.apply_batch(spark.createDataFrame(fc, F_SCHEMA),
+                             batch_id=f"f{i}")
+        if dc:
+            dim.apply_batch(spark.createDataFrame(dc, D_SCHEMA),
+                            batch_id=f"d{i}")
+        maintain_join(spark, fact.table, dim.table, dst, {"grp": "grp"},
+                      source_id="p")
+
+    got = {
+        (r["fk_id"], r["grp"], r["value"], r["payload"])
+        for r in dst.current().select("fk_id", "grp", "value", "payload").collect()
+    }
+
+    fstate: dict = {}
+    for seq, op, k, g, v in fev:
+        fstate[k] = (op, g, v)
+    dstate: dict = {}
+    for seq, op, g, p in dev:
+        dstate[g] = (op, p)
+    want = set()
+    for k, (op, g, v) in fstate.items():
+        if op == "delete":
+            continue
+        dop = dstate.get(g)
+        payload = dop[1] if (g is not None and dop and dop[0] != "delete") else None
+        want.add((k, g, v, payload))
+    assert got == want
