@@ -459,3 +459,36 @@ def test_joinview_audit_detects_corruption(spark, tmp_path):
     rep = audit_join_view(spark, fact.table, dim.table, dst, {"lang": "lang"})
     assert not rep["ok"] and rep["mismatches"] == 1
     assert rep["examples"][0]["path"] == "a.py"
+
+
+def test_joinview_follows_rebucket_on_both_sides(spark, tmp_path):
+    """Partition-spec evolution mid-range: rebucketing the dim (bucket ids
+    renumbered — the fk-pruned lookup must stay self-consistent) and the
+    fact (diff pruning falls back to a full two-sided diff) never breaks
+    view parity."""
+    from kf_etl_clin_portal_spark.lake.load import rebucket
+
+    fact, dim, dst = _pipes(spark, tmp_path)
+    fact.apply_batch(_fact(spark, [
+        (1, "upsert", "a.py", "python", 1.0),
+        (2, "upsert", "b.go", "go", 2.0),
+    ]), batch_id="f1")
+    dim.apply_batch(_dim(spark, [
+        (1, "upsert", "python", 4.0, "s"), (2, "upsert", "go", 3.0, "c"),
+    ]), batch_id="d1")
+    maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                  source_id="s")
+
+    # rebucket BOTH sources inside the next poll's range, plus real changes
+    rebucket(spark, dim.table, 8)
+    rebucket(spark, fact.table, 8)
+    dim.apply_batch(_dim(spark, [(3, "upsert", "go", 9.0, "c")]),
+                    batch_id="d2")
+    fact.apply_batch(_fact(spark, [(4, "upsert", "c.py", "python", 5.0)]),
+                     batch_id="f2")
+    r = maintain_join(spark, fact.table, dim.table, dst, {"lang": "lang"},
+                      source_id="s")
+    assert r["applied"]
+    _assert_view(dst, fact, dim)
+    got = {x["path"]: x["rating"] for x in dst.current().collect()}
+    assert got == {"a.py": 4.0, "b.go": 9.0, "c.py": 4.0}
