@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="admission control: fold at most N row-changing "
                          "source commits per view per tick (re-run the tick "
                          "to keep converging)")
+    ap.add_argument("--auto-compact", type=float, default=None,
+                    metavar="RATIO",
+                    help="after each MoR view's poll, compact it when its "
+                         "delta bytes exceed RATIO of base bytes (or ≥8 "
+                         "delta files); metadata-only decision")
     args = ap.parse_args(argv)
     if not args.agg and not args.join:
         ap.error("nothing to do: pass --agg and/or --join")
@@ -107,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
             source_id=args.source_id, mode=mode,
             max_versions=args.max_versions,
         )
+        if args.auto_compact is not None and SnapshotTable.exists(root):
+            report["views"][root]["compacted_buckets"] = vpipe.maybe_compact(
+                max_delta_ratio=args.auto_compact
+            )
 
     for spec in args.join:
         from kf_etl_clin_portal_spark.lake.joinview import maintain_join
@@ -121,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
             spark, src, dim, vpipe, on, source_id=args.source_id,
             max_versions=args.max_versions,
         )
+        if args.auto_compact is not None and SnapshotTable.exists(root):
+            report["views"][root]["compacted_buckets"] = vpipe.maybe_compact(
+                max_delta_ratio=args.auto_compact
+            )
 
     print(json.dumps(report))
     return 0

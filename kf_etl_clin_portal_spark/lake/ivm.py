@@ -292,6 +292,7 @@ def maintain_agg(
             _IVM_SRC_KEY: source_id,
             _IVM_UNTIL_KEY: until,
             _IVM_EPOCH_KEY: epoch + 1,
+            "ivm_mode": effective,  # forensic: how this poll read changes
         },
     )
     if res.skipped:

@@ -396,6 +396,7 @@ def maintain_join(
                 _JV_FACT_KEY: f_until,
                 _JV_DIM_KEY: d_until,
                 _JV_EPOCH_KEY: epoch + 1,
+                "jv_dim_path": dim_path,  # forensic: pruned/scan/idle
             },
         )
     finally:

@@ -247,9 +247,12 @@ def test_run_views_cli_tick(spark, tmp_path):
         "run_views.py", "--source", src,
         "--agg", f"{agg}:lang:bytes=length(content)@auto",
         "--join", f"{jv}:lang=lang@{dim}",
+        "--auto-compact", "0.0",
     )
     assert rep2["views"][agg]["applied"] is False
     assert rep2["views"][jv]["applied"] is False
+    # ratio 0.0 forces compaction of any view with delta files
+    assert rep2["views"][agg].get("compacted_buckets") is not None
 
     # the maintained view content is readable back in-process and joined
     view = CDCPipeline(spark, jv, key_cols=("repo", "path"), num_buckets=8,
