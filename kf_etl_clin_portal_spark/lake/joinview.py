@@ -25,11 +25,12 @@ update is a plain keyed MERGE):
   diff rows themselves (dim deletes null the dim columns out; a later
   re-insert re-enriches, which purely delta-chained designs get wrong).
   Finding the affected view rows costs one scan of the VIEW (it is
-  bucketed by the fact key, not the fk), so this path is **skipped
-  entirely when the dim is idle** — the common star-schema regime is a
-  hot fact stream against quiet dimensions. Rows also touched by this
-  poll's fact delta are excluded (the fact path already emits their
-  correct post-image).
+  bucketed by the fact key, not the fk) — zone-map file-skipped on an
+  all-base view whose ``stats.columns`` cover the fk (see
+  `_affected_view_read`) — and the path is **skipped entirely when the
+  dim is idle**: the common star-schema regime is a hot fact stream
+  against quiet dimensions. Rows also touched by this poll's fact delta
+  are excluded (the fact path already emits their correct post-image).
 
 Both source cursors commit atomically in the destination's own lineage
 row (same two-sided crash story as `mirror_changes` / `maintain_agg`):
