@@ -718,6 +718,20 @@ def q_doc_repetition(spark, sf):
     return repetition_stats(docs, n=2)
 
 
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide paragraph-level exact dedup (dedup/paragraphs.py; Lee
+    et al. 2021): every repeated paragraph survives only at its minimum
+    (doc_id, position) occurrence; documents are reassembled in original
+    order with per-doc drop counts. The synthetic docs carry no newlines,
+    so ' the ' serves as the paragraph boundary — the operator is
+    separator-regex-generic. Grouping key is the portable 60-bit md5 hash,
+    so the oracle reproduces the winner choice bit-for-bit."""
+    from kf_etl_clin_portal_spark.dedup.paragraphs import paragraph_dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return paragraph_dedup(docs, sep_regex=" the ", join_sep="|")
+
+
 def q_doc_decontaminate(spark, sf):
     """Eval-set decontamination (dedup/decontaminate.py): docs with
     doc_id % 37 == 0 act as the frozen eval set, the rest as the training
@@ -1428,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temperature_mix": q_docs_temperature_mix,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition": q_doc_repetition,
+        "doc_paragraph_dedup": q_paragraph_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2081,6 +2096,29 @@ def oracle_sql() -> dict[str, str]:
                                  THEN CAST(t.c * length(t.g) AS DOUBLE) / b.L
                             END, 0.0) AS top2gram_char_frac
             FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        """,
+        "doc_paragraph_dedup": f"""
+            WITH ex0 AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(string_split_regex(text, ' the ')))) AS pos,
+                     unnest(list_transform(string_split_regex(text, ' the '),
+                                           p -> trim(p))) AS para
+              FROM documents
+            ), ex AS (
+              SELECT * FROM ex0 WHERE len(para) > 0
+            ), tagged AS (
+              SELECT doc_id, pos, para,
+                     (row_number() OVER (
+                        PARTITION BY {OSQL.h60_sql('para')}
+                        ORDER BY doc_id, pos) = 1) AS kept
+              FROM ex
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(para, '|' ORDER BY pos)
+                            FILTER (WHERE kept), '') AS text,
+                   COUNT(*)::BIGINT AS n_paras,
+                   (COUNT(*) - SUM(kept::INT))::BIGINT AS n_dropped
+            FROM tagged GROUP BY doc_id
         """,
         "doc_decontaminate": f"""
             WITH ep AS (

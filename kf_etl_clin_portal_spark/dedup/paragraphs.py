@@ -1,0 +1,98 @@
+"""Paragraph-level exact dedup across a corpus (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better": remove every
+repeated span, keeping only its first occurrence — here at paragraph
+granularity, the practical middle ground between whole-document dedup
+(`dedup/exact.py`) and suffix-array substring dedup).
+
+Semantics: split each document on ``sep_regex``; a paragraph that occurs
+more than once in the corpus (same trimmed text) survives ONLY at its
+first occurrence — minimum ``(doc_id, position)`` over all occurrences,
+including later repeats inside the same document. Surviving paragraphs are
+re-joined in original order with ``join_sep``; per-document drop counts are
+reported so a curation pipeline can gate on them.
+
+Scale shape (the 10^10-row discipline, same as `dedup/exact.py`):
+  explode (no shuffle) → groupBy(h60(para)) min(struct(doc_id, pos))
+  (ONE shuffle, map-side combine absorbs boilerplate paragraphs that repeat
+  10^9 times — the hot-key case a window-over-h60 sort would serialize)
+  → hash-join winners back on h60 (winner side is one row per distinct
+  paragraph, so a hot paragraph replicates ONE build row, never sorts) →
+  groupBy(doc_id) reassembly (one shuffle of paragraph-grain rows).
+No UDFs: split/trim/h60/array_sort/array_join are all JVM codegen; the
+60-bit md5 hash is the portable `functions.hashing.h60`, so the DuckDB
+oracle reproduces the grouping bit-for-bit.
+
+Reference parity note: the reference has no sub-document dedup at all —
+its dedup is row-level `groupBy().agg(first)` (e.g.
+`etl/src/main/scala/bio/ferlab/etl/normalized/clinical/SpecimensTransformations.scala:88-89`);
+this operator is part of the brief's training-data curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.hashing import h60
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n\n+",
+) -> DataFrame:
+    """(id, pos, para): trimmed non-empty paragraphs with their 1-based
+    original position. Pure project+generate — no shuffle."""
+    parts = F.split(F.col(text_col), sep_regex)
+    return (
+        df.select(id_col, F.posexplode(parts).alias("pos", "para"))
+        .withColumn("pos", F.col("pos") + F.lit(1))
+        .withColumn("para", F.trim(F.col("para")))
+        .where(F.length("para") > 0)
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n\n+",
+    join_sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """One row per input document (that has ≥1 non-empty paragraph):
+    ``(id_col, text, n_paras, n_dropped)`` where ``text`` is the document
+    with every non-first-occurrence paragraph removed.
+
+    ``min_chars``: paragraphs shorter than this never participate in dedup
+    (always kept) — short connective lines are not meaningful duplicates.
+    """
+    ex = split_paragraphs(df, text_col, id_col, sep_regex)
+    eligible = F.length("para") >= min_chars
+    occ = F.struct(F.col(id_col), F.col("pos"))
+    winners = (
+        ex.where(eligible)
+        .withColumn("h", h60(F.col("para")))
+        .groupBy("h")
+        .agg(F.min(occ).alias("w"))
+    )
+    tagged = (
+        ex.withColumn("h", h60(F.col("para")))
+        .join(winners, "h", "left")
+        .withColumn(
+            "kept",
+            F.when(~eligible, F.lit(True)).otherwise(occ == F.col("w")),
+        )
+    )
+    rows = F.array_sort(F.collect_list(F.struct("pos", "para", "kept")))
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(rows, lambda x: x["kept"]), lambda x: x["para"]
+            ),
+            join_sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        (F.count(F.lit(1)) - F.sum(F.col("kept").cast("long"))).alias("n_dropped"),
+    )

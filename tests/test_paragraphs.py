@@ -1,0 +1,78 @@
+"""Paragraph-level corpus dedup (dedup/paragraphs.py): known-value
+semantics — first occurrence wins globally, within-doc repeats drop,
+min_chars exemption, empty-paragraph hygiene, all-dropped docs."""
+
+import pyspark.sql.functions as F
+
+from kf_etl_clin_portal_spark.dedup.paragraphs import (
+    paragraph_dedup,
+    split_paragraphs,
+)
+
+DOCS = [
+    # doc 1: "alpha beta" repeats inside the doc; "common" also in doc 2/3
+    (1, "alpha beta\n\ncommon para\n\nalpha beta"),
+    # doc 2: repeats doc 1's common para; has its own unique para
+    (2, "common para\n\nunique two"),
+    # doc 3: consists ONLY of already-seen paragraphs -> empty survivor
+    (3, "alpha beta\n\ncommon para"),
+    # doc 4: empty segments and whitespace paragraphs are dropped pre-dedup
+    (4, "\n\n  \n\nsolo four\n\n"),
+    # doc 5: short para "hi" repeated — exempt under min_chars=3
+    (5, "hi\n\nhi\n\nlong tail five"),
+]
+
+
+def _run(spark, min_chars=1):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = paragraph_dedup(df, min_chars=min_chars)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_first_occurrence_wins_and_within_doc_repeats_drop(spark):
+    got = _run(spark)
+    assert got[1]["text"] == "alpha beta\ncommon para"
+    assert got[1]["n_paras"] == 3 and got[1]["n_dropped"] == 1
+    # doc 2 loses "common para" to doc 1 (earlier doc_id)
+    assert got[2]["text"] == "unique two"
+    assert got[2]["n_dropped"] == 1
+
+
+def test_all_dropped_doc_survives_as_empty_text(spark):
+    got = _run(spark)
+    assert got[3]["text"] == ""
+    assert got[3]["n_paras"] == 2 and got[3]["n_dropped"] == 2
+
+
+def test_whitespace_paragraphs_never_counted(spark):
+    got = _run(spark)
+    assert got[4] == {
+        "doc_id": 4, "text": "solo four", "n_paras": 1, "n_dropped": 0,
+    }
+
+
+def test_min_chars_exempts_short_paragraphs(spark):
+    strict = _run(spark, min_chars=1)
+    assert strict[5]["text"] == "hi\nlong tail five"  # 2nd "hi" dropped
+    lax = _run(spark, min_chars=3)
+    assert lax[5]["text"] == "hi\nhi\nlong tail five"  # both exempt
+    assert lax[5]["n_dropped"] == 0
+
+
+def test_split_paragraphs_positions_are_original_order(spark):
+    df = spark.createDataFrame([(9, "a b\n\n\n\nc d\n\ne f")], ["doc_id", "text"])
+    rows = split_paragraphs(df).orderBy("pos").collect()
+    assert [(r["pos"], r["para"]) for r in rows] == [
+        (1, "a b"), (2, "c d"), (3, "e f"),
+    ]
+
+
+def test_idempotent_on_deduped_corpus(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    once = paragraph_dedup(df, join_sep="\n\n").select("doc_id", "text")
+    nonempty = once.where(F.length("text") > 0)
+    again = paragraph_dedup(nonempty, join_sep="\n\n")
+    re_rows = {r["doc_id"]: r.asDict() for r in again.collect()}
+    for r in nonempty.collect():
+        assert re_rows[r["doc_id"]]["text"] == r["text"]
+        assert re_rows[r["doc_id"]]["n_dropped"] == 0
