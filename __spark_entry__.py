@@ -915,6 +915,50 @@ def q_ivm_event_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_metadata_stats(spark, sf):
+    """Metadata-only table stats (lake/metastats.py) end-to-end: the events
+    WAL (op=delete when event_type='error') is replayed into a CoW lake in
+    3 out-of-order batches; key counts, live/tombstone split, and the seq
+    zone-map min/max are then served WITHOUT a Spark job — manifest +
+    parquet footers + the single tombstone column on mixed files. The
+    oracle recomputes the same numbers from the feed's latest-per-key
+    state; parity proves the metadata path equals the scan truth."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ms_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        for i in (2, 0, 1):  # later-delivered batches carry older seqs
+            pipe.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(3)) == i),
+                batch_id=f"ms-b{i}",
+            )
+        ms = metadata_stats(pipe.table, cols=["seq"])
+        row = [(
+            int(ms["rows_total"]), int(ms["rows_live"]), int(ms["rows_dead"]),
+            int(ms["cols"]["seq"]["min"]), int(ms["cols"]["seq"]["max"]),
+        )]
+        return spark.createDataFrame(
+            row, "n_keys long, n_live long, n_dead long, min_seq long, max_seq long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dml_correction(spark, sf):
     """Row-level DML (`lake/dml.py`) end-to-end through a real lake: the
     events WAL replays into a MoR table in 2 out-of-order micro-batches
@@ -1443,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition": q_doc_repetition,
         "doc_paragraph_dedup": q_paragraph_dedup,
+        "cdc_metadata_stats": q_cdc_metadata_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2096,6 +2141,20 @@ def oracle_sql() -> dict[str, str]:
                                  THEN CAST(t.c * length(t.g) AS DOUBLE) / b.L
                             END, 0.0) AS top2gram_char_frac
             FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        """,
+        "cdc_metadata_stats": """
+            WITH latest AS (
+              SELECT user_id,
+                     arg_max(event_type, event_id) AS et,
+                     max(event_id) AS seq
+              FROM events GROUP BY user_id
+            )
+            SELECT COUNT(*)::BIGINT AS n_keys,
+                   SUM(CASE WHEN et <> 'error' THEN 1 ELSE 0 END)::BIGINT AS n_live,
+                   SUM(CASE WHEN et = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_dead,
+                   MIN(seq)::BIGINT AS min_seq,
+                   MAX(seq)::BIGINT AS max_seq
+            FROM latest
         """,
         "doc_paragraph_dedup": f"""
             WITH ex0 AS (

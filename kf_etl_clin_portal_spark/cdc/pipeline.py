@@ -367,6 +367,14 @@ class CDCPipeline:
             df = df.where(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
         return df
 
+    def stats(self, cols: tuple[str, ...] = (), version: int | None = None) -> dict:
+        """Driver-side snapshot statistics with NO Spark job — live/dead
+        row counts and zone-map min/max from manifest + parquet footers
+        (see `lake/metastats.py`; raises on uncompacted MoR snapshots)."""
+        from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
+
+        return metadata_stats(self.table, cols=cols, version=version)
+
     def compact(self, min_delta_files: int = 1, strategy: str = "shuffle") -> int:
         """Fold MoR delta files into base (read-path maintenance).
         strategy: "shuffle" (default; fastest measured — see

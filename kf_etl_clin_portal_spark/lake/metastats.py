@@ -1,0 +1,152 @@
+"""Metadata-only table statistics: COUNT(*) / MIN / MAX served from the
+manifest and parquet footers, with no Spark job and no data-page reads.
+
+The Iceberg metadata-aggregate-pushdown analog (SELECT count(*) answered
+from manifest row counts): at 100 TB a monitoring probe, admission check,
+or planner heuristic that needs "how many live rows / what seq range"
+must not cost a 1000-executor scan. Everything here runs on the driver
+against O(n_files) manifest entries; when the manifest lacks a number, the
+fallback is a parquet FOOTER read (KBs per file), and only the tombstone
+count on files the footer can't prove clean costs a column-pruned read of
+the single boolean tombstone column — never the payload.
+
+Cost ladder (per file, cheapest wins):
+  1. manifest entry alone       — rows/bytes, zone-mapped col min/max
+  2. footer (`pq.read_metadata`) — min/max for cols outside stats.columns,
+     tombstone-flag zone map ([False,False] proves zero dead rows)
+  3. one-column read             — exact tombstone count on mixed files
+
+Delta (MoR) snapshots are refused: delta rows OVERLAY base rows by key, so
+per-file row counts don't sum to table cardinality — there is no honest
+metadata-only answer. `compact_deltas` restores the fast path; the full
+`read_merged` scan is always available for the slow one.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable, _footer_zone_maps
+
+TOMBSTONE_COL = "is_deleted"  # = merge.TOMBSTONE_COL (no circular import)
+
+
+def _footer_md(table: SnapshotTable, f: dict[str, Any]):
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(table.root, f["path"]))
+
+
+def _dead_rows(table: SnapshotTable, f: dict[str, Any], md) -> tuple[int, bool]:
+    """(tombstone rows in this file, whether a column read was needed).
+
+    A file written before the tombstone column existed has no such parquet
+    column — every row is live. Otherwise the footer's boolean zone map
+    settles the all-clean / all-dead cases; only genuinely mixed files pay
+    a single-column read.
+    """
+    names = {md.row_group(i).column(j).path_in_schema
+             for i in range(md.num_row_groups)
+             for j in range(md.row_group(i).num_columns)} if md.num_row_groups else set()
+    if TOMBSTONE_COL not in names:
+        return 0, False
+    zm = _footer_zone_maps(md, [TOMBSTONE_COL]).get(TOMBSTONE_COL)
+    if zm == [False, False]:
+        return 0, False
+    if zm == [True, True]:
+        return md.num_rows, False
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(
+        os.path.join(table.root, f["path"]), columns=[TOMBSTONE_COL]
+    )[TOMBSTONE_COL]
+    import pyarrow.compute as pc
+
+    return int(pc.sum(pc.fill_null(col, False)).as_py() or 0), True
+
+
+def metadata_stats(
+    table: SnapshotTable,
+    cols: tuple[str, ...] | list[str] = (),
+    version: int | None = None,
+) -> dict[str, Any]:
+    """Driver-side table statistics for a snapshot, no Spark job.
+
+    Returns ``rows_total`` (physical rows), ``rows_dead`` (tombstones),
+    ``rows_live``, ``n_files``, ``n_bytes``, ``n_buckets``, and for each
+    requested column ``cols[c] = {"min", "max", "exact"}`` where min/max
+    range over ALL physical rows (live + tombstones) — ``exact`` is True
+    when the file-level evidence is complete AND no tombstone could hide
+    the extremum (rows_dead == 0). ``footer_reads`` / ``column_reads``
+    report what the call actually cost beyond the manifest.
+
+    Raises ValueError on snapshots holding MoR delta files (see module
+    docstring) and on columns absent from the snapshot schema.
+    """
+    st = table.state_at(version) if version is not None else table.refresh().state
+    files = st["files"]
+    if any(f.get("kind") == "delta" for f in files):
+        raise ValueError(
+            "metadata_stats: snapshot has merge-on-read delta files — per-file "
+            "row counts don't sum to table cardinality. Run compact_deltas() "
+            "first, or use read_merged() for a scan-based answer."
+        )
+    schema_names = {
+        f0["name"]
+        for f0 in st["schemas"][str(st["current_schema_id"])]["fields"]
+    }
+    for c in cols:
+        if c not in schema_names:
+            raise ValueError(f"metadata_stats: column {c!r} not in table schema")
+
+    rows_total = sum(f["rows"] for f in files)
+    n_bytes = sum(f["bytes"] for f in files)
+    footer_reads = column_reads = 0
+    rows_dead = 0
+    col_lo: dict[str, Any] = {}
+    col_hi: dict[str, Any] = {}
+    col_complete: dict[str, bool] = {c: True for c in cols}
+
+    tomb_in_schema = TOMBSTONE_COL in schema_names
+    for f in files:
+        missing = [c for c in cols if c not in (f.get("stats") or {})]
+        need_footer = (tomb_in_schema and f["rows"] > 0) or missing
+        md = None
+        if need_footer:
+            md = _footer_md(table, f)
+            footer_reads += 1
+        zones = dict(f.get("stats") or {})
+        if missing and md is not None:
+            zones.update(_footer_zone_maps(md, missing))
+        for c in cols:
+            z = zones.get(c)
+            if z is None:
+                if f["rows"] > 0:
+                    col_complete[c] = False
+                continue
+            col_lo[c] = z[0] if c not in col_lo else min(col_lo[c], z[0])
+            col_hi[c] = z[1] if c not in col_hi else max(col_hi[c], z[1])
+        if tomb_in_schema and md is not None:
+            dead, read_col = _dead_rows(table, f, md)
+            rows_dead += dead
+            column_reads += int(read_col)
+
+    return {
+        "rows_total": rows_total,
+        "rows_live": rows_total - rows_dead,
+        "rows_dead": rows_dead,
+        "n_files": len(files),
+        "n_bytes": n_bytes,
+        "n_buckets": len({f["bucket"] for f in files}),
+        "cols": {
+            c: {
+                "min": col_lo.get(c),
+                "max": col_hi.get(c),
+                "exact": col_complete[c] and rows_dead == 0,
+            }
+            for c in cols
+        },
+        "footer_reads": footer_reads,
+        "column_reads": column_reads,
+    }

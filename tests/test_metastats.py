@@ -1,0 +1,113 @@
+"""Metadata-only table stats (lake/metastats.py): driver-side counts and
+min/max must equal the scan truth, at the documented cost tier."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.load import overwrite
+from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+def _pipe(spark, tmp_path, name, **kw):
+    return CDCPipeline(spark, os.path.join(str(tmp_path), name), num_buckets=4, **kw)
+
+
+def test_cow_stats_equal_scan_truth(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, "cow")
+    pipe.replay(generate_change_events(spark, 3000, seed=3), by="delivery", feed_id="f")
+    ms = metadata_stats(pipe.table, cols=["seq", "commit"])
+    full = pipe.table.read(spark)
+    assert ms["rows_total"] == full.count()
+    assert ms["rows_live"] == pipe.current().count()
+    assert ms["rows_dead"] == ms["rows_total"] - ms["rows_live"] > 0
+    truth = full.agg(
+        F.min("seq"), F.max("seq"), F.min("commit"), F.max("commit")
+    ).collect()[0]
+    assert [ms["cols"]["seq"]["min"], ms["cols"]["seq"]["max"]] == list(truth)[:2]
+    assert [ms["cols"]["commit"]["min"], ms["cols"]["commit"]["max"]] == list(truth)[2:]
+    # tombstones present -> extremum could be a dead row; honesty flag off
+    assert not ms["cols"]["seq"]["exact"]
+
+
+def test_clean_feed_is_exact_without_column_reads(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, "clean")
+    feed = generate_change_events(spark, 2000, seed=5, delete_frac=0.0)
+    pipe.replay(feed, by="delivery", feed_id="f")
+    ms = pipe.stats(cols=("seq",))
+    assert ms["rows_dead"] == 0 and ms["column_reads"] == 0
+    assert ms["cols"]["seq"]["exact"]
+    assert ms["rows_live"] == pipe.current().count()
+
+
+def test_mor_deltas_refused_then_ok_after_compaction(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, "mor", merge_strategy="mor")
+    pipe.replay(generate_change_events(spark, 2000, seed=9), by="delivery", feed_id="f")
+    with pytest.raises(ValueError, match="compact"):
+        metadata_stats(pipe.table)
+    pipe.compact()
+    ms = metadata_stats(pipe.table)
+    assert ms["rows_live"] == pipe.current().count()
+
+
+def test_manifest_only_when_no_tombstone_column_and_zone_mapped(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        os.path.join(str(tmp_path), "plain"), schema, ["k"], num_buckets=4,
+        properties={"stats.columns": "seq"},
+    )
+    overwrite(spark, t, spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("seq")
+    ))
+    ms = metadata_stats(t, cols=["seq"])
+    # zero I/O beyond the manifest: no footers, no column reads
+    assert ms["footer_reads"] == 0 and ms["column_reads"] == 0
+    assert ms["rows_total"] == ms["rows_live"] == 500
+    assert ms["cols"]["seq"] == {"min": 0, "max": 998, "exact": True}
+
+
+def test_unzonemapped_column_falls_back_to_footer(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        os.path.join(str(tmp_path), "fb"), schema, ["k"], num_buckets=2,
+    )
+    overwrite(spark, t, spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").alias("seq"),
+        (F.col("id") / 4.0).alias("v"),
+    ))
+    ms = metadata_stats(t, cols=["v"])
+    assert ms["footer_reads"] > 0 and ms["column_reads"] == 0
+    assert ms["cols"]["v"] == {"min": 0.0, "max": 24.75, "exact": True}
+
+
+def test_unknown_column_and_versioned_read(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, "ver")
+    feed = generate_change_events(spark, 1500, seed=11, delete_frac=0.0)
+    batches = [b[0] for b in feed.select("delivery_batch").distinct().collect()]
+    first = feed.where(F.col("delivery_batch") == sorted(batches)[0])
+    pipe.apply_batch(first, batch_id="b0")
+    v1 = pipe.table.version
+    pipe.replay(feed, by="delivery", feed_id="rest")
+    with pytest.raises(ValueError, match="not in table schema"):
+        metadata_stats(pipe.table, cols=["nope"])
+    ms_old = metadata_stats(pipe.table, cols=["seq"], version=v1)
+    truth = pipe.table.read(spark, version=v1)
+    assert ms_old["rows_total"] == truth.count()
+    mn, mx = truth.agg(F.min("seq"), F.max("seq")).collect()[0]
+    assert ms_old["cols"]["seq"]["min"] == mn and ms_old["cols"]["seq"]["max"] == mx
