@@ -732,6 +732,51 @@ def q_paragraph_dedup(spark, sf):
     return paragraph_dedup(docs, sep_regex=" the ", join_sep="|")
 
 
+def q_doc_redact(spark, sf):
+    """PII/secret redaction (functions/redact.py): deterministic PII is
+    injected into each doc (doc_id%3 emails, an IPv4, and a 40-hex secret
+    on doc_id%5==0), then redacted with per-category counts. Patterns are
+    written in the Java-regex ∩ RE2 dialect, so the DuckDB oracle's
+    regexp_replace(..., 'g') / regexp_extract_all reproduce both the
+    redacted text and the counts exactly."""
+    from kf_etl_clin_portal_spark.functions.redact import redact_pii
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "repeat(concat(' user', CAST(doc_id AS STRING), '@example.com'),"
+                " CAST(doc_id % 3 AS INT))"
+            ),
+            F.concat(
+                F.lit(" 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" token "),
+                    F.lpad(
+                        F.lower(
+                            F.conv(
+                                (F.col("doc_id") * 2654435761).cast("string"),
+                                10,
+                                16,
+                            )
+                        ),
+                        40,
+                        "0",
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return redact_pii(injected)
+
+
 def q_doc_decontaminate(spark, sf):
     """Eval-set decontamination (dedup/decontaminate.py): docs with
     doc_id % 37 == 0 act as the frozen eval set, the rest as the training
@@ -1487,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition": q_doc_repetition,
         "doc_paragraph_dedup": q_paragraph_dedup,
+        "doc_redact": q_doc_redact,
         "cdc_metadata_stats": q_cdc_metadata_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1514,6 +1560,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, identical column names & values)
 # --------------------------------------------------------------------------
+def _redact_oracle_sql() -> str:
+    """Generated from the SAME DEFAULT_PATTERNS dict the Spark column uses
+    (the oracle_sql.py discipline): replacement chained in dict order with
+    the 'g' flag, counts via regexp_extract_all on the pre-redaction text."""
+    from kf_etl_clin_portal_spark.functions.redact import DEFAULT_PATTERNS
+
+    repl = "text"
+    for cat, pat in DEFAULT_PATTERNS.items():
+        repl = f"regexp_replace({repl}, '{pat}', '<{cat.upper()}>', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{cat}"
+        for cat, pat in DEFAULT_PATTERNS.items()
+    )
+    return f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text
+                 || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                           CAST(doc_id % 3 AS INT))
+                 || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' token ' || lpad(lower(hex(doc_id * 2654435761)), 40, '0')
+                         ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id, {counts}, {repl} AS text FROM injected
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sh = OSQL.shingles_sql("text", 3)
     minhash_cols = ", ".join(
@@ -2142,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
                             END, 0.0) AS top2gram_char_frac
             FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
         """,
+        "doc_redact": _redact_oracle_sql(),
         "cdc_metadata_stats": """
             WITH latest AS (
               SELECT user_id,

@@ -1,0 +1,69 @@
+"""PII / secret redaction for training-data curation: emails, IPv4
+addresses, cloud access keys, and long hex secrets replaced by typed
+placeholder tokens, with per-category match counts for corpus auditing.
+
+All JVM codegen — one `regexp_replace` chain plus one `regexp_count` per
+category on the scan; no UDFs, no shuffle, so the pass rides along with
+the quality/language filters in `operators/curate.py` at zero extra jobs.
+Patterns stay in the dialect both Java regex (Spark) and RE2 (the DuckDB
+oracle) interpret identically: character classes, bounded repetition,
+non-capturing groups, `\\b` — no backreferences, no lookaround. The
+category → pattern map is data, not code: callers extend/replace
+``DEFAULT_PATTERNS`` (ordering matters — replacement is chained in dict
+order, counts are measured on the ORIGINAL text).
+
+The reference has no redaction surface; this is part of the brief's
+training-data pipeline layer. Placeholder style follows the common
+pretraining-corpus convention (e.g. "<EMAIL>").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ordering matters for overlapping categories: specific key shapes before
+# any generic catch-all a caller adds. The email pattern requires an
+# alphabetic TLD, so IP-host "addresses" (a@10.0.0.1) redact as IPv4.
+DEFAULT_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "hex_secret": r"\b[0-9a-f]{40}\b",
+}
+
+
+def _token(category: str) -> str:
+    return f"<{category.upper()}>"
+
+
+def redact_text(
+    col: Column, patterns: dict[str, str] | None = None
+) -> Column:
+    """The input text with every match of every category replaced by its
+    placeholder token, applied in dict order (Spark `regexp_replace`
+    replaces ALL occurrences)."""
+    out = col
+    for cat, pat in (patterns or DEFAULT_PATTERNS).items():
+        out = F.regexp_replace(out, pat, _token(cat))
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    counts: bool = True,
+) -> DataFrame:
+    """``text_col`` redacted in place, plus (with ``counts=True``) one
+    ``n_<category>`` LONG column per pattern, counted on the pre-redaction
+    text — the audit trail a curation run reports per shard."""
+    pats = patterns or DEFAULT_PATTERNS
+    out = df
+    if counts:
+        for cat, pat in pats.items():
+            out = out.withColumn(
+                f"n_{cat}",
+                F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+            )
+    return out.withColumn(text_col, redact_text(F.col(text_col), pats))

@@ -45,6 +45,8 @@ def curate_corpus(
     max_dup_line_frac: float | None = None,
     eval_df: DataFrame | None = None,
     decontaminate_n: int = 8,
+    redact: bool = False,
+    redact_patterns: dict[str, str] | None = None,
 ) -> DataFrame:
     """Returns the curated corpus with per-doc provenance columns:
     ``quality``, ``lang_pred``, ``n_dups`` (exact-dup group size this row
@@ -56,6 +58,10 @@ def curate_corpus(
     the same scan); ``eval_df`` adds benchmark decontamination (drop docs
     sharing any ``decontaminate_n``-gram with the eval set,
     `dedup/decontaminate.py`) before the dedup stages.
+
+    ``redact=True`` scrubs PII/secrets (`functions/redact.py`) before the
+    dedup stages — identical docs differing only in embedded emails/keys
+    collapse together — and carries per-category ``n_<cat>`` counts.
 
     ``exact_clusters=True`` replaces the drop-larger-id pair policy with
     true connected-component resolution (`operators/components.py`): keep
@@ -72,6 +78,13 @@ def curate_corpus(
         kept = kept.where(
             TX.dup_line_fraction(F.col(text_col)) <= max_dup_line_frac
         )
+    if redact:
+        # PII scrub BEFORE dedup: docs identical up to their embedded
+        # emails/keys collapse together once redacted; n_<category>
+        # counts ride along as provenance. Same scan, zero extra jobs.
+        from kf_etl_clin_portal_spark.functions.redact import redact_pii
+
+        kept = redact_pii(kept, text_col=text_col, patterns=redact_patterns)
     if eval_df is not None:
         from kf_etl_clin_portal_spark.dedup.decontaminate import (
             drop_contaminated,
