@@ -57,7 +57,46 @@ def register_tables(
             )
             table.manifest_df(spark).createOrReplaceTempView(f"{name}__manifest")
             created += [f"{name}__files", f"{name}__manifest"]
+            stats = _stats_row(spark, table, version=version)
+            if stats is not None:
+                stats.createOrReplaceTempView(f"{name}__stats")
+                created.append(f"{name}__stats")
     return created
+
+
+def _stats_row(spark: SparkSession, table, version: int | None = None):
+    """One-row ``<name>__stats`` view from `lake/metastats.py` — live/dead
+    row counts and key-column seq range with NO Spark job behind it (the
+    Iceberg metadata-aggregate analog, exposed to SQL). None (view
+    skipped) on snapshots metadata can't answer (uncompacted MoR)."""
+    from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
+
+    stats_cols = tuple(
+        c.strip()
+        for c in table.state["properties"].get("stats.columns", "seq").split(",")
+        if c.strip()
+        and c.strip() in {f["name"] for f in
+                          table.state["schemas"][str(table.state["current_schema_id"])]["fields"]}
+    )
+    try:
+        ms = metadata_stats(table, cols=stats_cols, version=version)
+    except ValueError:
+        return None
+    row = {
+        "rows_total": ms["rows_total"],
+        "rows_live": ms["rows_live"],
+        "rows_dead": ms["rows_dead"],
+        "n_files": ms["n_files"],
+        "n_bytes": ms["n_bytes"],
+        "n_buckets": ms["n_buckets"],
+    }
+    for c in stats_cols:
+        if ms["cols"][c]["min"] is not None:  # empty/statless: omit, don't null-type
+            row[f"min_{c}"] = ms["cols"][c]["min"]
+            row[f"max_{c}"] = ms["cols"][c]["max"]
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(**row)])
 
 
 def register_changes(

@@ -130,3 +130,25 @@ def test_register_changes_sql_view(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="mode"):
         register_changes(spark, "tc", pipe, mode="bogus")
+
+
+def test_stats_metadata_view(spark, lake):
+    pa, pb = lake
+    names = register_tables(spark, {"code": pa, "docs": pb})
+    # uncompacted MoR: metadata can't answer honestly -> view skipped
+    assert "code__stats" not in names
+    assert "docs__stats" in names
+    row = spark.sql("SELECT * FROM docs__stats").first().asDict()
+    assert row["rows_live"] == pb.current().count()
+    truth = spark.sql(
+        "SELECT min(seq) AS lo, max(seq) AS hi FROM "
+        "(SELECT seq FROM docs)"
+    ).first()
+    # stats range covers ALL physical rows (incl. tombstones), so it must
+    # bound the live view's range and match the physical table exactly
+    phys = pb.table.read(spark).agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    ).first()
+    assert row["min_seq"] == phys["lo"] and row["max_seq"] == phys["hi"]
+    assert row["min_seq"] <= truth["lo"] and row["max_seq"] >= truth["hi"]
+    assert row["rows_total"] == row["rows_live"] + row["rows_dead"]
