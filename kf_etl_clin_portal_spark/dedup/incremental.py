@@ -172,3 +172,162 @@ def neardup_pairs_for_changed(
         .where(F.col("est_jaccard") >= min_jaccard)
         .drop("signature", "other_signature")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental PARAGRAPH dedup: first-ever-seen paragraph ownership
+# --------------------------------------------------------------------------
+
+def update_paragraph_index(
+    spark: SparkSession,
+    src: SnapshotTable,
+    index_pipe,
+    text_col: str = "content",
+    sep_regex: str = r"\n\n+",
+    min_chars: int = 1,
+    source_id: str = "pidx",
+    strict: bool = True,
+) -> dict[str, Any]:
+    """Maintain a **paragraph ownership index** from ``src``'s change feed:
+    one row per distinct paragraph hash (`functions.hashing.h60`), keyed on
+    ``h``, recording the occurrence that FIRST claimed it — the streaming
+    counterpart of `dedup/paragraphs.py:paragraph_dedup`.
+
+    Ownership semantics are *first-ever-seen wins* (the streaming-dedup
+    convention, like a Bloom-filter dedup): a paragraph once claimed stays
+    claimed even if its owner doc is later deleted. Exact
+    min-(doc,pos)-over-live-docs ownership would require a posting list of
+    every (h, doc) pair — O(corpus paragraphs) state and a reassignment
+    cascade per delete; "seen forever" keeps the index O(distinct
+    paragraphs) and each poll O(changed text), which is the property that
+    matters at 10^10 events. Within one poll, ownership ties break to the
+    minimum (key..., pos) — identical to the batch operator, so a corpus
+    ingested in one poll indexes exactly as `paragraph_dedup` would dedup
+    it (tested).
+
+    First-wins is enforced through the ordinary MERGE by emitting
+    ``seq = -until_version``: earlier polls carry HIGHER seq, so a later
+    poll's claim on an existing hash loses the max_by resolution — no
+    special-cased write path, same fence/lineage story as every mirror.
+
+    Deletes never touch the index (a claim outlives its owner), so a
+    delete-/maintenance-only range applies nothing and PARKS the cursor —
+    the `mirror_changes` convention; the next live change folds the parked
+    range in. Returns {applied, since, until, rows}.
+    """
+    from kf_etl_clin_portal_spark.dedup.paragraphs import split_paragraphs
+
+    src.refresh()
+    until = src.version
+    since, epoch = mirror_cursor(index_pipe.table, source_id) if (
+        SnapshotTable.exists(index_pipe.root)
+    ) else (0, -1)
+    if until <= since:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+
+    ch = read_changes(spark, src, since_version=since, until_version=until,
+                      strict=strict)
+    key_cols = src.key_cols
+    live = ch.where(
+        ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    ).select(*key_cols, text_col)
+    paras = split_paragraphs(
+        live, text_col=text_col, id_col=None, sep_regex=sep_regex,
+        key_cols=key_cols,
+    ).where(F.length("para") >= min_chars)
+    from kf_etl_clin_portal_spark.functions.hashing import h60
+
+    occ = F.struct(*[F.col(c) for c in key_cols], F.col("pos"))
+    batch = (
+        paras.withColumn("h", h60(F.col("para")))
+        .groupBy("h")
+        .agg(F.min(occ).alias("__w"))
+        .select(
+            "h",
+            *[F.col(f"__w.{c}").alias(f"owner_{c}") for c in key_cols],
+            F.col("__w.pos").alias("owner_pos"),
+            F.lit(-until).cast("long").alias("seq"),
+        )
+    )
+    res = index_pipe.apply_batch(
+        batch,
+        batch_id=f"cdf.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            "mirror_source": source_id,
+            "mirror_until": until,
+            "mirror_epoch": epoch + 1,
+        },
+    )
+    if res.skipped:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+    return {
+        "applied": True, "since": since, "until": until,
+        "rows": res.n_events, "dst_version": res.version,
+    }
+
+
+def dedup_changed_paragraphs(
+    spark: SparkSession,
+    index_pipe,
+    changed_docs: DataFrame,
+    text_col: str = "content",
+    sep_regex: str = r"\n\n+",
+    join_sep: str = "\n",
+    min_chars: int = 1,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite the given (small) set of changed documents against the
+    paragraph index: a paragraph survives iff this doc OWNS its hash (per
+    the index) and this is its first occurrence within the doc's current
+    text — so repeats of any previously-seen paragraph (other docs' or
+    earlier in the same doc) are dropped, while a re-ingested owner keeps
+    its own paragraphs even at moved positions.
+
+    Run `update_paragraph_index` for the poll FIRST: every paragraph of a
+    changed doc is then present in the index. A hash absent from the index
+    (caller skipped the update) is conservatively kept. Cost: explode of
+    the CHANGED docs only + one join against the bucketed index — the
+    corpus is never re-read.
+    """
+    from kf_etl_clin_portal_spark.dedup.paragraphs import split_paragraphs
+    from kf_etl_clin_portal_spark.functions.hashing import h60
+
+    keys = key_cols or [c for c in changed_docs.columns if c != text_col]
+    ex = split_paragraphs(
+        changed_docs, text_col=text_col, id_col=None, sep_regex=sep_regex,
+        key_cols=keys,
+    ).withColumn("h", h60(F.col("para")))
+    eligible = F.length("para") >= min_chars
+
+    index = index_pipe.current().select(
+        "h", *[F.col(f"owner_{c}") for c in keys]
+    )
+    owned = F.lit(True)
+    for c in keys:
+        owned = owned & (F.col(c) == F.col(f"owner_{c}"))
+
+    from pyspark.sql.window import Window
+
+    # per-(doc, paragraph-hash) groups: bounded by a single document's
+    # paragraph count, so the window is safe at any corpus size
+    first_in_doc = F.min("pos").over(Window.partitionBy(*keys, "h"))
+    tagged = (
+        ex.join(index, on="h", how="left")
+        .withColumn("__first", first_in_doc)
+        .withColumn(
+            "kept",
+            F.when(~eligible, F.lit(True)).otherwise(
+                F.coalesce(owned, F.lit(True)) & (F.col("pos") == F.col("__first"))
+            ),
+        )
+    )
+    rows = F.array_sort(F.collect_list(F.struct("pos", "para", "kept")))
+    return tagged.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(F.filter(rows, lambda x: x["kept"]),
+                        lambda x: x["para"]),
+            join_sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras"),
+        (F.count(F.lit(1)) - F.sum(F.col("kept").cast("long"))).alias("n_dropped"),
+    )

@@ -39,14 +39,18 @@ from kf_etl_clin_portal_spark.functions.hashing import h60
 def split_paragraphs(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str | None = "doc_id",
     sep_regex: str = r"\n\n+",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, pos, para): trimmed non-empty paragraphs with their 1-based
-    original position. Pure project+generate — no shuffle."""
+    """(key..., pos, para): trimmed non-empty paragraphs with their 1-based
+    original position. Pure project+generate — no shuffle. Identity is
+    ``id_col`` or, for composite-keyed tables (the CDC lake shape),
+    ``key_cols``."""
+    keys = list(key_cols) if key_cols is not None else [id_col]
     parts = F.split(F.col(text_col), sep_regex)
     return (
-        df.select(id_col, F.posexplode(parts).alias("pos", "para"))
+        df.select(*keys, F.posexplode(parts).alias("pos", "para"))
         .withColumn("pos", F.col("pos") + F.lit(1))
         .withColumn("para", F.trim(F.col("para")))
         .where(F.length("para") > 0)

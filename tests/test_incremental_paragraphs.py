@@ -1,0 +1,136 @@
+"""Incremental paragraph dedup (dedup/incremental.py): first-ever-seen
+paragraph ownership maintained from the change feed, O(changed text) per
+poll; changed docs rewritten against the index only."""
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.dedup.incremental import (
+    dedup_changed_paragraphs,
+    update_paragraph_index,
+)
+
+SEP = r"\|\|"
+
+
+def _pfeed(spark, rows):
+    """rows: (seq, repo, path, content) — paragraphs separated by '||'."""
+    data = [
+        (seq, "delete" if content is None else "upsert", repo, path,
+         f"c{seq}", "text", content, 0)
+        for seq, repo, path, content in rows
+    ]
+    return spark.createDataFrame(
+        data, "seq long, op string, repo string, path string, commit string, "
+              "lang string, content string, delivery_batch int",
+    )
+
+
+def _pipes(spark, tmp_path):
+    src = CDCPipeline(
+        spark, str(tmp_path / "psrc"), num_buckets=4, merge_strategy="mor"
+    )
+    idx = CDCPipeline(
+        spark, str(tmp_path / "pidx"), key_cols=("h",), num_buckets=4
+    )
+    return src, idx
+
+
+def test_single_poll_index_matches_batch_dedup(spark, tmp_path):
+    from kf_etl_clin_portal_spark.dedup.paragraphs import paragraph_dedup
+
+    src, idx = _pipes(spark, tmp_path)
+    rows = [
+        (1, "r1", "a", "alpha beta||common para||alpha beta"),
+        (2, "r1", "b", "common para||unique two"),
+        (3, "r2", "c", "alpha beta||common para"),
+    ]
+    src.apply_batch(_pfeed(spark, rows), batch_id="b0")
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+
+    changed = src.current().select("repo", "path", "content")
+    got = {
+        (x["repo"], x["path"]): x["content"]
+        for x in dedup_changed_paragraphs(
+            spark, idx, changed, sep_regex=SEP, join_sep="||"
+        ).collect()
+    }
+    # batch operator over the same corpus, same composite key ordering
+    batch_in = src.current().withColumn(
+        "doc_id", F.concat_ws(" ", "repo", "path")
+    ).select("doc_id", F.col("content").alias("text"))
+    exp = {
+        tuple(x["doc_id"].split(" ")): x["text"]
+        for x in paragraph_dedup(
+            batch_in, sep_regex=SEP, join_sep="||"
+        ).collect()
+    }
+    assert got == exp
+    assert got[("r1", "a")] == "alpha beta||common para"
+    assert got[("r1", "b")] == "unique two"
+    assert got[("r2", "c")] == ""
+
+
+def test_first_ever_seen_ownership_across_polls(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    src.apply_batch(
+        _pfeed(spark, [(1, "r1", "a", "para one||para two")]), batch_id="b0"
+    )
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+
+    # poll 2: a later doc repeats an owned paragraph; the owner re-ingests
+    # its own paragraph at a MOVED position; a within-doc repeat drops
+    poll2 = [
+        (2, "r9", "z", "para one||fresh stuff||fresh stuff"),
+        (3, "r1", "a", "lead in||para two"),
+    ]
+    src.apply_batch(_pfeed(spark, poll2), batch_id="b1")
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+
+    got = {
+        (x["repo"], x["path"]): (x["content"], x["n_dropped"])
+        for x in dedup_changed_paragraphs(
+            spark, idx, _pfeed(spark, poll2).select("repo", "path", "content"),
+            sep_regex=SEP, join_sep="||",
+        ).collect()
+    }
+    assert got[("r9", "z")] == ("fresh stuff", 2)        # stolen + self-repeat
+    assert got[("r1", "a")] == ("lead in||para two", 0)  # own paras, moved pos
+
+
+def test_ownership_survives_owner_delete_and_idle_poll_fences(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    src.apply_batch(_pfeed(spark, [(1, "r1", "a", "claimed para")]), batch_id="b0")
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+    v = idx.table.version
+
+    # idle poll: no new source commits -> nothing applied, no new version
+    assert not update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+    assert idx.table.refresh().version == v
+
+    # delete the owner; the claim persists (first-ever-seen semantics).
+    # A delete-only range parks the cursor (nothing to index) …
+    src.apply_batch(_pfeed(spark, [(2, "r1", "a", None)]), batch_id="b1")
+    r = update_paragraph_index(spark, src.table, idx, sep_regex=SEP)
+    assert not r["applied"]
+    # … and the next live change folds the parked range in
+    newcomer = _pfeed(spark, [(3, "r7", "n", "claimed para||novel line")])
+    src.apply_batch(newcomer, batch_id="b2")
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+    got = dedup_changed_paragraphs(
+        spark, idx, newcomer.select("repo", "path", "content"),
+        sep_regex=SEP, join_sep="||",
+    ).collect()[0]
+    assert got["content"] == "novel line" and got["n_dropped"] == 1
+
+
+def test_later_poll_does_not_steal_ownership(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    src.apply_batch(_pfeed(spark, [(1, "r1", "a", "owned para")]), batch_id="b0")
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+    src.apply_batch(_pfeed(spark, [(2, "r2", "b", "owned para")]), batch_id="b1")
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+    owners = {
+        (r["owner_repo"], r["owner_path"]) for r in idx.current().collect()
+    }
+    assert owners == {("r1", "a")}
