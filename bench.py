@@ -56,6 +56,8 @@ HEADLINE = [
     "event_asof_purchase",
     "event_sessions",
     "event_window_hits",
+    "doc_paragraph_dedup",
+    "doc_redact",
 ]
 
 

@@ -255,6 +255,29 @@ def main():
     print("== snapshot diff join ==")
     print("\n".join(l for l in p.splitlines() if "Join" in l))
 
+    # 8g. paragraph dedup: winner resolution must be a partial+final
+    #     AGGREGATE over h (min(struct) plans as SortAggregate — map-side
+    #     combine still absorbs boilerplate hot paragraphs), NEVER a
+    #     window over h (which would sort every occurrence of a hot
+    #     paragraph in one task); winner join-back stays in the
+    #     SMJ/SHJ/BHJ family; everything JVM-side
+    from kf_etl_clin_portal_spark.dedup.paragraphs import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"para {i % 7}. tail {i}") for i in range(64)], ["doc_id", "text"]
+    )
+    p = plan_of(paragraph_dedup(docs, sep_regex=r"\. "))
+    if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+        problems.append("paragraph_dedup: nested-loop/cartesian join planned")
+    if not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p):
+        problems.append("paragraph_dedup: winner join not hash-family")
+    if re.search(r"Window", p):
+        problems.append("paragraph_dedup: window op planned (hot-key sort risk)")
+    if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+        problems.append("paragraph_dedup: Python eval in plan")
+    print("== paragraph dedup ==")
+    print("\n".join(l for l in p.splitlines() if "Join" in l or "Aggregate" in l))
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
