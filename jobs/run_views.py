@@ -70,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="ROOT:FK=DIMKEY[,..]@DIM_ROOT",
                     help="denormalized join view with this table as the "
                          "fact side (repeatable)")
+    ap.add_argument("--minhash-index", action="append", default=[],
+                    metavar="ROOT",
+                    help="maintain a MinHash signature index of the source "
+                         "(dedup/incremental.py:update_minhash_index; "
+                         "repeatable)")
+    ap.add_argument("--paragraph-index", action="append", default=[],
+                    metavar="ROOT[@SEP_REGEX]",
+                    help="maintain a first-seen paragraph ownership index "
+                         "(dedup/incremental.py:update_paragraph_index; "
+                         "default separator regex '\\n\\n+'; repeatable)")
     ap.add_argument("--source-id", default="views",
                     help="cursor namespace (one follower per id per view)")
     ap.add_argument("--view-buckets", type=int, default=8,
@@ -84,8 +94,9 @@ def main(argv: list[str] | None = None) -> int:
                          "delta bytes exceed RATIO of base bytes (or ≥8 "
                          "delta files); metadata-only decision")
     args = ap.parse_args(argv)
-    if not args.agg and not args.join:
-        ap.error("nothing to do: pass --agg and/or --join")
+    if not (args.agg or args.join or args.minhash_index or args.paragraph_index):
+        ap.error("nothing to do: pass --agg, --join, --minhash-index, "
+                 "and/or --paragraph-index")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -134,6 +145,34 @@ def main(argv: list[str] | None = None) -> int:
             report["views"][root]["compacted_buckets"] = vpipe.maybe_compact(
                 max_delta_ratio=args.auto_compact
             )
+
+    for root in args.minhash_index:
+        from kf_etl_clin_portal_spark.dedup.incremental import (
+            update_minhash_index,
+        )
+
+        ipipe = CDCPipeline(
+            spark, root, key_cols=tuple(src.key_cols),
+            num_buckets=args.view_buckets,
+        )
+        report["views"][root] = update_minhash_index(
+            spark, src, ipipe, source_id=f"{args.source_id}-mh"
+        )
+
+    for spec in args.paragraph_index:
+        from kf_etl_clin_portal_spark.dedup.incremental import (
+            update_paragraph_index,
+        )
+
+        root, sep = (spec.rsplit("@", 1) + [r"\n\n+"])[:2] if "@" in spec \
+            else (spec, r"\n\n+")
+        ipipe = CDCPipeline(
+            spark, root, key_cols=("h",), num_buckets=args.view_buckets,
+        )
+        report["views"][root] = update_paragraph_index(
+            spark, src, ipipe, sep_regex=sep,
+            source_id=f"{args.source_id}-pi",
+        )
 
     print(json.dumps(report))
     return 0

@@ -260,3 +260,24 @@ def test_run_views_cli_tick(spark, tmp_path):
     rows = view.current()
     assert rows.count() > 0
     assert rows.where(F.col("rating").isNull()).count() == 0
+
+    # dedup indexes ride the same tick: minhash signatures for every live
+    # doc, paragraph ownership claims; a repeat tick parks both cursors
+    mh, pi = str(tmp_path / "mh"), str(tmp_path / "pi")
+    rep3 = run(
+        "run_views.py", "--source", src,
+        "--minhash-index", mh, "--paragraph-index", f"{pi}@\\s+the\\s+",
+    )
+    assert rep3["views"][mh]["applied"] is True
+    assert rep3["views"][pi]["applied"] is True
+    src_pipe = CDCPipeline(spark, src, num_buckets=8, merge_strategy="mor")
+    mh_pipe = CDCPipeline(spark, mh, key_cols=("repo", "path"), num_buckets=8)
+    assert mh_pipe.current().count() == src_pipe.current().count()
+    pi_pipe = CDCPipeline(spark, pi, key_cols=("h",), num_buckets=8)
+    assert pi_pipe.current().count() > 0
+    rep4 = run(
+        "run_views.py", "--source", src,
+        "--minhash-index", mh, "--paragraph-index", f"{pi}@\\s+the\\s+",
+    )
+    assert rep4["views"][mh]["applied"] is False
+    assert rep4["views"][pi]["applied"] is False
