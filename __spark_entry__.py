@@ -960,6 +960,18 @@ def q_ivm_event_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_event_hot_keys(spark, sf):
+    """Skew advisor (operators/profile.py:hot_keys): the 20 heaviest
+    user_id keys in the events WAL with corpus share (floor-quantized —
+    cross-engine-stable) and the recommended salt factor. Deterministic
+    (count desc, key asc) tie-break; the oracle recomputes with a scalar
+    totals subquery."""
+    from kf_etl_clin_portal_spark.operators.profile import hot_keys
+
+    ev = _t(spark, sf, "events").select("user_id")
+    return hot_keys(ev, ["user_id"], top_k=20)
+
+
 def q_cdc_metadata_stats(spark, sf):
     """Metadata-only table stats (lake/metastats.py) end-to-end: the events
     WAL (op=delete when event_type='error') is replayed into a CoW lake in
@@ -1534,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_dedup": q_paragraph_dedup,
         "doc_redact": q_doc_redact,
         "cdc_metadata_stats": q_cdc_metadata_stats,
+        "event_hot_keys": q_event_hot_keys,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2216,6 +2229,20 @@ def oracle_sql() -> dict[str, str]:
                                  THEN CAST(t.c * length(t.g) AS DOUBLE) / b.L
                             END, 0.0) AS top2gram_char_frac
             FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        """,
+        "event_hot_keys": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id
+            ), t AS (
+              SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS nk FROM c
+            )
+            SELECT user_id, n,
+                   floor((n::DOUBLE / t.total::DOUBLE) * 1e6) / 1e6 AS share,
+                   GREATEST(1, CAST(ceil((n * t.nk)::DOUBLE / t.total::DOUBLE)
+                                    AS BIGINT)) AS salt_rec
+            FROM c, t
+            ORDER BY n DESC, user_id ASC
+            LIMIT 20
         """,
         "doc_redact": _redact_oracle_sql(),
         "cdc_metadata_stats": """

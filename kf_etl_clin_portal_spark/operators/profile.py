@@ -84,3 +84,43 @@ def profile_table(
             row[f"__mean_{c}"] if isinstance(dt, _NUMERIC) else None,
         ))
     return df.sparkSession.createDataFrame(out, _SCHEMA)
+
+
+def hot_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Skew advisor: the ``top_k`` heaviest keys with their row count,
+    corpus share, and a recommended salt factor (the count's ratio to the
+    mean key, i.e. how many salt buckets flatten this key to average).
+
+    The operational companion of the salted MERGE (`cdc/dedup.py:
+    salted_latest`, SURVEY §2/monorepo skew): run over a feed sample or a
+    lineage window to SIZE ``salt_buckets`` from evidence instead of
+    folklore. One hash-agg shuffle over the keys (map-side combine soaks
+    the hot keys themselves) + a broadcast of the two global scalars; the
+    top-k sort runs on the already-aggregated per-key counts, never the
+    rows. Deterministic tie-break (count desc, then keys asc), so results
+    are stable under repartition.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nk")
+    )
+    top = counts.orderBy(
+        F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
+    ).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        "n",
+        # floor-quantized to 1e-6, not round(): floor is identical across
+        # engines while round ties differ (banker's vs half-away — the
+        # docs_temperature_mix lesson), and a truncated share never
+        # overstates a key's weight
+        (F.floor((F.col("n") / F.col("__total")) * 1e6) / 1e6).alias("share"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("n") * F.col("__nk") / F.col("__total")),
+        ).cast("long").alias("salt_rec"),
+    )

@@ -45,3 +45,28 @@ def test_approx_mode_and_missing_column(spark):
     assert abs(prof["u"]["n_distinct"] - 500) <= 50  # HLL envelope
     with pytest.raises(ValueError, match="no such column"):
         profile_table(df, ["nope"])
+
+
+def test_hot_keys_known_values_and_salt(spark):
+    from kf_etl_clin_portal_spark.operators.profile import hot_keys
+
+    # 4 keys, 16 rows: a=10, b=3, c=2, d=1 (mean = 4)
+    rows = [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 2 + [("d",)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = hot_keys(df, ["k"], top_k=3).collect()
+    assert [(r["k"], r["n"]) for r in got] == [("a", 10), ("b", 3), ("c", 2)]
+    top = got[0]
+    assert top["share"] == 0.625
+    assert top["salt_rec"] == 3  # ceil(10 / 4)
+    assert got[1]["salt_rec"] == 1  # below-mean keys never salt
+
+
+def test_hot_keys_stable_under_repartition_and_ties(spark):
+    from kf_etl_clin_portal_spark.operators.profile import hot_keys
+
+    rows = [(f"k{i % 6}",) for i in range(60)]  # all counts equal: tie-break
+    df = spark.createDataFrame(rows, ["k"])
+    a = [tuple(r) for r in hot_keys(df, ["k"], top_k=4).collect()]
+    b = [tuple(r) for r in hot_keys(df.repartition(7), ["k"], top_k=4).collect()]
+    assert a == b
+    assert [r[0] for r in a] == ["k0", "k1", "k2", "k3"]  # asc key tie-break
