@@ -960,6 +960,20 @@ def q_ivm_event_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_doc_sequences(spark, sf):
+    """Concat-and-chunk sequence packing (operators/pack.py:
+    pack_sequences): documents in doc_id order, cut into 1000-char
+    training sequences; one row per (doc, sequence) span. Runs on the
+    distributed prefix sum; the oracle recomputes with a true
+    SUM() OVER (ORDER BY) window + generate_series."""
+    from kf_etl_clin_portal_spark.operators.pack import pack_sequences
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, ["doc_id"], "n_chars", seq_len=1000).select(
+        "doc_id", "seq_id", "seq_offset", "doc_offset", "span_len"
+    )
+
+
 def q_event_hot_keys(spark, sf):
     """Skew advisor (operators/profile.py:hot_keys): the 20 heaviest
     user_id keys in the events WAL with corpus share (floor-quantized —
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact": q_doc_redact,
         "cdc_metadata_stats": q_cdc_metadata_stats,
         "event_hot_keys": q_event_hot_keys,
+        "doc_sequences": q_doc_sequences,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2229,6 +2244,28 @@ def oracle_sql() -> dict[str, str]:
                                  THEN CAST(t.c * length(t.g) AS DOUBLE) / b.L
                             END, 0.0) AS top2gram_char_frac
             FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        """,
+        "doc_sequences": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, n_chars, cum, cum - n_chars AS before,
+                     unnest(generate_series(
+                       CAST(floor((cum - n_chars) / 1000) AS BIGINT),
+                       CAST(floor((cum - 1) / 1000) AS BIGINT))) AS seq_id
+              FROM c WHERE n_chars > 0
+            )
+            SELECT doc_id, seq_id,
+                   (GREATEST(before, seq_id * 1000) - seq_id * 1000)::BIGINT
+                     AS seq_offset,
+                   (GREATEST(before, seq_id * 1000) - before)::BIGINT
+                     AS doc_offset,
+                   (LEAST(cum, seq_id * 1000 + 1000)
+                    - GREATEST(before, seq_id * 1000))::BIGINT AS span_len
+            FROM spans
         """,
         "event_hot_keys": """
             WITH c AS (

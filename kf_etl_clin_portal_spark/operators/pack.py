@@ -125,3 +125,49 @@ def pack_shards(
     ).withColumn(
         "shard_offset", (before % F.lit(shard_budget)).cast("long")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str,
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenated in key
+    order and cut every ``seq_len`` tokens — ONE ROW PER (document,
+    training sequence it lands in), the join map a sequence-builder needs
+    to assemble fixed-length samples:
+
+      ``seq_id``      which training sequence,
+      ``seq_offset``  where in that sequence this document's span starts,
+      ``doc_offset``  where in the document the span starts,
+      ``span_len``    tokens contributed (spans of one doc sum to its size).
+
+    Same prefix-sum engine as `pack_shards` (one range-partition shuffle,
+    no single-partition window); the per-doc explode factor is
+    ``ceil(size/seq_len) + 1`` — linear in corpus tokens. Zero-size
+    documents contribute no span (dropped by the explode). Pure arithmetic
+    over the exclusive prefix, hence exactly SQL-window-checkable.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    cum_col = f"cum_{size_col}"
+    out = running_total(df, order_cols, size_col, out_col=cum_col,
+                        num_partitions=num_partitions)
+    size, cum = F.col(size_col), F.col(cum_col)
+    before = cum - size
+    first = F.floor(before / F.lit(seq_len)).cast("long")
+    last = F.floor((cum - 1) / F.lit(seq_len)).cast("long")
+    spans = F.when(size > 0, F.sequence(first, last)).otherwise(
+        F.array().cast("array<long>")
+    )
+    e = out.withColumn("seq_id", F.explode(spans))
+    seq_start = F.col("seq_id") * F.lit(seq_len)
+    span_start = F.greatest(before, seq_start)
+    span_end = F.least(cum, seq_start + F.lit(seq_len))
+    return (
+        e.withColumn("seq_offset", (span_start - seq_start).cast("long"))
+        .withColumn("doc_offset", (span_start - before).cast("long"))
+        .withColumn("span_len", (span_end - span_start).cast("long"))
+    )

@@ -133,3 +133,52 @@ def test_curate_corpus_repetition_and_decontamination_gates(spark):
         eval_df=ev, decontaminate_n=3, shard_budget=1_000,
     )
     assert {r["doc_id"] for r in out.collect()} == {"a"}
+
+
+def test_pack_sequences_known_values(spark):
+    from kf_etl_clin_portal_spark.operators.pack import pack_sequences
+
+    # sizes 4,3,0,6 over seq_len=5: doc1=[0:0..4), doc2 straddles 0→1,
+    # doc3 empty (no span), doc4 spans 1 and 2
+    df = spark.createDataFrame(
+        [(1, 4), (2, 3), (3, 0), (4, 6)], ["doc_id", "n"]
+    )
+    rows = sorted(
+        (r["doc_id"], r["seq_id"], r["seq_offset"], r["doc_offset"], r["span_len"])
+        for r in pack_sequences(df, ["doc_id"], "n", seq_len=5).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 0, 4),
+        (2, 0, 4, 0, 1),
+        (2, 1, 0, 1, 2),
+        (4, 1, 2, 0, 3),
+        (4, 2, 0, 3, 3),
+    ]
+
+
+def test_pack_sequences_invariants(spark):
+    from kf_etl_clin_portal_spark.operators.pack import pack_sequences
+    import pyspark.sql.functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(37)).alias("n"),
+    )
+    out = pack_sequences(df, ["doc_id"], "n", seq_len=64)
+    # spans of a doc sum to its size; no sequence over capacity;
+    # offsets stay in range
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum("span_len").alias("tot"), F.first("n").alias("n")
+    )
+    assert per_doc.where(F.col("tot") != F.col("n")).count() == 0
+    per_seq = out.groupBy("seq_id").agg(F.sum("span_len").alias("fill"))
+    assert per_seq.where(F.col("fill") > 64).count() == 0
+    # every sequence except the last is exactly full
+    last = per_seq.agg(F.max("seq_id")).first()[0]
+    assert per_seq.where(
+        (F.col("seq_id") != last) & (F.col("fill") != 64)
+    ).count() == 0
+    assert out.where(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= 64)
+        | (F.col("doc_offset") < 0) | (F.col("span_len") <= 0)
+    ).count() == 0

@@ -387,3 +387,61 @@ def test_joinview_equals_pandas_spec(spark, frows, drows, fcut, dcut,
         payload = dop[1] if (g is not None and dop and dop[0] != "delete") else None
         want.add((k, g, v, payload))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# paragraph dedup vs a pure-python spec
+# --------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),            # doc_id
+        st.lists(                                          # paragraphs
+            st.text(alphabet="ab ", min_size=0, max_size=4),
+            min_size=0, max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _paragraph_spec(rows, min_chars=1):
+    """Independent python reference: first (doc_id, pos) occurrence wins."""
+    exploded = []  # (doc_id, pos, para)
+    for doc_id, paras in rows:
+        pos = 0
+        for p in paras:
+            pos += 1  # 1-based over the RAW split, empties keep their slot
+            t = p.strip()
+            if t:
+                exploded.append((doc_id, pos, t))
+    owner = {}
+    for doc_id, pos, t in sorted(exploded, key=lambda x: (x[0], x[1])):
+        if len(t) >= min_chars and t not in owner:
+            owner[t] = (doc_id, pos)
+    out = {}
+    for doc_id, _ in rows:
+        occ = [(pos, t) for d, pos, t in exploded if d == doc_id]
+        if not occ:
+            continue
+        kept = [t for pos, t in sorted(occ)
+                if len(t) < min_chars or owner[t] == (doc_id, pos)]
+        out[doc_id] = ("|".join(kept), len(occ), len(occ) - len(kept))
+    return out
+
+
+@settings(**SETTINGS)
+@given(rows=docs_strategy)
+def test_paragraph_dedup_matches_python_spec(spark, rows):
+    from kf_etl_clin_portal_spark.dedup.paragraphs import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(d, "\n\n".join(ps)) for d, ps in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_dropped"])
+        for r in paragraph_dedup(df, join_sep="|").collect()
+    }
+    assert got == _paragraph_spec(rows)
