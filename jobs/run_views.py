@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain a first-seen paragraph ownership index "
                          "(dedup/incremental.py:update_paragraph_index; "
                          "default separator regex '\\n\\n+'; repeatable)")
+    ap.add_argument("--plan", action="store_true",
+                    help="append metadata-only maintenance recommendations "
+                         "for the source table (lake/maintenance.py) to the "
+                         "report")
     ap.add_argument("--source-id", default="views",
                     help="cursor namespace (one follower per id per view)")
     ap.add_argument("--view-buckets", type=int, default=8,
@@ -94,9 +98,10 @@ def main(argv: list[str] | None = None) -> int:
                          "delta bytes exceed RATIO of base bytes (or ≥8 "
                          "delta files); metadata-only decision")
     args = ap.parse_args(argv)
-    if not (args.agg or args.join or args.minhash_index or args.paragraph_index):
+    if not (args.agg or args.join or args.minhash_index
+            or args.paragraph_index or args.plan):
         ap.error("nothing to do: pass --agg, --join, --minhash-index, "
-                 "and/or --paragraph-index")
+                 "--paragraph-index, and/or --plan")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -173,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
             spark, src, ipipe, sep_regex=sep,
             source_id=f"{args.source_id}-pi",
         )
+
+    if args.plan:
+        from kf_etl_clin_portal_spark.lake.maintenance import plan_maintenance
+
+        report["maintenance"] = plan_maintenance(src)
 
     print(json.dumps(report))
     return 0

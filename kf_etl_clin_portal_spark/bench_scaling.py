@@ -141,8 +141,9 @@ def main() -> None:
         counts.append(res.n_events)
     membw.append(_membw_gbps())  # after — brackets the measured window
     # first batch = cold (JIT compile, cache); second still warming on some
-    # hosts — steady state is batches 3+
-    skip = n_batches // 2 if n_batches >= 4 else 1
+    # hosts — steady state is batches 3+. A single-batch run has no warm
+    # window to separate: measure the one batch rather than divide by zero
+    skip = (n_batches // 2 if n_batches >= 4 else 1) if n_batches > 1 else 0
     steady_events = sum(counts[skip:])
     steady_wall = sum(walls[skip:])
     print(

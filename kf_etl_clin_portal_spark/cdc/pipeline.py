@@ -375,6 +375,13 @@ class CDCPipeline:
 
         return metadata_stats(self.table, cols=cols, version=version)
 
+    def plan_maintenance(self, **kw) -> list[dict]:
+        """Metadata-only maintenance recommendations with evidence
+        (see `lake/maintenance.py`); empty list = healthy."""
+        from kf_etl_clin_portal_spark.lake.maintenance import plan_maintenance
+
+        return plan_maintenance(self.table, **kw)
+
     def compact(self, min_delta_files: int = 1, strategy: str = "shuffle") -> int:
         """Fold MoR delta files into base (read-path maintenance).
         strategy: "shuffle" (default; fastest measured — see

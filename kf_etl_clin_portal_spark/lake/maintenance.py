@@ -1,0 +1,107 @@
+"""Metadata-driven maintenance advisor: what upkeep does this table need?
+
+A long-lived CDC table accretes four kinds of debt — MoR delta files
+(read amplification), tombstone rows (dead weight in every scan), commit
+history (metadata growth + unreclaimable storage), and small files
+(per-file open cost). Each has a maintenance verb in this engine
+(`compact_deltas`, `vacuum_tombstones`, `expire_snapshots`,
+`compact_buckets`, `rebucket`); this module decides WHICH are worth
+running, from the manifest and parquet footers alone — no Spark job, so
+an operator (or the cron tick) can ask after every batch for free.
+
+Every recommendation carries its evidence (the measured metric and the
+threshold it crossed) — an advisor that just says "compact" teaches
+nothing and can't be audited. Application stays with the caller: the
+verbs have costs and locking behavior the advisor doesn't schedule.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+def plan_maintenance(
+    table: SnapshotTable,
+    max_delta_ratio: float = 0.2,
+    min_delta_files: int = 8,
+    max_dead_frac: float = 0.3,
+    keep_last: int = 10,
+    max_files_per_bucket: int = 8,
+    max_rows_per_bucket: int = 50_000_000,
+) -> list[dict[str, Any]]:
+    """Ordered recommendations ``[{action, reason, **evidence}]`` for the
+    CURRENT snapshot; empty list = healthy. Ordering is the safe execution
+    order (compaction before vacuum — vacuum auto-compacts otherwise;
+    expiry last so freshly-rewritten buckets age before reclaim).
+    """
+    st = table.refresh().state
+    files = st["files"]
+    recs: list[dict[str, Any]] = []
+
+    delta = [f for f in files if f.get("kind") == "delta"]
+    base = [f for f in files if f.get("kind") != "delta"]
+    delta_bytes = sum(f["bytes"] for f in delta)
+    base_bytes = sum(f["bytes"] for f in base)
+    if delta and (
+        len(delta) >= min_delta_files
+        or delta_bytes >= max_delta_ratio * max(base_bytes, 1)
+    ):
+        recs.append({
+            "action": "compact_deltas",
+            "reason": "MoR read amplification",
+            "delta_files": len(delta),
+            "delta_bytes": delta_bytes,
+            "base_bytes": base_bytes,
+        })
+
+    if not delta:
+        # tombstone weight needs the per-file dead counts — footer zone
+        # maps + the single boolean column on mixed files (metastats tier
+        # 2/3); only meaningful on compacted snapshots
+        from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
+
+        ms = metadata_stats(table)
+        if ms["rows_total"] > 0 and (
+            ms["rows_dead"] / ms["rows_total"] > max_dead_frac
+        ):
+            recs.append({
+                "action": "vacuum_tombstones",
+                "reason": "dead rows scanned by every reader",
+                "rows_dead": ms["rows_dead"],
+                "rows_total": ms["rows_total"],
+            })
+
+    per_bucket: dict[int, int] = {}
+    for f in base:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    fat = {b: n for b, n in per_bucket.items() if n > max_files_per_bucket}
+    if fat:
+        recs.append({
+            "action": "compact_buckets",
+            "reason": "per-file open cost on multi-file buckets",
+            "buckets": sorted(fat),
+            "worst_files": max(fat.values()),
+        })
+
+    rows_total = sum(f["rows"] for f in files)
+    n_buckets = max(st["partition"]["num_buckets"], 1)
+    if rows_total / n_buckets > max_rows_per_bucket:
+        recs.append({
+            "action": "rebucket",
+            "reason": "bucket cardinality beyond target parallelism",
+            "rows_per_bucket": rows_total // n_buckets,
+            "num_buckets": n_buckets,
+        })
+
+    expirable = max(st["version"] - keep_last, 0)
+    if expirable > 0:
+        recs.append({
+            "action": "expire_snapshots",
+            "reason": "commit history growth",
+            "versions_past_keep": expirable,
+            "pinned_refs": len(st.get("refs") or {}),
+        })
+
+    return recs

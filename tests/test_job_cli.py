@@ -267,9 +267,12 @@ def test_run_views_cli_tick(spark, tmp_path):
     rep3 = run(
         "run_views.py", "--source", src,
         "--minhash-index", mh, "--paragraph-index", f"{pi}@\\s+the\\s+",
+        "--plan",
     )
     assert rep3["views"][mh]["applied"] is True
     assert rep3["views"][pi]["applied"] is True
+    # MoR source with uncompacted deltas: the advisor must say so
+    assert any(r["action"] == "compact_deltas" for r in rep3["maintenance"])
     src_pipe = CDCPipeline(spark, src, num_buckets=8, merge_strategy="mor")
     mh_pipe = CDCPipeline(spark, mh, key_cols=("repo", "path"), num_buckets=8)
     assert mh_pipe.current().count() == src_pipe.current().count()

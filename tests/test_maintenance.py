@@ -1,0 +1,81 @@
+"""Maintenance advisor (lake/maintenance.py): each recommendation fires on
+its constructed condition, with evidence, and clears after the verb runs."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+
+def _actions(recs):
+    return [r["action"] for r in recs]
+
+
+def test_healthy_fresh_table_has_no_recommendations(spark, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "h"), num_buckets=4)
+    feed = generate_change_events(spark, 1000, seed=1, delete_frac=0.0)
+    pipe.apply_batch(feed, batch_id="b0")
+    assert pipe.plan_maintenance() == []
+
+
+def test_mor_deltas_recommend_compaction_then_clear(spark, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "m"), num_buckets=4, merge_strategy="mor"
+    )
+    pipe.replay(generate_change_events(spark, 4000, seed=2, delete_frac=0.0),
+                n_batches=4, feed_id="f")
+    recs = pipe.plan_maintenance(min_delta_files=2)
+    assert _actions(recs)[0] == "compact_deltas"
+    assert recs[0]["delta_files"] >= 2 and recs[0]["delta_bytes"] > 0
+    pipe.compact()
+    assert "compact_deltas" not in _actions(pipe.plan_maintenance(min_delta_files=2))
+
+
+def test_tombstone_weight_recommends_vacuum(spark, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.apply_batch(
+        generate_change_events(spark, 2000, seed=3, delete_frac=0.6),
+        batch_id="b0",
+    )
+    recs = pipe.plan_maintenance(max_dead_frac=0.2, keep_last=10)
+    assert _actions(recs) == ["vacuum_tombstones"]
+    assert recs[0]["rows_dead"] / recs[0]["rows_total"] > 0.2
+    pipe.vacuum(low_watermark_seq=10**12)
+    after = pipe.plan_maintenance(max_dead_frac=0.2, keep_last=10)
+    assert "vacuum_tombstones" not in _actions(after)
+
+
+def test_history_growth_recommends_expiry(spark, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "e"), num_buckets=2)
+    feed = generate_change_events(spark, 1200, seed=4, delete_frac=0.0)
+    pipe.replay(feed, n_batches=6, feed_id="f")
+    recs = pipe.plan_maintenance(keep_last=3)
+    assert "expire_snapshots" in _actions(recs)
+    rec = next(r for r in recs if r["action"] == "expire_snapshots")
+    assert rec["versions_past_keep"] == pipe.table.refresh().version - 3
+    pipe.expire(keep_last=3)
+    # expiry is itself a commit; recommendations stay metadata-consistent
+    assert pipe.plan_maintenance(keep_last=pipe.table.refresh().version) == []
+
+
+def test_small_files_recommend_bucket_compaction(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.load import append, compact_buckets
+    from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.LongType()),
+    ])
+    t = SnapshotTable.create(str(tmp_path / "s"), schema, ["k"], num_buckets=1)
+    for i in range(4):
+        append(spark, t, spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), F.col("id").alias("v")))
+    from kf_etl_clin_portal_spark.lake.maintenance import plan_maintenance
+
+    recs = plan_maintenance(t, max_files_per_bucket=3, keep_last=10)
+    assert _actions(recs) == ["compact_buckets"]
+    assert recs[0]["buckets"] == [0] and recs[0]["worst_files"] == 4
+    compact_buckets(spark, t)
+    assert plan_maintenance(t, max_files_per_bucket=3, keep_last=10) == []
