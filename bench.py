@@ -344,6 +344,12 @@ def main() -> None:
                 "scaling": {
                     "n_cores": n_small,
                     "four_n_cores": n_big,
+                    # >0: cores split into separate worker JVMs of this
+                    # width (local-cluster executor mode — real 1-vs-4
+                    # EXECUTOR comparison); 0: single-JVM local[N] proxy
+                    "exec_cores": int(
+                        os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES", "0")
+                    ),
                     "rate_n": rate_n,
                     "rate_4n": rate_4n,
                     "efficiency": round(rate_4n / rate_n / (n_big / n_small), 3),

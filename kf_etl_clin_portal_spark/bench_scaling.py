@@ -71,11 +71,41 @@ def main() -> None:
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.session import build_session
 
+    # Executor mode: SPARK_GRAFT_BENCH_EXEC_CORES=C interprets <cores> as a
+    # TOTAL budget split into cores/C separate WORKER JVMs
+    # (`local-cluster[n, C, mem]` — Spark's real standalone scheduler,
+    # executor registration, netty shuffle transport, serialized task
+    # dispatch). The N-vs-4N pair then compares 1 executor against 4
+    # executors of identical shape: the closest in-sandbox realization of
+    # the two-cluster-size criterion, paying true cross-JVM costs the
+    # single-JVM local[N] proxy cannot. Affinity pinning above is inherited
+    # by the spawned worker JVMs (Linux children inherit the mask).
+    cpe = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES", "0"))
+    exec_conf: dict[str, str] = {}
+    if cpe:
+        if cores % cpe:
+            raise SystemExit(
+                f"cores={cores} not divisible by SPARK_GRAFT_BENCH_EXEC_CORES={cpe}"
+            )
+        execs = cores // cpe
+        mem_mb = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_MEM_MB", "6144"))
+        master = f"local-cluster[{execs},{cpe},{mem_mb}]"
+        exec_conf = {
+            "spark.executor.memory": f"{mem_mb}m",
+            # python workers on the executors must resolve the package
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+        }
+    else:
+        execs = 0
+        master = f"local[{cores}]"
+
     spark = build_session(
         app_name=f"bench-scaling-{cores}",
-        master=f"local[{cores}]",
+        master=master,
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64")),
-        extra_conf={
+        extra_conf=exec_conf | {
             # 6M-row batches × partitionBy writers need heap headroom; 8g
             # starves into full-GC storms (write tasks at ~35% CPU). Same
             # heap at every core count — a normal executor shape either way.
@@ -151,6 +181,7 @@ def main() -> None:
             {
                 "mode": mode,
                 "cores": cores,
+                "executors": execs,
                 "n_events": sum(counts),
                 "n_batches": n_batches,
                 "batch_walls": [round(w, 2) for w in walls],
