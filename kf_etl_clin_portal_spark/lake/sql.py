@@ -57,7 +57,8 @@ def register_tables(
             )
             table.manifest_df(spark).createOrReplaceTempView(f"{name}__manifest")
             created += [f"{name}__files", f"{name}__manifest"]
-            stats = _stats_row(spark, table, version=version)
+            stats_version = table.resolve_ref(ref) if ref is not None else version
+            stats = _stats_row(spark, table, version=stats_version)
             if stats is not None:
                 stats.createOrReplaceTempView(f"{name}__stats")
                 created.append(f"{name}__stats")
