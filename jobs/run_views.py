@@ -161,7 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.view_buckets,
         )
         report["views"][root] = update_minhash_index(
-            spark, src, ipipe, source_id=f"{args.source_id}-mh"
+            spark, src, ipipe, source_id=f"{args.source_id}-mh",
+            max_versions=args.max_versions,
         )
 
     for spec in args.paragraph_index:
@@ -169,14 +170,21 @@ def main(argv: list[str] | None = None) -> int:
             update_paragraph_index,
         )
 
-        root, sep = (spec.rsplit("@", 1) + [r"\n\n+"])[:2] if "@" in spec \
-            else (spec, r"\n\n+")
+        # an '@'-suffix is a separator regex ONLY if it contains no '/':
+        # object-store roots legitimately contain '@' (abfss://cont@acct…/p)
+        # and must not be torn apart into a bogus (root, regex) pair
+        root, sep = spec, r"\n\n+"
+        if "@" in spec:
+            head, tail = spec.rsplit("@", 1)
+            if "/" not in tail:
+                root, sep = head, tail
         ipipe = CDCPipeline(
             spark, root, key_cols=("h",), num_buckets=args.view_buckets,
         )
         report["views"][root] = update_paragraph_index(
             spark, src, ipipe, sep_regex=sep,
             source_id=f"{args.source_id}-pi",
+            max_versions=args.max_versions,
         )
 
     if args.plan:

@@ -62,15 +62,22 @@ def update_minhash_index(
     seed: int = 42,
     source_id: str = "mhidx",
     strict: bool = True,
+    max_versions: int | None = None,
 ) -> dict[str, Any]:
     """Poll ``src``'s change feed once and MERGE (signature, band_keys)
     rows for the changed documents into ``index_pipe`` (a CDCPipeline
-    keyed like the source). Returns {applied, since, until, rows}."""
+    keyed like the source). ``max_versions`` is admission control: fold at
+    most that many source COMMITS per poll (raw version count — simpler
+    than ivm's row-changing count; maintenance commits in range just make
+    a cheap poll) and converge by re-polling. Returns
+    {applied, since, until, rows}."""
     src.refresh()
     until = src.version
     since, epoch = mirror_cursor(index_pipe.table, source_id) if (
         SnapshotTable.exists(index_pipe.root)
     ) else (0, -1)
+    if max_versions is not None:
+        until = min(until, since + max_versions)
     if until <= since:
         return {"applied": False, "since": since, "until": until, "rows": 0}
 
@@ -187,6 +194,7 @@ def update_paragraph_index(
     min_chars: int = 1,
     source_id: str = "pidx",
     strict: bool = True,
+    max_versions: int | None = None,
 ) -> dict[str, Any]:
     """Maintain a **paragraph ownership index** from ``src``'s change feed:
     one row per distinct paragraph hash (`functions.hashing.h60`), keyed on
@@ -222,6 +230,8 @@ def update_paragraph_index(
     since, epoch = mirror_cursor(index_pipe.table, source_id) if (
         SnapshotTable.exists(index_pipe.root)
     ) else (0, -1)
+    if max_versions is not None:  # admission control, as update_minhash_index
+        until = min(until, since + max_versions)
     if until <= since:
         return {"applied": False, "since": since, "until": until, "rows": 0}
 
@@ -299,8 +309,16 @@ def dedup_changed_paragraphs(
     ).withColumn("h", h60(F.col("para")))
     eligible = F.length("para") >= min_chars
 
-    index = index_pipe.current().select(
-        "h", *[F.col(f"owner_{c}") for c in keys]
+    # the probe is the CHANGED docs' hashes (small); the index is the whole
+    # corpus's distinct paragraphs. Broadcast-semi-filter the index down to
+    # the probed hashes first — same discipline as neardup_pairs_for_changed
+    # — so the wide side never shuffles: without it the left join below
+    # would exchange the full O(distinct paragraphs) index per poll.
+    probe_h = ex.select("h").distinct()
+    index = (
+        index_pipe.current()
+        .select("h", *[F.col(f"owner_{c}") for c in keys])
+        .join(F.broadcast(probe_h), on="h", how="left_semi")
     )
     owned = F.lit(True)
     for c in keys:

@@ -30,6 +30,7 @@ def plan_maintenance(
     keep_last: int = 10,
     max_files_per_bucket: int = 8,
     max_rows_per_bucket: int = 50_000_000,
+    min_expirable: int = 2,
 ) -> list[dict[str, Any]]:
     """Ordered recommendations ``[{action, reason, **evidence}]`` for the
     CURRENT snapshot; empty list = healthy. Ordering is the safe execution
@@ -95,12 +96,25 @@ def plan_maintenance(
             "num_buckets": n_buckets,
         })
 
-    expirable = max(st["version"] - keep_last, 0)
-    if expirable > 0:
+    # what expire_snapshots(keep_last) would actually raise the floor to:
+    # versions below (version - keep_last + 1) that are above the current
+    # expire_below floor and not pinned by a ref. Matching the verb's own
+    # arithmetic is what makes the recommendation CLEAR after it runs —
+    # version-only math would re-recommend forever (the expire commit
+    # itself advances the version).
+    would_floor = max(0, st["version"] - keep_last + 1)
+    for r in (st.get("refs") or {}).values():
+        would_floor = min(would_floor, r["version"])
+    cur_floor = st.get("expire_below", 0)
+    # ≥2 and not ≥1: each expire run adds one commit of its own, so a
+    # 1-version backlog is the steady state AFTER maintenance, not debt —
+    # recommending it would churn an expire commit per tick forever
+    if would_floor - cur_floor >= min_expirable:
         recs.append({
             "action": "expire_snapshots",
             "reason": "commit history growth",
-            "versions_past_keep": expirable,
+            "expirable_versions": would_floor - cur_floor,
+            "current_floor": cur_floor,
             "pinned_refs": len(st.get("refs") or {}),
         })
 

@@ -20,6 +20,15 @@ Delta (MoR) snapshots are refused: delta rows OVERLAY base rows by key, so
 per-file row counts don't sum to table cardinality — there is no honest
 metadata-only answer. `compact_deltas` restores the fast path; the full
 `read_merged` scan is always available for the slow one.
+
+String min/max exactness relies on a property of THIS engine's writer
+(Spark/parquet-mr): oversized binary statistics are DROPPED from the
+footer (verified empirically — `has_min_max` comes back False, so the
+column reports complete=False/exact=False), never truncated into
+bounds-only values the way some other writers (e.g. pyarrow) emit.
+Pointing metadata_stats at foreign-written parquet would need an
+exactness check this footer API doesn't expose; every file in a
+SnapshotTable is engine-written, so the assumption holds by construction.
 """
 
 from __future__ import annotations
@@ -109,28 +118,42 @@ def metadata_stats(
     col_complete: dict[str, bool] = {c: True for c in cols}
 
     tomb_in_schema = TOMBSTONE_COL in schema_names
-    for f in files:
+
+    def stat_one(f: dict[str, Any]) -> tuple[dict[str, list], int, int, int, list[str]]:
+        """(zones, dead, footer_read, column_read, incomplete_cols) for one
+        file — independent per file, so the pool below parallelizes the
+        footer round-trips (the same Amdahl fix as table.write_data_files;
+        a serial loop makes a 10k-file table's 'free' stats call take
+        seconds-to-minutes on object storage)."""
         missing = [c for c in cols if c not in (f.get("stats") or {})]
         need_footer = (tomb_in_schema and f["rows"] > 0) or missing
-        md = None
-        if need_footer:
-            md = _footer_md(table, f)
-            footer_reads += 1
+        md = _footer_md(table, f) if need_footer else None
         zones = dict(f.get("stats") or {})
         if missing and md is not None:
             zones.update(_footer_zone_maps(md, missing))
+        incomplete = [c for c in cols if zones.get(c) is None and f["rows"] > 0]
+        dead, read_col = (
+            _dead_rows(table, f, md) if (tomb_in_schema and md is not None)
+            else (0, False)
+        )
+        return zones, dead, int(md is not None), int(read_col), incomplete
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(stat_one, files))
+    for zones, dead, fr, cr, incomplete in results:
+        footer_reads += fr
+        column_reads += cr
+        rows_dead += dead
+        for c in incomplete:
+            col_complete[c] = False
         for c in cols:
             z = zones.get(c)
             if z is None:
-                if f["rows"] > 0:
-                    col_complete[c] = False
                 continue
             col_lo[c] = z[0] if c not in col_lo else min(col_lo[c], z[0])
             col_hi[c] = z[1] if c not in col_hi else max(col_hi[c], z[1])
-        if tomb_in_schema and md is not None:
-            dead, read_col = _dead_rows(table, f, md)
-            rows_dead += dead
-            column_reads += int(read_col)
 
     return {
         "rows_total": rows_total,

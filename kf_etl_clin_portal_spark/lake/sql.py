@@ -57,7 +57,16 @@ def register_tables(
             )
             table.manifest_df(spark).createOrReplaceTempView(f"{name}__manifest")
             created += [f"{name}__files", f"{name}__manifest"]
-            stats_version = table.resolve_ref(ref) if ref is not None else version
+            # pin to exactly what the sibling <name> view sees: explicit
+            # version > ref target > the version refreshed above (NOT a
+            # second refresh inside metadata_stats — a concurrent commit
+            # between the two would make __stats disagree with <name>)
+            if version is not None:
+                stats_version = version
+            elif ref is not None:
+                stats_version = table.resolve_ref(ref)
+            else:
+                stats_version = table.version
             stats = _stats_row(spark, table, version=stats_version)
             if stats is not None:
                 stats.createOrReplaceTempView(f"{name}__stats")
@@ -65,19 +74,24 @@ def register_tables(
     return created
 
 
-def _stats_row(spark: SparkSession, table, version: int | None = None):
+def _stats_row(spark: SparkSession, table, version: int):
     """One-row ``<name>__stats`` view from `lake/metastats.py` — live/dead
     row counts and key-column seq range with NO Spark job behind it (the
     Iceberg metadata-aggregate analog, exposed to SQL). None (view
-    skipped) on snapshots metadata can't answer (uncompacted MoR)."""
+    skipped) on snapshots metadata can't answer (uncompacted MoR).
+
+    Properties and schema are read AT the pinned version: a stats column
+    added after an older pinned snapshot must not make the whole view
+    vanish (metadata_stats would reject the then-unknown column)."""
     from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
 
+    st = table.state_at(version)
     stats_cols = tuple(
         c.strip()
-        for c in table.state["properties"].get("stats.columns", "seq").split(",")
+        for c in st["properties"].get("stats.columns", "seq").split(",")
         if c.strip()
         and c.strip() in {f["name"] for f in
-                          table.state["schemas"][str(table.state["current_schema_id"])]["fields"]}
+                          st["schemas"][str(st["current_schema_id"])]["fields"]}
     )
     try:
         ms = metadata_stats(table, cols=stats_cols, version=version)

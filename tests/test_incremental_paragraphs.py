@@ -134,3 +134,25 @@ def test_later_poll_does_not_steal_ownership(spark, tmp_path):
         (r["owner_repo"], r["owner_path"]) for r in idx.current().collect()
     }
     assert owners == {("r1", "a")}
+
+
+def test_max_versions_bounds_each_poll_and_converges(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    for i in range(3):
+        src.apply_batch(
+            _pfeed(spark, [(i + 1, "r1", f"p{i}", f"body {i}||shared tail")]),
+            batch_id=f"b{i}",
+        )
+    v = src.table.refresh().version
+    seen_until = []
+    while True:
+        r = update_paragraph_index(
+            spark, src.table, idx, sep_regex=SEP, max_versions=1
+        )
+        if not r["applied"]:
+            break
+        assert r["until"] - r["since"] <= 1
+        seen_until.append(r["until"])
+    assert seen_until[-1] == v and len(seen_until) >= 2
+    owners = {(r["owner_repo"], r["owner_path"]) for r in idx.current().collect()}
+    assert ("r1", "p0") in owners  # first poll claimed the shared paragraph

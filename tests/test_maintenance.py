@@ -54,10 +54,12 @@ def test_history_growth_recommends_expiry(spark, tmp_path):
     recs = pipe.plan_maintenance(keep_last=3)
     assert "expire_snapshots" in _actions(recs)
     rec = next(r for r in recs if r["action"] == "expire_snapshots")
-    assert rec["versions_past_keep"] == pipe.table.refresh().version - 3
+    assert rec["expirable_versions"] == pipe.table.refresh().version - 3 + 1
     pipe.expire(keep_last=3)
-    # expiry is itself a commit; recommendations stay metadata-consistent
-    assert pipe.plan_maintenance(keep_last=pipe.table.refresh().version) == []
+    # the recommendation CLEARS after the verb runs — the floor advanced,
+    # and the expire commit's own 1-version backlog is steady state, not
+    # debt (no recommend-expire-forever churn)
+    assert "expire_snapshots" not in _actions(pipe.plan_maintenance(keep_last=3))
 
 
 def test_small_files_recommend_bucket_compaction(spark, tmp_path):
