@@ -156,3 +156,28 @@ def test_max_versions_bounds_each_poll_and_converges(spark, tmp_path):
     assert seen_until[-1] == v and len(seen_until) >= 2
     owners = {(r["owner_repo"], r["owner_path"]) for r in idx.current().collect()}
     assert ("r1", "p0") in owners  # first poll claimed the shared paragraph
+
+
+def test_index_follows_source_through_compaction(spark, tmp_path):
+    """Maintenance commits (source compaction) inside the polled range must
+    not break the feed or double-claim: final index equals the claims the
+    same batches produce on an uncompacted twin."""
+    src, idx = _pipes(spark, tmp_path)
+    src.apply_batch(_pfeed(spark, [(1, "r1", "a", "one||two")]), batch_id="b0")
+    assert update_paragraph_index(spark, src.table, idx, sep_regex=SEP)["applied"]
+    src.compact()                          # maintenance commit in next range
+    src.apply_batch(_pfeed(spark, [(2, "r2", "b", "two||three")]), batch_id="b1")
+    r = update_paragraph_index(spark, src.table, idx, sep_regex=SEP)
+    assert r["applied"]
+    owners = {
+        r["h"]: (r["owner_repo"], r["owner_path"], r["owner_pos"])
+        for r in idx.current().collect()
+    }
+    from kf_etl_clin_portal_spark.functions.hashing import h60
+    hv = {
+        p: spark.range(1).select(h60(F.lit(p)).alias("h")).first()["h"]
+        for p in ("one", "two", "three")
+    }
+    assert owners[hv["one"]] == ("r1", "a", 1)
+    assert owners[hv["two"]] == ("r1", "a", 2)   # claim survives compaction
+    assert owners[hv["three"]] == ("r2", "b", 2)

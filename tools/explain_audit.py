@@ -278,6 +278,47 @@ def main():
     print("== paragraph dedup ==")
     print("\n".join(l for l in p.splitlines() if "Join" in l or "Aggregate" in l))
 
+    # 8h. incremental paragraph dedup probe: the corpus-sized ownership
+    #     index must reach the changed-docs join ONLY through the
+    #     broadcast semi prefilter — a plan that exchanges the index for
+    #     a tiny probe forfeits the O(changed text) story
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline as _P
+    from kf_etl_clin_portal_spark.dedup.incremental import (
+        dedup_changed_paragraphs,
+        update_paragraph_index,
+    )
+
+    ptmp = tempfile.mkdtemp(prefix="audit_pidx_")
+    try:
+        psrc = _P(spark, os.path.join(ptmp, "s"), num_buckets=2,
+                  merge_strategy="mor")
+        psrc.apply_batch(
+            spark.createDataFrame(
+                [(1, "r", "a", "x", "t", "alpha. beta", False)],
+                "seq long, repo string, path string, commit string, "
+                "lang string, content string, is_deleted boolean",
+            ),
+            batch_id="a0",
+        )
+        pidx = _P(spark, os.path.join(ptmp, "i"), key_cols=("h",),
+                  num_buckets=2)
+        update_paragraph_index(spark, psrc.table, pidx, sep_regex=r"\. ")
+        probe = psrc.current().select("repo", "path", "content")
+        p = plan_of(dedup_changed_paragraphs(spark, pidx, probe,
+                                             sep_regex=r"\. "))
+        if "BroadcastExchange" not in p:
+            problems.append(
+                "dedup_changed_paragraphs: index prefilter not broadcast")
+        if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+            problems.append(
+                "dedup_changed_paragraphs: nested-loop/cartesian planned")
+        print("== incremental paragraph probe ==")
+        print("\n".join(l for l in p.splitlines() if "Join" in l))
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(ptmp, ignore_errors=True)
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
