@@ -28,11 +28,34 @@ import os
 import sys
 
 
+def _sep_at(spec: str) -> int:
+    """Index of the last '@' usable as a CLI field separator: one NOT
+    inside a URI authority (between '://' and the authority-ending '/').
+    Object-store roots legitimately carry '@' there
+    (``abfss://cont@acct.dfs.core.windows.net/p``) and must never be torn
+    apart; everything AFTER the authority — including a separator-regex
+    tail that itself contains '/' — splits at the last '@' as plain paths
+    always did. Returns -1 when no separator '@' exists."""
+    i = len(spec)
+    while True:
+        i = spec.rfind("@", 0, i)
+        if i == -1:
+            return -1
+        scheme = spec.rfind("://", 0, i)
+        if scheme == -1:
+            return i  # plain path: last '@' is always the separator
+        path = spec.find("/", scheme + 3)
+        if path != -1 and path < i:
+            return i  # '@' is past the authority → separator
+        # '@' is inside the authority — keep scanning left
+
+
 def _parse_agg(spec: str):
     """ROOT:GROUP[,GROUP...][:NAME=EXPR[;NAME=EXPR...]][@MODE]"""
     mode = "feed"
-    if "@" in spec:
-        spec, mode = spec.rsplit("@", 1)
+    at = _sep_at(spec)
+    if at != -1:
+        spec, mode = spec[:at], spec[at + 1:]
     parts = spec.split(":")
     if len(parts) < 2 or not parts[1]:
         raise ValueError(f"--agg needs ROOT:GROUP[,...][:N=EXPR;...], got {spec!r}")
@@ -45,10 +68,15 @@ def _parse_agg(spec: str):
 
 
 def _parse_join(spec: str):
-    """ROOT:FK=DIMKEY[,FK=DIMKEY...]@DIM_ROOT"""
-    if "@" not in spec:
+    """ROOT:FK=DIMKEY[,FK=DIMKEY...]@DIM_ROOT
+
+    DIM_ROOT may be a URI whose authority contains '@' — the separator is
+    the last NON-authority '@' (`_sep_at`), so
+    ``root:fk=dk@abfss://cont@acct.net/dim`` keeps the dim root whole."""
+    at = _sep_at(spec)
+    if at == -1:
         raise ValueError(f"--join needs ROOT:FK=DIMKEY@DIM_ROOT, got {spec!r}")
-    left, dim_root = spec.rsplit("@", 1)
+    left, dim_root = spec[:at], spec[at + 1:]
     parts = left.split(":")
     if len(parts) != 2 or not parts[1]:
         raise ValueError(f"--join needs ROOT:FK=DIMKEY@DIM_ROOT, got {spec!r}")
@@ -170,14 +198,15 @@ def main(argv: list[str] | None = None) -> int:
             update_paragraph_index,
         )
 
-        # an '@'-suffix is a separator regex ONLY if it contains no '/':
-        # object-store roots legitimately contain '@' (abfss://cont@acct…/p)
-        # and must not be torn apart into a bogus (root, regex) pair
+        # the last non-authority '@' (see _sep_at) splits ROOT@SEP_REGEX:
+        # object-store roots keep their authority '@' (abfss://cont@acct…)
+        # and the regex may itself contain '/' (e.g. '</?p>')
         root, sep = spec, r"\n\n+"
-        if "@" in spec:
-            head, tail = spec.rsplit("@", 1)
-            if "/" not in tail:
-                root, sep = head, tail
+        at = _sep_at(spec)
+        if at != -1:
+            root, sep = spec[:at], spec[at + 1:]
+            if not sep:
+                ap.error(f"--paragraph-index: empty separator regex in {spec!r}")
         ipipe = CDCPipeline(
             spark, root, key_cols=("h",), num_buckets=args.view_buckets,
         )

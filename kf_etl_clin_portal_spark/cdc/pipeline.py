@@ -397,26 +397,19 @@ class CDCPipeline:
         strategy: str = "shuffle",
     ) -> int | None:
         """Stats-driven compaction policy: compact when the MoR delta
-        overhead crosses a threshold — delta bytes exceed
-        ``max_delta_ratio`` of base bytes, or the delta FILE count reaches
-        ``min_delta_files`` (many small files hurt even when their bytes
-        don't: each read opens every delta file in the bucket). The
+        overhead crosses the shared `needs_delta_compaction` threshold
+        (ONE predicate with `plan_maintenance`, so the advisor's --plan
+        report and this auto-compactor can never drift apart). The
         decision reads manifest byte sums only — no data I/O; a long-lived
         stream calls this after every batch and pays for compaction only
         when the read path actually degrades. Returns buckets compacted,
         or None when below both thresholds."""
-        st = self.table.refresh().state
-        delta_files = [f for f in st["files"] if f.get("kind") == "delta"]
-        if not delta_files:
-            return None
-        delta_bytes = sum(f["bytes"] for f in delta_files)
-        base_bytes = sum(
-            f["bytes"] for f in st["files"] if f.get("kind") != "delta"
+        from kf_etl_clin_portal_spark.lake.maintenance import (
+            needs_delta_compaction,
         )
-        if (
-            len(delta_files) >= min_delta_files
-            or delta_bytes >= max_delta_ratio * max(base_bytes, 1)
-        ):
+
+        st = self.table.refresh().state
+        if needs_delta_compaction(st, max_delta_ratio, min_delta_files):
             return self.compact(strategy=strategy)
         return None
 

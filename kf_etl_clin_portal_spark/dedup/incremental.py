@@ -67,9 +67,9 @@ def update_minhash_index(
     """Poll ``src``'s change feed once and MERGE (signature, band_keys)
     rows for the changed documents into ``index_pipe`` (a CDCPipeline
     keyed like the source). ``max_versions`` is admission control: fold at
-    most that many source COMMITS per poll (raw version count — simpler
-    than ivm's row-changing count; maintenance commits in range just make
-    a cheap poll) and converge by re-polling. Returns
+    most that many ROW-CHANGING source commits per poll (maintenance
+    commits ride along free — `lake/changes.py:capped_until`, the same
+    bound the views use) and converge by re-polling. Returns
     {applied, since, until, rows}."""
     src.refresh()
     until = src.version
@@ -77,7 +77,12 @@ def update_minhash_index(
         SnapshotTable.exists(index_pipe.root)
     ) else (0, -1)
     if max_versions is not None:
-        until = min(until, since + max_versions)
+        # row-changing commits only (capped_until): a raw version clamp can
+        # pin the window onto maintenance-only commits and stall the cursor
+        # behind live data forever
+        from kf_etl_clin_portal_spark.lake.changes import capped_until
+
+        until = capped_until(src, since, until, max_versions)
     if until <= since:
         return {"applied": False, "since": since, "until": until, "rows": 0}
 
@@ -231,7 +236,9 @@ def update_paragraph_index(
         SnapshotTable.exists(index_pipe.root)
     ) else (0, -1)
     if max_versions is not None:  # admission control, as update_minhash_index
-        until = min(until, since + max_versions)
+        from kf_etl_clin_portal_spark.lake.changes import capped_until
+
+        until = capped_until(src, since, until, max_versions)
     if until <= since:
         return {"applied": False, "since": since, "until": until, "rows": 0}
 

@@ -22,6 +22,37 @@ from typing import Any
 from kf_etl_clin_portal_spark.lake.table import SnapshotTable
 
 
+def needs_delta_compaction(
+    state: dict[str, Any],
+    max_delta_ratio: float = 0.2,
+    min_delta_files: int = 8,
+) -> dict[str, Any] | None:
+    """THE delta-compaction-worthiness predicate — shared by this advisor
+    and `CDCPipeline.maybe_compact` so the --plan report and the
+    auto-compactor can never drift apart. Compact when delta bytes exceed
+    ``max_delta_ratio`` of base bytes, or the delta FILE count reaches
+    ``min_delta_files`` (many small files hurt even when their bytes
+    don't: each read opens every delta file in the bucket). Manifest byte
+    sums only — no data I/O. Returns the evidence dict, or None when
+    below both thresholds."""
+    files = state["files"]
+    delta = [f for f in files if f.get("kind") == "delta"]
+    if not delta:
+        return None
+    delta_bytes = sum(f["bytes"] for f in delta)
+    base_bytes = sum(f["bytes"] for f in files if f.get("kind") != "delta")
+    if (
+        len(delta) >= min_delta_files
+        or delta_bytes >= max_delta_ratio * max(base_bytes, 1)
+    ):
+        return {
+            "delta_files": len(delta),
+            "delta_bytes": delta_bytes,
+            "base_bytes": base_bytes,
+        }
+    return None
+
+
 def plan_maintenance(
     table: SnapshotTable,
     max_delta_ratio: float = 0.2,
@@ -43,18 +74,12 @@ def plan_maintenance(
 
     delta = [f for f in files if f.get("kind") == "delta"]
     base = [f for f in files if f.get("kind") != "delta"]
-    delta_bytes = sum(f["bytes"] for f in delta)
-    base_bytes = sum(f["bytes"] for f in base)
-    if delta and (
-        len(delta) >= min_delta_files
-        or delta_bytes >= max_delta_ratio * max(base_bytes, 1)
-    ):
+    ev = needs_delta_compaction(st, max_delta_ratio, min_delta_files)
+    if ev is not None:
         recs.append({
             "action": "compact_deltas",
             "reason": "MoR read amplification",
-            "delta_files": len(delta),
-            "delta_bytes": delta_bytes,
-            "base_bytes": base_bytes,
+            **ev,
         })
 
     if not delta:
@@ -63,7 +88,10 @@ def plan_maintenance(
         # 2/3); only meaningful on compacted snapshots
         from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
 
-        ms = metadata_stats(table)
+        # pin to the snapshot the `not delta` guard was evaluated on — an
+        # unpinned call re-refreshes, and a delta commit landing in between
+        # would make metadata_stats raise instead of this advisor advising
+        ms = metadata_stats(table, version=st["version"])
         if ms["rows_total"] > 0 and (
             ms["rows_dead"] / ms["rows_total"] > max_dead_frac
         ):

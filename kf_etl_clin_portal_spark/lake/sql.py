@@ -49,25 +49,26 @@ def register_tables(
             raise ValueError(f"bad view name: {name!r}")
         table = t.table if hasattr(t, "table") else t
         table.refresh()
-        _live(spark, table, version=version, ref=ref).createOrReplaceTempView(name)
+        # resolve the pinned version ONCE, right after the refresh: explicit
+        # version > ref target > the version refreshed above. Every sibling
+        # view (<name>, __files, __stats) is planned at this same pin — a
+        # concurrent commit landing between the view registrations (or
+        # inside files_df's own refresh) can never make them disagree.
+        if version is not None:
+            pin = version
+        elif ref is not None:
+            pin = table.resolve_ref(ref)
+        else:
+            pin = table.version
+        _live(spark, table, version=pin).createOrReplaceTempView(name)
         created.append(name)
         if metadata:
-            table.files_df(spark, version=version).createOrReplaceTempView(
+            table.files_df(spark, version=pin).createOrReplaceTempView(
                 f"{name}__files"
             )
             table.manifest_df(spark).createOrReplaceTempView(f"{name}__manifest")
             created += [f"{name}__files", f"{name}__manifest"]
-            # pin to exactly what the sibling <name> view sees: explicit
-            # version > ref target > the version refreshed above (NOT a
-            # second refresh inside metadata_stats — a concurrent commit
-            # between the two would make __stats disagree with <name>)
-            if version is not None:
-                stats_version = version
-            elif ref is not None:
-                stats_version = table.resolve_ref(ref)
-            else:
-                stats_version = table.version
-            stats = _stats_row(spark, table, version=stats_version)
+            stats = _stats_row(spark, table, version=pin)
             if stats is not None:
                 stats.createOrReplaceTempView(f"{name}__stats")
                 created.append(f"{name}__stats")

@@ -158,6 +158,30 @@ def test_max_versions_bounds_each_poll_and_converges(spark, tmp_path):
     assert ("r1", "p0") in owners  # first poll claimed the shared paragraph
 
 
+def test_max_versions_never_stalls_on_maintenance_commits(spark, tmp_path):
+    """Regression: a raw-version clamp pinned the admission window onto a
+    maintenance-only commit — empty batch, cursor parked, follower stuck
+    behind live data forever. The bound must count ROW-CHANGING commits
+    (lake/changes.py:capped_until), letting maintenance ride along free."""
+    src, idx = _pipes(spark, tmp_path)
+    src.apply_batch(_pfeed(spark, [(1, "r1", "a", "one||two")]), batch_id="b0")
+    assert update_paragraph_index(
+        spark, src.table, idx, sep_regex=SEP, max_versions=1
+    )["applied"]
+    src.compact()                      # maintenance-only commit
+    src.apply_batch(_pfeed(spark, [(2, "r2", "b", "three||four")]), batch_id="b1")
+    polls = 0
+    while update_paragraph_index(
+        spark, src.table, idx, sep_regex=SEP, max_versions=1
+    )["applied"]:
+        polls += 1
+        assert polls < 10, "follower stalled behind maintenance commit"
+    assert polls >= 1
+    owners = {(r["owner_repo"], r["owner_path"])
+              for r in idx.current().collect()}
+    assert ("r2", "b") in owners       # b1 made it into the index
+
+
 def test_index_follows_source_through_compaction(spark, tmp_path):
     """Maintenance commits (source compaction) inside the polled range must
     not break the feed or double-claim: final index equals the claims the

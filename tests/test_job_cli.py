@@ -284,3 +284,28 @@ def test_run_views_cli_tick(spark, tmp_path):
     )
     assert rep4["views"][mh]["applied"] is False
     assert rep4["views"][pi]["applied"] is False
+
+
+def test_sep_at_cli_separator_is_uri_authority_aware():
+    """`_sep_at` (jobs/run_views.py): the field-separator '@' is the last
+    one NOT inside a URI authority — object-store roots keep their
+    authority '@'; separator regexes may contain '/'."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        from run_views import _sep_at
+    finally:
+        sys.path.pop(0)
+
+    # plain paths: last '@' always splits, even with '/' in the tail regex
+    assert _sep_at("/data/idx@</?p>") == len("/data/idx")
+    assert _sep_at("/data/idx@\\s+the\\s+") == len("/data/idx")
+    assert _sep_at("/data/idx") == -1
+    # authority '@' is never a separator
+    uri = "abfss://cont@acct.dfs.core.windows.net/p"
+    assert _sep_at(uri) == -1
+    assert _sep_at("abfss://cont@acct.dfs.core.windows.net") == -1
+    # separator after a URI root (regex tail, even with '/')
+    assert _sep_at(uri + "@</?p>") == len(uri)
+    # --join: dim root is itself a URI with authority '@'
+    spec = "/v:fk=dk@" + uri
+    assert _sep_at(spec) == len("/v:fk=dk")
