@@ -1364,6 +1364,54 @@ def q_cdc_diff_cdf(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_patch_fold(spark, sf):
+    """Partial-image CDC normalization (`cdc/patch.py:fold_patches`): a
+    mixed feed of full upserts (seq%3==0), deletes (seq%11==0) and sparse
+    column patches (mask: %5→both, %2→event_type, else→value) derived
+    from the events WAL, applied in TWO in-order batches — each fold
+    reads the live base image for patch-only keys, fills untouched
+    columns, and the ordinary exactly-once MERGE applies full
+    post-images. Oracle: per-column last-writer-wins in SQL (arg_max
+    FILTER over "touched" events; delete touches every column with NULL;
+    final-delete keys drop)."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.patch import apply_patch_batch
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"), "user_id", "event_type", "value"
+    )
+    feed = ev.withColumn(
+        "op",
+        F.when(F.pmod("seq", F.lit(11)) == 0, "delete")
+        .when(F.pmod("seq", F.lit(3)) == 0, "upsert")
+        .otherwise("patch"),
+    ).withColumn(
+        "changed_cols",
+        F.when(
+            F.col("op") == "patch",
+            F.when(F.pmod("seq", F.lit(5)) == 0,
+                   F.array(F.lit("event_type"), F.lit("value")))
+            .when(F.pmod("seq", F.lit(2)) == 0, F.array(F.lit("event_type")))
+            .otherwise(F.array(F.lit("value"))),
+        ),
+    )
+    mid = feed.agg(F.expr("percentile_approx(seq, 0.5, 10000)")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="patch_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        apply_patch_batch(pipe, feed.where(F.col("seq") <= mid), batch_id="pg-a")
+        apply_patch_batch(pipe, feed.where(F.col("seq") > mid), batch_id="pg-b")
+        out = pipe.current().select("user_id", "seq", "event_type", "value")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ivm_derived_rollup(spark, sf):
     """Incremental aggregate view with a DERIVED grouping expression
     (`lake/ivm.py:maintain_agg(group_exprs=...)`): same out-of-order 3-batch
@@ -1574,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_datasource": q_cdc_changes_datasource,
         "cdc_diff_feed": q_cdc_diff_feed,
         "cdc_diff_cdf": q_cdc_diff_cdf,
+        "cdc_patch_fold": q_cdc_patch_fold,
         "cdc_join_view": q_cdc_join_view,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
@@ -1746,6 +1795,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS "_change_version",
                    'delete' AS "_change_op"
             FROM pre b WHERE b.user_id % 7 = 0
+        """,
+        "cdc_patch_fold": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     WHEN event_id % 3 = 0 THEN 'upsert'
+                     ELSE 'patch' END AS op,
+                event_type, value
+              FROM events
+            ), t AS (
+              SELECT seq, user_id, op,
+                CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS et,
+                CASE WHEN op = 'delete' THEN NULL ELSE value END AS v,
+                (op <> 'patch' OR seq % 5 = 0 OR seq % 2 = 0) AS t_et,
+                (op <> 'patch' OR seq % 5 = 0 OR seq % 2 <> 0) AS t_v
+              FROM feed
+            )
+            SELECT user_id,
+              max(seq) AS seq,
+              (arg_max({'x': et}, seq) FILTER (WHERE t_et)).x AS event_type,
+              (arg_max({'x': v}, seq) FILTER (WHERE t_v)).x AS value
+            FROM t
+            GROUP BY user_id
+            HAVING arg_max(op, seq) <> 'delete'
         """,
         "cdc_diff_cdf": """
             WITH ev AS (

@@ -1,0 +1,199 @@
+"""Partial-image (patch) event normalization — binlog feeds that carry
+only the CHANGED columns of a row.
+
+Real change feeds are frequently not full post-images: MySQL binlogs with
+``binlog_row_image=minimal``/``noblob`` omit unchanged columns, Postgres
+logical decoding emits "unchanged TOAST" markers for big values, and
+Debezium surfaces both as update events whose ``after`` image is sparse.
+The reference pipeline never faces this (its FHIR extracts are always
+whole resources — every normalize stage starts from a complete document,
+`fhavro-export` fetches full bundles), so a from-scratch CDC engine must
+add it: fold a mixed feed of full upserts, column patches, and deletes
+into full post-images that the ordinary exactly-once MERGE
+(`lake/merge.py`) can apply unchanged.
+
+Event contract (one extra column on top of the standard feed shape):
+
+- ``op == "upsert"``  — full image: every data column is authoritative.
+- ``op == "delete"``  — tombstone: conceptually sets every column to NULL
+  and marks the key dead; a LATER patch re-creates the row (its untouched
+  columns stay NULL — upsert-style patch semantics).
+- ``op == "patch"``   — sparse image: only the columns named in the
+  ``changed_cols: array<string>`` mask are authoritative; every other
+  data column means "keep the previous value", NOT "set NULL". A patch
+  that sets a column TO null lists it in the mask with a NULL value.
+
+Fold semantics (per key, over a seq-ordered batch): the final value of
+column ``c`` is the value carried by the LAST event that *touched* ``c``
+(upsert/delete touch every column, patch touches its mask); if no event
+in the batch touched ``c``, the value comes from the table's current live
+row (the base image); a key whose last event is a delete folds to one
+tombstone. Because upsert/delete touch all columns, no separate
+"reset fence" is needed — per-column last-writer-wins is the whole rule.
+
+The fold is ONE salted two-phase aggregation (the `cdc/dedup.py`
+skew pattern) of pure built-in expressions: per column,
+``max_by(struct(value), CASE WHEN touched THEN order END)`` — Spark's
+``max_by`` ignores NULL-order rows, and the struct wrapper distinguishes
+"never touched in batch" (NULL struct) from "touched, set to NULL"
+(struct with NULL field). The base image is then left-joined ONLY for
+keys whose batch carries no full image (``needs_base``), read
+bucket-pruned from the state table; a feed of pure full upserts joins
+nothing and degenerates to plain latest-event dedup.
+
+Ordering contract: patch folding is only meaningful when batches apply in
+per-key seq order (the standard WAL-tail contract — a binlog consumer
+never applies offset 200 before 100). Out-of-order *delivery inside* a
+batch is fine (the fold orders by seq); out-of-order *batches* are not,
+because a patch folded against a stale base bakes stale column values
+into its post-image. `CDCPipeline.apply_patch_batch` documents the same
+requirement; the epoch fence already rejects replays.
+
+Reference contrast: SURVEY.md §2.11 (Scd1 merge is always whole-row);
+`prepared/.../SimpleLoad.scala` overwrites entire documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.dedup import SALT_COL, _order_struct, _resolve_tiebreak
+from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, read_live
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+CHANGED_COL = "changed_cols"
+_RESERVED = frozenset({"op", CHANGED_COL, SALT_COL, TOMBSTONE_COL, "delivery_batch"})
+
+
+def fold_patches(
+    events: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    changed_col: str = CHANGED_COL,
+    base: DataFrame | None = None,
+    salt_buckets: int = 8,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Fold a mixed upsert/patch/delete feed into one full post-image per
+    key (columns: keys + data cols + seq + op∈{upsert,delete}) that the
+    standard MERGE applies as-is.
+
+    ``base`` is the current live state (keys + data cols); when None the
+    table is assumed empty and untouched patch columns fold to NULL.
+    """
+    tiebreak = _resolve_tiebreak(events, seq_col, tiebreak)
+    data_cols = [
+        c
+        for c in events.columns
+        if c not in key_cols and c != seq_col and c not in _RESERVED
+        and c not in tiebreak
+    ]
+    order = _order_struct(seq_col, tiebreak)
+    is_patch = F.col(op_col) == "patch"
+    is_delete = F.col(op_col) == "delete"
+
+    has_mask = changed_col in events.columns
+
+    def touched(c: str) -> F.Column:
+        # upsert/delete touch every column; patch touches its mask (a feed
+        # with no mask column at all is a plain full-image feed)
+        if not has_mask:
+            return ~is_patch
+        return (~is_patch) | F.array_contains(
+            F.coalesce(F.col(changed_col), F.array().cast("array<string>")),
+            F.lit(c),
+        )
+
+    def value(c: str) -> F.Column:
+        return F.when(is_delete, F.lit(None)).otherwise(F.col(c))
+
+    salted = events.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets)).cast("int")
+    )
+    p1 = [
+        F.max(order).alias("__ord"),
+        F.max_by(F.struct(F.col(op_col).alias("o")), order).alias("__op"),
+        # any full image (upsert/delete) in the group covers every column
+        F.max(F.when(~is_patch, True)).alias("__full"),
+    ]
+    p2 = [
+        F.max(F.col("__ord")).alias("__ord"),
+        F.max_by(F.col("__op"), F.col("__ord")).alias("__op"),
+        F.max(F.col("__full")).alias("__full"),
+    ]
+    for c in data_cols:
+        tord = F.when(touched(c), order)
+        p1.append(F.max_by(F.struct(value(c).alias("v")), tord).alias(f"__v_{c}"))
+        p1.append(F.max(tord).alias(f"__o_{c}"))
+        p2.append(F.max_by(F.col(f"__v_{c}"), F.col(f"__o_{c}")).alias(f"__v_{c}"))
+        p2.append(F.max(F.col(f"__o_{c}")).alias(f"__o_{c}"))
+    partial = (
+        salted.repartition(*[F.col(c) for c in key_cols + [SALT_COL]])
+        .groupBy(*key_cols, SALT_COL)
+        .agg(*p1)
+    )
+    folded = partial.groupBy(*key_cols).agg(*p2)
+
+    tb_cols = [c for c in tiebreak]
+    out_op = F.col("__op.o")
+    if base is not None:
+        # base image only for keys with no covering full image in-batch;
+        # the anti-slice (covered keys) skips the join entirely
+        need = folded.where(~F.coalesce(F.col("__full"), F.lit(False)))
+        covered = folded.where(F.coalesce(F.col("__full"), F.lit(False)))
+        b = base.select(
+            *key_cols, *[F.col(c).alias(f"__b_{c}") for c in data_cols if c in base.columns]
+        )
+        joined = need.join(b, on=key_cols, how="left")
+        for c in data_cols:
+            if f"__b_{c}" not in joined.columns:
+                joined = joined.withColumn(f"__b_{c}", F.lit(None))
+        for c in data_cols:
+            covered = covered.withColumn(f"__b_{c}", F.lit(None))
+        folded = joined.unionByName(covered)
+    else:
+        for c in data_cols:
+            folded = folded.withColumn(f"__b_{c}", F.lit(None))
+
+    out = [F.col(c) for c in key_cols]
+    out.append(F.col("__ord").getField(seq_col).alias(seq_col))
+    for c in tb_cols:
+        out.append(F.col("__ord").getField(c).alias(c))
+    for c in data_cols:
+        v = F.when(
+            F.col(f"__v_{c}").isNotNull(), F.col(f"__v_{c}").getField("v")
+        ).otherwise(F.col(f"__b_{c}"))
+        # the folded row of a final delete is all-NULL (tombstone payload)
+        out.append(F.when(out_op == "delete", F.lit(None)).otherwise(v).alias(c))
+    out.append(
+        F.when(out_op == "delete", F.lit("delete")).otherwise(F.lit("upsert")).alias(op_col)
+    )
+    return folded.select(*out)
+
+
+def apply_patch_batch(
+    pipe,
+    events: DataFrame,
+    batch_id: str,
+    salt_buckets: int | None = None,
+) -> "object":
+    """Fold a partial-image batch against the table's current live state,
+    then apply through the ordinary exactly-once MERGE. Requires in-order
+    batches (see module docstring); replayed batch_ids fence as no-ops
+    before any file is written, so a crash/re-offer never double-applies
+    a fold computed against a newer base."""
+    base = None
+    if SnapshotTable.exists(pipe.root):
+        base = read_live(pipe.spark, pipe.table)
+        drop = [c for c in ("content_sha256",) if c in base.columns]
+        if drop:
+            base = base.drop(*drop)
+    folded = fold_patches(
+        events,
+        key_cols=pipe.key_cols,
+        base=base,
+        salt_buckets=salt_buckets or pipe.salt_buckets,
+    )
+    return pipe.apply_batch(folded, batch_id=batch_id)

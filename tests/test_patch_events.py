@@ -1,0 +1,192 @@
+"""Partial-image (patch) event folding — `cdc/patch.py`.
+
+Covers: per-column last-writer-wins, set-NULL-via-mask vs untouched,
+delete → patch re-creation, base-image fill for patch-only keys, parity
+of batched fold+MERGE against single-event sequential application, and
+the maskless-feed degeneration.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.patch import apply_patch_batch, fold_patches
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [Row(**r) for r in rows],
+        "seq long, repo string, path string, op string, "
+        "changed_cols array<string>, lang string, content string",
+    )
+
+
+def _ev(seq, repo, path, op, changed=None, lang=None, content=None):
+    return dict(
+        seq=seq, repo=repo, path=path, op=op,
+        changed_cols=changed, lang=lang, content=content,
+    )
+
+
+def test_fold_basic_last_writer_per_column(spark):
+    ev = _feed(spark, [
+        _ev(1, "r", "a", "upsert", None, "python", "v1"),
+        _ev(2, "r", "a", "patch", ["content"], None, "v2"),
+        _ev(3, "r", "a", "patch", ["lang"], "rust", "IGNORED"),
+    ])
+    out = fold_patches(ev, key_cols=["repo", "path"], tiebreak=[]).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    # content from seq 2 (last to touch it), lang from seq 3, seq = max
+    assert (r["seq"], r["lang"], r["content"], r["op"]) == (3, "rust", "v2", "upsert")
+
+
+def test_fold_set_null_vs_untouched(spark):
+    ev = _feed(spark, [
+        _ev(1, "r", "a", "upsert", None, "python", "v1"),
+        # mask names lang with a NULL value → explicit set-to-NULL
+        _ev(2, "r", "a", "patch", ["lang"], None, "IGNORED"),
+    ])
+    r = fold_patches(ev, key_cols=["repo", "path"], tiebreak=[]).collect()[0]
+    assert r["lang"] is None and r["content"] == "v1"
+
+
+def test_fold_delete_then_patch_recreates_sparse_row(spark):
+    ev = _feed(spark, [
+        _ev(1, "r", "a", "upsert", None, "python", "v1"),
+        _ev(2, "r", "a", "delete"),
+        _ev(3, "r", "a", "patch", ["content"], None, "v3"),
+    ])
+    r = fold_patches(ev, key_cols=["repo", "path"], tiebreak=[]).collect()[0]
+    # delete wiped lang; the later patch re-created the row sparsely
+    assert (r["op"], r["lang"], r["content"], r["seq"]) == ("upsert", None, "v3", 3)
+
+
+def test_fold_final_delete_is_tombstone(spark):
+    ev = _feed(spark, [
+        _ev(1, "r", "a", "upsert", None, "python", "v1"),
+        _ev(2, "r", "a", "patch", ["content"], None, "v2"),
+        _ev(3, "r", "a", "delete"),
+    ])
+    r = fold_patches(ev, key_cols=["repo", "path"], tiebreak=[]).collect()[0]
+    assert r["op"] == "delete" and r["lang"] is None and r["content"] is None
+
+
+def test_fold_patch_only_key_uses_base_image(spark):
+    base = spark.createDataFrame(
+        [("r", "a", "python", "old"), ("r", "b", "go", "keep")],
+        "repo string, path string, lang string, content string",
+    )
+    ev = _feed(spark, [
+        _ev(5, "r", "a", "patch", ["content"], None, "new"),
+        # key with an in-batch full image must NOT read base
+        _ev(6, "r", "b", "upsert", None, "rust", "full"),
+    ])
+    rows = {
+        (r["repo"], r["path"]): r
+        for r in fold_patches(
+            ev, key_cols=["repo", "path"], base=base, tiebreak=[]
+        ).collect()
+    }
+    assert rows[("r", "a")]["lang"] == "python"  # from base
+    assert rows[("r", "a")]["content"] == "new"  # from patch
+    assert rows[("r", "b")]["lang"] == "rust" and rows[("r", "b")]["content"] == "full"
+
+
+def test_fold_patch_without_base_row_fills_null(spark):
+    base = spark.createDataFrame(
+        [("r", "zzz", "python", "x")],
+        "repo string, path string, lang string, content string",
+    )
+    ev = _feed(spark, [_ev(9, "r", "new", "patch", ["content"], None, "c")])
+    r = fold_patches(ev, key_cols=["repo", "path"], base=base, tiebreak=[]).collect()[0]
+    assert r["lang"] is None and r["content"] == "c" and r["op"] == "upsert"
+
+
+def test_fold_maskless_feed_degenerates_to_latest(spark):
+    ev = spark.createDataFrame(
+        [(1, "r", "a", "upsert", "python", "v1"), (2, "r", "a", "upsert", "go", "v2")],
+        "seq long, repo string, path string, op string, lang string, content string",
+    )
+    r = fold_patches(ev, key_cols=["repo", "path"], tiebreak=[]).collect()[0]
+    assert (r["lang"], r["content"], r["seq"]) == ("go", "v2", 2)
+
+
+def _mixed_feed(spark, n=4000, n_keys=400):
+    """Deterministic mixed feed: ~9% deletes, ~30% full upserts, rest
+    single-column patches (alternating lang/content; %5 both)."""
+    df = spark.range(0, n).select(
+        (F.col("id") + 1).alias("seq"),
+        F.format_string("repo_%02d", F.pmod(F.xxhash64("id", F.lit("r")), F.lit(7))).alias("repo"),
+        F.format_string("f_%04d", F.pmod(F.xxhash64("id", F.lit("k")), F.lit(n_keys))).alias("path"),
+        F.when(F.pmod("id", F.lit(11)) == 0, "delete")
+        .when(F.pmod("id", F.lit(3)) == 0, "upsert")
+        .otherwise("patch")
+        .alias("op"),
+        F.format_string("lang_%d", F.pmod(F.xxhash64("id", F.lit("l")), F.lit(9))).alias("lang"),
+        F.format_string("content_%d", F.xxhash64("id", F.lit("c"))).alias("content"),
+    )
+    mask = (
+        F.when(F.pmod("seq", F.lit(5)) == 0, F.array(F.lit("lang"), F.lit("content")))
+        .when(F.pmod("seq", F.lit(2)) == 0, F.array(F.lit("lang")))
+        .otherwise(F.array(F.lit("content")))
+    )
+    return df.withColumn("changed_cols", F.when(F.col("op") == "patch", mask))
+
+
+@pytest.mark.parametrize("strategy", ["union_agg", "mor"])
+def test_apply_patch_batches_match_sequential_replay(spark, tmp_path, strategy):
+    """3 in-order patch batches through the MERGE == one global fold —
+    the core correctness claim: batching never changes the final state."""
+    ev = _mixed_feed(spark)
+    pipe = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "t"), key_cols=("repo", "path"),
+        num_buckets=8, merge_strategy=strategy,
+    )
+    n = ev.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        batch = ev.where(
+            (F.col("seq") > cuts[i]) & (F.col("seq") <= cuts[i + 1])
+        )
+        apply_patch_batch(pipe, batch, batch_id=f"patch-b{i}")
+    got = {
+        (r["repo"], r["path"]): (r["seq"], r["lang"], r["content"])
+        for r in pipe.current().collect()
+    }
+    want = {
+        (r["repo"], r["path"]): (r["seq"], r["lang"], r["content"])
+        for r in fold_patches(ev, key_cols=["repo", "path"], tiebreak=[])
+        .where(F.col("op") != "delete")
+        .collect()
+    }
+    assert got == want and len(want) > 50
+
+
+def test_apply_patch_batch_refeed_fences(spark, tmp_path):
+    """Re-offering an applied batch id is a no-op even though the fold
+    would now compute against a newer base."""
+    pipe = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "t"), key_cols=("repo", "path"),
+        num_buckets=4,
+    )
+    b1 = _feed(spark, [_ev(1, "r", "a", "upsert", None, "python", "v1")])
+    b2 = _feed(spark, [_ev(2, "r", "a", "patch", ["content"], None, "v2")])
+    apply_patch_batch(pipe, b1, batch_id="pb-1")
+    apply_patch_batch(pipe, b2, batch_id="pb-2")
+    v = pipe.table.refresh().version
+    apply_patch_batch(pipe, b1, batch_id="pb-1")  # replay → fence
+    assert pipe.table.refresh().version == v
+    r = pipe.current().collect()[0]
+    assert (r["lang"], r["content"], r["seq"]) == ("python", "v2", 2)
+
+
+def test_fold_plan_has_no_window_and_two_aggregates(spark):
+    """Plan audit: the fold is two hash/objecthash aggregates (salted
+    phase 1 + final), never a Window sort."""
+    ev = _mixed_feed(spark, n=100, n_keys=10)
+    plan = fold_patches(ev, key_cols=["repo", "path"], tiebreak=[])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
