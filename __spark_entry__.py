@@ -1412,6 +1412,65 @@ def q_cdc_patch_fold(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_envelope_replay(spark, sf):
+    """Debezium-envelope front door (`cdc/envelope.py:parse_envelopes`):
+    the events WAL is serialized into JSON change envelopes (before/after
+    images, op c/u/r/d, source.lsn with a ts_ms fallback — lsn NULLed at
+    seq%13 to exercise it), parsed back JVM-side with ONE from_json, and
+    applied through the exactly-once MERGE. Oracle computes the final
+    live state directly from the WAL (latest per user, deletes drop) —
+    the JSON leg must be semantics-free."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.envelope import parse_envelopes
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    from pyspark.sql import types as T_
+
+    payload = T_.StructType(
+        [
+            T_.StructField("user_id", T_.LongType()),
+            T_.StructField("event_type", T_.StringType()),
+            T_.StructField("value", T_.DoubleType()),
+        ]
+    )
+    src = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"), "user_id", "event_type", "value"
+    ).withColumn(
+        "dop",
+        F.when(F.pmod("seq", F.lit(11)) == 0, "d")
+        .when(F.pmod("seq", F.lit(7)) == 0, "r")
+        .when(F.pmod("seq", F.lit(2)) == 0, "c")
+        .otherwise("u"),
+    )
+    img = F.struct("user_id", "event_type", "value")
+    env = src.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("dop") == "d", img).alias("before"),
+                F.when(F.col("dop") != "d", img).alias("after"),
+                F.col("dop").alias("op"),
+                F.col("seq").alias("ts_ms"),
+                F.struct(
+                    F.when(F.pmod("seq", F.lit(13)) != 0, F.col("seq")).alias("lsn")
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    feed = parse_envelopes(env, payload, key_cols=["user_id"])
+    tmp = tempfile.mkdtemp(prefix="env_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        pipe.apply_batch(feed, batch_id="eg-1")
+        out = pipe.current().select("user_id", "seq", "event_type", "value")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ivm_derived_rollup(spark, sf):
     """Incremental aggregate view with a DERIVED grouping expression
     (`lake/ivm.py:maintain_agg(group_exprs=...)`): same out-of-order 3-batch
@@ -1623,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_diff_feed": q_cdc_diff_feed,
         "cdc_diff_cdf": q_cdc_diff_cdf,
         "cdc_patch_fold": q_cdc_patch_fold,
+        "cdc_envelope_replay": q_cdc_envelope_replay,
         "cdc_join_view": q_cdc_join_view,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
@@ -1795,6 +1855,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS "_change_version",
                    'delete' AS "_change_op"
             FROM pre b WHERE b.user_id % 7 = 0
+        """,
+        "cdc_envelope_replay": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     ELSE 'upsert' END AS op,
+                event_type, value
+              FROM events
+            )
+            SELECT user_id, seq, event_type, value FROM (
+              SELECT user_id, seq, op,
+                CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS event_type,
+                CASE WHEN op = 'delete' THEN NULL ELSE value END AS value,
+                row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM feed)
+            WHERE rn = 1 AND op <> 'delete'
         """,
         "cdc_patch_fold": """
             WITH feed AS (

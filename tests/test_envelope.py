@@ -1,0 +1,141 @@
+"""Debezium-envelope ingestion — `cdc/envelope.py`.
+
+Round-trip (struct → JSON → parse), op mapping (c/u/r→upsert with after,
+d→delete with before keys), lsn/ts_ms seq fallback, and the three
+bad-envelope policies.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.cdc.envelope import parse_envelopes
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _env(spark, rows):
+    """rows: (json_string,)"""
+    return spark.createDataFrame([(r,) for r in rows], "value string")
+
+
+J_UP = (
+    '{"before": null, "after": {"repo": "r", "path": "a", "lang": "py",'
+    ' "content": "v1"}, "op": "c", "ts_ms": 111,'
+    ' "source": {"lsn": 10, "db": "d", "table": "t"}}'
+)
+J_READ = (
+    '{"before": null, "after": {"repo": "r", "path": "b", "lang": "go",'
+    ' "content": "s"}, "op": "r", "ts_ms": 5, "source": {"lsn": 1}}'
+)
+J_DEL = (
+    '{"before": {"repo": "r", "path": "a", "lang": "py", "content": "v1"},'
+    ' "after": null, "op": "d", "ts_ms": 222, "source": {"lsn": 20}}'
+)
+J_NO_LSN = (
+    '{"before": null, "after": {"repo": "r", "path": "c", "lang": "rs",'
+    ' "content": "x"}, "op": "u", "ts_ms": 333, "source": {"db": "d"}}'
+)
+J_GARBAGE = "not json at all"
+J_BAD_OP = '{"before": null, "after": {"repo": "r"}, "op": "z", "ts_ms": 1}'
+J_UP_NO_AFTER = '{"before": null, "after": null, "op": "u", "ts_ms": 2, "source": {"lsn": 3}}'
+
+
+def test_parse_op_mapping_and_seq(spark):
+    feed = parse_envelopes(
+        _env(spark, [J_UP, J_READ, J_DEL, J_NO_LSN]),
+        PAYLOAD, key_cols=["repo", "path"],
+    )
+    rows = {(r["path"], r["op"]): r for r in feed.collect()}
+    assert rows[("a", "upsert")]["seq"] == 10 and rows[("a", "upsert")]["content"] == "v1"
+    # snapshot read (op=r) is an upsert
+    assert rows[("b", "upsert")]["lang"] == "go" and rows[("b", "upsert")]["seq"] == 1
+    # delete: keys from before image, payload NULL
+    d = rows[("a", "delete")]
+    assert d["seq"] == 20 and d["lang"] is None and d["content"] is None
+    # lsn missing → ts_ms fallback
+    assert rows[("c", "upsert")]["seq"] == 333
+
+
+def test_parse_error_policy_raises_with_reason(spark):
+    feed = parse_envelopes(_env(spark, [J_UP, J_GARBAGE]), PAYLOAD, ["repo", "path"])
+    with pytest.raises(Exception, match="bad CDC envelope"):
+        feed.collect()
+
+
+def test_parse_drop_policy_filters(spark):
+    feed = parse_envelopes(
+        _env(spark, [J_UP, J_GARBAGE, J_BAD_OP, J_UP_NO_AFTER]),
+        PAYLOAD, ["repo", "path"], on_error="drop",
+    )
+    assert [r["path"] for r in feed.collect()] == ["a"]
+
+
+def test_parse_null_route_returns_reasons(spark):
+    good, bad = parse_envelopes(
+        _env(spark, [J_UP, J_GARBAGE, J_BAD_OP, J_UP_NO_AFTER]),
+        PAYLOAD, ["repo", "path"], on_error="null-route",
+    )
+    assert good.count() == 1
+    reasons = {r["raw_value"]: r["reason"] for r in bad.collect()}
+    assert reasons[J_GARBAGE] == "unparseable envelope"
+    assert reasons[J_BAD_OP] == "unknown op: z"
+    assert reasons[J_UP_NO_AFTER] == "upsert without after image"
+
+
+def test_parse_is_narrow_no_shuffle(spark):
+    feed = parse_envelopes(_env(spark, [J_UP]), PAYLOAD, ["repo", "path"],
+                           on_error="drop")
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_envelopes_end_to_end_merge(spark, tmp_path):
+    """JSON envelopes → parse → exactly-once MERGE → live state."""
+    env = _env(spark, [J_UP, J_READ, J_DEL, J_NO_LSN])
+    feed = parse_envelopes(env, PAYLOAD, ["repo", "path"])
+    pipe = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "t"), key_cols=("repo", "path"),
+        num_buckets=4,
+    )
+    pipe.apply_batch(feed, batch_id="env-1")
+    rows = {r["path"]: r for r in pipe.current().collect()}
+    # path a: upsert@10 then delete@20 → dead
+    assert "a" not in rows
+    assert rows["b"]["lang"] == "go" and rows["c"]["content"] == "x"
+
+
+def test_envelope_roundtrip_from_struct_feed(spark):
+    """Envelopes BUILT with to_json parse back to the exact original feed
+    (the gate query's construction)."""
+    src = spark.createDataFrame(
+        [(1, "r", "a", "py", "v1", "u"), (2, "r", "a", None, None, "d")],
+        "seq long, repo string, path string, lang string, content string, dop string",
+    )
+    img = F.struct("repo", "path", "lang", "content")
+    env = src.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("dop") == "d", img).alias("before"),
+                F.when(F.col("dop") != "d", img).alias("after"),
+                F.col("dop").alias("op"),
+                F.col("seq").alias("ts_ms"),
+                F.struct(F.col("seq").alias("lsn")).alias("source"),
+            )
+        ).alias("value")
+    )
+    out = parse_envelopes(env, PAYLOAD, ["repo", "path"]).orderBy("seq").collect()
+    assert [(r["seq"], r["op"], r["lang"]) for r in out] == [
+        (1, "upsert", "py"),
+        (2, "delete", None),
+    ]
