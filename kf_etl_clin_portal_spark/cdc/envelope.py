@@ -135,3 +135,56 @@ def parse_envelopes(
         F.concat(F.lit("bad CDC envelope: "), F.col("__bad")),
     )
     return env.where(guard.isNull()).select(*feed_cols)
+
+
+def to_envelopes(
+    df: DataFrame,
+    payload_cols: list[str],
+    seq_col: str = "seq",
+    op: str = "r",
+    source: dict | None = None,
+) -> DataFrame:
+    """The emit direction: serialize rows as Debezium-style JSON envelopes
+    (one ``value`` string column) — how a downstream consumer bootstraps
+    from this engine the same way Debezium bootstraps (op=``r`` snapshot
+    reads), or how current state is published to a changelog topic.
+
+    ``op="r"/"c"/"u"`` put the row in ``after``; ``op="d"`` puts it in
+    ``before`` with a null ``after`` (Debezium delete shape). ``seq_col``
+    becomes ``source.lsn`` AND ``ts_ms``, so `parse_envelopes` of the
+    output reproduces the input exactly (round-trip law, tested)."""
+    img = F.struct(*[F.col(c) for c in payload_cols])
+    is_del = op == "d"
+    src_fields = [F.col(seq_col).cast("long").alias("lsn")]
+    for k, v in (source or {}).items():
+        src_fields.append(F.lit(v).alias(k))
+    return df.select(
+        F.to_json(
+            F.struct(
+                (img if is_del else F.lit(None)).alias("before"),
+                (F.lit(None) if is_del else img).alias("after"),
+                F.lit(op).alias("op"),
+                F.col(seq_col).cast("long").alias("ts_ms"),
+                F.struct(*src_fields).alias("source"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+
+
+def changes_to_envelopes(
+    changes: DataFrame,
+    payload_cols: list[str],
+    seq_col: str = "seq",
+    source: dict | None = None,
+) -> DataFrame:
+    """Change-feed rows (`lake/changes.py` shape: payload +
+    ``_change_op`` upsert|delete) → Debezium envelopes. Together with a
+    `to_envelopes(current(), op="r")` snapshot prefix this publishes a
+    table as a complete changelog stream a fresh `parse_envelopes` +
+    MERGE consumer replays to the identical live state (tested law)."""
+    up = changes.where(F.col("_change_op") != "delete")
+    dn = changes.where(F.col("_change_op") == "delete")
+    return to_envelopes(up, payload_cols, seq_col, op="u", source=source).unionAll(
+        to_envelopes(dn, payload_cols, seq_col, op="d", source=source)
+    )

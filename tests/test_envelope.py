@@ -139,3 +139,75 @@ def test_envelope_roundtrip_from_struct_feed(spark):
         (1, "upsert", "py"),
         (2, "delete", None),
     ]
+
+
+def test_to_envelopes_roundtrip_law(spark):
+    """parse_envelopes(to_envelopes(x)) == x for upserts and deletes."""
+    from kf_etl_clin_portal_spark.cdc.envelope import to_envelopes
+
+    ups = spark.createDataFrame(
+        [(1, "r", "a", "py", "v1"), (2, "r", "b", None, "v2")],
+        "seq long, repo string, path string, lang string, content string",
+    )
+    cols = ["repo", "path", "lang", "content"]
+    back = parse_envelopes(to_envelopes(ups, cols, op="c"), PAYLOAD, ["repo", "path"])
+    got = {r["path"]: r for r in back.collect()}
+    assert got["a"]["lang"] == "py" and got["b"]["lang"] is None
+    assert all(r["op"] == "upsert" for r in got.values())
+
+    dels = ups.select("seq", "repo", "path",
+                      F.lit(None).cast("string").alias("lang"),
+                      F.lit(None).cast("string").alias("content"))
+    backd = parse_envelopes(to_envelopes(dels, cols, op="d"), PAYLOAD, ["repo", "path"])
+    rows = backd.collect()
+    assert {r["path"] for r in rows} == {"a", "b"}
+    assert all(r["op"] == "delete" and r["seq"] in (1, 2) for r in rows)
+
+
+def test_changelog_publish_law(spark, tmp_path):
+    """Snapshot prefix (op=r) + change-feed envelopes replayed by a fresh
+    parse+MERGE consumer == the source's live state."""
+    from kf_etl_clin_portal_spark.cdc.envelope import (
+        changes_to_envelopes,
+        to_envelopes,
+    )
+    from kf_etl_clin_portal_spark.lake.changes import read_changes
+
+    src = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "src"), key_cols=("repo", "path"),
+        num_buckets=4, merge_strategy="mor",
+    )
+    f1 = spark.createDataFrame(
+        [(1, "r", "a", "py", "v1", "upsert"), (2, "r", "b", "go", "w1", "upsert")],
+        "seq long, repo string, path string, lang string, content string, op string",
+    )
+    src.apply_batch(f1, batch_id="cl-1")
+    v_snap = src.table.refresh().version
+
+    # publish: snapshot prefix at v_snap
+    cols = ["repo", "path", "lang", "content"]
+    snap_env = to_envelopes(src.current(), cols, op="r").collect()
+
+    # more changes after the snapshot cut
+    f2 = spark.createDataFrame(
+        [(3, "r", "a", "rs", "v2", "upsert"), (4, "r", "b", None, None, "delete"),
+         (5, "r", "c", "md", "n1", "upsert")],
+        "seq long, repo string, path string, lang string, content string, op string",
+    )
+    src.apply_batch(f2, batch_id="cl-2")
+    tail = read_changes(spark, src.table, since_version=v_snap)
+    tail_env = changes_to_envelopes(tail, cols).collect()
+
+    # fresh consumer replays snapshot then tail
+    env_df = spark.createDataFrame(snap_env + tail_env, "value string")
+    feed = parse_envelopes(env_df, PAYLOAD, ["repo", "path"])
+    dst = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "dst"), key_cols=("repo", "path"),
+        num_buckets=4,
+    )
+    dst.apply_batch(feed, batch_id="consume-1")
+    want = {(r["repo"], r["path"], r["lang"], r["content"])
+            for r in src.current().collect()}
+    got = {(r["repo"], r["path"], r["lang"], r["content"])
+           for r in dst.current().collect()}
+    assert got == want and ("r", "b", "go", "w1") not in got
