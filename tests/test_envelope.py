@@ -211,3 +211,58 @@ def test_changelog_publish_law(spark, tmp_path):
     got = {(r["repo"], r["path"], r["lang"], r["content"])
            for r in dst.current().collect()}
     assert got == want and ("r", "b", "go", "w1") not in got
+
+
+def test_streaming_envelope_tail(spark, tmp_path):
+    """A Kafka-topic-shaped stream (parquet segments of one JSON `value`
+    column) tailed through stream_feed_into_table with parse_envelopes as
+    the transform: live state matches a batch parse of the whole topic,
+    and a re-stream with a fresh checkpoint fences every epoch."""
+    from pyspark.sql import types as TT
+
+    from kf_etl_clin_portal_spark.cdc.envelope import to_envelopes
+    from kf_etl_clin_portal_spark.streaming.micro_batch import (
+        stream_feed_into_table,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, "r", f"f{i % 7}", f"lang{i % 3}", f"c{i}") for i in range(1, 61)],
+        "seq long, repo string, path string, lang string, content string",
+    )
+    env = to_envelopes(rows, ["repo", "path", "lang", "content"], op="u")
+    topic = str(tmp_path / "topic")
+    env.repartition(4).write.parquet(topic)
+
+    def parse(batch):
+        return parse_envelopes(batch, PAYLOAD, ["repo", "path"])
+
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), key_cols=("repo", "path"), num_buckets=4
+    )
+    schema = TT.StructType([TT.StructField("value", TT.StringType())])
+    q = stream_feed_into_table(
+        spark, topic, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="env",
+        max_files_per_trigger=2, transform=parse,
+    )
+    q.awaitTermination(300)
+
+    got = {(r["path"], r["content"]) for r in pipe.current().collect()}
+    want = {
+        (r["path"], r["content"])
+        for r in parse(spark.read.parquet(topic))
+        .groupBy("repo", "path")
+        .agg(F.max_by(F.struct("content"), "seq").alias("w"))
+        .select("path", F.col("w.content").alias("content"))
+        .collect()
+    }
+    assert got == want and len(got) == 7
+
+    v = pipe.table.refresh().version
+    q2 = stream_feed_into_table(
+        spark, topic, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt2"), stream_id="env",
+        max_files_per_trigger=2, transform=parse,
+    )
+    q2.awaitTermination(300)
+    assert pipe.table.refresh().version == v
