@@ -1,0 +1,105 @@
+"""Feed-completeness audit — "did the WAL tail lose events?", answered
+from the commit log alone.
+
+A binlog/WAL feed has a dense LSN domain: if the table's merge lineage
+says the applied batches span seqs [lo, hi] but the events offered sum
+to fewer than ``hi - lo + 1``, events were lost somewhere upstream of
+the MERGE (a dropped topic segment, a crashed extractor, a filter that
+ate rows). The converse is NOT provable post-hoc — at-least-once feeds
+re-deliver, so offered ≥ span is consistent with both "complete" and
+"complete plus duplicates" — which is why the audit reports a one-sided
+**lower bound** (``min_missing``) and never claims exactness. Losing a
+*superseded* event can never change the final table state (max-seq
+winners), so final-state parity (`cdc/oracle.py:verify_parity`) remains
+the ground-truth check when the original feed is still at hand; this
+audit is for the 100 TB case where it isn't.
+
+Cost: driver-side fold over the commit log (O(commits), no Spark job,
+no data I/O) — the same tier as `plan_maintenance` / `metadata_stats`:
+cheap enough to ask after every batch.
+
+Sparse-domain feeds (routed slices of a shared WAL, filtered topics)
+have span ≫ events by construction; for those, pass the slice's
+expected ``density`` (events per unit seq) and the bound scales, or
+read ``offered``/``span`` directly and skip the verdict.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+_MERGE_OPS = ("merge", "merge_mor")
+
+
+def feed_completeness(
+    table: SnapshotTable,
+    density: float = 1.0,
+    batch_prefix: str | None = None,
+) -> dict[str, Any]:
+    """Audit the applied feed's seq coverage from merge lineage.
+
+    Returns ``{ok, span, offered, min_missing, batches, out_of_order,
+    overlapping_batches, seq_min, seq_max, per_batch}``. ``ok`` is True
+    when no loss is *provable* (min_missing == 0) — not a proof of
+    completeness. ``batch_prefix`` restricts the audit to one feed's
+    batch ids when several feeds share the table (fence ids are
+    ``<feed>-e<epoch>``).
+    """
+    if not 0.0 < density <= 1.0:
+        raise ValueError(f"density must be in (0, 1], got {density}")
+    per_batch: list[dict[str, Any]] = []
+    prev_max: int | None = None
+    out_of_order = 0
+    overlapping = 0
+    intervals: list[tuple[int, int]] = []
+    for st in table.refresh().history():
+        if st.get("operation") not in _MERGE_OPS:
+            continue
+        lin = st.get("lineage") or {}
+        bid = lin.get("batch_id")
+        if batch_prefix is not None and not str(bid or "").startswith(batch_prefix):
+            continue
+        lo, hi, n = lin.get("seq_min"), lin.get("seq_max"), lin.get("n_events")
+        if lo is None or hi is None or n is None:
+            continue  # skipped/empty batches carry no seq range
+        if prev_max is not None and lo <= prev_max:
+            out_of_order += 1
+            if any(lo <= b and a <= hi for a, b in intervals):
+                overlapping += 1
+        prev_max = hi if prev_max is None else max(prev_max, hi)
+        intervals.append((lo, hi))
+        per_batch.append(
+            {
+                "batch_id": bid,
+                "version": st["version"],
+                "seq_min": lo,
+                "seq_max": hi,
+                "n_events": n,
+            }
+        )
+    if not per_batch:
+        return {
+            "ok": True, "span": 0, "offered": 0, "min_missing": 0,
+            "batches": 0, "out_of_order": 0, "overlapping_batches": 0,
+            "seq_min": None, "seq_max": None, "per_batch": [],
+        }
+    seq_min = min(b["seq_min"] for b in per_batch)
+    seq_max = max(b["seq_max"] for b in per_batch)
+    span = seq_max - seq_min + 1
+    offered = sum(b["n_events"] for b in per_batch)
+    expected = int(span * density)
+    min_missing = max(0, expected - offered)
+    return {
+        "ok": min_missing == 0,
+        "span": span,
+        "offered": offered,
+        "min_missing": min_missing,
+        "batches": len(per_batch),
+        "out_of_order": out_of_order,
+        "overlapping_batches": overlapping,
+        "seq_min": seq_min,
+        "seq_max": seq_max,
+        "per_batch": per_batch,
+    }

@@ -375,6 +375,16 @@ class CDCPipeline:
 
         return metadata_stats(self.table, cols=cols, version=version)
 
+    def audit_feed(self, density: float = 1.0,
+                   batch_prefix: str | None = None) -> dict:
+        """Metadata-only feed-completeness audit (see `cdc/audit.py`):
+        provable event loss (min_missing lower bound), out-of-order and
+        overlapping batch ranges — O(commits), no Spark job."""
+        from kf_etl_clin_portal_spark.cdc.audit import feed_completeness
+
+        return feed_completeness(self.table, density=density,
+                                 batch_prefix=batch_prefix)
+
     def plan_maintenance(self, **kw) -> list[dict]:
         """Metadata-only maintenance recommendations with evidence
         (see `lake/maintenance.py`); empty list = healthy."""

@@ -1,0 +1,91 @@
+"""Feed-completeness audit — `cdc/audit.py:feed_completeness`.
+
+Provable-loss lower bound, at-least-once tolerance, out-of-order
+bookkeeping, multi-feed prefix restriction, sparse-slice density.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+
+def _pipe(spark, tmp_path, name="t", **kw):
+    return CDCPipeline(
+        spark, os.path.join(str(tmp_path), name), num_buckets=4, **kw
+    )
+
+
+def test_complete_feed_audits_ok(spark, tmp_path):
+    ev = generate_change_events(spark, 4_000, seed=3)
+    pipe = _pipe(spark, tmp_path)
+    pipe.replay(ev, n_batches=4, feed_id="f")
+    a = pipe.audit_feed()
+    assert a["ok"] and a["min_missing"] == 0
+    assert a["offered"] == 4_000 and a["span"] == 4_000
+    assert a["batches"] == 4 and a["seq_min"] == 1 and a["seq_max"] == 4_000
+
+
+def test_dropped_range_is_provable_loss(spark, tmp_path):
+    ev = generate_change_events(spark, 4_000, seed=3)
+    lossy = ev.where((F.col("seq") < 1_000) | (F.col("seq") >= 1_500))
+    pipe = _pipe(spark, tmp_path)
+    pipe.replay(lossy, n_batches=4, feed_id="f")
+    a = pipe.audit_feed()
+    assert not a["ok"] and a["min_missing"] == 500
+
+
+def test_at_least_once_duplicates_do_not_false_alarm(spark, tmp_path):
+    """Re-delivered events across DIFFERENT batch ids inflate `offered`
+    but never produce a loss verdict."""
+    ev = generate_change_events(spark, 2_000, seed=5)
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(ev.where(F.col("seq") <= 1_200), batch_id="d-1")
+    pipe.apply_batch(ev.where(F.col("seq") > 800), batch_id="d-2")  # 400 dup
+    a = pipe.audit_feed()
+    assert a["ok"] and a["offered"] == 2_400 and a["span"] == 2_000
+    assert a["min_missing"] == 0 and a["overlapping_batches"] == 1
+
+
+def test_out_of_order_batches_counted_not_flagged(spark, tmp_path):
+    ev = generate_change_events(spark, 2_000, seed=7)
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(ev.where(F.col("seq") > 1_000), batch_id="o-1")
+    pipe.apply_batch(ev.where(F.col("seq") <= 1_000), batch_id="o-2")
+    a = pipe.audit_feed()
+    assert a["ok"] and a["out_of_order"] == 1 and a["overlapping_batches"] == 0
+
+
+def test_batch_prefix_restricts_to_one_feed(spark, tmp_path):
+    ev = generate_change_events(spark, 2_000, seed=9)
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(ev.where(F.col("seq") <= 1_000), batch_id="feedA-e1")
+    pipe.apply_batch(
+        ev.where(F.col("seq") > 1_500), batch_id="feedB-e1"
+    )  # feedB lost 500
+    full = pipe.audit_feed()
+    assert not full["ok"] and full["min_missing"] == 500
+    a = pipe.audit_feed(batch_prefix="feedA-")
+    assert a["ok"] and a["offered"] == 1_000 and a["batches"] == 1
+
+
+def test_sparse_slice_density_scales_expectation(spark, tmp_path):
+    """A routed slice (even seqs only) audits ok at density=0.5 and
+    as loss at density=1.0."""
+    ev = generate_change_events(spark, 2_000, seed=11)
+    evens = ev.where(F.pmod("seq", F.lit(2)) == 0)
+    pipe = _pipe(spark, tmp_path)
+    pipe.replay(evens, n_batches=2, feed_id="s")
+    assert not pipe.audit_feed()["ok"]
+    a = pipe.audit_feed(density=0.5)
+    assert a["ok"] and a["min_missing"] == 0
+
+
+def test_empty_table_audits_ok(spark, tmp_path):
+    ev = generate_change_events(spark, 100, seed=1)
+    pipe = _pipe(spark, tmp_path)
+    pipe.ensure_table(pipe.prepare_batch(ev).schema)
+    a = pipe.audit_feed()
+    assert a["ok"] and a["batches"] == 0 and a["span"] == 0
