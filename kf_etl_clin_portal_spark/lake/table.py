@@ -966,6 +966,14 @@ class SnapshotTable:
         for c in self.state["properties"].get("write.bloom.columns", "").split(","):
             if c.strip():
                 writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
+        # ``write.parquet.compression`` table property (snappy default;
+        # zstd trades ~15-30% smaller files for write CPU — the right call
+        # when the table is scanned far more than it's written; versioned
+        # like every property, so old files keep their codec and readers
+        # never care)
+        codec = self.state["properties"].get("write.parquet.compression", "").strip()
+        if codec:
+            writer = writer.option("compression", codec)
         (
             writer
             # dictionary encoding is pure overhead for this table shape: the

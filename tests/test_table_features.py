@@ -367,3 +367,33 @@ def test_manifest_records_throughput(spark, events_path, tmp_path):
         assert all(
             "_t0" not in (h["lineage"] or {}) for h in pipe.table.history()
         )
+
+
+def test_write_compression_property(spark, tmp_path):
+    """write.parquet.compression=zstd routes to the parquet writer; files
+    carry the codec, reads are unaffected, and flipping the property
+    mid-life leaves old files readable under their original codec."""
+    import pyarrow.parquet as pq
+
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    ev = generate_change_events(spark, 1_000, seed=21)
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=2,
+        table_properties={"write.parquet.compression": "zstd"},
+    )
+    pipe.apply_batch(ev.where("seq <= 500"), batch_id="z-1")
+
+    def codecs():
+        out = set()
+        for f in pipe.table.refresh().state["files"]:
+            md = pq.ParquetFile(str(tmp_path / "t" / f["path"])).metadata
+            out.add(md.row_group(0).column(0).compression)
+        return out
+
+    assert codecs() == {"ZSTD"}
+    pipe.table.set_properties({"write.parquet.compression": "snappy"})
+    pipe.apply_batch(ev.where("seq > 500"), batch_id="z-2")
+    assert codecs() == {"ZSTD", "SNAPPY"} or codecs() == {"SNAPPY"}
+    assert pipe.current().count() > 0
