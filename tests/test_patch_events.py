@@ -190,3 +190,52 @@ def test_fold_plan_has_no_window_and_two_aggregates(spark):
     ev = _mixed_feed(spark, n=100, n_keys=10)
     plan = fold_patches(ev, key_cols=["repo", "path"], tiebreak=[])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_streaming_patch_tail(spark, tmp_path):
+    """Patch feed tailed through stream_feed_into_table with fold_patches
+    as the transform (base read from the table's live state per
+    micro-batch): final state equals the global fold."""
+    from kf_etl_clin_portal_spark.cdc.patch import fold_patches as _fold
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+    from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+    from kf_etl_clin_portal_spark.streaming.micro_batch import (
+        stream_feed_into_table,
+    )
+
+    ev = _mixed_feed(spark, n=1200, n_keys=60)
+    feed_dir = str(tmp_path / "feed")
+    # one file per in-order seq segment: micro-batches respect WAL order
+    import os as _os
+    _os.makedirs(feed_dir)
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1200)]):
+        ev.where((F.col("seq") > lo) & (F.col("seq") <= hi)).coalesce(1)\
+          .write.parquet(str(tmp_path / f"seg{i}"))
+        import glob as _glob
+        import shutil as _shutil
+        src = _glob.glob(str(tmp_path / f"seg{i}" / "*.parquet"))[0]
+        _shutil.copy(src, f"{feed_dir}/seg{i:03d}.parquet")
+
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), key_cols=("repo", "path"), num_buckets=4
+    )
+
+    def fold(batch):
+        base = None
+        if SnapshotTable.exists(pipe.root):
+            base = read_live(spark, pipe.table).drop("content_sha256")
+        return _fold(batch, key_cols=["repo", "path"], base=base)
+
+    q = stream_feed_into_table(
+        spark, feed_dir, spark.read.parquet(feed_dir).schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="pt",
+        max_files_per_trigger=1, transform=fold,
+    )
+    q.awaitTermination(300)
+
+    got = {(r["repo"], r["path"]): (r["seq"], r["lang"], r["content"])
+           for r in pipe.current().collect()}
+    want = {(r["repo"], r["path"]): (r["seq"], r["lang"], r["content"])
+            for r in _fold(ev, key_cols=["repo", "path"], tiebreak=[])
+            .where(F.col("op") != "delete").collect()}
+    assert got == want and len(want) > 20
