@@ -1,0 +1,193 @@
+"""spark-submit entrypoint: ingest a CDC *envelope topic* into a table.
+
+The front door for feeds that arrive as Debezium-style JSON (Kafka
+connect sink dumps, binlog shippers): a directory of segments, each a
+parquet file with one ``value: string`` column (or raw JSON-lines text
+with ``--format text``), is parsed with `cdc/envelope.py` and MERGEd
+exactly-once.
+
+Cluster usage::
+
+    cd <repo> && zip -qr /tmp/engine.zip kf_etl_clin_portal_spark
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/run_ingest.py --topic s3://.../topic --table s3://.../t \
+        --payload 'repo string, path string, lang string, content string' \
+        --keys repo,path --mode stream --checkpoint s3://.../ckpt
+
+Local smoke::
+
+    SPARK_GRAFT_MASTER='local[4]' python jobs/run_ingest.py \
+        --topic /tmp/topic --table /tmp/t \
+        --payload 'repo string, path string, lang string, content string' \
+        --keys repo,path --dlq /tmp/dlq
+
+``--patch`` treats upsert images as sparse (only the columns named in
+each envelope's after-image ``changed_cols`` array are authoritative)
+and folds them against the table's live state before the MERGE
+(`cdc/patch.py`) — batches must then arrive in WAL order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--topic", required=True,
+                    help="directory of envelope segments")
+    ap.add_argument("--format", choices=["parquet", "text"], default="parquet",
+                    help="segment encoding: parquet(value string) or raw "
+                         "JSON-lines text")
+    ap.add_argument("--payload", required=True,
+                    help="payload row schema as DDL, e.g. "
+                         "'repo string, path string, lang string'")
+    ap.add_argument("--keys", required=True, help="comma-separated key columns")
+    ap.add_argument("--table", required=True, help="CDC table root")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--merge-strategy", choices=["union_agg", "join", "mor"],
+                    default="union_agg")
+    ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    ap.add_argument("--checkpoint", help="stream mode: checkpoint location")
+    ap.add_argument("--feed-id", default="ingest")
+    ap.add_argument("--batch-id", default=None,
+                    help="batch mode: explicit fence id (default "
+                         "<feed-id>-e000000; reruns with the same id fence)")
+    ap.add_argument("--on-error", choices=["error", "drop", "dlq"],
+                    default="error",
+                    help="bad envelopes: fail the job / drop / dead-letter")
+    ap.add_argument("--dlq", default=None, metavar="ROOT",
+                    help="dead-letter table root (required for "
+                         "--on-error dlq): bad raw envelopes land there "
+                         "keyed on a content hash, idempotently")
+    ap.add_argument("--patch", action="store_true",
+                    help="sparse upsert images: fold changed_cols patches "
+                         "against live state before the MERGE (in-order "
+                         "batches required)")
+    ap.add_argument("--audit", action="store_true",
+                    help="after ingest, report the metadata-only "
+                         "feed-completeness audit")
+    args = ap.parse_args(argv)
+    if args.on_error == "dlq" and not args.dlq:
+        ap.error("--on-error dlq needs --dlq ROOT")
+    if args.mode == "stream" and not args.checkpoint:
+        ap.error("--mode stream needs --checkpoint")
+    if args.mode == "stream" and args.on_error == "dlq":
+        ap.error("--on-error dlq is batch-mode only (stream uses drop/error)")
+
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kf_etl_clin_portal_spark.cdc.envelope import parse_envelopes
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.session import build_session
+
+    spark = build_session(
+        app_name="cdc-ingest",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "inherit"),
+    )
+    payload = T.StructType.fromDDL(args.payload)
+    if args.patch:
+        # the sparse-image mask rides inside the after image
+        payload = T.StructType(
+            payload.fields
+            + [T.StructField("changed_cols", T.ArrayType(T.StringType()), True)]
+        )
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    pipe = CDCPipeline(
+        spark, args.table, key_cols=tuple(keys), num_buckets=args.buckets,
+        merge_strategy=args.merge_strategy,
+    )
+
+    def parse(df, on_error):
+        return parse_envelopes(df, payload, key_cols=keys, on_error=on_error)
+
+    def to_feed(df):
+        """Envelope parse → merge-ready feed (patch fold if requested)."""
+        if not args.patch:
+            return df
+        from kf_etl_clin_portal_spark.cdc.patch import fold_patches
+        from kf_etl_clin_portal_spark.lake.merge import read_live
+        from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+        # a patch envelope is op=u with a changed_cols mask in the image;
+        # full images (c/r) and deletes pass through the fold untouched
+        df = df.withColumn(
+            "op",
+            F.when(
+                (F.col("op") == "upsert") & F.col("changed_cols").isNotNull(),
+                F.lit("patch"),
+            ).otherwise(F.col("op")),
+        )
+        base = None
+        if SnapshotTable.exists(pipe.root):
+            base = read_live(spark, pipe.table)
+            if "content_sha256" in base.columns:
+                base = base.drop("content_sha256")
+        return fold_patches(df, key_cols=keys, base=base)
+
+    out: dict = {"mode": args.mode, "table": args.table}
+
+    if args.mode == "stream":
+        from kf_etl_clin_portal_spark.streaming.micro_batch import (
+            stream_feed_into_table,
+        )
+
+        if args.format == "text":
+            schema = T.StructType([T.StructField("value", T.StringType())])
+        else:
+            schema = spark.read.parquet(args.topic).schema
+        q = stream_feed_into_table(
+            spark, args.topic, schema, pipe,
+            checkpoint_dir=args.checkpoint, stream_id=args.feed_id,
+            transform=lambda b: to_feed(parse(b, "drop" if args.on_error == "drop" else "error")),
+        )
+        q.awaitTermination()
+    else:
+        raw = (
+            spark.read.text(args.topic).withColumnRenamed("value", "value")
+            if args.format == "text"
+            else spark.read.parquet(args.topic)
+        )
+        batch_id = args.batch_id or f"{args.feed_id}-e000000"
+        if args.on_error == "dlq":
+            feed, bad = parse(raw, "null-route")
+            bad = bad.persist()
+            n_bad = bad.count()
+            if n_bad:
+                dlq = CDCPipeline(
+                    spark, args.dlq, key_cols=("seq",), num_buckets=4
+                )
+                # content-hash key: the same bad envelope re-offered lands
+                # on the same key — idempotent without a fence dependency
+                dlq.apply_batch(
+                    bad.select(
+                        F.xxhash64("raw_value").alias("seq"),
+                        "raw_value", "reason",
+                    ),
+                    batch_id=f"{batch_id}-dlq",
+                )
+            out["n_bad"] = n_bad
+            bad.unpersist()
+        else:
+            feed = parse(raw, args.on_error)
+        res = pipe.apply_batch(to_feed(feed), batch_id=batch_id)
+        out["n_events"] = res.n_events
+        out["skipped"] = res.skipped
+
+    st = pipe.table.refresh()
+    out["table_version"] = st.version
+    if args.audit:
+        a = pipe.audit_feed()
+        out["audit"] = {k: a[k] for k in
+                        ("ok", "span", "offered", "min_missing", "batches")}
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

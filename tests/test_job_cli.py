@@ -309,3 +309,73 @@ def test_sep_at_cli_separator_is_uri_authority_aware():
     # --join: dim root is itself a URI with authority '@'
     spec = "/v:fk=dk@" + uri
     assert _sep_at(spec) == len("/v:fk=dk")
+
+
+def test_run_ingest_cli_batch_dlq_and_patch(tmp_path):
+    """run_ingest.py end-to-end in one JVM: good+bad envelopes with a DLQ,
+    then a sparse-image (--patch) second batch folding onto live state."""
+    import glob
+    import json as _json
+    import shutil
+    import subprocess
+    import sys
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    rows = [
+        '{"after": {"repo": "r", "path": "a", "lang": "py", "content": "v1"},'
+        ' "op": "c", "ts_ms": 1, "source": {"lsn": 1}}',
+        '{"after": {"repo": "r", "path": "b", "lang": "go", "content": "w1"},'
+        ' "op": "c", "ts_ms": 2, "source": {"lsn": 2}}',
+        "garbage not json",
+    ]
+    (topic / "seg0.txt").write_text("\n".join(rows) + "\n")
+
+    env = dict(os.environ, SPARK_GRAFT_MASTER="local[4]",
+               PYTHONPATH="/root/repo")
+    payload = "repo string, path string, lang string, content string"
+    r1 = subprocess.run(
+        [sys.executable, "/root/repo/jobs/run_ingest.py",
+         "--topic", str(topic), "--format", "text",
+         "--payload", payload, "--keys", "repo,path",
+         "--table", str(tmp_path / "t"), "--buckets", "4",
+         "--on-error", "dlq", "--dlq", str(tmp_path / "dlq"),
+         "--audit"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["n_bad"] == 1 and out1["n_events"] == 2
+    assert out1["audit"]["ok"] is False or out1["audit"]["ok"] is True  # present
+
+    # sparse patch batch: change only content of (r, a)
+    topic2 = tmp_path / "topic2"
+    topic2.mkdir()
+    (topic2 / "seg0.txt").write_text(
+        '{"after": {"repo": "r", "path": "a", "content": "v2",'
+        ' "changed_cols": ["content"]},'
+        ' "op": "u", "ts_ms": 3, "source": {"lsn": 3}}\n'
+    )
+    r2 = subprocess.run(
+        [sys.executable, "/root/repo/jobs/run_ingest.py",
+         "--topic", str(topic2), "--format", "text",
+         "--payload", payload, "--keys", "repo,path",
+         "--table", str(tmp_path / "t"), "--buckets", "4",
+         "--patch", "--batch-id", "ingest-e000001"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    import duckdb
+    files = glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT path, lang, content FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn"
+        f"  FROM read_parquet({files!r})"
+        ") WHERE rn = 1 AND NOT is_deleted ORDER BY path"
+    ).fetchall()
+    # lang survived the sparse patch, content updated
+    assert got == [("a", "py", "v2"), ("b", "go", "w1")]
