@@ -183,7 +183,10 @@ def apply_patch_batch(
     then apply through the ordinary exactly-once MERGE. Requires in-order
     batches (see module docstring); replayed batch_ids fence as no-ops
     before any file is written, so a crash/re-offer never double-applies
-    a fold computed against a newer base."""
+    a fold computed against a newer base. Order violations are detectable
+    post-hoc and for free: `CDCPipeline.audit_feed()['out_of_order']`
+    counts batches whose seq range starts at or below an earlier batch's
+    maximum (metadata-only, from the same lineage the merge writes)."""
     base = None
     if SnapshotTable.exists(pipe.root):
         base = read_live(pipe.spark, pipe.table)

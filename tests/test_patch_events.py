@@ -239,3 +239,25 @@ def test_streaming_patch_tail(spark, tmp_path):
             for r in _fold(ev, key_cols=["repo", "path"], tiebreak=[])
             .where(F.col("op") != "delete").collect()}
     assert got == want and len(want) > 20
+
+
+def test_patch_fold_schema_evolution_new_column(spark, tmp_path):
+    """A column that appears mid-feed evolves the table; patch batches
+    that predate it leave it NULL, later patches can set it."""
+    pipe = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "t"), key_cols=("repo", "path"),
+        num_buckets=4,
+    )
+    b1 = _feed(spark, [_ev(1, "r", "a", "upsert", None, "python", "v1")])
+    apply_patch_batch(pipe, b1, batch_id="se-1")
+    b2 = spark.createDataFrame(
+        [(2, "r", "a", "patch", ["stars"], None, None, 7),
+         (3, "r", "b", "upsert", None, "go", "w1", 2)],
+        "seq long, repo string, path string, op string, "
+        "changed_cols array<string>, lang string, content string, stars int",
+    )
+    apply_patch_batch(pipe, b2, batch_id="se-2")
+    rows = {r["path"]: r for r in pipe.current().collect()}
+    # patch set the new column but kept the pre-evolution payload
+    assert rows["a"]["stars"] == 7 and rows["a"]["content"] == "v1"
+    assert rows["b"]["stars"] == 2 and rows["b"]["lang"] == "go"
