@@ -189,7 +189,24 @@ def apply_patch_batch(
     maximum (metadata-only, from the same lineage the merge writes)."""
     base = None
     if SnapshotTable.exists(pipe.root):
-        base = read_live(pipe.spark, pipe.table)
+        # base image read is BUCKET-PRUNED to the batch's keys: a small
+        # patch batch against a 100 TB table reads only the buckets it can
+        # touch (≤ num_buckets ints collected — the lookup_keys/joinview
+        # pattern), not the table
+        from kf_etl_clin_portal_spark.lake.table import bucket_expr
+
+        table = pipe.table.refresh()
+        nb = table.state["partition"]["num_buckets"]
+        bks = sorted(
+            r["b"]
+            for r in events.select(
+                bucket_expr(list(pipe.key_cols), nb).alias("b")
+            )
+            .where(F.col("b").isNotNull())
+            .distinct()
+            .collect()
+        )
+        base = read_live(pipe.spark, table, buckets=bks)
         drop = [c for c in ("content_sha256",) if c in base.columns]
         if drop:
             base = base.drop(*drop)

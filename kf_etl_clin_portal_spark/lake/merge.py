@@ -506,16 +506,19 @@ def read_merged(
     seq_col: str = "seq",
     version: int | None = None,
     ref: str | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Current-state resolution for a table with delta files: max-seq row
     per key over base ∪ deltas (one shuffle; same comparator as the write
-    path). For an all-base table this degenerates to a plain read."""
+    path). For an all-base table this degenerates to a plain read.
+    ``buckets`` prunes the read to a bucket subset (winner resolution is
+    per-key and keys never span buckets, so pruned resolution is exact)."""
     table.refresh()
     st = table.state
     if not any(f.get("kind") == "delta" for f in st["files"]):
         if version is None and ref is None:
-            return table.read(spark)
-    df = table.read(spark, version=version, ref=ref)
+            return table.read(spark, buckets=buckets)
+    df = table.read(spark, version=version, ref=ref, buckets=buckets)
     key_cols = table.key_cols
     data_cols = df.columns
     row = F.struct(*[F.col(c) for c in data_cols])
@@ -533,12 +536,14 @@ def read_live(
     seq_col: str = "seq",
     version: int | None = None,
     ref: str | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Resolved LIVE state: read_merged winners with tombstones dropped —
     the single definition of "what a consumer sees" shared by
     `CDCPipeline.current`, SQL views, and release reads (one place to
     change winner/tombstone semantics)."""
-    df = read_merged(spark, table, seq_col=seq_col, version=version, ref=ref)
+    df = read_merged(spark, table, seq_col=seq_col, version=version, ref=ref,
+                     buckets=buckets)
     if TOMBSTONE_COL in df.columns:
         df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
             TOMBSTONE_COL

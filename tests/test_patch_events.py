@@ -261,3 +261,33 @@ def test_patch_fold_schema_evolution_new_column(spark, tmp_path):
     # patch set the new column but kept the pre-evolution payload
     assert rows["a"]["stars"] == 7 and rows["a"]["content"] == "v1"
     assert rows["b"]["stars"] == 2 and rows["b"]["lang"] == "go"
+
+
+def test_patch_base_read_is_bucket_pruned(spark, tmp_path):
+    """read_live(buckets=...) — the fold's base-image read — touches only
+    the named buckets' files and resolves identically to a filtered full
+    read."""
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+    from kf_etl_clin_portal_spark.lake.table import bucket_expr
+
+    ev = _mixed_feed(spark, n=2000, n_keys=200)
+    pipe = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "t"), key_cols=("repo", "path"),
+        num_buckets=8,
+    )
+    apply_patch_batch(pipe, ev, batch_id="bp-1")
+    one_key = ev.select("repo", "path").limit(1).collect()[0]
+    b = (
+        spark.createDataFrame([one_key.asDict()])
+        .select(bucket_expr(["repo", "path"], 8).alias("b"))
+        .collect()[0]["b"]
+    )
+    pruned = read_live(spark, pipe.table, buckets=[b])
+    full = read_live(spark, pipe.table)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want = {
+        tuple(r) for r in full.where(
+            bucket_expr(["repo", "path"], 8) == b
+        ).collect()
+    }
+    assert {tuple(r) for r in pruned.collect()} == want and want
