@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--audit", action="store_true",
                     help="after ingest, report the metadata-only "
                          "feed-completeness audit")
+    ap.add_argument("--seq-from", choices=["auto", "lsn", "ts_ms"],
+                    default="auto",
+                    help="envelope ordering domain: lsn / ts_ms require "
+                         "the field on every envelope; auto coalesces "
+                         "per-row (only sound for single-producer topics)")
     args = ap.parse_args(argv)
     if args.on_error == "dlq" and not args.dlq:
         ap.error("--on-error dlq needs --dlq ROOT")
@@ -76,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--mode stream needs --checkpoint")
     if args.mode == "stream" and args.on_error == "dlq":
         ap.error("--on-error dlq is batch-mode only (stream uses drop/error)")
+    if args.patch and args.audit:
+        ap.error("--audit is meaningless with --patch: the fold collapses "
+                 "the batch to one row per key, so lineage undercounts raw "
+                 "events and min_missing fabricates loss")
 
     import os
 
@@ -104,31 +113,19 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     def parse(df, on_error):
-        return parse_envelopes(df, payload, key_cols=keys, on_error=on_error)
+        return parse_envelopes(df, payload, key_cols=keys,
+                               on_error=on_error, seq_from=args.seq_from)
 
-    def to_feed(df):
-        """Envelope parse → merge-ready feed (patch fold if requested)."""
-        if not args.patch:
-            return df
-        from kf_etl_clin_portal_spark.cdc.patch import fold_patches
-        from kf_etl_clin_portal_spark.lake.merge import read_live
-        from kf_etl_clin_portal_spark.lake.table import SnapshotTable
-
-        # a patch envelope is op=u with a changed_cols mask in the image;
-        # full images (c/r) and deletes pass through the fold untouched
-        df = df.withColumn(
+    def mark_patches(df):
+        """A patch envelope is op=u with a changed_cols mask in the image;
+        full images (c/r) and deletes pass through the fold untouched."""
+        return df.withColumn(
             "op",
             F.when(
                 (F.col("op") == "upsert") & F.col("changed_cols").isNotNull(),
                 F.lit("patch"),
             ).otherwise(F.col("op")),
         )
-        base = None
-        if SnapshotTable.exists(pipe.root):
-            base = read_live(spark, pipe.table)
-            if "content_sha256" in base.columns:
-                base = base.drop("content_sha256")
-        return fold_patches(df, key_cols=keys, base=base)
 
     out: dict = {"mode": args.mode, "table": args.table}
 
@@ -141,15 +138,24 @@ def main(argv: list[str] | None = None) -> int:
             schema = T.StructType([T.StructField("value", T.StringType())])
         else:
             schema = spark.read.parquet(args.topic).schema
+
+        def tf(b):
+            feed = parse(b, "drop" if args.on_error == "drop" else "error")
+            if not args.patch:
+                return feed
+            from kf_etl_clin_portal_spark.cdc.patch import fold_against_table
+
+            return fold_against_table(pipe, mark_patches(feed))
+
         q = stream_feed_into_table(
             spark, args.topic, schema, pipe,
             checkpoint_dir=args.checkpoint, stream_id=args.feed_id,
-            transform=lambda b: to_feed(parse(b, "drop" if args.on_error == "drop" else "error")),
+            transform=tf, source_format=args.format,
         )
         q.awaitTermination()
     else:
         raw = (
-            spark.read.text(args.topic).withColumnRenamed("value", "value")
+            spark.read.text(args.topic)
             if args.format == "text"
             else spark.read.parquet(args.topic)
         )
@@ -175,7 +181,13 @@ def main(argv: list[str] | None = None) -> int:
             bad.unpersist()
         else:
             feed = parse(raw, args.on_error)
-        res = pipe.apply_batch(to_feed(feed), batch_id=batch_id)
+        if args.patch:
+            from kf_etl_clin_portal_spark.cdc.patch import apply_patch_batch
+
+            res = apply_patch_batch(pipe, mark_patches(feed),
+                                    batch_id=batch_id)
+        else:
+            res = pipe.apply_batch(feed, batch_id=batch_id)
         out["n_events"] = res.n_events
         out["skipped"] = res.skipped
 

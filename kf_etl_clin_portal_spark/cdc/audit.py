@@ -22,6 +22,12 @@ Sparse-domain feeds (routed slices of a shared WAL, filtered topics)
 have span ≫ events by construction; for those, pass the slice's
 expected ``density`` (events per unit seq) and the bound scales, or
 read ``offered``/``span`` directly and skip the verdict.
+
+Patch-folded tables (`cdc/patch.py:apply_patch_batch`) record FOLDED
+lineage — one row per key per batch — so ``min_missing`` is meaningless
+there and ``out_of_order`` is one-sided (folding can hide a violation,
+never fabricate one); `run_ingest.py` refuses ``--patch --audit`` for
+this reason.
 """
 
 from __future__ import annotations

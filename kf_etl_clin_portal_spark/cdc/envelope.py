@@ -28,7 +28,8 @@ Mapping rules (Debezium semantics, public docs):
   null). Non-key payload columns are NULL on deletes, matching the
   tombstone rows the MERGE stores.
 - ``seq`` — ``source.lsn`` when present (the true WAL total order),
-  else ``ts_ms`` (Debezium's fallback orderings are the same).
+  else ``ts_ms``; pin one domain with ``seq_from`` for mixed-producer
+  topics (see `parse_envelopes`). Neither present = bad envelope.
 - Envelopes that parse to neither image (corrupt JSON, unknown op)
   are routed by ``on_error``: "error" raises on first action with a
   count, "drop" filters them, "null-route" returns them as a second
@@ -78,6 +79,7 @@ def parse_envelopes(
     key_cols: list[str],
     value_col: str = "value",
     on_error: str = "error",
+    seq_from: str = "auto",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """JSON envelopes → engine feed (payload cols + seq + op).
 
@@ -85,20 +87,43 @@ def parse_envelopes(
     the raw value + a reason; "drop" silently filters; "error" (default)
     makes the feed raise on first action if any envelope is bad (the
     count lands in the exception message).
+
+    ``seq_from`` picks the ordering domain: "lsn" / "ts_ms" require that
+    field on every envelope (missing → bad envelope); "auto" (default)
+    coalesces lsn→ts_ms per row, which is only sound when the WHOLE feed
+    carries the same fields — a topic mixing lsn-bearing and lsn-less
+    producers mixes incomparable domains in one seq column (a ~1.7e12
+    ts_ms permanently outranks every ~1e9 lsn), so pin seq_from
+    explicitly for mixed-producer topics. An envelope with neither field
+    is bad under every mode (a NULL seq would silently lose every max-seq
+    merge comparison instead of failing loudly).
     """
     if on_error not in ("error", "drop", "null-route"):
         raise ValueError(f"unknown on_error={on_error!r}")
+    if seq_from not in ("auto", "lsn", "ts_ms"):
+        raise ValueError(f"unknown seq_from={seq_from!r}")
     env = raw.withColumn(
         "__env", F.from_json(F.col(value_col), envelope_schema(payload_schema))
     )
     is_del = F.col("__env.op") == "d"
     is_up = F.col("__env.op").isin(*_OPS_UPSERT)
+    seq_expr = {
+        "auto": F.coalesce(F.col("__env.source.lsn"), F.col("__env.ts_ms")),
+        "lsn": F.col("__env.source.lsn"),
+        "ts_ms": F.col("__env.ts_ms"),
+    }[seq_from]
+    seq_missing = {
+        "auto": "envelope without lsn/ts_ms",
+        "lsn": "envelope without source.lsn",
+        "ts_ms": "envelope without ts_ms",
+    }[seq_from]
     bad_reason = (
         F.when(F.col("__env").isNull() | F.col("__env.op").isNull(),
                F.lit("unparseable envelope"))
         .when(~(is_del | is_up), F.concat(F.lit("unknown op: "), F.col("__env.op")))
         .when(is_up & F.col("__env.after").isNull(), F.lit("upsert without after image"))
         .when(is_del & F.col("__env.before").isNull(), F.lit("delete without before image"))
+        .when(seq_expr.isNull(), F.lit(seq_missing))
     )
     env = env.withColumn("__bad", bad_reason)
 
@@ -115,7 +140,7 @@ def parse_envelopes(
             )
         payload_cols.append(src.alias(f.name))
     feed_cols = payload_cols + [
-        F.coalesce(F.col("__env.source.lsn"), F.col("__env.ts_ms")).alias("seq"),
+        seq_expr.alias("seq"),
         F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
     ]
 

@@ -173,26 +173,21 @@ def fold_patches(
     return folded.select(*out)
 
 
-def apply_patch_batch(
+def fold_against_table(
     pipe,
     events: DataFrame,
-    batch_id: str,
     salt_buckets: int | None = None,
-) -> "object":
-    """Fold a partial-image batch against the table's current live state,
-    then apply through the ordinary exactly-once MERGE. Requires in-order
-    batches (see module docstring); replayed batch_ids fence as no-ops
-    before any file is written, so a crash/re-offer never double-applies
-    a fold computed against a newer base. Order violations are detectable
-    post-hoc and for free: `CDCPipeline.audit_feed()['out_of_order']`
-    counts batches whose seq range starts at or below an earlier batch's
-    maximum (metadata-only, from the same lineage the merge writes)."""
+) -> DataFrame:
+    """Bucket-pruned live-base fold: the shared core of
+    `apply_patch_batch` and streaming transforms (`run_ingest --patch`).
+    The base image read is pruned to the batch keys' buckets — a small
+    patch batch against a 100 TB table reads only the buckets it can
+    touch (≤ num_buckets ints collected, the lookup_keys/joinview
+    pattern), never the table. Note the batch is scanned twice (bucket
+    ids, then the fold): callers with a non-deterministic or expensive
+    upstream should persist it first (`apply_patch_batch` does)."""
     base = None
     if SnapshotTable.exists(pipe.root):
-        # base image read is BUCKET-PRUNED to the batch's keys: a small
-        # patch batch against a 100 TB table reads only the buckets it can
-        # touch (≤ num_buckets ints collected — the lookup_keys/joinview
-        # pattern), not the table
         from kf_etl_clin_portal_spark.lake.table import bucket_expr
 
         table = pipe.table.refresh()
@@ -210,10 +205,35 @@ def apply_patch_batch(
         drop = [c for c in ("content_sha256",) if c in base.columns]
         if drop:
             base = base.drop(*drop)
-    folded = fold_patches(
+    return fold_patches(
         events,
         key_cols=pipe.key_cols,
         base=base,
         salt_buckets=salt_buckets or pipe.salt_buckets,
     )
-    return pipe.apply_batch(folded, batch_id=batch_id)
+
+
+def apply_patch_batch(
+    pipe,
+    events: DataFrame,
+    batch_id: str,
+    salt_buckets: int | None = None,
+) -> "object":
+    """Fold a partial-image batch against the table's current live state,
+    then apply through the ordinary exactly-once MERGE. Requires in-order
+    batches (see module docstring); replayed batch_ids fence as no-ops
+    before any file is written, so a crash/re-offer never double-applies
+    a fold computed against a newer base. Order violations are detectable
+    post-hoc via `CDCPipeline.audit_feed()['out_of_order']`, but note the
+    audit sees FOLDED lineage: the fold collapses the batch to one row
+    per key, so recorded n_events/seq_min undercount the raw feed —
+    `min_missing` is meaningless on a patch-folded table and the
+    out-of-order counter is one-sided (violations can hide, never
+    fabricate). The batch is persisted for the duration of the merge:
+    the bucket-id scan and the fold must see the same rows."""
+    pinned = events.persist()
+    try:
+        folded = fold_against_table(pipe, pinned, salt_buckets)
+        return pipe.apply_batch(folded, batch_id=batch_id)
+    finally:
+        pinned.unpersist()

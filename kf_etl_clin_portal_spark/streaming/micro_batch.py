@@ -65,6 +65,7 @@ def stream_feed_into_table(
     views: list[ViewSpec] | None = None,
     join_views: list[JoinViewSpec] | None = None,
     transform=None,
+    source_format: str = "parquet",
 ):
     """Run the feed directory through the pipeline as a stream; returns the
     StreamingQuery (caller awaits termination). available_now=True drains
@@ -83,10 +84,17 @@ def stream_feed_into_table(
     micro-batch on the hot path. Schema changes it introduces flow through
     MERGE's ordinary schema evolution; exactly-once is unaffected (the
     epoch fence wraps the transformed batch)."""
+    if source_format not in ("parquet", "text"):
+        raise ValueError(f"unknown source_format={source_format!r}")
+    reader = spark.readStream.schema(feed_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger or 16
+    )
+    # text: raw JSON-lines segments (one `value string` column) — the
+    # envelope-topic shape; a transform (parse_envelopes) turns it into
+    # the feed before the MERGE
     reader = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 16)
-        .parquet(feed_dir)
+        reader.text(feed_dir) if source_format == "text"
+        else reader.parquet(feed_dir)
     )
 
     def handle(batch_df, epoch_id: int):

@@ -266,3 +266,60 @@ def test_streaming_envelope_tail(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert pipe.table.refresh().version == v
+
+
+J_NO_SEQ = '{"after": {"repo": "r", "path": "q", "lang": "c", "content": "y"}, "op": "u"}'
+
+
+def test_seq_validation_and_domain_pinning(spark):
+    """No lsn AND no ts_ms = bad under every mode; seq_from='lsn' flags
+    lsn-less envelopes instead of silently switching domains."""
+    good, bad = parse_envelopes(
+        _env(spark, [J_UP, J_NO_SEQ]), PAYLOAD, ["repo", "path"],
+        on_error="null-route",
+    )
+    assert good.count() == 1
+    assert bad.collect()[0]["reason"] == "envelope without lsn/ts_ms"
+
+    # strict lsn domain: the ts_ms-fallback envelope becomes bad
+    good2, bad2 = parse_envelopes(
+        _env(spark, [J_UP, J_NO_LSN]), PAYLOAD, ["repo", "path"],
+        on_error="null-route", seq_from="lsn",
+    )
+    assert good2.count() == 1
+    assert bad2.collect()[0]["reason"] == "envelope without source.lsn"
+
+    # strict ts_ms domain ignores lsn entirely
+    row = parse_envelopes(
+        _env(spark, [J_UP]), PAYLOAD, ["repo", "path"], seq_from="ts_ms"
+    ).collect()[0]
+    assert row["seq"] == 111
+
+
+def test_streaming_text_topic(spark, tmp_path):
+    """source_format='text': raw JSON-lines segments stream through
+    parse_envelopes into the MERGE."""
+    from pyspark.sql import types as TT
+
+    from kf_etl_clin_portal_spark.streaming.micro_batch import (
+        stream_feed_into_table,
+    )
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    (topic / "a.txt").write_text(J_UP + "\n" + J_READ + "\n")
+    (topic / "b.txt").write_text(J_DEL + "\n")
+
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), key_cols=("repo", "path"), num_buckets=4
+    )
+    schema = TT.StructType([TT.StructField("value", TT.StringType())])
+    q = stream_feed_into_table(
+        spark, str(topic), schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="txt",
+        max_files_per_trigger=1, source_format="text",
+        transform=lambda b: parse_envelopes(b, PAYLOAD, ["repo", "path"]),
+    )
+    q.awaitTermination(300)
+    rows = {r["path"] for r in pipe.current().collect()}
+    assert rows == {"b"}  # a deleted, b live
