@@ -58,6 +58,8 @@ HEADLINE = [
     "event_window_hits",
     "doc_paragraph_dedup",
     "doc_redact",
+    "cdc_patch_fold",
+    "cdc_envelope_replay",
 ]
 
 
