@@ -1,0 +1,89 @@
+"""Property test: `fold_patches` == sequential per-event replay.
+
+Hypothesis drives random mixed feeds (ops, masks, values, optional base
+rows) against a pure-Python reference that applies events one at a time
+in seq order — the semantics the fold's one-aggregation plan must
+reproduce exactly. Bounded examples (each round-trips Spark once)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kf_etl_clin_portal_spark.cdc.patch import fold_patches
+
+KEYS = ["k0", "k1", "k2"]
+COLS = ["a", "b"]
+
+_val = st.one_of(st.none(), st.text(alphabet="xyz", min_size=1, max_size=3))
+_event = st.fixed_dictionaries(
+    {
+        "key": st.sampled_from(KEYS),
+        "op": st.sampled_from(["upsert", "patch", "delete"]),
+        "mask": st.lists(st.sampled_from(COLS), unique=True),
+        "a": _val,
+        "b": _val,
+    }
+)
+_feed = st.lists(_event, min_size=1, max_size=12)
+_base = st.dictionaries(
+    st.sampled_from(KEYS),
+    st.tuples(_val, _val),
+    max_size=len(KEYS),
+)
+
+
+def _reference(events, base):
+    """Sequential replay, one event at a time: the spec. Only keys the
+    batch touches appear in the fold's output (untouched base rows are
+    the table's concern, not the batch's)."""
+    state = {k: {"a": v[0], "b": v[1]} for k, v in base.items()}
+    last_seq = {}
+    for seq, e in enumerate(events, start=1):
+        k = e["key"]
+        last_seq[k] = seq
+        if e["op"] == "delete":
+            state[k] = None  # tombstone: dead unless re-patched
+            continue
+        row = dict(state.get(k) or {c: None for c in COLS})
+        if e["op"] == "upsert":
+            row = {c: e[c] for c in COLS}
+        else:
+            for c in e["mask"]:
+                row[c] = e[c]
+        state[k] = row
+    return {
+        k: (seq, state[k]["a"], state[k]["b"])
+        for k, seq in last_seq.items()
+        if state[k] is not None
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_feed, base=_base)
+def test_fold_matches_sequential_replay(spark, events, base):
+    rows = [
+        (i + 1, e["key"], e["op"],
+         e["mask"] if e["op"] == "patch" else None, e["a"], e["b"])
+        for i, e in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "seq long, key string, op string, changed_cols array<string>, "
+        "a string, b string",
+    )
+    base_df = None
+    if base:
+        base_df = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in base.items()],
+            "key string, a string, b string",
+        )
+    got = {
+        r["key"]: (r["seq"], r["a"], r["b"])
+        for r in fold_patches(df, key_cols=["key"], base=base_df, tiebreak=[])
+        .where("op != 'delete'")
+        .collect()
+    }
+    assert got == _reference(events, base)
