@@ -112,6 +112,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="append metadata-only maintenance recommendations "
                          "for the source table (lake/maintenance.py) to the "
                          "report")
+    ap.add_argument("--apply-plan", action="store_true",
+                    help="execute the plan's safe verbs in order "
+                         "(compact_deltas, compact_buckets, "
+                         "expire_snapshots; vacuum only when "
+                         "--vacuum-watermark is given, rebucket never — "
+                         "it's a layout policy decision); implies --plan")
+    ap.add_argument("--vacuum-watermark", type=int, default=None,
+                    metavar="SEQ",
+                    help="with --apply-plan: low watermark for a "
+                         "recommended vacuum_tombstones (no event at or "
+                         "below SEQ can still arrive)")
     ap.add_argument("--source-id", default="views",
                     help="cursor namespace (one follower per id per view)")
     ap.add_argument("--view-buckets", type=int, default=8,
@@ -127,9 +138,9 @@ def main(argv: list[str] | None = None) -> int:
                          "delta files); metadata-only decision")
     args = ap.parse_args(argv)
     if not (args.agg or args.join or args.minhash_index
-            or args.paragraph_index or args.plan):
+            or args.paragraph_index or args.plan or args.apply_plan):
         ap.error("nothing to do: pass --agg, --join, --minhash-index, "
-                 "--paragraph-index, and/or --plan")
+                 "--paragraph-index, --plan, and/or --apply-plan")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -216,10 +227,49 @@ def main(argv: list[str] | None = None) -> int:
             max_versions=args.max_versions,
         )
 
-    if args.plan:
+    if args.plan or args.apply_plan:
         from kf_etl_clin_portal_spark.lake.maintenance import plan_maintenance
 
         report["maintenance"] = plan_maintenance(src)
+    if args.apply_plan:
+        applied = []
+        for rec in report["maintenance"]:
+            act = rec["action"]
+            if act == "compact_deltas":
+                from kf_etl_clin_portal_spark.lake.merge import compact_deltas
+
+                applied.append({"action": act,
+                                "result": compact_deltas(spark, src)})
+            elif act == "compact_buckets":
+                from kf_etl_clin_portal_spark.lake.load import compact_buckets
+
+                applied.append({"action": act,
+                                "result": compact_buckets(spark, src)})
+            elif act == "expire_snapshots":
+                r = src.expire_snapshots(keep_last=10)
+                applied.append({"action": act,
+                                "result": r["files_deleted"]})
+            elif act == "vacuum_tombstones":
+                if args.vacuum_watermark is None:
+                    applied.append({"action": act, "skipped":
+                                    "needs --vacuum-watermark (only the "
+                                    "operator knows the feed's low "
+                                    "watermark)"})
+                else:
+                    from kf_etl_clin_portal_spark.lake.merge import (
+                        vacuum_tombstones,
+                    )
+
+                    applied.append({
+                        "action": act,
+                        "result": vacuum_tombstones(
+                            spark, src, args.vacuum_watermark),
+                    })
+            else:  # rebucket: a layout policy decision, never automated
+                applied.append({"action": act,
+                                "skipped": "layout policy decision — run "
+                                           "CDCPipeline.rebucket explicitly"})
+        report["maintenance_applied"] = applied
 
     print(json.dumps(report))
     return 0

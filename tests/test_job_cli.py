@@ -379,3 +379,36 @@ def test_run_ingest_cli_batch_dlq_and_patch(tmp_path):
     ).fetchall()
     # lang survived the sparse patch, content updated
     assert got == [("a", "py", "v2"), ("b", "go", "w1")]
+
+
+def test_run_views_apply_plan(tmp_path):
+    """--apply-plan executes the advisor's safe verbs: an uncompacted MoR
+    source gets compact_deltas applied; the follow-up tick reports a
+    clean plan (the recommendation cleared after the verb ran)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    src = str(tmp_path / "src")
+
+    def run(script, *cli):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", script), *cli],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(lines[-1])
+
+    run("run_replay.py", "--generate", "4000", "--table", src,
+        "--batches", "4", "--merge-strategy", "mor")
+    rep = run("run_views.py", "--source", src, "--apply-plan")
+    acts = {a["action"]: a for a in rep["maintenance_applied"]}
+    assert "compact_deltas" in acts and acts["compact_deltas"]["result"] >= 1
+    assert all("skipped" not in a or a["action"] in
+               ("vacuum_tombstones", "rebucket")
+               for a in rep["maintenance_applied"])
+
+    rep2 = run("run_views.py", "--source", src, "--plan")
+    assert [r for r in rep2["maintenance"]
+            if r["action"] == "compact_deltas"] == []
