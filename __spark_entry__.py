@@ -1471,6 +1471,59 @@ def q_cdc_envelope_replay(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_scd2_view(spark, sf):
+    """Incrementally maintained Type-2 history (`lake/scd2view.py:
+    maintain_scd2`): the events WAL (deletes at seq%11, payload NULLed)
+    replays into a MoR source in THREE seq-range batches, the history
+    table polls after each — new open versions, pre-images closed via
+    one lead() over changed keys only. Oracle: per-(user, batch) winners
+    (the change-feed granularity) chained with lead() in SQL."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.scd2view import (
+        history_view,
+        maintain_scd2,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"),
+        "user_id",
+        F.when(F.pmod("event_id", F.lit(11)) == 0, F.lit(None))
+        .otherwise(F.col("event_type")).alias("event_type"),
+        F.when(F.pmod("event_id", F.lit(11)) == 0, F.lit(None))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.pmod("event_id", F.lit(11)) == 0, "delete")
+        .otherwise("upsert").alias("op"),
+    )
+    n = ev.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    tmp = tempfile.mkdtemp(prefix="scd2_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        dst = CDCPipeline(
+            spark, os.path.join(tmp, "hist"),
+            key_cols=("user_id", "valid_from_seq"), num_buckets=8,
+        )
+        for i in range(3):
+            src.apply_batch(
+                ev.where((F.col("seq") > cuts[i]) & (F.col("seq") <= cuts[i + 1])),
+                batch_id=f"sg-{i}",
+            )
+            maintain_scd2(spark, src.table, dst)
+        out = history_view(dst).select(
+            "user_id", "valid_from_seq", "event_type", "value",
+            "is_delete_event", "valid_to_seq", "is_current",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ivm_derived_rollup(spark, sf):
     """Incremental aggregate view with a DERIVED grouping expression
     (`lake/ivm.py:maintain_agg(group_exprs=...)`): same out-of-order 3-batch
@@ -1683,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_diff_cdf": q_cdc_diff_cdf,
         "cdc_patch_fold": q_cdc_patch_fold,
         "cdc_envelope_replay": q_cdc_envelope_replay,
+        "scd2_view": q_scd2_view,
         "cdc_join_view": q_cdc_join_view,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
@@ -1871,6 +1925,30 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
               FROM feed)
             WHERE rn = 1 AND op <> 'delete'
+        """,
+        "scd2_view": """
+            WITH nn AS (SELECT count(*) AS c FROM events),
+            feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type,
+                CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,
+                (event_id % 11 = 0) AS is_delete_event,
+                CASE WHEN event_id <= (SELECT CAST(FLOOR(c / 3) AS BIGINT) FROM nn) THEN 0
+                     WHEN event_id <= (SELECT CAST(FLOOR(2 * c / 3) AS BIGINT) FROM nn) THEN 1
+                     ELSE 2 END AS b
+              FROM events
+            ), winners AS (
+              SELECT seq, user_id, event_type, value, is_delete_event FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, b
+                                             ORDER BY seq DESC) AS rn
+                FROM feed) WHERE rn = 1
+            )
+            SELECT user_id, seq AS valid_from_seq, event_type, value,
+              is_delete_event,
+              lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_seq,
+              (lead(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL)
+                AS is_current
+            FROM winners
         """,
         "cdc_patch_fold": """
             WITH feed AS (

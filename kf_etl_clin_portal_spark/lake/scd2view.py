@@ -1,0 +1,180 @@
+"""Incrementally maintained SCD2 (Type-2) history tables.
+
+`operators/history.py:scd2_history` computes validity intervals over a
+feed in one batch shot; a long-lived table wants the same shape
+*maintained* — every version of every key, with ``[valid_from_seq,
+valid_to_seq)`` intervals, following the source at O(delta) per poll
+like the aggregate (`lake/ivm.py`) and join (`lake/joinview.py`) views.
+This is the Type-2 dimension-maintenance workflow warehouse teams run on
+every CDC feed; the reference keeps only SCD1 current state
+(`ConfigurationGenerator.scala:86-88`, `LoadType.Scd1`).
+
+Semantics: the history's version stream is the source's **change feed**
+(per-commit winners — one row per key per commit, the same granularity
+`read_changes` exposes; intra-batch superseded events were never in the
+table and are not history). Per poll:
+
+- every change row becomes a new OPEN version (``valid_to_seq`` NULL);
+- the previously-open version of each changed key — exactly the key's
+  winner in the source at the cursor version, read bucket-pruned —
+  is CLOSED (``valid_to_seq`` = the next version's seq);
+- source deletes are history rows too (``is_delete_event`` true, payload
+  as stored): the tombstone closes its predecessor and is itself closed
+  when the key is re-created. History rows are never lake-tombstoned —
+  a history only grows; retention is an explicit `delete_where`.
+
+The chain is built with one ``lead()`` window over (changed keys ∪ their
+pre-images) — O(changed rows), never the table. Destination rows are
+keyed ``src.key_cols + [valid_from_seq]``; a row's value changes at most
+once (open → closed), and the poll epoch is the merge seq, so re-offered
+polls fence and a crash between nothing-and-commit converges exactly
+like mirroring (cursor and data commit atomically in the destination's
+own lineage).
+
+Full-recompute oracle: after any number of polls the table equals
+`scd2_history(read_changes(src, 0), key_cols, "seq")` — tested, plus a
+SQL twin in the `scd2_view` gate query.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    CHANGE_TS_COL,
+    CHANGE_VERSION_COL,
+    capped_until,
+    changed_buckets,
+    read_changes,
+)
+from kf_etl_clin_portal_spark.lake.merge import (
+    TOMBSTONE_COL,
+    read_live,
+    read_merged,
+)
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+_SCD2_SRC_KEY = "scd2_source"
+_SCD2_UNTIL_KEY = "scd2_until"
+_SCD2_EPOCH_KEY = "scd2_epoch"
+
+VALID_FROM = "valid_from_seq"
+VALID_TO = "valid_to_seq"
+DELETE_FLAG = "is_delete_event"
+
+
+def scd2_cursor(dst_table: SnapshotTable, source_id: str) -> tuple[int, int]:
+    """(last source version folded in, last poll epoch) from the
+    destination's commit lineage — O(commits since the last poll)."""
+    dst_table.refresh()
+    for v in range(dst_table.version, 0, -1):
+        lin = dst_table._read_entry(v).get("lineage") or {}
+        if lin.get(_SCD2_SRC_KEY) == source_id and lin.get(_SCD2_UNTIL_KEY) is not None:
+            return int(lin[_SCD2_UNTIL_KEY]), int(lin.get(_SCD2_EPOCH_KEY, -1))
+    return 0, -1
+
+
+def maintain_scd2(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst_pipe,
+    source_id: str = "scd2",
+    seq_col: str = "seq",
+    max_versions: int | None = None,
+) -> dict[str, Any]:
+    """One poll: fold the source's change feed since the cursor into the
+    history table. Returns {applied, since, until, versions_written, ...};
+    an idle or maintenance-only range parks the cursor. ``max_versions``
+    is the usual admission control (loop while ``applied`` to converge)."""
+    key_cols = list(src.key_cols)
+    want_keys = key_cols + [VALID_FROM]
+    if list(dst_pipe.key_cols) != want_keys:
+        raise ValueError(
+            f"destination key_cols {dst_pipe.key_cols} must be "
+            f"{want_keys} — a history row IS (key, valid_from)"
+        )
+    src.refresh()
+    until = src.version
+    since, epoch = (
+        scd2_cursor(dst_pipe.table, source_id)
+        if SnapshotTable.exists(dst_pipe.root)
+        else (0, -1)
+    )
+    if max_versions is not None and until > since:
+        until = capped_until(src, since, until, max_versions)
+    if until <= since:
+        return {"applied": False, "since": since, "until": until,
+                "versions_written": 0}
+
+    changes = read_changes(spark, src, since_version=since,
+                           until_version=until).drop(
+        CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL
+    )
+    payload_cols = [
+        c for c in changes.columns
+        if c not in key_cols and c not in (seq_col, TOMBSTONE_COL)
+    ]
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.col(seq_col).alias(VALID_FROM),
+            *[F.col(c) for c in payload_cols],
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(DELETE_FLAG),
+        )
+
+    new_rows = shape(changes)
+    # pre-images: the changed keys' winners at the cursor version — their
+    # open history rows get closed. Bucket-pruned + semi-joined so only
+    # changed keys' rows are touched; read_merged keeps tombstone winners
+    # (a deleted-then-recreated key's open row IS its tombstone version).
+    bks = sorted(changed_buckets(src, since, until))
+    prev = shape(
+        read_merged(spark, src, seq_col=seq_col, version=since,
+                    buckets=bks).join(
+            new_rows.select(*key_cols).distinct(), on=key_cols, how="semi"
+        )
+    ) if since > 0 and bks else None
+    chain = new_rows if prev is None else new_rows.unionByName(prev)
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(VALID_FROM).asc())
+    nxt = F.lead(F.col(VALID_FROM)).over(w)
+    batch = (
+        chain.withColumn(VALID_TO, nxt)
+        .withColumn("is_current", nxt.isNull())
+        .withColumn(seq_col, F.lit(epoch + 1).cast("long"))
+    )
+
+    res = dst_pipe.apply_batch(
+        batch,
+        batch_id=f"scd2.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            _SCD2_SRC_KEY: source_id,
+            _SCD2_UNTIL_KEY: until,
+            _SCD2_EPOCH_KEY: epoch + 1,
+        },
+    )
+    if res.skipped:
+        return {"applied": False, "since": since, "until": until,
+                "versions_written": 0}
+    return {
+        "applied": True,
+        "since": since,
+        "until": until,
+        "versions_written": res.n_events,
+        "dst_version": res.version,
+        "epoch": epoch + 1,
+    }
+
+
+def history_view(dst_pipe, seq_col: str = "seq") -> DataFrame:
+    """The maintained history as a consumer sees it: one row per (key,
+    valid_from) version with interval columns, internal merge seq
+    dropped."""
+    return read_live(dst_pipe.spark, dst_pipe.table, seq_col=seq_col).drop(
+        seq_col
+    )

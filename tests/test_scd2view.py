@@ -1,0 +1,149 @@
+"""Incrementally maintained SCD2 history — `lake/scd2view.py`.
+
+Oracle: after every poll the history equals the one-shot
+`operators/history.py:scd2_history` over the source's full change feed.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.changes import read_changes
+from kf_etl_clin_portal_spark.lake.scd2view import history_view, maintain_scd2
+from kf_etl_clin_portal_spark.operators.history import scd2_history
+
+
+def _pipes(spark, tmp_path):
+    src = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "src"), key_cols=("repo", "path"),
+        num_buckets=4, merge_strategy="mor",
+    )
+    dst = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "hist"),
+        key_cols=("repo", "path", "valid_from_seq"), num_buckets=4,
+    )
+    return src, dst
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, repo string, path string, lang string, "
+        "content string, op string",
+    )
+
+
+def _recompute(spark, src):
+    feed = read_changes(spark, src.table, 0).drop(
+        "_change_version", "_change_ts", "_change_op"
+    )
+    return {
+        tuple(r)
+        for r in scd2_history(feed, ["repo", "path"], "seq").select(
+            "repo", "path", F.col("seq").alias("vf"), "lang", "content",
+            F.coalesce("is_deleted", F.lit(False)).alias("del"),
+            "valid_to_seq", "is_current",
+        ).collect()
+    }
+
+
+def _got(dst):
+    return {
+        tuple(r)
+        for r in history_view(dst).select(
+            "repo", "path", F.col("valid_from_seq").alias("vf"), "lang",
+            "content", F.col("is_delete_event").alias("del"),
+            "valid_to_seq", "is_current",
+        ).collect()
+    }
+
+
+def test_scd2_polls_match_batch_recompute(spark, tmp_path):
+    src, dst = _pipes(spark, tmp_path)
+    b1 = _feed(spark, [
+        (1, "r", "a", "py", "v1", "upsert"),
+        (2, "r", "b", "go", "w1", "upsert"),
+    ])
+    b2 = _feed(spark, [
+        (3, "r", "a", "py", "v2", "upsert"),
+        (4, "r", "b", None, None, "delete"),
+    ])
+    b3 = _feed(spark, [
+        (5, "r", "b", "rs", "w2", "upsert"),  # re-create after delete
+        (6, "r", "a", "py", "v3", "upsert"),
+    ])
+    for i, b in enumerate((b1, b2, b3)):
+        src.apply_batch(b, batch_id=f"s-{i}")
+        r = maintain_scd2(spark, src.table, dst)
+        assert r["applied"]
+        assert _got(dst) == _recompute(spark, src)
+
+    hist = {(r["path"], r["valid_from_seq"]): r
+            for r in history_view(dst).collect()}
+    # b's delete is a history row that closed w1 and was itself closed
+    assert hist[("b", 4)]["is_delete_event"] is True
+    assert hist[("b", 4)]["valid_to_seq"] == 5
+    assert hist[("b", 1 + 1)]["valid_to_seq"] == 4  # w1 closed by delete
+    assert hist[("b", 5)]["is_current"] is True
+    assert hist[("a", 6)]["is_current"] is True and len(hist) == 6
+
+
+def test_scd2_out_of_order_commit_matches_recompute(spark, tmp_path):
+    """A later commit carrying an OLDER seq (out-of-order delivery) lands
+    as a closed back-dated version, exactly where the batch recompute
+    puts it."""
+    src, dst = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [(10, "r", "a", "py", "v10", "upsert")]),
+                    batch_id="o-0")
+    maintain_scd2(spark, src.table, dst)
+    src.apply_batch(_feed(spark, [(7, "r", "a", "py", "v7", "upsert")]),
+                    batch_id="o-1")
+    r = maintain_scd2(spark, src.table, dst)
+    assert r["applied"]
+    assert _got(dst) == _recompute(spark, src)
+    hist = {r["valid_from_seq"]: r for r in history_view(dst).collect()}
+    assert hist[7]["valid_to_seq"] == 10 and hist[10]["is_current"] is True
+
+
+def test_scd2_idle_poll_parks_and_refence(spark, tmp_path):
+    src, dst = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [(1, "r", "a", "py", "v1", "upsert")]),
+                    batch_id="i-0")
+    r1 = maintain_scd2(spark, src.table, dst)
+    assert r1["applied"] and r1["versions_written"] == 1
+    r2 = maintain_scd2(spark, src.table, dst)
+    assert not r2["applied"]
+    v = dst.table.refresh().version
+    r3 = maintain_scd2(spark, src.table, dst)
+    assert not r3["applied"] and dst.table.refresh().version == v
+
+
+def test_scd2_wrong_dst_keys_raises(spark, tmp_path):
+    src, _ = _pipes(spark, tmp_path)
+    bad = CDCPipeline(
+        spark, os.path.join(str(tmp_path), "bad"), key_cols=("repo", "path"),
+        num_buckets=2,
+    )
+    src.apply_batch(_feed(spark, [(1, "r", "a", "py", "v", "upsert")]),
+                    batch_id="w-0")
+    with pytest.raises(ValueError, match="valid_from"):
+        maintain_scd2(spark, src.table, bad)
+
+
+def test_scd2_multi_key_changes_per_poll(spark, tmp_path):
+    """Several versions of one key inside a single poll range chain
+    correctly (lead() over the union, not just prev→new)."""
+    src, dst = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [(1, "r", "a", "py", "v1", "upsert")]),
+                    batch_id="m-0")
+    maintain_scd2(spark, src.table, dst)
+    # three separate commits before the next poll
+    for i, s in enumerate((2, 3, 4)):
+        src.apply_batch(
+            _feed(spark, [(s, "r", "a", "py", f"v{s}", "upsert")]),
+            batch_id=f"m-{i + 1}",
+        )
+    r = maintain_scd2(spark, src.table, dst)
+    assert r["applied"] and r["versions_written"] == 4  # 3 new + closed prev
+    assert _got(dst) == _recompute(spark, src)
