@@ -98,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="ROOT:FK=DIMKEY[,..]@DIM_ROOT",
                     help="denormalized join view with this table as the "
                          "fact side (repeatable)")
+    ap.add_argument("--scd2", action="append", default=[],
+                    metavar="ROOT",
+                    help="Type-2 history view of the source "
+                         "(lake/scd2view.py:maintain_scd2; repeatable)")
     ap.add_argument("--minhash-index", action="append", default=[],
                     metavar="ROOT",
                     help="maintain a MinHash signature index of the source "
@@ -137,10 +141,11 @@ def main(argv: list[str] | None = None) -> int:
                          "delta bytes exceed RATIO of base bytes (or ≥8 "
                          "delta files); metadata-only decision")
     args = ap.parse_args(argv)
-    if not (args.agg or args.join or args.minhash_index
+    if not (args.agg or args.join or args.scd2 or args.minhash_index
             or args.paragraph_index or args.plan or args.apply_plan):
-        ap.error("nothing to do: pass --agg, --join, --minhash-index, "
-                 "--paragraph-index, --plan, and/or --apply-plan")
+        ap.error("nothing to do: pass --agg, --join, --scd2, "
+                 "--minhash-index, --paragraph-index, --plan, and/or "
+                 "--apply-plan")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -189,6 +194,19 @@ def main(argv: list[str] | None = None) -> int:
             report["views"][root]["compacted_buckets"] = vpipe.maybe_compact(
                 max_delta_ratio=args.auto_compact
             )
+
+    for root in args.scd2:
+        from kf_etl_clin_portal_spark.lake.scd2view import maintain_scd2
+
+        vpipe = CDCPipeline(
+            spark, root,
+            key_cols=tuple(list(src.key_cols) + ["valid_from_seq"]),
+            num_buckets=args.view_buckets,
+        )
+        report["views"][root] = maintain_scd2(
+            spark, src, vpipe, source_id=f"{args.source_id}-scd2",
+            max_versions=args.max_versions,
+        )
 
     for root in args.minhash_index:
         from kf_etl_clin_portal_spark.dedup.incremental import (

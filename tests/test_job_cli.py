@@ -412,3 +412,30 @@ def test_run_views_apply_plan(tmp_path):
     rep2 = run("run_views.py", "--source", src, "--plan")
     assert [r for r in rep2["maintenance"]
             if r["action"] == "compact_deltas"] == []
+
+
+def test_run_views_scd2_tick(tmp_path):
+    """--scd2 maintains a Type-2 history view on the tick; a repeat tick
+    parks (applied=False)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    src, hist = str(tmp_path / "src"), str(tmp_path / "hist")
+
+    def run(script, *cli):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", script), *cli],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(lines[-1])
+
+    run("run_replay.py", "--generate", "2000", "--table", src,
+        "--batches", "2", "--merge-strategy", "mor")
+    rep = run("run_views.py", "--source", src, "--scd2", hist)
+    assert rep["views"][hist]["applied"] is True
+    assert rep["views"][hist]["versions_written"] > 0
+    rep2 = run("run_views.py", "--source", src, "--scd2", hist)
+    assert rep2["views"][hist]["applied"] is False
