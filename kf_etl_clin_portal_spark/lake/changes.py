@@ -54,7 +54,7 @@ _ROW_CHANGE_OPS = {"merge_mor", "append"}
 # change-row files, so a strict feed must raise (mirrors re-sync instead).
 _MAINTENANCE_OPS = {
     "compact_deltas", "compact", "rebucket", "vacuum", "publish", "drop_ref",
-    "create", "expire", "rename_column", "drop_column", "zorder",
+    "create", "expire", "rename_column", "drop_column", "zorder", "cluster",
     "set_properties", "evolve_schema",
 }
 

@@ -373,3 +373,83 @@ def zorder_buckets(
         return commit.version
 
     return retry_on_conflict(attempt)
+
+
+def cluster_buckets(
+    spark: SparkSession,
+    table: SnapshotTable,
+    cols: list[str],
+    target_files_per_bucket: int = 4,
+) -> int:
+    """Rewrite the table clustered lexicographically by ``cols`` within
+    each bucket — the Iceberg sort-order rewrite (`rewrite_data_files`
+    with a sort strategy) for columns the Z-curve's numeric rank binning
+    can't handle (strings, arbitrary orderables). The secondary-index
+    maintenance step: an index bucketed on ``(value, key)`` spreads every
+    value over all buckets (skew-proof writes), so value-probe file
+    skipping comes from clustering files by value WITHIN buckets — after
+    this rewrite each bucket's files hold contiguous value ranges and a
+    probe's ``stats_filter`` reads ~1 file per bucket instead of all of
+    them.
+
+    Zone maps are tight on the LEADING sort column only (the classic
+    composite-index caveat); use `zorder_buckets` when predicates hit
+    multiple numeric columns independently. Same scale shape as a major
+    compaction: ONE `repartitionByRange` shuffle (sampled boundaries — no
+    single-partition funnel) + intra-file sort for parquet row-group
+    pruning. Bucket membership untouched. Snapshot-atomic,
+    basis-validated, MoR deltas folded first. Returns the commit version.
+    """
+    if not cols:
+        raise ValueError("need at least one cluster column")
+    schema_names = set(table.refresh().schema.fieldNames())
+    missing_cols = [c for c in cols if c not in schema_names]
+    if missing_cols:
+        raise ValueError(f"no such column(s): {missing_cols}")
+    stats_cols = [
+        c.strip()
+        for c in table.state["properties"].get("stats.columns", "seq").split(",")
+        if c.strip()
+    ]
+    widen = [c for c in cols if c not in stats_cols]
+    if widen:
+        table.set_properties({"stats.columns": ",".join(stats_cols + widen)})
+
+    def attempt() -> int:
+        table.refresh()
+        if any(f.get("kind") == "delta" for f in table.state["files"]):
+            from kf_etl_clin_portal_spark.lake.merge import compact_deltas
+
+            compact_deltas(spark, table)
+            table.refresh()
+        basis = table.version
+        df = table.read(spark)
+        order = [F.col(c) for c in cols]
+        out = (
+            df.withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets))
+            .repartitionByRange(
+                max(table.num_buckets * target_files_per_bucket, 1),
+                F.col(BUCKET_COL),
+                *order,
+            )
+            .sortWithinPartitions(F.col(BUCKET_COL), *order)
+        )
+        new_files = table.write_data_files(out, table.state["current_schema_id"])
+        try:
+            commit = table.commit(
+                operation="cluster",
+                new_files=new_files,
+                replaced_buckets=set(range(table.num_buckets)),
+                basis_version=basis,
+                lineage={
+                    "mode": "cluster",
+                    "cols": list(cols),
+                    "files_per_bucket": target_files_per_bucket,
+                },
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return commit.version
+
+    return retry_on_conflict(attempt)

@@ -1,0 +1,323 @@
+"""Incrementally maintained secondary index: non-key column → source keys.
+
+The lake's tables are hash-bucketed on their primary key, so point reads on
+the key are O(1 bucket) (`lake/merge.py:lookup_keys`) — but a predicate on
+any OTHER column (``lang = 'scala'``, ``commit = <sha>``) is a full scan.
+``maintain_index`` keeps a small index table exactly in sync with
+
+    SELECT <col>, <key columns> FROM src WHERE <col> IS NOT NULL
+
+by folding the source's retraction-shaped change feed
+(`lake/changes.py:diff_changes(emit="cdf")` — purpose-built for this): each
+poll reads only the changed bytes, emits one index-row delete per
+``update_preimage``/``delete`` and one upsert per
+``insert``/``update_postimage``, and nets the two legs per index key inside
+the batch (an update that left the value unchanged must keep the entry
+live, not race a same-seq tombstone). The index is an ordinary engine
+table — exactly-once fenced, time-travelable, compactable — keyed on
+``(col, *src.key_cols)`` so entries are unique per source row.
+
+Probe-side pruning (the reason the index beats a scan at 100 TB): the
+index table's ``stats.columns`` cover ``col``, so a value probe file-skips
+from zone maps alone (after compaction clusters the index by its leading
+key column, the touched slice is a few files); ``write.bloom.columns``
+adds parquet bloom filters for within-file row-group skipping on
+high-cardinality values. The source side then reads ONLY the buckets the
+matched keys hash into (`read_live(buckets=...)`). Neither side ever
+scans the corpus.
+
+Consistency contract: the index is exact AS OF its cursor (the source
+version the last poll folded in). ``lookup_by`` therefore pins the source
+read to the cursor version by default — probe and source see the same
+snapshot, so results equal a full filter of that snapshot, always.
+``pin="head"`` trades that for freshness: keys are found via the (possibly
+lagging) index but rows are served from the head snapshot and re-filtered,
+so rows that ACQUIRED the value after the last poll are missed until the
+next poll (documented staleness, never wrong rows).
+
+NULL values are not indexed (matching SQL index/predicate semantics: an
+equality probe can never match NULL); a row whose value moves to NULL
+drops out of the index.
+
+The reference has no secondary-read path at all — non-key lookups are
+deferred to Elasticsearch after a full re-index
+(`etl/src/main/scala/bio/ferlab/etl/indexed/`); here the index follows
+the table at O(delta) inside the lake itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    capped_until,
+    diff_changes,
+)
+from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, read_live
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable, bucket_expr
+
+_SI_SRC_KEY = "secindex_source"
+_SI_UNTIL_KEY = "secindex_until"
+_SI_EPOCH_KEY = "secindex_epoch"
+
+
+def index_pipe(
+    spark: SparkSession,
+    src: SnapshotTable,
+    root: str,
+    col: str,
+    num_buckets: int = 16,
+    **kwargs,
+):
+    """Construct the index's CDCPipeline with the layout the probe path
+    relies on: keyed ``(col, *src.key_cols)`` (unique per source row, value
+    first so compaction clusters by value), zone maps + parquet blooms on
+    ``col``. Plain constructor sugar — any pipeline with these properties
+    works."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    props = dict(kwargs.pop("table_properties", None) or {})
+    props.setdefault("stats.columns", f"seq,{col}")
+    props.setdefault("write.bloom.columns", col)
+    return CDCPipeline(
+        spark,
+        root,
+        key_cols=(col, *src.key_cols),
+        num_buckets=num_buckets,
+        table_properties=props,
+        **kwargs,
+    )
+
+
+def secindex_cursor(dst_table: SnapshotTable, source_id: str) -> tuple[int, int]:
+    """(source version folded in, poll epoch) from the index's commit
+    lineage — O(commits since the last poll), same durable-cursor pattern
+    as `mirror_changes` / `maintain_join`."""
+    dst_table.refresh()
+    for v in range(dst_table.version, 0, -1):
+        lin = dst_table._read_entry(v).get("lineage") or {}
+        if lin.get(_SI_SRC_KEY) == source_id and lin.get(_SI_UNTIL_KEY) is not None:
+            return int(lin[_SI_UNTIL_KEY]), int(lin.get(_SI_EPOCH_KEY, -1))
+    return 0, -1
+
+
+def secindex_lag(
+    src: SnapshotTable, dst_table: SnapshotTable, source_id: str = "secindex"
+) -> dict[str, int]:
+    """Follower lag of the index against its source. Metadata-only."""
+    src.refresh()
+    until, _ = secindex_cursor(dst_table, source_id)
+    return {"cursor": until, "head": src.version, "lag": src.version - until}
+
+
+def _validate(src: SnapshotTable, idx_pipe, col: str, seq_col: str) -> None:
+    src_fields = set(src.schema.fieldNames())
+    if col not in src_fields:
+        raise ValueError(f"source has no column {col!r}")
+    if col in src.key_cols:
+        raise ValueError(
+            f"{col!r} is a source KEY column — key lookups are already "
+            f"bucket-pruned (lake/merge.py:lookup_keys); no index needed"
+        )
+    if col in (seq_col, TOMBSTONE_COL):
+        raise ValueError(f"cannot index engine metadata column {col!r}")
+    want = [col, *src.key_cols]
+    if list(idx_pipe.key_cols) != want:
+        raise ValueError(
+            f"index key_cols must be {want} (value first, then the source "
+            f"key) — got {list(idx_pipe.key_cols)}; use index_pipe()"
+        )
+
+
+def maintain_index(
+    spark: SparkSession,
+    src: SnapshotTable,
+    idx_pipe,
+    col: str,
+    source_id: str = "secindex",
+    seq_col: str = "seq",
+    max_versions: int | None = None,
+    plan_only: bool = False,
+) -> "dict[str, Any] | DataFrame":
+    """Poll the source's change feed once and fold the index delta into
+    ``idx_pipe``. Works over ANY source history (MoR feed, CoW merge, DML,
+    overwrite, rollback) because the delta is a snapshot diff, not a log
+    read. ``max_versions`` caps the range per poll (admission control —
+    loop while ``applied`` to converge); ``plan_only=True`` returns the
+    maintenance batch unwritten. Single follower per ``source_id``."""
+    _validate(src, idx_pipe, col, seq_col)
+    src.refresh()
+    since, epoch = (
+        secindex_cursor(idx_pipe.table, source_id)
+        if SnapshotTable.exists(idx_pipe.root)
+        else (0, -1)
+    )
+    until = src.version
+    if max_versions is not None and until > since:
+        until = capped_until(src, since, until, max_versions)
+    if until <= since:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+
+    cdf = diff_changes(
+        spark, src, since_version=since, until_version=until,
+        seq_col=seq_col, emit="cdf",
+    )
+    # one index row per CDF leg: preimage/delete retract, insert/postimage
+    # assert; NULL values are never indexed (either direction)
+    legs = cdf.where(F.col(col).isNotNull()).select(
+        F.col(col),
+        *[F.col(k) for k in src.key_cols],
+        F.col(CHANGE_OP_COL).isin("insert", "update_postimage").alias("__up"),
+    )
+    # net the legs per index key INSIDE the batch: an update whose value
+    # did not change emits retract+assert for the SAME (value, key) — both
+    # would carry this poll's epoch seq and the merge would tie-break
+    # arbitrarily. One narrow hash-agg over the delta (map-side combine;
+    # O(changed rows), never O(index)) resolves it: live iff any assert leg.
+    batch = (
+        legs.groupBy(col, *src.key_cols)
+        .agg(F.max("__up").alias("__live"))
+        .select(
+            F.col(col),
+            *[F.col(k) for k in src.key_cols],
+            F.lit(epoch + 1).cast("long").alias(seq_col),
+            (~F.col("__live")).alias(TOMBSTONE_COL),
+        )
+    )
+    if plan_only:
+        return batch
+    res = idx_pipe.apply_batch(
+        batch,
+        batch_id=f"si.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            _SI_SRC_KEY: source_id,
+            _SI_UNTIL_KEY: until,
+            _SI_EPOCH_KEY: epoch + 1,
+            "secindex_col": col,
+        },
+    )
+    if res.skipped:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+    return {
+        "applied": True, "since": since, "until": until,
+        "rows": res.n_events, "dst_version": res.version, "epoch": epoch + 1,
+    }
+
+
+def _probe_index(
+    spark: SparkSession, idx_table: SnapshotTable, values: list, seq_col: str
+) -> DataFrame:
+    """Live index entries for ``values``: zone-map file-skip on the value
+    column (correct even under MoR — every file holding ANY row of an
+    index key whose value is v has v inside its zone, so winner resolution
+    over the surviving files sees every contender), then per-key winner
+    resolution, then the live filter."""
+    col = idx_table.key_cols[0]
+    lo, hi = min(values), max(values)
+    df = idx_table.read(spark, stats_filter={col: (lo, hi)}).where(
+        F.col(col).isin(values)
+    )
+    row = F.struct(*[F.col(c) for c in df.columns])
+    winners = (
+        df.groupBy(*idx_table.key_cols)
+        .agg(F.max_by(row, F.col(seq_col)).alias("__row"))
+        .select(F.col("__row.*"))
+    )
+    return winners.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+
+
+def lookup_by(
+    spark: SparkSession,
+    src: SnapshotTable,
+    idx_pipe,
+    values: "list | Any",
+    source_id: str = "secindex",
+    seq_col: str = "seq",
+    pin: str = "cursor",
+) -> DataFrame:
+    """Source rows whose indexed column equals any of ``values``, served
+    via the index: index probe (zone-map/bloom file-skipped) → matched
+    keys → source read pruned to the keys' buckets. Never scans either
+    table.
+
+    ``pin="cursor"`` (default): the source is read AT the index's cursor
+    version — probe and rows see one snapshot, so the result exactly
+    equals filtering that snapshot. ``pin="head"``: rows come from the
+    head snapshot re-filtered on the value (fresh data, but keys that
+    acquired the value after the last poll are missed until the index
+    catches up)."""
+    if pin not in ("cursor", "head"):
+        raise ValueError("pin must be 'cursor' or 'head'")
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    values = list(values)
+    if not values or any(v is None for v in values):
+        raise ValueError(
+            "values must be non-empty and non-NULL (NULL is never indexed)"
+        )
+    idx_table = idx_pipe.table.refresh()
+    col = idx_table.key_cols[0]
+    cursor, _ = secindex_cursor(idx_table, source_id)
+
+    keys = _probe_index(spark, idx_table, values, seq_col).select(*src.key_cols)
+    src.refresh()
+    version = cursor if pin == "cursor" else None
+    spec = src.state_at(cursor)["partition"] if pin == "cursor" else src.state["partition"]
+    wanted = [
+        r["b"]
+        for r in keys.select(
+            bucket_expr(list(spec["key"]), spec["num_buckets"]).alias("b")
+        ).distinct().collect()  # ≤ num_buckets ints — bounded driver traffic
+    ]
+    if not wanted:
+        return read_live(spark, src, seq_col=seq_col, version=version).limit(0)
+    rows = read_live(
+        spark, src, seq_col=seq_col, version=version, buckets=sorted(wanted)
+    ).join(keys, on=list(src.key_cols), how="left_semi")
+    if pin == "head":
+        # the head row may have moved off the value since the last poll
+        rows = rows.where(F.col(col).isin(values))
+    return rows
+
+
+def audit_index(
+    spark: SparkSession,
+    src: SnapshotTable,
+    idx_pipe,
+    col: str,
+    source_id: str = "secindex",
+    seq_col: str = "seq",
+    max_examples: int = 5,
+) -> dict[str, Any]:
+    """Operational trust check: recompute the index's defining projection
+    from the source AT THE CURSOR VERSION (the state the index claims to
+    mirror) and compare entry sets. Distributed full-outer compare; only a
+    bounded count + examples reach the driver."""
+    idx_table = idx_pipe.table.refresh()
+    cursor, _ = secindex_cursor(idx_table, source_id)
+    cols = [col, *src.key_cols]
+    want = (
+        read_live(spark, src, seq_col=seq_col, version=cursor)
+        .where(F.col(col).isNotNull())
+        .select(*cols)
+        .withColumn("__w", F.lit(True))
+    )
+    got = (
+        idx_pipe.current()
+        .select(*cols)
+        .withColumn("__g", F.lit(True))
+    )
+    j = want.join(got, on=cols, how="full_outer")
+    mism = j.where(F.col("__w").isNull() | F.col("__g").isNull())
+    n_bad = mism.count()
+    return {
+        "ok": n_bad == 0,
+        "rows_checked": j.count(),
+        "mismatches": n_bad,
+        "cursor": cursor,
+        "examples": [r.asDict() for r in mism.select(*cols).limit(max_examples).collect()],
+    }

@@ -1,0 +1,294 @@
+"""Secondary index on a non-key column (lake/secondary.py).
+
+Oracle for every poll: the index's live entries must equal the defining
+projection — SELECT col, key FROM src WHERE col IS NOT NULL — recomputed
+from the source at the cursor version (audit_index), and lookup_by must
+equal a full filter of the source snapshot. Covers value moves, deletes,
+unchanged-value updates (the retract+assert netting case), NULL values,
+fencing/idle polls, admission control, layout validation, and probe-side
+file skipping after a cluster rewrite.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.load import cluster_buckets
+from kf_etl_clin_portal_spark.lake.secondary import (
+    audit_index,
+    index_pipe,
+    lookup_by,
+    maintain_index,
+    secindex_cursor,
+    secindex_lag,
+)
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("size", T.DoubleType()),
+    ]
+)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+def _pipes(spark, tmp_path, strategy="mor"):
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("path",), num_buckets=4,
+        merge_strategy=strategy,
+    )
+    return src
+
+
+def _assert_lookup_equals_filter(spark, src_pipe, idx, values):
+    got = sorted(
+        map(
+            tuple,
+            lookup_by(spark, src_pipe.table, idx, values)
+            .select("path", "lang", "size")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            src_pipe.current()
+            .where(F.col("lang").isin(values))
+            .select("path", "lang", "size")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_index_tracks_moves_deletes_and_unchanged_updates(spark, tmp_path):
+    src = _pipes(spark, tmp_path)
+    src.apply_batch(
+        _src(spark, [
+            (1, "upsert", "a.py", "python", 10.0),
+            (2, "upsert", "b.go", "go", 20.0),
+            (3, "upsert", "c.rs", "rust", 30.0),
+            (4, "upsert", "d.py", "python", 40.0),
+        ]),
+        batch_id="s-b00001",
+    )
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4)
+    r = maintain_index(spark, src.table, idx, "lang")
+    assert r["applied"] and r["rows"] == 4
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+    _assert_lookup_equals_filter(spark, src, idx, ["python"])
+    _assert_lookup_equals_filter(spark, src, idx, ["go", "rust"])
+
+    # value move (b.go go→zig), delete (c.rs), unchanged-value update with
+    # payload change (a.py stays python, size changes)
+    src.apply_batch(
+        _src(spark, [
+            (5, "upsert", "b.go", "zig", 21.0),
+            (6, "delete", "c.rs", None, None),
+            (7, "upsert", "a.py", "python", 11.0),
+        ]),
+        batch_id="s-b00002",
+    )
+    r = maintain_index(spark, src.table, idx, "lang")
+    assert r["applied"]
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+    # old value no longer returns the moved key
+    got = {r["path"] for r in lookup_by(spark, src.table, idx, "go").collect()}
+    assert got == set()
+    got = {r["path"] for r in lookup_by(spark, src.table, idx, "zig").collect()}
+    assert got == {"b.go"}
+    # deleted key vanished
+    got = {r["path"] for r in lookup_by(spark, src.table, idx, "rust").collect()}
+    assert got == set()
+    # unchanged-value update kept the entry live (netting) and serves the
+    # NEW payload (pin="cursor" reads the source, not stale index data)
+    rows = lookup_by(spark, src.table, idx, "python").collect()
+    assert {r["path"]: r["size"] for r in rows} == {"a.py": 11.0, "d.py": 40.0}
+
+
+def test_null_values_never_indexed(spark, tmp_path):
+    src = _pipes(spark, tmp_path)
+    src.apply_batch(
+        _src(spark, [
+            (1, "upsert", "a.py", "python", 1.0),
+            (2, "upsert", "n.txt", None, 2.0),
+        ]),
+        batch_id="s-b00001",
+    )
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4)
+    r = maintain_index(spark, src.table, idx, "lang")
+    assert r["rows"] == 1  # only the non-NULL row
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+    # value → NULL drops out of the index
+    src.apply_batch(
+        _src(spark, [(3, "upsert", "a.py", None, 1.5)]), batch_id="s-b00002"
+    )
+    maintain_index(spark, src.table, idx, "lang")
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+    assert idx.current().count() == 0
+    with pytest.raises(ValueError, match="non-NULL"):
+        lookup_by(spark, src.table, idx, [None])
+
+
+def test_idle_poll_parks_and_lag_reports(spark, tmp_path):
+    src = _pipes(spark, tmp_path)
+    src.apply_batch(
+        _src(spark, [(1, "upsert", "a.py", "python", 1.0)]), batch_id="s-b00001"
+    )
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4)
+    assert maintain_index(spark, src.table, idx, "lang")["applied"]
+    v = idx.table.refresh().version
+    r = maintain_index(spark, src.table, idx, "lang")
+    assert not r["applied"]
+    assert idx.table.refresh().version == v  # no commit on idle poll
+    lag = secindex_lag(src.table, idx.table)
+    assert lag["lag"] == 0 and lag["cursor"] == src.table.version
+
+
+def test_max_versions_admission_control(spark, tmp_path):
+    src = _pipes(spark, tmp_path)
+    for i in range(1, 4):
+        src.apply_batch(
+            _src(spark, [(i, "upsert", f"f{i}.py", "python", float(i))]),
+            batch_id=f"s-b{i:05d}",
+        )
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4)
+    r = maintain_index(spark, src.table, idx, "lang", max_versions=1)
+    assert r["applied"] and r["until"] < src.table.version
+    # loop to convergence
+    while maintain_index(spark, src.table, idx, "lang", max_versions=1)["applied"]:
+        pass
+    assert secindex_cursor(idx.table, "secindex")[0] == src.table.version
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+
+
+def test_layout_and_column_validation(spark, tmp_path):
+    src = _pipes(spark, tmp_path)
+    src.apply_batch(
+        _src(spark, [(1, "upsert", "a.py", "python", 1.0)]), batch_id="s-b00001"
+    )
+    wrong = CDCPipeline(spark, str(tmp_path / "w"), key_cols=("lang",), num_buckets=4)
+    with pytest.raises(ValueError, match="index key_cols"):
+        maintain_index(spark, src.table, wrong, "lang")
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang")
+    with pytest.raises(ValueError, match="KEY column"):
+        maintain_index(spark, src.table, idx, "path")
+    with pytest.raises(ValueError, match="metadata"):
+        maintain_index(spark, src.table, idx, "seq")
+    with pytest.raises(ValueError, match="no column"):
+        maintain_index(spark, src.table, idx, "nope")
+
+
+def test_probe_file_skipping_after_cluster(spark, tmp_path):
+    """After compact + cluster_buckets([col]), a value probe must read
+    strictly fewer index files than the full index holds — the 100 TB
+    story: probe cost is the value's slice, not the index."""
+    src = _pipes(spark, tmp_path, strategy="union_agg")
+    langs = ["python", "go", "rust", "zig", "java", "scala", "c", "lua"]
+    rows = [
+        (i, "upsert", f"f{i:04d}.x", langs[i % len(langs)], float(i))
+        for i in range(1, 801)
+    ]
+    src.apply_batch(_src(spark, rows), batch_id="s-b00001")
+    idx = index_pipe(
+        spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4,
+        table_properties={"write.target_rows_per_file": "50"},
+    )
+    maintain_index(spark, src.table, idx, "lang")
+    cluster_buckets(spark, idx.table, ["lang"], target_files_per_bucket=4)
+    idx.table.refresh()
+    total_files = len(idx.table.state["files"])
+    probed = idx.table.read(
+        spark, stats_filter={"lang": ("python", "python")}
+    )
+    n_probed = len(probed.inputFiles())
+    assert n_probed < total_files, (n_probed, total_files)
+    # and correctness survives the rewrite
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+    _assert_lookup_equals_filter(spark, src, idx, ["python"])
+
+
+def test_pin_head_serves_fresh_rows_never_wrong_ones(spark, tmp_path):
+    src = _pipes(spark, tmp_path)
+    src.apply_batch(
+        _src(spark, [
+            (1, "upsert", "a.py", "python", 1.0),
+            (2, "upsert", "b.py", "python", 2.0),
+        ]),
+        batch_id="s-b00001",
+    )
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4)
+    maintain_index(spark, src.table, idx, "lang")
+    # source moves on; the index has NOT polled yet
+    src.apply_batch(
+        _src(spark, [
+            (3, "upsert", "a.py", "go", 1.5),       # left the value
+            (4, "upsert", "c.py", "python", 3.0),   # acquired it (index-blind)
+        ]),
+        batch_id="s-b00002",
+    )
+    # pin="cursor": exact as of the cursor snapshot
+    got = {r["path"]: r["size"]
+           for r in lookup_by(spark, src.table, idx, "python").collect()}
+    assert got == {"a.py": 1.0, "b.py": 2.0}
+    # pin="head": a.py is re-filtered out (no wrong rows); c.py missed
+    # until the next poll (documented staleness)
+    got = {r["path"]: r["size"]
+           for r in lookup_by(spark, src.table, idx, "python", pin="head").collect()}
+    assert got == {"b.py": 2.0}
+    # after the poll, head and cursor agree again
+    maintain_index(spark, src.table, idx, "lang")
+    got = {r["path"]
+           for r in lookup_by(spark, src.table, idx, "python", pin="head").collect()}
+    assert got == {"b.py", "c.py"}
+
+
+def test_index_follows_cow_dml_history(spark, tmp_path):
+    """diff-based maintenance follows histories with no per-commit feed:
+    CoW merges + DML deletes."""
+    src = _pipes(spark, tmp_path, strategy="union_agg")  # CoW
+    src.apply_batch(
+        _src(spark, [
+            (1, "upsert", "a.py", "python", 1.0),
+            (2, "upsert", "b.go", "go", 2.0),
+            (3, "upsert", "c.go", "go", 3.0),
+        ]),
+        batch_id="s-b00001",
+    )
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4)
+    maintain_index(spark, src.table, idx, "lang")
+    src.delete_where(F.col("size") > 2.5)  # DML: drops c.go
+    r = maintain_index(spark, src.table, idx, "lang")
+    assert r["applied"]
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+    got = {r["path"] for r in lookup_by(spark, src.table, idx, "go").collect()}
+    assert got == {"b.go"}
+
+
+def test_audit_detects_out_of_band_corruption(spark, tmp_path):
+    src = _pipes(spark, tmp_path)
+    src.apply_batch(
+        _src(spark, [
+            (1, "upsert", "a.py", "python", 1.0),
+            (2, "upsert", "b.go", "go", 2.0),
+        ]),
+        batch_id="s-b00001",
+    )
+    idx = index_pipe(spark, src.table, str(tmp_path / "idx"), "lang", num_buckets=4)
+    maintain_index(spark, src.table, idx, "lang")
+    assert audit_index(spark, src.table, idx, "lang")["ok"]
+    # corrupt the index out of band: claim b.go is rust
+    corrupt = spark.createDataFrame(
+        [("rust", "b.go", 99)], ["lang", "path", "seq"]
+    )
+    idx.apply_batch(corrupt, batch_id="oob-b00001")
+    rep = audit_index(spark, src.table, idx, "lang")
+    assert not rep["ok"] and rep["mismatches"] >= 1
+    assert any(e["lang"] == "rust" for e in rep["examples"])
