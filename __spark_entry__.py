@@ -1667,6 +1667,82 @@ def q_cdc_join_view(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_secondary_lookup(spark, sf):
+    """Secondary index on a non-key column (`lake/secondary.py`): customer
+    keyed c_custkey, index on c_mktsegment. Poll 1 folds the initial load;
+    then %5 acctbal bump (unchanged-value update — the retract+assert
+    netting case), %7 move to segment 'SPECIAL', %13 delete; poll 2 folds
+    the delta alone (O(changed rows), never O(index)).
+    lookup_by(['BUILDING','SPECIAL']) probes the index with zone-map file
+    skipping, reads only the matched keys' source buckets, and must equal
+    a full filter of the net state (the oracle recomputes it
+    relationally). The reference has no secondary-read path — non-key
+    predicates go to Elasticsearch after a full re-index
+    (etl/src/main/scala/bio/ferlab/etl/indexed/)."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.secondary import (
+        index_pipe,
+        lookup_by,
+        maintain_index,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    tmp = tempfile.mkdtemp(prefix="si_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "s"), key_cols=("c_custkey",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        src.apply_batch(
+            cust.withColumn("seq", F.col("c_custkey").cast("long")),
+            batch_id="si-s1",
+        )
+        idx = index_pipe(
+            spark, src.table, os.path.join(tmp, "i"), "c_mktsegment",
+            num_buckets=8,
+        )
+        maintain_index(spark, src.table, idx, "c_mktsegment")
+        src.apply_batch(
+            cust.where(F.pmod("c_custkey", F.lit(5)) == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+            .withColumn(
+                "seq", (F.lit(1_000_000_000) + F.col("c_custkey")).cast("long")
+            ),
+            batch_id="si-s2",
+        )
+        src.apply_batch(
+            cust.where(F.pmod("c_custkey", F.lit(7)) == 0)
+            .withColumn("c_mktsegment", F.lit("SPECIAL"))
+            .withColumn(
+                "seq", (F.lit(2_000_000_000) + F.col("c_custkey")).cast("long")
+            ),
+            batch_id="si-s3",
+        )
+        src.apply_batch(
+            cust.where(F.pmod("c_custkey", F.lit(13)) == 0).select(
+                "c_custkey",
+                F.lit(None).cast("string").alias("c_mktsegment"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                (F.lit(3_000_000_000) + F.col("c_custkey")).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            ),
+            batch_id="si-s4",
+        )
+        maintain_index(spark, src.table, idx, "c_mktsegment")
+        out = lookup_by(
+            spark, src.table, idx, ["BUILDING", "SPECIAL"]
+        ).select("c_custkey", "c_mktsegment", "c_acctbal")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1738,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_replay": q_cdc_envelope_replay,
         "scd2_view": q_scd2_view,
         "cdc_join_view": q_cdc_join_view,
+        "cdc_secondary_lookup": q_cdc_secondary_lookup,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2032,6 +2109,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.o_orderkey, f.o_custkey, f.o_totalprice,
                    d.c_name, d.c_acctbal
             FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+        """,
+        "cdc_secondary_lookup": """
+            WITH net AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0
+                          THEN 'SPECIAL' ELSE c_mktsegment END AS c_mktsegment,
+                     CASE WHEN c_custkey % 7 = 0 THEN CAST(c_acctbal AS DOUBLE)
+                          WHEN c_custkey % 5 = 0
+                          THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                          ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+              FROM customer WHERE c_custkey % 13 <> 0
+            )
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM net
+            WHERE c_mktsegment IN ('BUILDING', 'SPECIAL')
         """,
         "merge_into_clauses": """
             WITH latest AS (

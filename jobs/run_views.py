@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain a first-seen paragraph ownership index "
                          "(dedup/incremental.py:update_paragraph_index; "
                          "default separator regex '\\n\\n+'; repeatable)")
+    ap.add_argument("--secondary", action="append", default=[],
+                    metavar="ROOT:COL",
+                    help="maintain a secondary index of the source on "
+                         "non-key column COL "
+                         "(lake/secondary.py:maintain_index; repeatable)")
     ap.add_argument("--plan", action="store_true",
                     help="append metadata-only maintenance recommendations "
                          "for the source table (lake/maintenance.py) to the "
@@ -142,10 +147,11 @@ def main(argv: list[str] | None = None) -> int:
                          "delta files); metadata-only decision")
     args = ap.parse_args(argv)
     if not (args.agg or args.join or args.scd2 or args.minhash_index
-            or args.paragraph_index or args.plan or args.apply_plan):
+            or args.paragraph_index or args.secondary or args.plan
+            or args.apply_plan):
         ap.error("nothing to do: pass --agg, --join, --scd2, "
-                 "--minhash-index, --paragraph-index, --plan, and/or "
-                 "--apply-plan")
+                 "--minhash-index, --paragraph-index, --secondary, "
+                 "--plan, and/or --apply-plan")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -242,6 +248,24 @@ def main(argv: list[str] | None = None) -> int:
         report["views"][root] = update_paragraph_index(
             spark, src, ipipe, sep_regex=sep,
             source_id=f"{args.source_id}-pi",
+            max_versions=args.max_versions,
+        )
+
+    for spec in args.secondary:
+        from kf_etl_clin_portal_spark.lake.secondary import (
+            index_pipe,
+            maintain_index,
+        )
+
+        # rpartition keeps URI roots whole (s3://bkt/t:col → col after the
+        # LAST ':'); a spec with no ':' has no column and errors
+        root, _, col = spec.rpartition(":")
+        if not root or not col or "/" in col:
+            ap.error(f"--secondary needs ROOT:COL, got {spec!r}")
+        ipipe = index_pipe(spark, src, root, col,
+                           num_buckets=args.view_buckets)
+        report["views"][root] = maintain_index(
+            spark, src, ipipe, col, source_id=f"{args.source_id}-si",
             max_versions=args.max_versions,
         )
 

@@ -285,6 +285,30 @@ def test_run_views_cli_tick(spark, tmp_path):
     assert rep4["views"][mh]["applied"] is False
     assert rep4["views"][pi]["applied"] is False
 
+    # secondary index rides the tick too: lang → (repo, path), then a
+    # probe equals a full filter; the repeat tick parks its cursor
+    si = str(tmp_path / "si")
+    rep5 = run("run_views.py", "--source", src, "--secondary", f"{si}:lang")
+    assert rep5["views"][si]["applied"] is True
+    from kf_etl_clin_portal_spark.lake.secondary import index_pipe, lookup_by
+
+    src_table = src_pipe.table.refresh()
+    sidx = index_pipe(spark, src_table, si, "lang", num_buckets=8)
+    lang = src_pipe.current().select("lang").first()["lang"]
+    got = sorted(
+        (r["repo"], r["path"])
+        for r in lookup_by(spark, src_table, sidx, lang,
+                           source_id="views-si").collect()
+    )
+    want = sorted(
+        (r["repo"], r["path"])
+        for r in src_pipe.current().where(F.col("lang") == lang)
+        .select("repo", "path").collect()
+    )
+    assert got == want and got
+    rep6 = run("run_views.py", "--source", src, "--secondary", f"{si}:lang")
+    assert rep6["views"][si]["applied"] is False
+
 
 def test_sep_at_cli_separator_is_uri_authority_aware():
     """`_sep_at` (jobs/run_views.py): the field-separator '@' is the last
