@@ -1743,6 +1743,65 @@ def q_cdc_secondary_lookup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_txn_fanout(spark, sf):
+    """Atomic multi-table ingest (`lake/txn.py:transactional_apply`): the
+    events WAL splits into a purchases table and an activity table (both
+    keyed user_id), applied as ONE transaction — staged-batch WAL, intent
+    record, two fenced MERGEs, one commit record. The result reads both
+    tables back through `read_committed` (the all-or-nothing visibility
+    point) and unions them; the oracle recomputes latest-event-per-user
+    within each slice. The reference's cross-entity publish has no such
+    atomicity (published/PublishUtils.scala:7-16 — N independent alias
+    swaps)."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.txn import (
+        TxnLog,
+        Write,
+        read_committed,
+        transactional_apply,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="txn_gate_")
+    try:
+        log = TxnLog(os.path.join(tmp, "log"))
+        p = CDCPipeline(
+            spark, os.path.join(tmp, "p"), key_cols=("user_id",), num_buckets=8
+        )
+        a = CDCPipeline(
+            spark, os.path.join(tmp, "a"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        feed = ev.withColumn("seq", F.col("event_id").cast("long")).withColumn(
+            "op", F.lit("upsert")
+        )
+        transactional_apply(spark, log, {
+            "purchases": Write(
+                p, feed.where(F.col("event_type") == "purchase"), "tx-p1"
+            ),
+            "activity": Write(
+                a, feed.where(F.col("event_type") != "purchase"), "tx-a1"
+            ),
+        })
+        cols = ["user_id", "event_id", "event_type", "value", "src"]
+        out = (
+            read_committed(spark, log, "purchases")
+            .withColumn("src", F.lit("purchases")).select(*cols)
+            .unionByName(
+                read_committed(spark, log, "activity")
+                .withColumn("src", F.lit("activity")).select(*cols)
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1815,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_view": q_scd2_view,
         "cdc_join_view": q_cdc_join_view,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
+        "cdc_txn_fanout": q_cdc_txn_fanout,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2109,6 +2169,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.o_orderkey, f.o_custkey, f.o_totalprice,
                    d.c_name, d.c_acctbal
             FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+        """,
+        "cdc_txn_fanout": """
+            WITH p AS (
+              SELECT user_id, event_id, event_type, value,
+                     'purchases' AS src
+              FROM (SELECT user_id, event_id, event_type, value,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY event_id DESC) rn
+                    FROM events WHERE event_type = 'purchase')
+              WHERE rn = 1
+            ), a AS (
+              SELECT user_id, event_id, event_type, value,
+                     'activity' AS src
+              FROM (SELECT user_id, event_id, event_type, value,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY event_id DESC) rn
+                    FROM events WHERE event_type <> 'purchase')
+              WHERE rn = 1
+            )
+            SELECT user_id, event_id, event_type, value, src FROM p
+            UNION ALL
+            SELECT user_id, event_id, event_type, value, src FROM a
         """,
         "cdc_secondary_lookup": """
             WITH net AS (

@@ -1,0 +1,356 @@
+"""Multi-table transactions: staged-batch WAL + all-or-nothing visibility.
+
+The fanout router (`cdc/router.py`) already makes multi-table WRITES
+converge — per-table fences turn a crash mid-fanout into a re-offerable
+prefix. What it cannot give is a READER guarantee: between the first and
+last per-table merge, a reader joining the tables sees table A post-batch
+and table B pre-batch (a torn group). The reference has the same hole
+one level up — its cross-entity publish is N independent ES alias swaps
+with no all-or-nothing story if the run dies midway
+(`etl/src/main/scala/bio/ferlab/etl/published/PublishUtils.scala:7-16`).
+
+`transactional_apply` closes both ends with a small write-ahead log:
+
+- **Stage** every batch to the txn's own parquet dir first. The WAL
+  write pins the txn's input — a nondeterministic source (stream slice,
+  query over mutating state) is frozen at begin(), so recovery replays
+  byte-identical data (the same reason MERGE pins its source).
+- **Intent** record (tmp+rename, exclusive): participants, staged paths,
+  batch ids, and enough pipeline layout (key_cols / buckets / strategy)
+  to rebuild each writer from nothing but the log.
+- **Apply** each staged batch through the ordinary fenced MERGE — the
+  engine's exactly-once machinery is reused, not reimplemented.
+- **Commit** record (tmp+rename): the group's post-versions. This single
+  rename is the visibility point: `committed_versions` /
+  `read_committed` resolve every alias through the folded commit
+  records, so a reader pinned to the log sees the old group or the new
+  one, never a mix — while per-table heads are free to move earlier
+  (same trick as `lake/release.py`, maintained automatically per txn
+  instead of by manual cuts).
+
+Recovery is **roll-forward only** (`recover`): an intent without a
+commit re-applies its staged batches — fences skip the prefix that
+landed before the crash — then commits. There is no partial-undo path
+by design: staged data makes roll-forward always possible, and undo of
+an already-visible merge is what `rollback`/time travel are for.
+`abort_intent` exists only for a txn none of whose writes landed.
+
+Scale notes: the log is O(txns) tiny JSON files + staged batch bytes
+(deleted at commit); `vacuum_txns` folds old commits into a checkpoint
+so the reader-side fold stays O(keep_last) — the commit-log-growth
+lesson from the table's own fence map applied here from day one.
+Coordination: ONE coordinator per log root (the same single-writer
+contract as the views tick); the per-TABLE writers underneath stay
+fully concurrent via OCC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+class TxnError(Exception):
+    pass
+
+
+@dataclass
+class Write:
+    """One participant: apply ``batch`` to ``pipe`` under ``batch_id``."""
+
+    pipe: Any  # CDCPipeline
+    batch: DataFrame
+    batch_id: str
+
+
+_INTENT_RE = re.compile(r"^t(\d{6})\.intent\.json$")
+_COMMIT_RE = re.compile(r"^t(\d{6})\.commit\.json$")
+
+
+class TxnLog:
+    def __init__(self, root: str):
+        self.root = root
+        self.txn_dir = os.path.join(root, "txns")
+        self.staging_dir = os.path.join(root, "staging")
+        os.makedirs(self.txn_dir, exist_ok=True)
+        os.makedirs(self.staging_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- paths
+    def _intent_path(self, txn_id: int) -> str:
+        return os.path.join(self.txn_dir, f"t{txn_id:06d}.intent.json")
+
+    def _commit_path(self, txn_id: int) -> str:
+        return os.path.join(self.txn_dir, f"t{txn_id:06d}.commit.json")
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.txn_dir, "CHECKPOINT.json")
+
+    def staging_path(self, txn_id: int, alias: str = "") -> str:
+        return os.path.join(self.staging_dir, f"t{txn_id:06d}", alias)
+
+    def _write_json(self, path: str, obj: dict, exclusive: bool = False) -> None:
+        if exclusive and os.path.exists(path):
+            raise TxnError(f"record already exists: {path} (one coordinator "
+                           f"per txn log root)")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.rename(tmp, path)
+
+    def _read_json(self, path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
+
+    # ----------------------------------------------------------- listing
+    def _ids(self, pattern: re.Pattern) -> list[int]:
+        out = []
+        for name in os.listdir(self.txn_dir):
+            m = pattern.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def next_id(self) -> int:
+        ckpt_upto = 0
+        if os.path.exists(self._ckpt_path()):
+            ckpt_upto = int(self._read_json(self._ckpt_path())["upto"])
+        ids = self._ids(_INTENT_RE)
+        return max([ckpt_upto, *ids]) + 1
+
+    def pending(self) -> list[int]:
+        """Intent ids with no commit record — recovery work, oldest first."""
+        committed = set(self._ids(_COMMIT_RE))
+        return [i for i in self._ids(_INTENT_RE) if i not in committed]
+
+    def intent(self, txn_id: int) -> dict:
+        return self._read_json(self._intent_path(txn_id))
+
+    # -------------------------------------------------------- visibility
+    def committed_versions(self) -> dict[str, dict[str, Any]]:
+        """{alias: {root, version, txn_id}} folded over the checkpoint +
+        every commit record in txn order. THE reader-side contract: a
+        txn's tables appear here together or not at all."""
+        out: dict[str, dict[str, Any]] = {}
+        if os.path.exists(self._ckpt_path()):
+            out.update(self._read_json(self._ckpt_path())["versions"])
+        for i in self._ids(_COMMIT_RE):
+            rec = self._read_json(self._commit_path(i))
+            for alias, v in rec["versions"].items():
+                out[alias] = {"root": v["root"], "version": v["version"],
+                              "txn_id": i}
+        return out
+
+
+def read_committed(spark: SparkSession, log: TxnLog, alias: str) -> DataFrame:
+    """Read an alias pinned at its last COMMITTED txn version — never a
+    torn group, regardless of in-flight per-table merges."""
+    versions = log.committed_versions()
+    if alias not in versions:
+        raise TxnError(f"no committed txn covers alias {alias!r}; "
+                       f"known: {sorted(versions)}")
+    v = versions[alias]
+    return SnapshotTable(v["root"]).refresh().read(spark, version=v["version"])
+
+
+class Txn:
+    """An open transaction: staged + intent-durable, not yet visible."""
+
+    def __init__(self, spark: SparkSession, log: TxnLog, txn_id: int,
+                 writes: dict[str, Write]):
+        self.spark = spark
+        self.log = log
+        self.txn_id = txn_id
+        self.writes = writes
+        self.results: dict[str, Any] = {}
+
+    def apply(self, alias: str) -> Any:
+        """Run one participant's fenced MERGE from its STAGED data (never
+        the caller's DataFrame — recovery must replay identical bytes)."""
+        if alias in self.results:
+            return self.results[alias]
+        w = self.writes[alias]
+        staged = self.spark.read.parquet(self.log.staging_path(self.txn_id, alias))
+        self.results[alias] = w.pipe.apply_batch(staged, batch_id=w.batch_id)
+        return self.results[alias]
+
+    def apply_all(self) -> dict[str, Any]:
+        for alias in sorted(self.writes):
+            self.apply(alias)
+        return self.results
+
+    def commit(self) -> dict[str, Any]:
+        """Write the commit record — the group's single visibility point —
+        then drop the staging data it no longer needs."""
+        missing = sorted(set(self.writes) - set(self.results))
+        if missing:
+            raise TxnError(f"cannot commit txn {self.txn_id}: participants "
+                           f"not applied yet: {missing}")
+        versions = {
+            alias: {
+                "root": w.pipe.root,
+                "version": w.pipe.table.refresh().version,
+                "batch_id": w.batch_id,
+                "skipped": bool(getattr(self.results[alias], "skipped", False)),
+            }
+            for alias, w in self.writes.items()
+        }
+        rec = {"txn_id": self.txn_id, "versions": versions,
+               "committed_at": time.time()}
+        self.log._write_json(self.log._commit_path(self.txn_id), rec,
+                             exclusive=True)
+        shutil.rmtree(self.log.staging_path(self.txn_id), ignore_errors=True)
+        return rec
+
+
+def begin(spark: SparkSession, log: TxnLog, writes: dict[str, Write]) -> Txn:
+    """Stage every batch, then write the intent record. After begin()
+    returns, the txn WILL complete: either this process commits it or
+    `recover` rolls it forward from the log alone."""
+    if not writes:
+        raise TxnError("transaction needs at least one write")
+    ids = [w.batch_id for w in writes.values()]
+    if len(set(ids)) != len(ids):
+        raise TxnError(f"batch ids must be unique per txn, got {ids}")
+    txn_id = log.next_id()
+    # a crash mid-begin leaves staging with NO intent; the id gets reused
+    # (next_id counts intents) — that garbage can't belong to a live txn
+    shutil.rmtree(log.staging_path(txn_id), ignore_errors=True)
+    participants = {}
+    for alias, w in sorted(writes.items()):
+        path = log.staging_path(txn_id, alias)
+        w.batch.write.mode("error").parquet(path)
+        participants[alias] = {
+            "root": w.pipe.root,
+            "batch_id": w.batch_id,
+            "key_cols": list(w.pipe.key_cols),
+            "num_buckets": w.pipe.num_buckets,
+            "merge_strategy": w.pipe.merge_strategy,
+        }
+    log._write_json(
+        log._intent_path(txn_id),
+        {"txn_id": txn_id, "participants": participants,
+         "begun_at": time.time()},
+        exclusive=True,
+    )
+    return Txn(spark, log, txn_id, writes)
+
+
+def transactional_apply(
+    spark: SparkSession, log: TxnLog, writes: dict[str, Write]
+) -> dict[str, Any]:
+    """begin → apply all → commit. Returns {txn_id, versions, results}."""
+    txn = begin(spark, log, writes)
+    txn.apply_all()
+    rec = txn.commit()
+    return {
+        "txn_id": txn.txn_id,
+        "versions": rec["versions"],
+        "results": {
+            a: {"skipped": r.skipped, "n_events": r.n_events}
+            for a, r in txn.results.items()
+        },
+    }
+
+
+def _rebuild_writes(spark: SparkSession, log: TxnLog, txn_id: int,
+                    intent: dict) -> dict[str, Write]:
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    writes = {}
+    for alias, p in intent["participants"].items():
+        staged = log.staging_path(txn_id, alias)
+        if not os.path.isdir(staged):
+            raise TxnError(
+                f"txn {txn_id}: staged data for {alias!r} is missing — the "
+                f"coordinator crashed mid-begin; abort_intent() it"
+            )
+        pipe = CDCPipeline(
+            spark, p["root"], key_cols=tuple(p["key_cols"]),
+            num_buckets=p["num_buckets"], merge_strategy=p["merge_strategy"],
+        )
+        writes[alias] = Write(pipe, spark.read.parquet(staged), p["batch_id"])
+    return writes
+
+
+def recover(spark: SparkSession, log: TxnLog) -> list[int]:
+    """Roll every pending txn forward from its staged data: per-table
+    fences no-op whatever landed before the crash, the remainder applies,
+    then the commit record makes the group visible. Idempotent — a second
+    call returns []."""
+    done = []
+    for txn_id in log.pending():
+        intent = log.intent(txn_id)
+        txn = Txn(spark, log, txn_id, _rebuild_writes(spark, log, txn_id, intent))
+        txn.apply_all()
+        txn.commit()
+        done.append(txn_id)
+    return done
+
+
+def abort_intent(spark: SparkSession, log: TxnLog, txn_id: int) -> None:
+    """Drop a pending intent — ONLY if none of its writes landed (once any
+    participant applied, roll-forward via `recover` is the only exit: a
+    half-undone group is exactly the state this module exists to prevent)."""
+    if os.path.exists(log._commit_path(txn_id)):
+        raise TxnError(f"txn {txn_id} is committed; nothing to abort")
+    intent = log.intent(txn_id)
+    landed = []
+    for alias, p in intent["participants"].items():
+        if SnapshotTable.exists(p["root"]):
+            t = SnapshotTable(p["root"]).refresh()
+            if t.is_batch_applied(p["batch_id"]):
+                landed.append(alias)
+    if landed:
+        raise TxnError(
+            f"txn {txn_id} already applied to {sorted(landed)} — run "
+            f"recover() to roll it forward instead"
+        )
+    os.remove(log._intent_path(txn_id))
+    shutil.rmtree(log.staging_path(txn_id), ignore_errors=True)
+
+
+def vacuum_txns(log: TxnLog, keep_last: int = 10) -> dict[str, Any]:
+    """Fold commit records older than the newest ``keep_last`` into the
+    checkpoint (cumulative alias→version map survives — an alias last
+    touched 1000 txns ago still resolves), then delete them and any
+    orphan staging dirs. Pending intents are recovery work and are NEVER
+    vacuumed."""
+    committed = log._ids(_COMMIT_RE)
+    fold = committed[:-keep_last] if keep_last > 0 else committed
+    if fold:
+        versions = {}
+        if os.path.exists(log._ckpt_path()):
+            versions.update(log._read_json(log._ckpt_path())["versions"])
+        for i in fold:
+            rec = log._read_json(log._commit_path(i))
+            for alias, v in rec["versions"].items():
+                versions[alias] = {"root": v["root"], "version": v["version"],
+                                   "txn_id": i}
+        log._write_json(log._ckpt_path(),
+                        {"upto": fold[-1], "versions": versions})
+        for i in fold:
+            os.remove(log._commit_path(i))
+            intent = log._intent_path(i)
+            if os.path.exists(intent):
+                os.remove(intent)
+    # staging dirs with neither an intent (crash mid-begin after a commit
+    # raced? no — mid-begin) nor a live txn are unreachable garbage
+    pending = set(log.pending())
+    orphans = 0
+    for name in os.listdir(log.staging_dir):
+        if name.startswith("t") and name[1:].isdigit():
+            if int(name[1:]) not in pending:
+                shutil.rmtree(os.path.join(log.staging_dir, name),
+                              ignore_errors=True)
+                orphans += 1
+    return {"folded": len(fold), "orphan_staging_removed": orphans,
+            "kept": len(committed) - len(fold)}

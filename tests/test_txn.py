@@ -1,0 +1,224 @@
+"""Multi-table transactions (lake/txn.py).
+
+The contract under test: after begin() the txn always completes (roll
+forward from the staged WAL), and readers resolving through the log see
+a txn's tables together or not at all — even while per-table heads move
+mid-txn.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.txn import (
+    TxnError,
+    TxnLog,
+    Write,
+    abort_intent,
+    begin,
+    read_committed,
+    recover,
+    transactional_apply,
+    vacuum_txns,
+)
+
+USERS = "seq long, op string, user_id long, name string"
+ORDERS = "seq long, op string, order_id long, user_id long, total double"
+
+
+def _users(spark, rows):
+    return spark.createDataFrame(rows, USERS)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, ORDERS)
+
+
+def _pipes(spark, tmp_path):
+    u = CDCPipeline(spark, str(tmp_path / "u"), key_cols=("user_id",),
+                    num_buckets=4)
+    o = CDCPipeline(spark, str(tmp_path / "o"), key_cols=("order_id",),
+                    num_buckets=4, merge_strategy="mor")
+    return u, o
+
+
+def test_transactional_apply_group_visibility(spark, tmp_path):
+    u, o = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    res = transactional_apply(spark, log, {
+        "users": Write(u, _users(spark, [(1, "upsert", 1, "ada")]), "t-u1"),
+        "orders": Write(o, _orders(spark, [(1, "upsert", 10, 1, 9.5)]), "t-o1"),
+    })
+    assert set(res["versions"]) == {"users", "orders"}
+    cv = log.committed_versions()
+    assert cv["users"]["txn_id"] == cv["orders"]["txn_id"] == res["txn_id"]
+    assert read_committed(spark, log, "users").count() == 1
+    got = read_committed(spark, log, "orders").select("total").first()["total"]
+    assert got == 9.5
+    # staging cleaned at commit
+    assert not os.listdir(log.staging_dir)
+    with pytest.raises(TxnError, match="no committed txn"):
+        read_committed(spark, log, "nope")
+
+
+def test_torn_read_prevented_until_commit_then_recover(spark, tmp_path):
+    u, o = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    transactional_apply(spark, log, {
+        "users": Write(u, _users(spark, [(1, "upsert", 1, "ada")]), "t-u1"),
+        "orders": Write(o, _orders(spark, [(1, "upsert", 10, 1, 9.5)]), "t-o1"),
+    })
+    # txn 2: crash after applying ONLY users (orders untouched, no commit)
+    txn = begin(spark, log, {
+        "users": Write(u, _users(spark, [(2, "upsert", 2, "bob")]), "t-u2"),
+        "orders": Write(o, _orders(spark, [(2, "upsert", 20, 2, 1.0)]), "t-o2"),
+    })
+    txn.apply("users")
+    del txn  # crash
+
+    # the users HEAD moved…
+    assert u.current().count() == 2
+    # …but the committed view still serves the pre-txn group
+    assert read_committed(spark, log, "users").count() == 1
+    assert read_committed(spark, log, "orders").count() == 1
+    assert log.pending() != []
+
+    # roll forward: users fences, orders applies, group becomes visible
+    done = recover(spark, log)
+    assert done and log.pending() == []
+    assert read_committed(spark, log, "users").count() == 2
+    assert read_committed(spark, log, "orders").count() == 2
+    assert recover(spark, log) == []  # idempotent
+
+
+def test_recover_creates_brand_new_tables_from_intent_layout(spark, tmp_path):
+    """Crash before ANY apply, against tables that do not exist yet —
+    recovery must rebuild the writers purely from the intent record
+    (key_cols / buckets / strategy) and create the tables itself."""
+    u, o = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    begin(spark, log, {
+        "users": Write(u, _users(spark, [(1, "upsert", 1, "ada")]), "t-u1"),
+        "orders": Write(o, _orders(spark, [(1, "upsert", 10, 1, 9.5)]), "t-o1"),
+    })  # crash: no applies, no commit
+    done = recover(spark, log)
+    assert len(done) == 1
+    assert read_committed(spark, log, "users").count() == 1
+    assert read_committed(spark, log, "orders").count() == 1
+    # layout came from the intent, not defaults
+    assert u.table.refresh().key_cols == ["user_id"]
+    assert o.table.refresh().key_cols == ["order_id"]
+    # and the recovered writes fence a later re-offer of the same batches
+    res = transactional_apply(spark, log, {
+        "users": Write(u, _users(spark, [(1, "upsert", 1, "ada")]), "t-u1"),
+        "orders": Write(o, _orders(spark, [(1, "upsert", 10, 1, 9.5)]), "t-o1"),
+    })
+    assert res["results"]["users"]["skipped"] is True
+    assert res["results"]["orders"]["skipped"] is True
+
+
+def test_staged_data_pins_the_batch(spark, tmp_path):
+    """Recovery replays the STAGED bytes, not the caller's DataFrame —
+    mutate the upstream after begin() and the txn still lands the
+    original rows."""
+    u, _ = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    src = str(tmp_path / "feed")
+    _users(spark, [(1, "upsert", 1, "ada")]).write.parquet(src)
+    txn = begin(spark, log, {
+        "users": Write(u, spark.read.parquet(src), "t-u1"),
+    })
+    # upstream mutates between begin and recovery
+    _users(spark, [(2, "upsert", 99, "evil")]).write.mode("overwrite").parquet(src)
+    del txn
+    recover(spark, log)
+    rows = read_committed(spark, log, "users").collect()
+    assert [(r["user_id"], r["name"]) for r in rows] == [(1, "ada")]
+
+
+def test_abort_only_before_any_write_lands(spark, tmp_path):
+    u, o = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    t1 = begin(spark, log, {
+        "users": Write(u, _users(spark, [(1, "upsert", 1, "ada")]), "t-u1"),
+    })
+    abort_intent(spark, log, t1.txn_id)  # nothing landed: allowed
+    assert log.pending() == []
+    assert not os.listdir(log.staging_dir)
+
+    t2 = begin(spark, log, {
+        "users": Write(u, _users(spark, [(2, "upsert", 2, "bob")]), "t-u2"),
+        "orders": Write(o, _orders(spark, [(2, "upsert", 20, 2, 1.0)]), "t-o2"),
+    })
+    t2.apply("users")
+    with pytest.raises(TxnError, match="roll it forward"):
+        abort_intent(spark, log, t2.txn_id)
+    recover(spark, log)
+    with pytest.raises(TxnError, match="committed"):
+        abort_intent(spark, log, t2.txn_id)
+
+
+def test_commit_requires_all_participants(spark, tmp_path):
+    u, o = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    txn = begin(spark, log, {
+        "users": Write(u, _users(spark, [(1, "upsert", 1, "ada")]), "t-u1"),
+        "orders": Write(o, _orders(spark, [(1, "upsert", 10, 1, 9.5)]), "t-o1"),
+    })
+    txn.apply("users")
+    with pytest.raises(TxnError, match="not applied yet.*orders"):
+        txn.commit()
+    txn.apply_all()
+    txn.commit()
+
+
+def test_validation(spark, tmp_path):
+    u, _ = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    with pytest.raises(TxnError, match="at least one"):
+        begin(spark, log, {})
+    with pytest.raises(TxnError, match="unique"):
+        begin(spark, log, {
+            "a": Write(u, _users(spark, [(1, "upsert", 1, "x")]), "same"),
+            "b": Write(u, _users(spark, [(2, "upsert", 2, "y")]), "same"),
+        })
+
+
+def test_vacuum_checkpoint_keeps_cumulative_visibility(spark, tmp_path):
+    """Vacuum folds old commits into the checkpoint — an alias last
+    touched many txns ago must still resolve, and later txns keep
+    numbering after the fold."""
+    u, o = _pipes(spark, tmp_path)
+    log = TxnLog(str(tmp_path / "log"))
+    transactional_apply(spark, log, {
+        "users": Write(u, _users(spark, [(1, "upsert", 1, "ada")]), "t-u1"),
+    })
+    for i in range(2, 6):
+        transactional_apply(spark, log, {
+            "orders": Write(
+                o, _orders(spark, [(i, "upsert", 10 + i, 1, float(i))]),
+                f"t-o{i}",
+            ),
+        })
+    rep = vacuum_txns(log, keep_last=1)
+    assert rep["folded"] == 4 and rep["kept"] == 1
+    cv = log.committed_versions()
+    assert "users" in cv and "orders" in cv  # users survived the fold
+    assert read_committed(spark, log, "users").count() == 1
+    assert read_committed(spark, log, "orders").count() == 4
+    # ids keep increasing past the checkpoint
+    res = transactional_apply(spark, log, {
+        "users": Write(u, _users(spark, [(6, "upsert", 6, "zed")]), "t-u6"),
+    })
+    assert res["txn_id"] == 6
+    # orphan staging (crash mid-begin) is swept, pending intents are not
+    os.makedirs(log.staging_path(99, "junk"), exist_ok=True)
+    t = begin(spark, log, {
+        "orders": Write(o, _orders(spark, [(7, "upsert", 70, 1, 7.0)]), "t-o7"),
+    })
+    rep2 = vacuum_txns(log, keep_last=100)
+    assert rep2["orphan_staging_removed"] == 1
+    assert t.txn_id in log.pending()
+    recover(spark, log)
