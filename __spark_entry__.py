@@ -1802,6 +1802,61 @@ def q_cdc_txn_fanout(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_spj_join(spark, sf):
+    """Storage-partitioned join (`lake/spj.py:join_cobucketed`): two
+    co-bucketed CDC tables derived from the events WAL — A = latest event
+    per user (MoR, two out-of-order batches, so the join folds base+delta
+    winners itself) and B = per-user rollup — joined with ZERO exchange:
+    per-bucket file-pruned reads zipped through one Arrow ``mapInPandas``
+    (plan asserted Exchange-free in test_spj). The reference re-joins its
+    staged tables with full-shuffle Spark joins every run (etl/.../prepared/
+    clinical enrichers); here co-keyed tables join with no data movement at
+    any size. Oracle recomputes with arg_max + GROUP BY + a plain join."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.spj import join_cobucketed
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="spj_gate_")
+    try:
+        a = CDCPipeline(
+            spark, os.path.join(tmp, "a"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        b = CDCPipeline(
+            spark, os.path.join(tmp, "b"), key_cols=("user_id",), num_buckets=8
+        )
+        latest_feed = ev.select(
+            "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+        )
+        for i in range(2):  # pmod split: batch 2 carries older seqs too
+            a.apply_batch(
+                latest_feed.where(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"spj-a{i}",
+            )
+        b.apply_batch(
+            ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            )
+            .withColumn("seq", F.lit(1).cast("long")),
+            batch_id="spj-b1",
+        )
+        out = join_cobucketed(spark, a.table, b.table, right_prefix="r_").select(
+            "user_id",
+            F.col("event_type").alias("type_last"),
+            F.col("value").alias("value_last"),
+            F.col("r_n_events").alias("n_events"),
+            F.col("r_total_value").cast("double").alias("total_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1875,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_join_view": q_cdc_join_view,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
         "cdc_txn_fanout": q_cdc_txn_fanout,
+        "cdc_spj_join": q_cdc_spj_join,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2191,6 +2247,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, event_type, value, src FROM p
             UNION ALL
             SELECT user_id, event_id, event_type, value, src FROM a
+        """,
+        "cdc_spj_join": """
+            WITH latest AS (
+              SELECT user_id,
+                     arg_max(event_type, event_id) AS type_last,
+                     arg_max(value, event_id) AS value_last
+              FROM events GROUP BY user_id
+            ), rollup AS (
+              SELECT user_id, count(*) AS n_events,
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                               AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+              FROM events GROUP BY user_id
+            )
+            SELECT l.user_id, l.type_last, l.value_last,
+                   r.n_events, r.total_value
+            FROM latest l JOIN rollup r ON l.user_id = r.user_id
         """,
         "cdc_secondary_lookup": """
             WITH net AS (

@@ -1,0 +1,222 @@
+"""Storage-partitioned join: join two co-bucketed lake tables with ZERO
+exchange of either side.
+
+Both tables bucket their rows by ``pmod(murmur3_hash(key...), n)``
+(`lake/table.py:bucket_expr`), so when two tables share the bucket count and
+their key columns match pairwise in TYPE, every pair of rows that can ever
+join already lives in the SAME bucket index on both sides. Joining them
+therefore needs no data movement at all — the co-partitioning that Iceberg
+exposes to Spark as a storage-partitioned join (SPARK-37375) and bucketed
+Hive tables exploit via `SortMergeJoin` without exchange. Spark cannot see
+our manifest-defined layout (the Python DataSource API does not report
+partitioning), so the join is assembled explicitly:
+
+    for each bucket i:  zip(left bucket i, right bucket i) -> pandas merge
+    union all buckets
+
+Per bucket: both sides are read file-pruned (`table.read(buckets=[i])`),
+tagged, column-disjointed (every right column renamed under a reserved
+prefix — renaming by DataFrame ref silently fails on derived plans), union'd
+(`allowMissingColumns` null-pads the other side's slots) and `coalesce(1)`'d
+— all narrow, no exchange — then one Arrow-batched ``mapInPandas`` per
+partition resolves each side's CDC state (max-seq winner per key, tombstones
+dropped: the `read_live` comparator, so MoR delta files need no prior
+compaction) and performs the actual merge join in pandas.
+
+Scale shape: the expensive thing a normal join does at 100 TB — shuffling
+both inputs across the cluster — simply does not happen; each task touches
+exactly one bucket's files from each side, streamed Arrow batches in, one
+in-memory merge out. Memory bound = one bucket pair's live rows (same bound
+as `compact_deltas(strategy="local")`); size buckets via ``rebucket``.
+The physical plan is O(num_buckets) union branches — fine through a few
+hundred buckets; pass ``buckets=`` to chunk a wider table into several
+driver-submitted jobs.
+
+Reference parity: the reference joins its staged entity tables with plain
+Spark joins after a full re-read (e.g. `etl/src/main/scala/bio/ferlab/etl/
+prepared/clinical/` enrichers) — every run pays the full shuffle. Here two
+co-keyed CDC tables join with no shuffle at any size.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL
+from kf_etl_clin_portal_spark.lake.schema import normalize_nullability
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+_RPREFIX = "__spj_r::"  # reserved in-zip prefix for right-side columns
+_SIDE = "__spj_side"
+
+_HOW = {"inner": "inner", "left": "left", "right": "right", "full": "outer"}
+
+# pandas nullable dtypes per Spark integral/boolean type — an outer join's
+# null-padded rows otherwise silently promote int64 -> float64 and Arrow
+# refuses the cast back
+_NULLABLE_DTYPE = {
+    T.ByteType(): "Int8",
+    T.ShortType(): "Int16",
+    T.IntegerType(): "Int32",
+    T.LongType(): "Int64",
+    T.BooleanType(): "boolean",
+}
+
+
+def _pin(table: SnapshotTable, version: int | None, ref: str | None) -> int:
+    if version is not None and ref is not None:
+        raise ValueError("pass at most one of version, ref")
+    table.refresh()
+    if ref is not None:
+        return table.resolve_ref(ref)
+    return table.version if version is None else version
+
+
+def _schema_at(table: SnapshotTable, version: int) -> T.StructType:
+    st = table.state_at(version)
+    return T.StructType.fromJson(st["schemas"][str(st["current_schema_id"])])
+
+
+def join_cobucketed(
+    spark: SparkSession,
+    left: SnapshotTable,
+    right: SnapshotTable,
+    how: str = "inner",
+    right_prefix: str | None = None,
+    seq_col: str = "seq",
+    left_version: int | None = None,
+    left_ref: str | None = None,
+    right_version: int | None = None,
+    right_ref: str | None = None,
+    include_tombstones: bool = False,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Join ``left`` and ``right`` on their (co-bucketed) key columns with
+    no exchange. Keys pair positionally (`left.key_cols[i]` joins
+    `right.key_cols[i]`, types must match — murmur3 hashes differ across
+    types); output key columns carry the LEFT names. Each side is resolved
+    to LIVE state first (max-``seq_col`` winner per key, tombstones dropped
+    unless ``include_tombstones``), so MoR tables join correctly without
+    compaction. Right value columns keep their names, or get
+    ``right_prefix`` when given; a collision with a left column raises.
+    Both sides are pinned to ONE snapshot each (head by default, or an
+    explicit version/ref) before any per-bucket read, so the result is a
+    consistent cut even against concurrent writers.
+    """
+    if how not in _HOW:
+        raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
+    if left.num_buckets != right.num_buckets:
+        raise ValueError(
+            f"not co-bucketed: left has {left.num_buckets} buckets, right "
+            f"{right.num_buckets} — rebucket one side first (lake/load.py)"
+        )
+    if len(left.key_cols) != len(right.key_cols):
+        raise ValueError(
+            f"key arity differs: {left.key_cols} vs {right.key_cols}"
+        )
+    lv = _pin(left, left_version, left_ref)
+    rv = _pin(right, right_version, right_ref)
+    lschema, rschema = _schema_at(left, lv), _schema_at(right, rv)
+    lkeys, rkeys = list(left.key_cols), list(right.key_cols)
+    for lk, rk in zip(lkeys, rkeys):
+        lt, rt = lschema[lk].dataType, rschema[rk].dataType
+        if lt != rt:
+            raise ValueError(
+                f"key type mismatch: {lk}:{lt.simpleString()} vs "
+                f"{rk}:{rt.simpleString()} — murmur3 bucket hashes differ "
+                f"across types, the tables are NOT co-partitioned"
+            )
+
+    # tombstones must be READ (the fold needs the flag to drop dead keys);
+    # they leave the output only
+    drop_tomb = not include_tombstones
+    lcols = [f.name for f in lschema.fields]
+    rcols = [f.name for f in rschema.fields]
+    lout = [c for c in lcols if not (drop_tomb and c == TOMBSTONE_COL)]
+    rvalue = [c for c in rcols
+              if c not in rkeys and not (drop_tomb and c == TOMBSTONE_COL)]
+    out_rename = {c: (right_prefix or "") + c for c in rvalue}
+    collisions = sorted(set(out_rename.values()) & set(lout))
+    if collisions:
+        raise ValueError(
+            f"right columns collide with left: {collisions} — pass "
+            f"right_prefix to disambiguate"
+        )
+
+    # output schema: left fields + renamed right value fields, everything
+    # nullable (outer joins null-pad whole sides)
+    out_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in lschema.fields if f.name in lout
+    ] + [
+        T.StructField(out_rename[f.name], f.dataType, True)
+        for f in rschema.fields if f.name in rvalue
+    ]
+    out_schema = normalize_nullability(T.StructType(out_fields))
+    out_names = [f.name for f in out_fields]
+
+    # ---- per-bucket zipped read (all narrow: read + project + union +
+    # coalesce(1) — no Exchange anywhere, asserted by tests) -------------
+    which = list(range(left.num_buckets)) if buckets is None else list(buckets)
+
+    def bucket_zip(i: int) -> DataFrame:
+        l_df = left.read(spark, version=lv, buckets=[i]).select(
+            *[F.col(c) for c in lcols], F.lit(0).alias(_SIDE)
+        )
+        r_df = right.read(spark, version=rv, buckets=[i]).select(
+            *[F.col(c).alias(_RPREFIX + c) for c in rcols],
+            F.lit(1).alias(_SIDE),
+        )
+        return l_df.unionByName(r_df, allowMissingColumns=True).coalesce(1)
+
+    zipped = reduce(DataFrame.unionByName, (bucket_zip(i) for i in which))
+
+    pd_how = _HOW[how]
+    l_seq_sort = [seq_col] if seq_col in lcols else []
+    r_seq_sort = [seq_col] if seq_col in rcols else []
+    key_rename = dict(zip(rkeys, lkeys))
+    nullable_dtypes = {
+        f.name: _NULLABLE_DTYPE[f.dataType]
+        for f in out_fields if f.dataType in _NULLABLE_DTYPE
+    }
+
+    def _fold(pdf, keys: list[str], seq_sort: list[str]):
+        """LIVE-state resolution, the read_live comparator in pandas:
+        ascending (key, seq, commit) sort + keep-last == max_by(struct(seq,
+        commit)) (numeric seq, codepoint-ordered commit), then tombstones
+        dropped (null-safe: pre-evolution rows read the flag as null)."""
+        if seq_sort:
+            tie = ["commit"] if "commit" in pdf.columns else []
+            pdf = pdf.sort_values(keys + seq_sort + tie, kind="mergesort")
+            pdf = pdf.drop_duplicates(subset=keys, keep="last")
+        if drop_tomb and TOMBSTONE_COL in pdf.columns:
+            # .eq(True) is the null-safe drop (null/NaN compares False),
+            # without fillna's object-downcast FutureWarning
+            dead = pdf[TOMBSTONE_COL].eq(True)
+            pdf = pdf[~dead].drop(columns=[TOMBSTONE_COL])
+        return pdf
+
+    def zip_join(batches):
+        import pandas as pd
+
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        lp = _fold(pdf.loc[pdf[_SIDE] == 0, lcols], lkeys, l_seq_sort)
+        rp = pdf.loc[pdf[_SIDE] == 1, [_RPREFIX + c for c in rcols]]
+        rp.columns = rcols
+        rp = _fold(rp, rkeys, r_seq_sort)
+        rp = rp.rename(columns={**key_rename, **out_rename})
+        out = lp.merge(rp, on=lkeys, how=pd_how, sort=False)
+        for c, dt in nullable_dtypes.items():
+            if c in out.columns and str(out[c].dtype) not in (dt, dt.lower()):
+                out[c] = out[c].astype(dt)
+        yield out[out_names]
+
+    return zipped.mapInPandas(zip_join, schema=out_schema)

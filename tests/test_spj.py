@@ -1,0 +1,148 @@
+"""Storage-partitioned join (lake/spj.py): co-bucketed tables join with no
+exchange; parity against the plain Spark join over the same live states."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.spj import join_cobucketed
+
+
+def _mk(spark, root, rows, key=("uid",), buckets=8, strategy="union_agg"):
+    pipe = CDCPipeline(spark, root, key_cols=key, num_buckets=buckets,
+                       merge_strategy=strategy)
+    pipe.apply_batch(spark.createDataFrame(rows), batch_id="spj-b1")
+    return pipe
+
+
+def _left_rows():
+    return [Row(uid=i, name=f"u{i}", seq=10 + i) for i in range(20)]
+
+
+def _right_rows():
+    # uids 5..24: partial overlap with left's 0..19
+    return [Row(uid=i, score=float(i) * 1.5, seq=100 + i) for i in range(5, 25)]
+
+
+def _sorted(df, cols=("uid",)):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    a = _mk(spark, str(tmp_path / "a"), _left_rows())
+    b = _mk(spark, str(tmp_path / "b"), _right_rows())
+    return a, b
+
+
+def _reference_join(a, b, how):
+    l_df = a.current()
+    r_df = b.current().withColumnRenamed("seq", "r_seq").withColumnRenamed(
+        "score", "r_score")
+    return l_df.join(r_df, on="uid", how=how).select(
+        "uid", "name", "seq", "r_score", "r_seq")
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_parity_against_plain_join(spark, pair, how):
+    a, b = pair
+    got = join_cobucketed(spark, a.table, b.table, how=how,
+                          right_prefix="r_").select(
+        "uid", "name", "seq", "r_score", "r_seq")
+    want_how = {"full": "full_outer"}.get(how, how)
+    want = _reference_join(a, b, want_how)
+    assert _sorted(got) == _sorted(want)
+    assert dict(got.dtypes) == dict(want.dtypes)
+
+
+def test_no_exchange_in_plan(spark, pair):
+    a, b = pair
+    df = join_cobucketed(spark, a.table, b.table, right_prefix="r_")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # neither shuffle nor broadcast
+
+
+def test_mor_deltas_and_tombstones_fold_in_join(spark, tmp_path):
+    a = _mk(spark, str(tmp_path / "a"), _left_rows(), strategy="mor")
+    b = _mk(spark, str(tmp_path / "b"), _right_rows(), strategy="mor")
+    # second MoR batch (delta files, no compaction): update uid=6's score,
+    # delete uid=7 from the right side
+    upd = [Row(uid=6, score=999.0, seq=1000, op="upsert"),
+           Row(uid=7, score=None, seq=1001, op="delete")]
+    b.apply_batch(
+        spark.createDataFrame(upd, "uid int, score double, seq bigint, op string"),
+        batch_id="spj-b2",
+    )
+    got = {r["uid"]: r["r_score"]
+           for r in join_cobucketed(spark, a.table, b.table,
+                                    right_prefix="r_").collect()}
+    assert got[6] == 999.0           # delta winner, not the base row
+    assert 7 not in got              # tombstone dropped before the join
+    assert got[8] == 12.0            # untouched keys unaffected
+
+
+def test_version_pinning(spark, pair):
+    a, b = pair
+    v_a, v_b = a.table.version, b.table.version
+    b.apply_batch(
+        b.spark.createDataFrame([Row(uid=5, score=-1.0, seq=10_000)]),
+        batch_id="spj-b2",
+    )
+    pinned = join_cobucketed(spark, a.table, b.table, right_prefix="r_",
+                             left_version=v_a, right_version=v_b)
+    head = join_cobucketed(spark, a.table, b.table, right_prefix="r_")
+    assert {r["r_score"] for r in pinned.where("uid = 5").collect()} == {7.5}
+    assert {r["r_score"] for r in head.where("uid = 5").collect()} == {-1.0}
+
+
+def test_schema_evolution_on_one_side(spark, pair):
+    a, b = pair
+    b.apply_batch(
+        b.spark.createDataFrame([Row(uid=30, score=1.0, grade="A", seq=500)]),
+        batch_id="spj-b2",
+    )
+    got = join_cobucketed(spark, a.table, b.table, how="full",
+                          right_prefix="r_")
+    assert "r_grade" in got.columns
+    rows = {r["uid"]: r["r_grade"] for r in got.collect()}
+    assert rows[30] == "A"
+    assert rows[5] is None  # pre-evolution rows null-backfill
+
+
+def test_validation_errors(spark, tmp_path, pair):
+    a, b = pair
+    with pytest.raises(ValueError, match="not co-bucketed"):
+        c = _mk(spark, str(tmp_path / "c"), _right_rows(), buckets=4)
+        join_cobucketed(spark, a.table, c.table)
+    with pytest.raises(ValueError, match="key type mismatch"):
+        d = _mk(spark, str(tmp_path / "d"),
+                [Row(uid="5", score=1.0, seq=1)])  # string key
+        join_cobucketed(spark, a.table, d.table)
+    with pytest.raises(ValueError, match="collide"):
+        e = _mk(spark, str(tmp_path / "e"),
+                [Row(uid=5, name="clash", seq=1)])
+        join_cobucketed(spark, a.table, e.table)  # right 'name' vs left 'name'
+    with pytest.raises(ValueError, match="how must be"):
+        join_cobucketed(spark, a.table, b.table, how="cross")
+
+
+def test_different_key_names_pair_positionally(spark, tmp_path, pair):
+    a, _ = pair
+    rows = [Row(member=i, score=2.0 * i, seq=1) for i in range(5, 10)]
+    c = _mk(spark, str(tmp_path / "c2"), rows, key=("member",))
+    got = join_cobucketed(spark, a.table, c.table, right_prefix="r_")
+    assert {r["uid"] for r in got.collect()} == set(range(5, 10))
+    assert "member" not in got.columns  # output keys carry the LEFT names
+
+
+def test_bucket_subset_chunking(spark, pair):
+    a, b = pair
+    full = join_cobucketed(spark, a.table, b.table, right_prefix="r_")
+    parts = [
+        join_cobucketed(spark, a.table, b.table, right_prefix="r_",
+                        buckets=list(range(lo, lo + 4)))
+        for lo in (0, 4)
+    ]
+    merged = parts[0].unionByName(parts[1])
+    assert _sorted(merged) == _sorted(full)
