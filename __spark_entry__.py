@@ -1857,6 +1857,49 @@ def q_cdc_spj_join(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_pruned_lookup(spark, sf):
+    """Dynamic-partition-pruning analog (`lake/spj.py:pruned_dim_join`):
+    a bulk key set (a small derived dimension, every 37th user) joins the
+    CDC state table reading ONLY the fact buckets those keys murmur3-hash
+    into — the dim is broadcast, the fact side is bucket- and file-pruned
+    and never shuffled (file-level pruning proof in test_spj). Closes the
+    gap lookup_keys documents: literal keys had the point-lookup path,
+    bulk key sets paid a full scan. Oracle recomputes latest-per-user
+    joined against the same dim."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.spj import pruned_dim_join
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="dpp_gate_")
+    try:
+        a = CDCPipeline(
+            spark, os.path.join(tmp, "a"), key_cols=("user_id",),
+            num_buckets=16, merge_strategy="mor",
+        )
+        a.apply_batch(
+            ev.select("user_id", F.col("event_id").alias("seq"),
+                      "event_type", "value"),
+            batch_id="dpp-a1",
+        )
+        dim = (
+            ev.where(F.pmod(F.col("user_id"), F.lit(37)) == 0)
+            .select(
+                F.col("user_id").alias("member"),
+                F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("tag"),
+            )
+            .distinct()
+        )
+        out = pruned_dim_join(
+            spark, a.table, dim, on={"user_id": "member"}
+        ).select("user_id", "event_type", "value", "tag")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1931,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
         "cdc_txn_fanout": q_cdc_txn_fanout,
         "cdc_spj_join": q_cdc_spj_join,
+        "cdc_pruned_lookup": q_cdc_pruned_lookup,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2263,6 +2307,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.user_id, l.type_last, l.value_last,
                    r.n_events, r.total_value
             FROM latest l JOIN rollup r ON l.user_id = r.user_id
+        """,
+        "cdc_pruned_lookup": """
+            WITH latest AS (
+              SELECT user_id,
+                     arg_max(event_type, event_id) AS event_type,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id
+            ), d AS (
+              SELECT DISTINCT user_id AS member,
+                     'u' || CAST(user_id AS VARCHAR) AS tag
+              FROM events WHERE user_id % 37 = 0
+            )
+            SELECT l.user_id, l.event_type, l.value, d.tag
+            FROM latest l JOIN d ON l.user_id = d.member
         """,
         "cdc_secondary_lookup": """
             WITH net AS (

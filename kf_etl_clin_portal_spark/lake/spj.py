@@ -220,3 +220,91 @@ def join_cobucketed(
         yield out[out_names]
 
     return zipped.mapInPandas(zip_join, schema=out_schema)
+
+
+def pruned_dim_join(
+    spark: SparkSession,
+    table: SnapshotTable,
+    dim: DataFrame,
+    on: dict[str, str],
+    how: str = "inner",
+    seq_col: str = "seq",
+    version: int | None = None,
+    ref: str | None = None,
+    max_bucket_frac: float = 0.75,
+) -> DataFrame:
+    """Dynamic-partition-pruning analog for the bucket layout: join a big
+    lake table against a SMALL (already-filtered) dimension reading only
+    the fact buckets the dim's keys hash into.
+
+    Spark's DPP prunes partitions of a partitioned scan from the build side
+    of a join at runtime; our manifest layout is invisible to Catalyst, so
+    the same move is made explicitly: the dim's distinct key tuples are
+    bucket-hashed with the table's own partition transform (``bucket_expr``
+    — Spark's murmur3, nothing reimplemented to drift), the ≤ num_buckets
+    distinct bucket ids are collected (bounded, never data rows), the fact
+    is read bucket- and file-pruned and LIVE-resolved over that subset only
+    (winner resolution is per-key and keys never span buckets, so pruned
+    resolution is exact), and the dim is broadcast into the join — the
+    100 TB side is never shuffled, never scanned outside the hit buckets.
+
+    ``on`` maps EVERY table key column to its dim column (the bucket hash
+    needs the full key). ``how``: "inner" (enrich; dim columns appended,
+    collisions suffixed is the caller's job — names must not collide) or
+    "semi" (filter: fact columns only). Null dim keys never match an
+    equi-join and are dropped from the probe. When the dim hits more than
+    ``max_bucket_frac`` of all buckets the pruning has no win — the fact
+    is read whole (same result, one less metadata pass).
+
+    This closes the gap `lookup_keys` documents: literal keys get the
+    O(k-buckets) point-lookup path, but bulk key sets used to pay a full
+    table scan. The reference pushes every such lookup to Elasticsearch
+    after a full re-index."""
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+    from kf_etl_clin_portal_spark.lake.table import bucket_expr
+
+    if how not in ("inner", "semi"):
+        raise ValueError(f"how must be 'inner' or 'semi', got {how!r}")
+    missing = [c for c in table.key_cols if c not in on]
+    if missing:
+        raise ValueError(
+            f"on must map every table key column; missing {missing} "
+            f"(bucket hashing needs the full key)"
+        )
+    key_cols = list(table.key_cols)
+    dim_keys = [on[c] for c in key_cols]
+    # dim reshaped once: keys under the FACT names (join by name list —
+    # no ambiguous refs when names already match) and cast to the FACT key
+    # types (murmur3 hashes differ across types: an int probe against a
+    # bigint key would silently hash into the wrong buckets), value
+    # columns as-is
+    dim_values = [c for c in dim.columns if c not in dim_keys]
+    fact_schema = _schema_at(table, _pin(table, version, ref))
+    fact_cols = [f.name for f in fact_schema if f.name != TOMBSTONE_COL]
+    collisions = sorted(set(dim_values) & set(fact_cols))
+    if how == "inner" and collisions:
+        raise ValueError(
+            f"dim value columns collide with fact columns: {collisions} — "
+            f"rename them on the dim side first"
+        )
+    dim2 = dim.select(
+        *[
+            F.col(dc).cast(fact_schema[kc].dataType).alias(kc)
+            for kc, dc in zip(key_cols, dim_keys)
+        ],
+        *[F.col(c) for c in dim_values],
+    ).na.drop(subset=key_cols)
+    probe = dim2.select(*key_cols).dropDuplicates(key_cols)
+    wanted = probe.select(
+        bucket_expr(key_cols, table.num_buckets).alias("b")
+    ).distinct()
+    buckets = sorted(r[0] for r in wanted.collect())  # ≤ num_buckets ints
+    if len(buckets) > max_bucket_frac * table.num_buckets:
+        buckets = None  # pruning can't win; read whole (same result)
+    fact = read_live(spark, table, seq_col=seq_col, version=version, ref=ref,
+                     buckets=buckets)
+    if how == "semi":
+        return fact.join(F.broadcast(probe), key_cols, "left_semi")
+    # duplicate dim keys fan out exactly like a plain inner join would —
+    # dedup is the caller's call, not silently made here
+    return fact.join(F.broadcast(dim2), key_cols, "inner")

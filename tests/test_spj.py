@@ -146,3 +146,76 @@ def test_bucket_subset_chunking(spark, pair):
     ]
     merged = parts[0].unionByName(parts[1])
     assert _sorted(merged) == _sorted(full)
+
+
+# ---------------------------------------------------------------- DPP analog
+from kf_etl_clin_portal_spark.lake.spj import pruned_dim_join  # noqa: E402
+
+
+def test_pruned_dim_join_inner_parity_and_file_pruning(spark, pair):
+    a, _ = pair
+    dim = spark.createDataFrame(
+        [Row(member=3, tier="gold"), Row(member=11, tier="silver")]
+    )
+    got = pruned_dim_join(spark, a.table, dim, on={"uid": "member"})
+    want = a.current().join(
+        dim.withColumnRenamed("member", "uid"), "uid", "inner"
+    )
+    assert _sorted(got) == _sorted(want)
+    # the fact read touched strictly fewer files than the table holds
+    total_files = len([f for f in a.table.state["files"]])
+    assert 0 < len(got.inputFiles()) < total_files
+
+
+def test_pruned_dim_join_semi(spark, pair):
+    a, _ = pair
+    dim = spark.createDataFrame([Row(uid=5), Row(uid=5), Row(uid=99)])
+    got = pruned_dim_join(spark, a.table, dim, on={"uid": "uid"}, how="semi")
+    rows = got.collect()
+    assert {r["uid"] for r in rows} == {5}
+    assert len(rows) == 1  # semi never fans out on duplicate dim keys
+    assert set(got.columns) == {"uid", "name", "seq"}
+
+
+def test_pruned_dim_join_wide_dim_reads_whole_table(spark, pair):
+    a, _ = pair
+    dim = spark.createDataFrame([Row(uid=i, tag=f"t{i}") for i in range(20)])
+    got = pruned_dim_join(spark, a.table, dim, on={"uid": "uid"})
+    assert got.count() == 20  # buckets=None fallback, same result
+
+
+def test_pruned_dim_join_null_keys_and_empty_dim(spark, pair):
+    a, _ = pair
+    dim = spark.createDataFrame(
+        [Row(uid=None, tag="x"), Row(uid=4, tag="y")],
+        "uid int, tag string",
+    )
+    got = pruned_dim_join(spark, a.table, dim, on={"uid": "uid"})
+    assert [(r["uid"], r["tag"]) for r in got.collect()] == [(4, "y")]
+    empty = spark.createDataFrame([], "uid int, tag string")
+    assert pruned_dim_join(spark, a.table, empty, on={"uid": "uid"}).count() == 0
+
+
+def test_pruned_dim_join_validation(spark, pair):
+    a, _ = pair
+    dim = spark.createDataFrame([Row(uid=3, name="clash")])
+    with pytest.raises(ValueError, match="collide"):
+        pruned_dim_join(spark, a.table, dim, on={"uid": "uid"})
+    with pytest.raises(ValueError, match="every table key"):
+        pruned_dim_join(spark, a.table, dim, on={})
+    with pytest.raises(ValueError, match="how must be"):
+        pruned_dim_join(spark, a.table, dim, on={"uid": "uid"}, how="left")
+
+
+def test_pruned_dim_join_mor_tombstone(spark, tmp_path):
+    a = _mk(spark, str(tmp_path / "a"), _left_rows(), strategy="mor")
+    a.apply_batch(
+        spark.createDataFrame(
+            [Row(uid=3, name=None, seq=10_000, op="delete")],
+            "uid int, name string, seq bigint, op string",
+        ),
+        batch_id="spj-del",
+    )
+    dim = spark.createDataFrame([Row(uid=3, tag="x"), Row(uid=4, tag="y")])
+    got = pruned_dim_join(spark, a.table, dim, on={"uid": "uid"})
+    assert {r["uid"] for r in got.collect()} == {4}  # deleted key filtered
