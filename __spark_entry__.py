@@ -1900,6 +1900,42 @@ def q_cdc_pruned_lookup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_purge(spark, sf):
+    """Compliance purge (`lake/purge.py:purge_keys`): the events WAL is
+    replayed into a CoW table keyed user_id, then every 41st user is purged
+    — fence tombstones (payload NULLed), history expired + swept, zone-map
+    values scrubbed from the log, residual proof re-read. The returned
+    frame is the post-purge LIVE state; the oracle recomputes
+    latest-per-user excluding the purged users. Disk-level erasure proof
+    (raw bytes of every file under the table root) lives in test_purge."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.purge import purge_keys
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="purge_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        pipe.apply_batch(
+            ev.select("user_id", F.col("event_id").alias("seq"),
+                      "event_type", "value"),
+            batch_id="pg-b1",
+        )
+        doomed = (
+            ev.where(F.pmod(F.col("user_id"), F.lit(41)) == 0)
+            .select("user_id").distinct()
+        )
+        purge_keys(spark, pipe, doomed, purge_id="gate")
+        out = pipe.current().select("user_id", "event_type", "value")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -1975,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_fanout": q_cdc_txn_fanout,
         "cdc_spj_join": q_cdc_spj_join,
         "cdc_pruned_lookup": q_cdc_pruned_lookup,
+        "cdc_purge": q_cdc_purge,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2307,6 +2344,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.user_id, l.type_last, l.value_last,
                    r.n_events, r.total_value
             FROM latest l JOIN rollup r ON l.user_id = r.user_id
+        """,
+        "cdc_purge": """
+            SELECT user_id,
+                   arg_max(event_type, event_id) AS event_type,
+                   arg_max(value, event_id) AS value
+            FROM events WHERE user_id % 41 <> 0
+            GROUP BY user_id
         """,
         "cdc_pruned_lookup": """
             WITH latest AS (

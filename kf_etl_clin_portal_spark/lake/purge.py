@@ -1,0 +1,182 @@
+"""Compliance purge: erase a key set's payload from the table INCLUDING
+history, with a machine-checked residual proof.
+
+`delete_where` removes rows from the current state but by design leaves
+(a) history readable via time travel and (b) no fence — a late WAL event
+re-inserts the key. A right-to-erasure request needs the opposite: the
+payload must be unrecoverable from every readable snapshot, and the key
+should stay dead for any event the feed can still legitimately deliver.
+
+``purge_keys`` composes the engine's existing primitives into that
+guarantee and then PROVES it held:
+
+1. **Fence**: one MERGE of ``op=delete`` tombstones at ``fence_seq``
+   (> every purged key's current seq, validated). The tombstone row
+   carries ONLY key + seq + flag — every payload column is NULL — so the
+   winner row that replaces the old payload contains nothing to leak.
+   Late events with seq < fence_seq lose the max-seq comparison and stay
+   dead; an event with seq > fence_seq resurrects the key, which is the
+   CDC contract (pick fence_seq at/above the feed's WAL watermark).
+2. **Fold**: MoR delta files are compacted so no base file still holds a
+   superseded payload row (CoW already replaced its bucket files).
+3. **Expire + sweep**: ``expire_snapshots(keep_last=1)`` unreferences
+   every pre-purge snapshot and deletes their files;
+   ``remove_orphans(grace_secs=0)`` removes anything stranded. Refs
+   (published / release pins) would silently hold history alive, so any
+   ref fails the purge up front with an actionable error.
+4. **Proof**: the purged keys' buckets are re-read RAW (tombstones
+   included) and semi-joined against the key set — every surviving row
+   must be a tombstone with every payload column NULL, and the oldest
+   readable version must be the post-purge head. A violated proof raises;
+   the returned evidence dict is the audit record.
+
+Scope: this table only. A quarantine/DLQ pipeline, feed files, txn staging
+dirs, or downstream mirrors hold their own copies — purge each explicitly.
+
+The reference has no erasure story at all: its lake is re-derived from
+FHIR on every run and old ES indices linger until alias cleanup.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.merge import (
+    TOMBSTONE_COL,
+    compact_deltas,
+    vacuum_tombstones,
+)
+from kf_etl_clin_portal_spark.lake.table import bucket_expr
+
+
+def purge_keys(
+    spark: SparkSession,
+    pipe,
+    keys: DataFrame,
+    purge_id: str,
+    fence_seq: int | None = None,
+    keep_fence: bool = True,
+    seq_col: str = "seq",
+) -> dict[str, Any]:
+    """Erase ``keys``' payload from ``pipe``'s table and its history.
+
+    ``keys``: DataFrame carrying exactly the table's key columns (small —
+    it is broadcast and its bucket ids are collected). ``purge_id`` names
+    the fence batch (``purge-<id>``), so re-running the same purge fences
+    idempotently. ``fence_seq`` defaults to max(purged keys' seq) + 1;
+    an explicit value below an existing seq raises (the tombstone would
+    lose its own MERGE). ``keep_fence=False`` additionally vacuums
+    tombstones at the fence watermark — the key vanishes entirely, but
+    any late re-delivery will re-insert it.
+
+    Returns the evidence dict; raises RuntimeError if the residual proof
+    finds a readable payload byte.
+    """
+    table = pipe.table
+    table.refresh()
+    refs = table.refs()
+    if refs:
+        raise ValueError(
+            f"refs pin history alive: {sorted(refs)} — a purge behind a "
+            f"published/release ref would silently retain the payload; "
+            f"drop or advance the refs first"
+        )
+    key_cols = list(table.key_cols)
+    missing = [c for c in key_cols if c not in keys.columns]
+    if missing:
+        raise ValueError(f"keys is missing key column(s) {missing}")
+    schema = {f.name: f.dataType for f in table.schema.fields}
+    probe = keys.select(
+        *[F.col(c).cast(schema[c]).alias(c) for c in key_cols]
+    ).na.drop(subset=key_cols).dropDuplicates(key_cols)
+
+    # current live rows for the key set (bucket-pruned; also yields the
+    # max seq the fence must beat)
+    from kf_etl_clin_portal_spark.lake.spj import pruned_dim_join
+
+    matching = pruned_dim_join(
+        spark, table, probe, on={c: c for c in key_cols}, how="semi",
+        seq_col=seq_col,
+    )
+    agg = matching.agg(
+        F.count(F.lit(1)).alias("n"), F.max(seq_col).alias("mx")
+    ).collect()[0]
+    rows_purged, max_seq = agg["n"], agg["mx"]
+    if fence_seq is None:
+        fence_seq = int(max_seq) + 1 if max_seq is not None else 1
+    elif max_seq is not None and fence_seq <= max_seq:
+        raise ValueError(
+            f"fence_seq {fence_seq} <= an existing seq {max_seq} for the "
+            f"purged keys — the fence tombstone would lose its own MERGE"
+        )
+
+    # 1. fence: key-only delete tombstones (payload columns null-backfilled
+    # by the MERGE's schema alignment)
+    fence = probe.withColumn(seq_col, F.lit(fence_seq).cast("long")).withColumn(
+        "op", F.lit("delete")
+    )
+    pipe.apply_batch(fence, batch_id=f"purge-{purge_id}")
+
+    # 2. fold MoR deltas so no base file keeps a superseded payload row
+    if any(f.get("kind") == "delta" for f in table.refresh().state["files"]):
+        compact_deltas(spark, table, seq_col=seq_col)
+    if not keep_fence:
+        vacuum_tombstones(spark, table, fence_seq)
+
+    # 3. history: expire everything but head, then sweep strays; scrub the
+    # payload columns' zone-map values out of the never-truncated log
+    # (string min/max carry payload VALUES verbatim)
+    ex = table.expire_snapshots(keep_last=1)
+    orp = table.remove_orphans(grace_secs=0)
+    payload_cols = [
+        f.name for f in table.schema.fields
+        if f.name not in key_cols and f.name not in (seq_col, TOMBSTONE_COL)
+    ]
+    scrubbed = table.scrub_stats(payload_cols)
+
+    # 4. proof: raw re-read of the purged keys' buckets — nothing readable
+    # but null-payload tombstones (or nothing at all after a vacuum)
+    hit = sorted(
+        r[0]
+        for r in probe.select(
+            bucket_expr(key_cols, table.num_buckets).alias("b")
+        ).distinct().collect()
+    )
+    raw = table.read(spark, buckets=hit).join(F.broadcast(probe), key_cols,
+                                              "left_semi")
+    live_flag = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) \
+        if TOMBSTONE_COL in raw.columns else F.lit(True)
+    leaked = F.lit(False)
+    for c in payload_cols:
+        leaked = leaked | F.col(c).isNotNull()
+    bad = raw.agg(
+        F.sum(live_flag.cast("int")).alias("live"),
+        F.sum(leaked.cast("int")).alias("payload"),
+    ).collect()[0]
+    residual_live = int(bad["live"] or 0)
+    residual_payload = int(bad["payload"] or 0)
+    if residual_live or residual_payload:
+        raise RuntimeError(
+            f"purge proof FAILED: {residual_live} live row(s), "
+            f"{residual_payload} row(s) with readable payload remain for "
+            f"the purged keys"
+        )
+    table.refresh()
+    return {
+        "purge_id": purge_id,
+        "n_keys": probe.count(),
+        "rows_purged": int(rows_purged),
+        "fence_seq": fence_seq,
+        "tombstones_kept": keep_fence,
+        "oldest_readable_version": table.state.get("expire_below", 0),
+        "version": table.version,
+        "stats_entries_scrubbed": scrubbed,
+        "snapshots_expired_below": ex["expired_below"],
+        "files_deleted": ex["files_deleted"] + orp["orphans_deleted"],
+        "bytes_reclaimed": ex["bytes_reclaimed"] + orp["bytes_reclaimed"],
+        "residual_live_rows": 0,
+        "residual_payload_rows": 0,
+    }

@@ -797,6 +797,59 @@ class SnapshotTable:
                     deleted += 1
         return {"orphans_deleted": deleted, "bytes_reclaimed": reclaimed}
 
+    def scrub_stats(self, cols: list[str]) -> int:
+        """Remove zone-map min/max for ``cols`` from EVERY log entry and
+        checkpoint cache — the compliance companion of `expire_snapshots`:
+        the JSON log is never truncated, so a purged string column's
+        min/max VALUES would otherwise survive verbatim in expired commits'
+        manifests forever. Pruning treats a missing stats entry as "may
+        match", so scrubbing is always read-safe — it only disables file
+        skipping on those columns for the files that kept them. Rewrites
+        are atomic (tmp+rename; any reader sees a valid entry either way).
+        Returns the number of file entries scrubbed. Single-maintainer
+        action, like compaction/expiry."""
+        want = set(cols)
+
+        def walk(obj) -> int:
+            n = 0
+            if isinstance(obj, dict):
+                st = obj.get("stats")
+                if isinstance(st, dict) and "path" in obj:
+                    hit = want & set(st)
+                    if hit:
+                        for c in hit:
+                            del st[c]
+                        if not st:
+                            del obj["stats"]
+                        n += 1
+                for v in obj.values():
+                    n += walk(v)
+            elif isinstance(obj, list):
+                for v in obj:
+                    n += walk(v)
+            return n
+
+        log_dir = os.path.join(self.root, _LOG_DIR)
+        scrubbed = 0
+        for fn in sorted(os.listdir(log_dir)):
+            if not fn.endswith(".json"):
+                continue
+            path = os.path.join(log_dir, fn)
+            with open(path) as fh:
+                entry = json.load(fh)
+            n = walk(entry)
+            if n:
+                tmp = path + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    json.dump(entry, fh)
+                os.replace(tmp, path)
+                scrubbed += n
+        if scrubbed:
+            # drop the cached state so scrubbed stats don't linger in memory
+            self._state = None
+            self._version = None
+        return scrubbed
+
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
         """Physically reclaim data files referenced ONLY by snapshots older

@@ -1,0 +1,149 @@
+"""Compliance purge (lake/purge.py): payload unrecoverable from every
+readable snapshot AND from raw bytes on disk; fence semantics; proof."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.purge import purge_keys
+
+SECRET = "SSN-123-45-6789-SECRET"
+
+
+def _pipe(spark, root, strategy="union_agg"):
+    pipe = CDCPipeline(spark, root, key_cols=("uid",), num_buckets=8,
+                       merge_strategy=strategy)
+    rows = [
+        Row(uid=i, payload=(SECRET if i in (3, 7) else f"ok-{i}"), seq=10 + i)
+        for i in range(20)
+    ]
+    pipe.apply_batch(spark.createDataFrame(rows), batch_id="p-b1")
+    # a second batch so there is real history to expire
+    pipe.apply_batch(
+        spark.createDataFrame([Row(uid=3, payload=SECRET + "-v2", seq=100)]),
+        batch_id="p-b2",
+    )
+    return pipe
+
+
+def _disk_has_secret(root) -> bool:
+    # EVERY file under the table root: parquet data, the JSON commit log
+    # (zone-map min/max can carry string payload values), checkpoints
+    for p in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+        if os.path.isfile(p):
+            with open(p, "rb") as fh:
+                if SECRET.encode() in fh.read():
+                    return True
+    return False
+
+
+@pytest.mark.parametrize("strategy", ["union_agg", "mor"])
+def test_purge_erases_payload_from_disk_and_history(spark, tmp_path, strategy):
+    root = str(tmp_path / "t")
+    pipe = _pipe(spark, root, strategy)
+    pre_version = pipe.table.version
+    assert _disk_has_secret(root)  # sanity: the secret is really there
+
+    keys = spark.createDataFrame([Row(uid=3), Row(uid=7)])
+    ev = purge_keys(spark, pipe, keys, purge_id="gdpr1")
+
+    assert ev["rows_purged"] == 2
+    assert ev["residual_live_rows"] == 0 and ev["residual_payload_rows"] == 0
+    assert not _disk_has_secret(root)  # raw bytes gone, not just unreadable
+    cur = {r["uid"] for r in pipe.current().collect()}
+    assert cur == set(range(20)) - {3, 7}
+    with pytest.raises(ValueError, match="expired"):
+        pipe.table.read(spark, version=pre_version)
+
+
+def test_fence_keeps_late_events_dead_and_resurrects_above(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    keys = spark.createDataFrame([Row(uid=3)])
+    ev = purge_keys(spark, pipe, keys, purge_id="g1")
+    # late WAL delivery BELOW the fence: must stay dead
+    pipe.apply_batch(
+        spark.createDataFrame([Row(uid=3, payload="late", seq=ev["fence_seq"] - 1)]),
+        batch_id="p-late",
+    )
+    assert pipe.current().where("uid = 3").count() == 0
+    # genuinely newer event ABOVE the fence: resurrects (the CDC contract)
+    pipe.apply_batch(
+        spark.createDataFrame([Row(uid=3, payload="new", seq=ev["fence_seq"] + 1)]),
+        batch_id="p-new",
+    )
+    assert pipe.current().where("uid = 3").count() == 1
+
+
+def test_purge_without_fence_vacuums_key_entirely(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    keys = spark.createDataFrame([Row(uid=3), Row(uid=7)])
+    purge_keys(spark, pipe, keys, purge_id="g2", keep_fence=False)
+    assert pipe.current(include_tombstones=True).where("uid in (3, 7)").count() == 0
+    assert not _disk_has_secret(str(tmp_path / "t"))
+
+
+def test_purge_refuses_pinned_refs(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    pipe.publish()
+    with pytest.raises(ValueError, match="refs pin history"):
+        purge_keys(spark, pipe, spark.createDataFrame([Row(uid=3)]), "g3")
+
+
+def test_purge_validates_fence_seq_and_key_columns(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="fence_seq"):
+        purge_keys(spark, pipe, spark.createDataFrame([Row(uid=3)]), "g4",
+                   fence_seq=5)  # below uid=3's seq=100
+    with pytest.raises(ValueError, match="missing key"):
+        purge_keys(spark, pipe, spark.createDataFrame([Row(other=1)]), "g5")
+
+
+def test_purge_is_idempotent_by_purge_id(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    keys = spark.createDataFrame([Row(uid=3)])
+    ev1 = purge_keys(spark, pipe, keys, purge_id="g6")
+    ev2 = purge_keys(spark, pipe, keys, purge_id="g6",
+                     fence_seq=ev1["fence_seq"])
+    assert ev2["rows_purged"] == 0  # nothing live anymore
+    assert ev2["residual_payload_rows"] == 0
+    assert pipe.current().where("uid = 3").count() == 0
+
+
+def test_purge_never_seen_key_leaves_fence_tombstone(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    keys = spark.createDataFrame([Row(uid=999)])
+    ev = purge_keys(spark, pipe, keys, purge_id="g7")
+    assert ev["rows_purged"] == 0
+    dead = pipe.current(include_tombstones=True).where("uid = 999").collect()
+    assert len(dead) == 1 and dead[0]["is_deleted"] is True
+    # a late event below the fence can never (re)introduce the key
+    pipe.apply_batch(
+        spark.createDataFrame([Row(uid=999, payload="x", seq=0)]),
+        batch_id="p-z",
+    )
+    assert pipe.current().where("uid = 999").count() == 0
+
+
+def test_purge_scrubs_zone_map_values_from_log(spark, tmp_path):
+    """stats.columns widened to the payload column: the manifest JSON holds
+    the secret as a zone-map min/max until the purge scrubs it."""
+    root = str(tmp_path / "t")
+    pipe = CDCPipeline(
+        spark, root, key_cols=("uid",), num_buckets=4,
+        table_properties={"stats.columns": "seq,payload"},
+    )
+    pipe.apply_batch(
+        spark.createDataFrame([Row(uid=1, payload=SECRET, seq=1),
+                               Row(uid=2, payload="ok", seq=2)]),
+        batch_id="p-b1",
+    )
+    assert _disk_has_secret(root)
+    ev = purge_keys(spark, pipe, spark.createDataFrame([Row(uid=1)]), "g8")
+    assert ev["stats_entries_scrubbed"] > 0
+    assert not _disk_has_secret(root)
+    # scrubbing only disables skipping — reads still correct
+    assert {r["uid"] for r in pipe.current().collect()} == {2}
