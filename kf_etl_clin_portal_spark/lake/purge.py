@@ -92,6 +92,10 @@ def purge_keys(
     probe = keys.select(
         *[F.col(c).cast(schema[c]).alias(c) for c in key_cols]
     ).na.drop(subset=key_cols).dropDuplicates(key_cols)
+    # PIN the key set before any mutation: a lazy `keys` derived from this
+    # very table (e.g. current().where(pred)) would otherwise be re-scanned
+    # after the fence/expiry deleted the files its plan references
+    probe = probe.localCheckpoint(eager=True)
 
     # current live rows for the key set (bucket-pruned; also yields the
     # max seq the fence must beat)

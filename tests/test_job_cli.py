@@ -463,3 +463,41 @@ def test_run_views_scd2_tick(tmp_path):
     assert rep["views"][hist]["versions_written"] > 0
     rep2 = run("run_views.py", "--source", src, "--scd2", hist)
     assert rep2["views"][hist]["applied"] is False
+
+
+def test_run_purge_cli_dry_run_then_purge(spark, tmp_path):
+    """Purge CLI: seed with run_replay, dry-run reports without changing
+    anything, the real purge erases and a re-run with the same id fences."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    table = str(tmp_path / "t")
+
+    def run(script, *cli):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", script), *cli],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        return json.loads(lines[-1])
+
+    rep = run("run_replay.py", "--generate", "3000",
+              "--feed", str(tmp_path / "f"), "--table", table, "--verify")
+    assert rep["parity_ok"] is True
+
+    dry = run("run_purge.py", "--table", table, "--purge-id", "cli1",
+              "--where", "repo = 'repo_0001'", "--dry-run")
+    assert dry["dry_run"] is True and dry["rows_matching"] > 0
+    pre_rows = dry["rows_matching"]
+
+    ev = run("run_purge.py", "--table", table, "--purge-id", "cli1",
+             "--where", "repo = 'repo_0001'")
+    assert ev["rows_purged"] == pre_rows
+    assert ev["residual_payload_rows"] == 0
+
+    again = run("run_purge.py", "--table", table, "--purge-id", "cli1",
+                "--where", "repo = 'repo_0001'", "--fence-seq",
+                str(ev["fence_seq"]))
+    assert again["rows_purged"] == 0  # nothing live; fence batch fences
