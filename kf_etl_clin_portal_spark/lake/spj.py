@@ -107,56 +107,113 @@ def join_cobucketed(
     Both sides are pinned to ONE snapshot each (head by default, or an
     explicit version/ref) before any per-bucket read, so the result is a
     consistent cut even against concurrent writers.
+
+    The two-table case of `join_cobucketed_many` (one zip, one Arrow pass).
     """
-    if how not in _HOW:
-        raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
-    if left.num_buckets != right.num_buckets:
-        raise ValueError(
-            f"not co-bucketed: left has {left.num_buckets} buckets, right "
-            f"{right.num_buckets} — rebucket one side first (lake/load.py)"
-        )
-    if len(left.key_cols) != len(right.key_cols):
-        raise ValueError(
-            f"key arity differs: {left.key_cols} vs {right.key_cols}"
-        )
-    lv = _pin(left, left_version, left_ref)
-    rv = _pin(right, right_version, right_ref)
-    lschema, rschema = _schema_at(left, lv), _schema_at(right, rv)
-    lkeys, rkeys = list(left.key_cols), list(right.key_cols)
-    for lk, rk in zip(lkeys, rkeys):
-        lt, rt = lschema[lk].dataType, rschema[rk].dataType
-        if lt != rt:
+    return join_cobucketed_many(
+        spark,
+        left,
+        [dict(table=right, how=how, prefix=right_prefix,
+              version=right_version, ref=right_ref)],
+        seq_col=seq_col,
+        left_version=left_version,
+        left_ref=left_ref,
+        include_tombstones=include_tombstones,
+        buckets=buckets,
+    )
+
+
+def join_cobucketed_many(
+    spark: SparkSession,
+    left: SnapshotTable,
+    rights: list[dict],
+    seq_col: str = "seq",
+    left_version: int | None = None,
+    left_ref: str | None = None,
+    include_tombstones: bool = False,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Entity-360 assembly: join ``left`` with ANY number of co-bucketed
+    tables in ONE zero-exchange pass — per bucket, every side's files are
+    read pruned, zipped into one partition, and a single Arrow
+    ``mapInPandas`` folds each side's LIVE state then merge-joins them in
+    order. k tables cost ONE zip and ONE Python round trip, not k-1
+    shuffles — the assembly a CDC deployment runs constantly (profile ⟕
+    settings ⟕ rollups ⟕ flags, all keyed by the same entity id).
+
+    ``rights``: list of specs ``{"table": SnapshotTable, "how": "left",
+    "prefix": None, "version": None, "ref": None}`` — joins apply in list
+    order with pandas-merge semantics per step (``inner``/``left`` are
+    order-independent; ``right``/``full`` compose sequentially, meaningful
+    mostly for a single right side). Every table must share the bucket
+    count and pairwise key TYPES with ``left``; output keys carry the left
+    names; each side's value columns keep their names or take the spec's
+    ``prefix``, and any collision with an earlier side raises."""
+    if not rights:
+        raise ValueError("rights must name at least one table")
+    specs = []
+    for i, r in enumerate(rights):
+        t = r["table"]
+        how = r.get("how", "left")
+        if how not in _HOW:
+            raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
+        if left.num_buckets != t.num_buckets:
             raise ValueError(
-                f"key type mismatch: {lk}:{lt.simpleString()} vs "
-                f"{rk}:{rt.simpleString()} — murmur3 bucket hashes differ "
-                f"across types, the tables are NOT co-partitioned"
+                f"not co-bucketed: left has {left.num_buckets} buckets, "
+                f"rights[{i}] {t.num_buckets} — rebucket one side first "
+                f"(lake/load.py)"
             )
+        if len(left.key_cols) != len(t.key_cols):
+            raise ValueError(
+                f"key arity differs: {left.key_cols} vs {t.key_cols}"
+            )
+        specs.append({
+            "table": t, "how": how, "prefix": r.get("prefix") or "",
+            "v": _pin(t, r.get("version"), r.get("ref")),
+        })
+    lv = _pin(left, left_version, left_ref)
+    lschema = _schema_at(left, lv)
+    lkeys = list(left.key_cols)
+    for s in specs:
+        s["schema"] = _schema_at(s["table"], s["v"])
+        s["keys"] = list(s["table"].key_cols)
+        for lk, rk in zip(lkeys, s["keys"]):
+            lt, rt = lschema[lk].dataType, s["schema"][rk].dataType
+            if lt != rt:
+                raise ValueError(
+                    f"key type mismatch: {lk}:{lt.simpleString()} vs "
+                    f"{rk}:{rt.simpleString()} — murmur3 bucket hashes "
+                    f"differ across types, the tables are NOT co-partitioned"
+                )
 
     # tombstones must be READ (the fold needs the flag to drop dead keys);
     # they leave the output only
     drop_tomb = not include_tombstones
     lcols = [f.name for f in lschema.fields]
-    rcols = [f.name for f in rschema.fields]
     lout = [c for c in lcols if not (drop_tomb and c == TOMBSTONE_COL)]
-    rvalue = [c for c in rcols
-              if c not in rkeys and not (drop_tomb and c == TOMBSTONE_COL)]
-    out_rename = {c: (right_prefix or "") + c for c in rvalue}
-    collisions = sorted(set(out_rename.values()) & set(lout))
-    if collisions:
-        raise ValueError(
-            f"right columns collide with left: {collisions} — pass "
-            f"right_prefix to disambiguate"
-        )
-
-    # output schema: left fields + renamed right value fields, everything
-    # nullable (outer joins null-pad whole sides)
+    taken = set(lout)
     out_fields = [
         T.StructField(f.name, f.dataType, True)
         for f in lschema.fields if f.name in lout
-    ] + [
-        T.StructField(out_rename[f.name], f.dataType, True)
-        for f in rschema.fields if f.name in rvalue
     ]
+    for i, s in enumerate(specs):
+        s["cols"] = [f.name for f in s["schema"].fields]
+        s["value"] = [
+            c for c in s["cols"]
+            if c not in s["keys"] and not (drop_tomb and c == TOMBSTONE_COL)
+        ]
+        s["rename"] = {c: s["prefix"] + c for c in s["value"]}
+        collisions = sorted(set(s["rename"].values()) & taken)
+        if collisions:
+            raise ValueError(
+                f"rights[{i}] columns collide with an earlier side: "
+                f"{collisions} — pass a prefix to disambiguate"
+            )
+        taken.update(s["rename"].values())
+        out_fields += [
+            T.StructField(s["rename"][f.name], f.dataType, True)
+            for f in s["schema"].fields if f.name in s["value"]
+        ]
     out_schema = normalize_nullability(T.StructType(out_fields))
     out_names = [f.name for f in out_fields]
 
@@ -164,22 +221,38 @@ def join_cobucketed(
     # coalesce(1) — no Exchange anywhere, asserted by tests) -------------
     which = list(range(left.num_buckets)) if buckets is None else list(buckets)
 
-    def bucket_zip(i: int) -> DataFrame:
-        l_df = left.read(spark, version=lv, buckets=[i]).select(
-            *[F.col(c) for c in lcols], F.lit(0).alias(_SIDE)
-        )
-        r_df = right.read(spark, version=rv, buckets=[i]).select(
-            *[F.col(c).alias(_RPREFIX + c) for c in rcols],
-            F.lit(1).alias(_SIDE),
-        )
-        return l_df.unionByName(r_df, allowMissingColumns=True).coalesce(1)
+    def bucket_zip(b: int) -> DataFrame:
+        sides = [
+            left.read(spark, version=lv, buckets=[b]).select(
+                *[F.col(c) for c in lcols], F.lit(0).alias(_SIDE)
+            )
+        ]
+        for i, s in enumerate(specs):
+            sides.append(
+                s["table"].read(spark, version=s["v"], buckets=[b]).select(
+                    *[F.col(c).alias(f"{_RPREFIX}{i}::{c}") for c in s["cols"]],
+                    F.lit(i + 1).alias(_SIDE),
+                )
+            )
+        return reduce(
+            lambda a, c: a.unionByName(c, allowMissingColumns=True), sides
+        ).coalesce(1)
 
-    zipped = reduce(DataFrame.unionByName, (bucket_zip(i) for i in which))
+    zipped = reduce(DataFrame.unionByName, (bucket_zip(b) for b in which))
 
-    pd_how = _HOW[how]
+    # plain-python plan for the worker closure (no Spark objects captured)
     l_seq_sort = [seq_col] if seq_col in lcols else []
-    r_seq_sort = [seq_col] if seq_col in rcols else []
-    key_rename = dict(zip(rkeys, lkeys))
+    steps = [
+        {
+            "cols": s["cols"],
+            "raw": [f"{_RPREFIX}{i}::{c}" for c in s["cols"]],
+            "seq_sort": [seq_col] if seq_col in s["cols"] else [],
+            "keys": s["keys"],
+            "rename": {**dict(zip(s["keys"], lkeys)), **s["rename"]},
+            "how": _HOW[s["how"]],
+        }
+        for i, s in enumerate(specs)
+    ]
     nullable_dtypes = {
         f.name: _NULLABLE_DTYPE[f.dataType]
         for f in out_fields if f.dataType in _NULLABLE_DTYPE
@@ -208,12 +281,12 @@ def join_cobucketed(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        lp = _fold(pdf.loc[pdf[_SIDE] == 0, lcols], lkeys, l_seq_sort)
-        rp = pdf.loc[pdf[_SIDE] == 1, [_RPREFIX + c for c in rcols]]
-        rp.columns = rcols
-        rp = _fold(rp, rkeys, r_seq_sort)
-        rp = rp.rename(columns={**key_rename, **out_rename})
-        out = lp.merge(rp, on=lkeys, how=pd_how, sort=False)
+        out = _fold(pdf.loc[pdf[_SIDE] == 0, lcols], lkeys, l_seq_sort)
+        for i, st in enumerate(steps):
+            rp = pdf.loc[pdf[_SIDE] == i + 1, st["raw"]]
+            rp.columns = st["cols"]
+            rp = _fold(rp, st["keys"], st["seq_sort"]).rename(columns=st["rename"])
+            out = out.merge(rp, on=lkeys, how=st["how"], sort=False)
         for c, dt in nullable_dtypes.items():
             if c in out.columns and str(out[c].dtype) not in (dt, dt.lower()):
                 out[c] = out[c].astype(dt)

@@ -219,3 +219,46 @@ def test_pruned_dim_join_mor_tombstone(spark, tmp_path):
     dim = spark.createDataFrame([Row(uid=3, tag="x"), Row(uid=4, tag="y")])
     got = pruned_dim_join(spark, a.table, dim, on={"uid": "uid"})
     assert {r["uid"] for r in got.collect()} == {4}  # deleted key filtered
+
+
+# ------------------------------------------------------------- n-way assembly
+from kf_etl_clin_portal_spark.lake.spj import join_cobucketed_many  # noqa: E402
+
+
+def test_many_three_table_entity_assembly(spark, tmp_path, pair):
+    a, b = pair
+    flags = [Row(uid=i, flag=(i % 2 == 0), seq=200 + i) for i in range(0, 30, 3)]
+    c = _mk(spark, str(tmp_path / "flags"), flags)
+    got = join_cobucketed_many(
+        spark, a.table,
+        [dict(table=b.table, how="left", prefix="b_"),
+         dict(table=c.table, how="left", prefix="c_")],
+    ).select("uid", "name", "b_score", "c_flag")
+    want = (
+        a.current()
+        .join(b.current().selectExpr("uid", "score AS b_score"), "uid", "left")
+        .join(c.current().selectExpr("uid", "flag AS c_flag"), "uid", "left")
+        .select("uid", "name", "b_score", "c_flag")
+    )
+    assert _sorted(got) == _sorted(want)
+    assert dict(got.dtypes) == dict(want.dtypes)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_many_mixed_hows_and_collision(spark, tmp_path, pair):
+    a, b = pair
+    c = _mk(spark, str(tmp_path / "c3"),
+            [Row(uid=i, score=9.0, seq=1) for i in (5, 6)])
+    got = join_cobucketed_many(
+        spark, a.table,
+        [dict(table=b.table, how="inner", prefix="b_"),
+         dict(table=c.table, how="inner", prefix="c_")],
+    )
+    assert {r["uid"] for r in got.collect()} == {5, 6}
+    with pytest.raises(ValueError, match="collide"):
+        join_cobucketed_many(
+            spark, a.table,
+            [dict(table=b.table, prefix="x_"),
+             dict(table=c.table, prefix="x_")],  # x_score twice
+        )
