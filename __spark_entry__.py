@@ -1936,6 +1936,48 @@ def q_cdc_purge(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_scan_where(spark, sf):
+    """Predicate-driven scan planning (`lake/scan.py:read_where`): the
+    events WAL is merged into a CoW state table, then a single WHERE
+    string — key IN-list + seq range — is planned into bucket pruning
+    (the key tuples murmur3-hashed to their buckets) plus zone-map file
+    skipping, and re-applied as the row filter. Pruning is superset-only,
+    so the result must equal the unpruned filtered LIVE state; the oracle
+    recomputes latest-per-user then applies the same predicate. The
+    reference has no scan planner — filtered reads are full Delta scans
+    (RunNormalize*); point reads are pushed to Elasticsearch post-index."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.scan import plan_scan, read_where
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="scan_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=16
+        )
+        pipe.apply_batch(
+            ev.select("user_id", F.col("event_id").alias("seq"),
+                      "event_type", "value"),
+            batch_id="sw-b1",
+        )
+        ids = ", ".join(str(i) for i in range(0, 300, 37))
+        where = f"user_id IN ({ids}) AND seq >= 100"
+        plan = plan_scan(spark, pipe.table, where)
+        # the plan must actually engage both pruning levers (proof the
+        # gate exercises the planner, not just the row filter)
+        assert plan["buckets"] is not None, plan
+        assert plan["stats_path"] == "pruned", plan
+        out = read_where(spark, pipe.table, where, plan=plan).select(
+            "user_id", "seq", "event_type", "value"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_state": q_cdc_latest_state,
@@ -2012,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_spj_join": q_cdc_spj_join,
         "cdc_pruned_lookup": q_cdc_pruned_lookup,
         "cdc_purge": q_cdc_purge,
+        "cdc_scan_where": q_cdc_scan_where,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2351,6 +2394,16 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(value, event_id) AS value
             FROM events WHERE user_id % 41 <> 0
             GROUP BY user_id
+        """,
+        "cdc_scan_where": """
+            SELECT user_id, seq, event_type, value FROM (
+              SELECT user_id,
+                     max(event_id) AS seq,
+                     arg_max(event_type, event_id) AS event_type,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id
+            ) WHERE user_id IN (0, 37, 74, 111, 148, 185, 222, 259, 296)
+              AND seq >= 100
         """,
         "cdc_pruned_lookup": """
             WITH latest AS (

@@ -507,18 +507,43 @@ def read_merged(
     version: int | None = None,
     ref: str | None = None,
     buckets: list[int] | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Current-state resolution for a table with delta files: max-seq row
     per key over base ∪ deltas (one shuffle; same comparator as the write
     path). For an all-base table this degenerates to a plain read.
     ``buckets`` prunes the read to a bucket subset (winner resolution is
-    per-key and keys never span buckets, so pruned resolution is exact)."""
+    per-key and keys never span buckets, so pruned resolution is exact).
+
+    ``stats_filter`` additionally zone-map-skips whole files — ONLY legal
+    on an all-base snapshot: a skipped delta can hold the WINNING version
+    of a key whose stale row survives in a kept base file, so resolving
+    winners over a stats-pruned MoR read would resurrect superseded rows.
+    Guarded with a ValueError here; `lake/scan.py:plan_scan` routes around
+    it (bucket pruning only) instead of tripping it."""
     table.refresh()
-    st = table.state
+    st = table.state if version is None and ref is None else table.state_at(
+        table.resolve_ref(ref) if ref is not None else version
+    )
+    if stats_filter:
+        bset = None if buckets is None else set(buckets)
+        if any(
+            f.get("kind") == "delta" and (bset is None or f["bucket"] in bset)
+            for f in st["files"]
+        ):
+            raise ValueError(
+                "stats_filter on a snapshot with delta files is unsound "
+                "(stale-winner hazard) — compact first, or plan with "
+                "lake/scan.py which degrades to bucket pruning"
+            )
     if not any(f.get("kind") == "delta" for f in st["files"]):
-        if version is None and ref is None:
-            return table.read(spark, buckets=buckets)
-    df = table.read(spark, version=version, ref=ref, buckets=buckets)
+        # all-base snapshot (current OR pinned): base files hold exactly one
+        # row per key (merge/compaction invariant), so winner resolution is
+        # the identity — skip the shuffle entirely
+        return table.read(spark, version=version, ref=ref, buckets=buckets,
+                          stats_filter=stats_filter)
+    df = table.read(spark, version=version, ref=ref, buckets=buckets,
+                    stats_filter=stats_filter)
     key_cols = table.key_cols
     data_cols = df.columns
     row = F.struct(*[F.col(c) for c in data_cols])
@@ -537,13 +562,15 @@ def read_live(
     version: int | None = None,
     ref: str | None = None,
     buckets: list[int] | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Resolved LIVE state: read_merged winners with tombstones dropped —
     the single definition of "what a consumer sees" shared by
     `CDCPipeline.current`, SQL views, and release reads (one place to
-    change winner/tombstone semantics)."""
+    change winner/tombstone semantics). ``stats_filter`` inherits
+    read_merged's all-base-only rule (ValueError on MoR snapshots)."""
     df = read_merged(spark, table, seq_col=seq_col, version=version, ref=ref,
-                     buckets=buckets)
+                     buckets=buckets, stats_filter=stats_filter)
     if TOMBSTONE_COL in df.columns:
         df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
             TOMBSTONE_COL

@@ -1,0 +1,317 @@
+"""Predicate-driven scan planning: SQL WHERE string → pruned lake read.
+
+`read(stats_filter=...)` / `lookup_keys` / `pruned_dim_join` expose the
+manifest's pruning levers (bucket layout, per-file zone maps) but make the
+CALLER translate a predicate into them.  This module closes the loop the
+way Iceberg/Delta scan planning does: hand the engine the predicate it was
+going to apply anyway, get back a read that touched only the files that
+can matter —
+
+    df = read_where(spark, table, "repo = 'r1' AND seq BETWEEN 10 AND 90")
+
+1. the predicate is tokenized and split into top-level AND conjuncts
+   (BETWEEN's inner AND respected; any top-level OR / NOT disables
+   pruning — never the result);
+2. equality / IN conjuncts that cover EVERY table key column become
+   bucket pruning: the literal key tuples are hashed with the table's own
+   partition transform (`bucket_expr` over a one-collect literal frame —
+   Spark's murmur3, nothing reimplemented to drift, cast to the table key
+   types first), so a point/point-set predicate reads O(k) buckets of a
+   10^10-row table;
+3. range / equality conjuncts on zone-mapped columns (`stats.columns`
+   table property) become a manifest file filter — whole files skipped
+   from metadata alone;
+4. the FULL original predicate is applied as the row filter regardless,
+   and Spark pushes it into the parquet scan (row-group + bloom skipping
+   inside the surviving files).
+
+Pruning is therefore *superset-only*: an atom the planner doesn't
+understand simply prunes nothing, it can never drop a qualifying row.
+The one sharp edge is MoR delta files — a skipped delta can hide the
+WINNING version of a key that still has a stale row in a kept base file
+(the same stale-winner hazard `lake/joinview.py` routes around), so zone
+file-skipping is only engaged on all-base snapshots; bucket pruning is
+always safe (keys never span buckets).  `plan_scan` returns the decisions
+(buckets, stats ranges, file counts, which path) for observability and
+plan tests.
+
+Reference parity: the reference has no predicate planner — every filtered
+read is a full Delta scan relying on Spark's own partition pruning over
+study_id (`etl/src/main/scala/bio/ferlab/etl/normalized/.../RunNormalize*`),
+and point lookups are pushed to Elasticsearch after full re-index.  Here
+the same WHERE string drives manifest pruning directly.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.merge import read_live
+from kf_etl_clin_portal_spark.lake.spj import _pin, _schema_at
+from kf_etl_clin_portal_spark.lake.table import (
+    SnapshotTable,
+    _file_may_match,
+    bucket_expr,
+)
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<str>'(?:[^']|'')*')
+    | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<op><=|>=|<>|!=|==|=|<|>)
+    | (?P<lp>\()
+    | (?P<rp>\))
+    | (?P<comma>,)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+    )""",
+    re.X,
+)
+
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def _tokenize(where: str) -> list[tuple[str, Any]] | None:
+    """→ [(kind, value)] or None when the text has anything the tiny
+    grammar doesn't know (arithmetic, functions, casts, …) — the caller
+    then plans no pruning and leaves the whole predicate to the row
+    filter."""
+    toks: list[tuple[str, Any]] = []
+    pos = 0
+    while pos < len(where):
+        m = _TOKEN_RE.match(where, pos)
+        if m is None:
+            return None if where[pos:].strip() else toks
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "str":
+            toks.append(("lit", text[1:-1].replace("''", "'")))
+        elif kind == "num":
+            toks.append(("lit", float(text) if ("." in text or "e" in text.lower()) else int(text)))
+        elif kind == "word":
+            up = text.upper()
+            if up in ("TRUE", "FALSE"):
+                toks.append(("lit", up == "TRUE"))
+            elif up in ("AND", "OR", "NOT", "BETWEEN", "IN", "IS", "NULL", "LIKE", "RLIKE"):
+                toks.append((up, up))
+            else:
+                toks.append(("ident", text))
+        else:
+            toks.append((kind, text))
+    return toks
+
+
+def _split_conjuncts(toks: list[tuple[str, Any]]) -> list[list[tuple[str, Any]]] | None:
+    """Split on depth-0 AND (BETWEEN consumes its own AND). Depth-0 OR →
+    None (no conjunctive structure to exploit)."""
+    out: list[list[tuple[str, Any]]] = [[]]
+    depth = 0
+    pending_between = 0
+    for t in toks:
+        k = t[0]
+        if k == "lp":
+            depth += 1
+        elif k == "rp":
+            depth -= 1
+        if depth == 0 and k == "BETWEEN":
+            pending_between += 1
+        if depth == 0 and k == "AND":
+            if pending_between:
+                pending_between -= 1
+            else:
+                out.append([])
+                continue
+        if depth == 0 and k == "OR":
+            return None
+        out[-1].append(t)
+    return [c for c in out if c]
+
+
+def _strip_parens(c: list[tuple[str, Any]]) -> list[tuple[str, Any]]:
+    while len(c) >= 2 and c[0][0] == "lp" and c[-1][0] == "rp":
+        depth = 0
+        for i, t in enumerate(c):
+            depth += t[0] == "lp"
+            depth -= t[0] == "rp"
+            if depth == 0 and i < len(c) - 1:
+                return c  # outer parens don't span the whole conjunct
+        c = c[1:-1]
+    return c
+
+
+class _Constraints:
+    """Accumulated per-column knowledge from the understood conjuncts."""
+
+    def __init__(self) -> None:
+        self.eq: dict[str, set] = {}  # col -> intersected finite value set
+        self.lo: dict[str, Any] = {}  # col -> max of lower bounds (incl.)
+        self.hi: dict[str, Any] = {}  # col -> min of upper bounds (incl.)
+        self.impossible = False
+
+    def add_eq(self, col: str, values: set) -> None:
+        cur = self.eq.get(col)
+        self.eq[col] = values if cur is None else (cur & values)
+        if not self.eq[col]:
+            self.impossible = True
+        try:
+            self.add_range(col, min(values), max(values))
+        except TypeError:  # mixed-type IN list — range says nothing
+            pass
+
+    def add_range(self, col: str, lo: Any, hi: Any) -> None:
+        if lo is not None and (col not in self.lo or lo > self.lo[col]):
+            self.lo[col] = lo
+        if hi is not None and (col not in self.hi or hi < self.hi[col]):
+            self.hi[col] = hi
+        l, h = self.lo.get(col), self.hi.get(col)
+        if l is not None and h is not None:
+            try:
+                if l > h:
+                    self.impossible = True
+            except TypeError:
+                pass
+
+
+def _absorb(c: list[tuple[str, Any]], cons: _Constraints) -> None:
+    """Pattern-match one conjunct; silently contribute nothing when the
+    shape isn't one of the known atoms (superset-only pruning)."""
+    c = _strip_parens(c)
+    kinds = [t[0] for t in c]
+    # ident op lit   /   lit op ident
+    if kinds == ["ident", "op", "lit"] or kinds == ["lit", "op", "ident"]:
+        if kinds[0] == "lit":
+            lit, op, col = c[0][1], _FLIP.get(c[1][1], c[1][1]), c[2][1]
+        else:
+            col, op, lit = c[0][1], c[1][1], c[2][1]
+        if op in ("=", "=="):
+            cons.add_eq(col, {lit})
+        elif op in (">", ">="):
+            cons.add_range(col, lit, None)  # strict > kept inclusive: superset
+        elif op in ("<", "<="):
+            cons.add_range(col, None, lit)
+        return
+    # ident BETWEEN lit AND lit
+    if kinds == ["ident", "BETWEEN", "lit", "AND", "lit"]:
+        cons.add_range(c[0][1], c[2][1], c[4][1])
+        return
+    # ident IN ( lit , lit , ... )
+    if (
+        len(c) >= 4
+        and kinds[0] == "ident"
+        and kinds[1] == "IN"
+        and kinds[2] == "lp"
+        and kinds[-1] == "rp"
+        and all(k == ("comma" if i % 2 else "lit") for i, k in enumerate(kinds[3:-1]))
+        and kinds[3:-1][-1:] == ["lit"]
+    ):
+        cons.add_eq(c[0][1], {t[1] for t in c[3:-1] if t[0] == "lit"})
+        return
+
+
+def plan_scan(
+    spark: SparkSession,
+    table: SnapshotTable,
+    where: str,
+    version: int | None = None,
+    ref: str | None = None,
+    max_bucket_frac: float = 0.75,
+    max_key_combos: int = 1024,
+) -> dict[str, Any]:
+    """Derive (buckets, stats_filter) from ``where`` at a pinned snapshot;
+    metadata-only except one tiny literal-hash job when key equalities
+    allow bucket pruning.  See module docstring for the rules."""
+    v = _pin(table, version, ref)
+    st = table.state_at(v)
+    files = st["files"]
+    cons = _Constraints()
+    toks = _tokenize(where)
+    conjuncts = _split_conjuncts(toks) if toks is not None else None
+    if conjuncts:
+        for c in conjuncts:
+            _absorb(c, cons)
+
+    plan: dict[str, Any] = {
+        "where": where,
+        "version": v,
+        "buckets": None,
+        "stats_filter": None,
+        "stats_path": "none",
+        "files_total": len(files),
+        "files_selected": len(files),
+        "empty": cons.impossible,
+    }
+    if cons.impossible:
+        plan["files_selected"] = 0
+        return plan
+
+    # ---- bucket pruning: every key col equality-constrained ------------
+    key_cols = list(table.key_cols)
+    if all(col in cons.eq for col in key_cols):
+        combos = list(itertools.product(*[sorted(cons.eq[c]) for c in key_cols]))
+        if 0 < len(combos) <= max_key_combos:
+            schema = _schema_at(table, v)
+            probe = spark.createDataFrame(combos, schema=key_cols).select(
+                *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
+            )
+            wanted = probe.select(
+                bucket_expr(key_cols, table.num_buckets).alias("b")
+            ).distinct()
+            buckets = sorted(r[0] for r in wanted.collect())
+            if len(buckets) <= max_bucket_frac * table.num_buckets:
+                plan["buckets"] = buckets
+
+    # ---- zone-map file skipping (all-base snapshots only) --------------
+    bset = set(plan["buckets"]) if plan["buckets"] is not None else None
+    cand = [f for f in files if bset is None or f["bucket"] in bset]
+    ranged = sorted(set(cons.lo) | set(cons.hi))
+    sf = {c: (cons.lo.get(c), cons.hi.get(c)) for c in ranged}
+    if sf:
+        if any(f.get("kind") == "delta" for f in cand):
+            # a skipped delta may hold the WINNING version of a key whose
+            # stale row survives in a kept base file — same rule as
+            # joinview's dim_path: scan, don't skip (bucket pruning above
+            # stays; compaction restores the fast path)
+            plan["stats_path"] = "mor-scan"
+        else:
+            plan["stats_filter"] = sf
+            plan["stats_path"] = "pruned"
+            cand = [f for f in cand if _file_may_match(f, sf)]
+    plan["files_selected"] = len(cand)
+    return plan
+
+
+def read_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    where: str,
+    version: int | None = None,
+    ref: str | None = None,
+    seq_col: str = "seq",
+    plan: dict[str, Any] | None = None,
+) -> DataFrame:
+    """LIVE state rows satisfying ``where``, reading only the files the
+    manifest can't rule out.  Always exactly equal to
+    ``read_live(...).where(where)`` — pruning is superset-only; the full
+    predicate is re-applied as the row filter (and pushed into the parquet
+    scan).  Pass a precomputed ``plan`` (from `plan_scan`) to skip
+    re-planning."""
+    table.refresh()
+    if plan is None:
+        plan = plan_scan(spark, table, where, version=version, ref=ref)
+    v = plan["version"]
+    if plan["empty"]:
+        return read_live(spark, table, seq_col=seq_col, version=v, buckets=[])
+    df = read_live(
+        spark,
+        table,
+        seq_col=seq_col,
+        version=v,
+        buckets=plan["buckets"],
+        stats_filter=plan["stats_filter"],
+    )
+    return df.where(F.expr(where))

@@ -1,0 +1,139 @@
+"""Predicate-driven scan planning (lake/scan.py): WHERE string → bucket
+pruning + zone-map file skipping, always result-identical to the unpruned
+filtered read (pruning is superset-only).
+
+The reference has no scan planner — filtered reads are full Delta scans
+relying on Spark's partition pruning (RunNormalize*), and point reads go
+to Elasticsearch. Here the same WHERE string drives manifest pruning.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.lake.load import append
+from kf_etl_clin_portal_spark.lake.merge import read_live, read_merged
+from kf_etl_clin_portal_spark.lake.scan import plan_scan, read_where
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+def _batch(spark, lo, n=1000):
+    return spark.range(lo, lo + n).select(
+        F.concat(F.lit("r"), F.pmod(F.col("id"), F.lit(5)).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 0.5).alias("val"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """All-base table: 3 appends with disjoint seq ranges → ≥1 file per
+    bucket per append, per-file seq zone maps that genuinely separate."""
+    df0 = _batch(spark, 0)
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        df0.schema,
+        key_cols=["repo", "path"],
+        num_buckets=8,
+        properties={"stats.columns": "seq"},
+    )
+    for lo in (0, 1000, 2000):
+        append(spark, t, _batch(spark, lo))
+    return t
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        "seq BETWEEN 500 AND 1500",
+        "repo = 'r1' AND seq >= 2500",
+        "repo = 'r1' OR seq < 10",  # top-level OR: no pruning, still exact
+        "length(path) > 4 AND seq <= 100",  # un-parseable conjunct ignored
+        "repo IN ('r1', 'r2') AND path = 'p41'",
+        "1500 <= seq AND NOT (repo = 'r9')",  # flipped literal + NOT atom
+        "seq > 10 AND seq < 5",  # contradiction → provably empty
+    ],
+)
+def test_read_where_equals_filtered_read_live(spark, table, pred):
+    got = _rows(read_where(spark, table, pred))
+    want = _rows(read_live(spark, table).where(F.expr(pred)))
+    assert got == want
+
+
+def test_seq_range_skips_files_from_metadata(spark, table):
+    total = len(read_live(spark, table).inputFiles())
+    plan = plan_scan(spark, table, "seq BETWEEN 0 AND 999")
+    assert plan["stats_path"] == "pruned"
+    assert plan["stats_filter"] == {"seq": (0, 999)}
+    assert plan["buckets"] is None  # keys not equality-covered
+    assert 0 < plan["files_selected"] < plan["files_total"]
+    df = read_where(spark, table, "seq BETWEEN 0 AND 999", plan=plan)
+    assert len(df.inputFiles()) == plan["files_selected"] < total
+
+
+def test_point_predicate_prunes_to_key_buckets(spark, table):
+    pred = "repo = 'r3' AND path = 'p1233'"
+    plan = plan_scan(spark, table, pred)
+    assert plan["buckets"] is not None and len(plan["buckets"]) == 1
+    df = read_where(spark, table, pred, plan=plan)
+    scanned = {int(re.search(r"/b=(\d+)/", f).group(1)) for f in df.inputFiles()}
+    assert scanned <= set(plan["buckets"])
+    assert _rows(df) == _rows(read_live(spark, table).where(F.expr(pred)))
+
+
+def test_in_list_expands_key_combos(spark, table):
+    pred = "repo IN ('r0', 'r1') AND path IN ('p40', 'p41')"
+    plan = plan_scan(spark, table, pred)
+    # 4 key combos → ≤4 buckets out of 8
+    assert plan["buckets"] is not None and 1 <= len(plan["buckets"]) <= 4
+    got = _rows(read_where(spark, table, pred, plan=plan))
+    assert got == _rows(read_live(spark, table).where(F.expr(pred)))
+    assert len(got) == 2  # p40→r0, p41→r1 by construction (id % 5)
+
+
+def test_impossible_predicate_reads_nothing(spark, table):
+    plan = plan_scan(spark, table, "seq > 10 AND seq < 5")
+    assert plan["empty"] and plan["files_selected"] == 0
+    df = read_where(spark, table, "seq > 10 AND seq < 5", plan=plan)
+    assert df.count() == 0
+    assert df.inputFiles() == []
+
+
+def test_pinned_version_plans_against_that_snapshot(spark, table):
+    v = table.refresh().version
+    append(spark, table, _batch(spark, 3000))
+    pred = "seq >= 1500"
+    plan = plan_scan(spark, table, pred, version=v)
+    assert plan["version"] == v
+    got = _rows(read_where(spark, table, pred, version=v, plan=plan))
+    want = _rows(read_live(spark, table, version=v).where(F.expr(pred)))
+    assert got == want
+    # current-version read sees the new batch, pinned one must not
+    assert len(_rows(read_where(spark, table, pred))) == len(want) + 1000
+
+
+def test_mor_snapshot_degrades_to_bucket_pruning_only(spark, tmp_path):
+    from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "m"), num_buckets=8, merge_strategy="mor"
+    )
+    ev = generate_change_events(spark, 3000, seed=11)
+    pipe.replay(ev, n_batches=3, by="seq", feed_id="sc")
+    t = pipe.table
+    pred = "seq >= 0"
+    plan = plan_scan(spark, t, pred)
+    assert plan["stats_path"] == "mor-scan"  # deltas present: no file skip
+    assert plan["stats_filter"] is None
+    got = _rows(read_where(spark, t, pred))
+    assert got == _rows(read_live(spark, t).where(F.expr(pred)))
+    # the unsound combination is refused outright at the low-level API
+    with pytest.raises(ValueError, match="stale-winner"):
+        read_merged(spark, t, stats_filter={"seq": (0, None)})
