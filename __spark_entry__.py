@@ -1936,6 +1936,42 @@ def q_cdc_purge(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_dv_delete(spark, sf):
+    """Deletion-vector DELETE (`lake/dv.py:delete_where_dv`): the events
+    WAL is merged into a CoW table keyed user_id, every 37th user is
+    deleted WITHOUT rewriting a single data file — matched keys' parquet
+    positions land in a (file, pos) sidecar and every reader anti-joins
+    them away. The gate proves the physical contract (identical data-file
+    set before/after) and the logical one (oracle recomputes latest-per-
+    user excluding the deleted users). The reference has no row-level
+    operations — corrections are full staged re-exports
+    (`NormalizeClinicalETL.scala:29`)."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="dv_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        pipe.apply_batch(
+            ev.select("user_id", F.col("event_id").alias("seq"),
+                      "event_type", "value"),
+            batch_id="dv-b1",
+        )
+        before = sorted(f["path"] for f in pipe.table.refresh().state["files"])
+        r = pipe.delete_where(F.pmod(F.col("user_id"), F.lit(37)) == 0, mode="dv")
+        after = sorted(f["path"] for f in pipe.table.refresh().state["files"])
+        assert after == before and not r.skipped, "DV delete must not rewrite"
+        out = pipe.current().select("user_id", "event_type", "value")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdc_scan_where(spark, sf):
     """Predicate-driven scan planning (`lake/scan.py:read_where`): the
     events WAL is merged into a CoW state table, then a single WHERE
@@ -2055,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pruned_lookup": q_cdc_pruned_lookup,
         "cdc_purge": q_cdc_purge,
         "cdc_scan_where": q_cdc_scan_where,
+        "cdc_dv_delete": q_cdc_dv_delete,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2393,6 +2430,13 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(event_type, event_id) AS event_type,
                    arg_max(value, event_id) AS value
             FROM events WHERE user_id % 41 <> 0
+            GROUP BY user_id
+        """,
+        "cdc_dv_delete": """
+            SELECT user_id,
+                   arg_max(event_type, event_id) AS event_type,
+                   arg_max(value, event_id) AS value
+            FROM events WHERE user_id % 37 <> 0
             GROUP BY user_id
         """,
         "cdc_scan_where": """

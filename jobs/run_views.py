@@ -287,6 +287,11 @@ def main(argv: list[str] | None = None) -> int:
 
                 applied.append({"action": act,
                                 "result": compact_buckets(spark, src)})
+            elif act == "fold_dv":
+                from kf_etl_clin_portal_spark.lake.dv import fold_dv
+
+                applied.append({"action": act,
+                                "result": fold_dv(spark, src)})
             elif act == "expire_snapshots":
                 r = src.expire_snapshots(keep_last=10)
                 applied.append({"action": act,

@@ -439,10 +439,20 @@ class CDCPipeline:
         return mirror_changes(self.spark, src, self, source_id=source_id,
                               strict=strict, mode=mode, columns=columns)
 
-    def delete_where(self, predicate, stats_filter: dict | None = None):
-        """Row-level ``DELETE FROM … WHERE`` — out-of-band correction as a
-        bucket-pruned CoW rewrite (tombstones carried, MoR deltas folded;
-        see `lake/dml.py`)."""
+    def delete_where(self, predicate, stats_filter: dict | None = None,
+                     mode: str = "cow"):
+        """Row-level ``DELETE FROM … WHERE`` — out-of-band correction.
+        ``mode="cow"``: bucket-pruned rewrite (tombstones carried, MoR
+        deltas folded; `lake/dml.py`). ``mode="dv"``: deletion-vector
+        commit — no data file rewritten, matched keys' positions hidden by
+        a sidecar; keeps the all-base fast path (`lake/dv.py`)."""
+        if mode == "dv":
+            from kf_etl_clin_portal_spark.lake.dv import delete_where_dv
+
+            return delete_where_dv(self.spark, self.table, predicate,
+                                   stats_filter=stats_filter, seq_col="seq")
+        if mode != "cow":
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         from kf_etl_clin_portal_spark.lake.dml import delete_where
 
         return delete_where(self.spark, self.table, predicate,

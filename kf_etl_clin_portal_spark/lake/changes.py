@@ -55,7 +55,7 @@ _ROW_CHANGE_OPS = {"merge_mor", "append"}
 _MAINTENANCE_OPS = {
     "compact_deltas", "compact", "rebucket", "vacuum", "publish", "drop_ref",
     "create", "expire", "rename_column", "drop_column", "zorder", "cluster",
-    "set_properties", "evolve_schema",
+    "set_properties", "evolve_schema", "fold_dv",
 }
 
 # bucket-replacing ops whose commit metadata (replaced_buckets ∪ new-file
@@ -66,6 +66,7 @@ _MAINTENANCE_OPS = {
 _PRUNABLE_CHANGE_OPS = {
     "merge", "merge_mor", "append", "overwrite", "overwrite_where",
     "merge_into", "delete_where", "update_where", "rollback",
+    "delete_where_dv",  # replaces no files; its dv entries carry buckets
 }
 
 
@@ -234,6 +235,10 @@ def _diff_prune_buckets(
             return None  # rebucket (ids renumbered) or an op we don't know
         out.update(entry.get("replaced_buckets") or [])
         out.update(f["bucket"] for f in entry.get("new_files") or [])
+        for d in entry.get("new_dv") or []:  # deletion-vector commits
+            if not d.get("buckets"):
+                return None  # entry doesn't localize its hides: full diff
+            out.update(d["buckets"])
     return sorted(out)
 
 

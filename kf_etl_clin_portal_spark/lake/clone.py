@@ -54,9 +54,10 @@ def clone_table(
     os.makedirs(os.path.join(dst_root, _LOG_DIR), exist_ok=True)
     os.makedirs(os.path.join(dst_root, _DATA_DIR), exist_ok=True)
     bytes_copied = 0
-    for f in st["files"]:
-        s = os.path.join(src.root, f["path"])
-        d = os.path.join(dst_root, f["path"])
+    dv_paths = [p for dv in (st.get("dv") or []) for p in dv["paths"]]
+    for path in [f["path"] for f in st["files"]] + dv_paths:
+        s = os.path.join(src.root, path)
+        d = os.path.join(dst_root, path)
         os.makedirs(os.path.dirname(d), exist_ok=True)
         shutil.copyfile(s, d)
         bytes_copied += os.path.getsize(d)

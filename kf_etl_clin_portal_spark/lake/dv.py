@@ -1,0 +1,267 @@
+"""Deletion vectors: ``DELETE FROM … WHERE`` with ZERO data-file rewrites —
+the Delta deletion-vector / Iceberg positional-delete analog.
+
+`lake/dml.py:delete_where` is copy-on-write: every bucket holding a matched
+row is rewritten wholesale, so deleting 100 rows from a 1.5 TB bucket costs
+1.5 TB of write amplification. Here the delete commits only a tiny sidecar
+parquet of ``(file, pos)`` pairs — the rows' parquet positions, captured
+from Spark's own ``_metadata.row_index`` — and every reader anti-joins the
+hidden positions away (`SnapshotTable.read` applies DVs transparently, so
+MERGE, views, change-diff, exports and the SQL layer all see the post-delete
+state with no code of their own).
+
+Why this matters beyond write cost — **the all-base fast path survives**:
+the MoR alternative (append a tombstone delta) forfeits every all-base
+privilege until compaction: `read_merged`'s shuffle-free identity read,
+zone-map file skipping (`read(stats_filter=…)`, `lake/scan.py`), metadata
+stats. A DV commit keeps the snapshot all-base — the winner-resolution
+shuffle stays off and stats pruning stays legal (DVs only REMOVE rows, so
+zone maps remain supersets).
+
+Semantics are identical to `delete_where` (DELETE over LIVE state; NULL
+predicate keeps the row; tombstones are never matched; old snapshots still
+serve deleted rows for time travel):
+
+- **MoR stale-winner hazard**: hiding only a key's WINNING row would
+  resurrect its stale older copy from a kept base file. Matched keys are
+  therefore computed over resolved winners, and ALL physical copies of a
+  matched key (base + every delta version) are hidden — the key vanishes
+  outright, exactly like the CoW delete.
+- **Lost-update safety**: positions are only valid against the basis
+  snapshot's physical files, so the commit passes the matched buckets as
+  ``validate_buckets`` — an intervening commit touching them raises
+  `CommitConflict` and the delete recomputes (`retry_on_conflict`), the
+  same Iceberg/Delta validation every bucket-replacing writer runs.
+- **Folding is free**: `_apply_delta` shrinks each DV entry's coverage to
+  files still live, so any rewrite of a covered file (compaction, CoW
+  merge, DML, rebucket) — which reads through the DV — IS the fold; the
+  entry disappears when its last covered file is replaced.
+- **Change feeds**: the commit is a new operation (`delete_where_dv`) —
+  `read_changes` strict-raises on it like every out-of-band correction,
+  `diff_changes` prunes to the DV's buckets (recorded on the entry).
+
+Reference parity: the reference has no row-level operations at all — its
+only correction path is a full staged re-export per release
+(`NormalizeClinicalETL.scala:29`).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kf_etl_clin_portal_spark.lake.table import (
+    _DATA_DIR,
+    _DV_FILE,
+    _DV_POS,
+    BUCKET_COL,
+    CommitConflict,
+    SnapshotTable,
+    bucket_expr,
+    retry_on_conflict,
+)
+
+TOMBSTONE_COL = "is_deleted"
+_DV_DIR = os.path.join(_DATA_DIR, "_dv")
+
+
+@dataclass(frozen=True)
+class DvResult:
+    version: int  # table version after the operation (unchanged if no match)
+    n_matched: int  # live winner rows deleted
+    n_positions: int  # physical rows hidden (≥ n_matched: every key copy)
+    buckets_touched: int
+    skipped: bool  # True when nothing matched → no commit was made
+
+
+def _live(df: DataFrame) -> F.Column:
+    if TOMBSTONE_COL in df.columns:
+        return ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    return F.lit(True)
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    table: SnapshotTable,
+    predicate,
+    stats_filter: dict | None = None,
+    seq_col: str = "seq",
+) -> DvResult:
+    """``DELETE FROM table WHERE predicate`` (a Column; NULL keeps the row)
+    as a deletion-vector commit: no data file is rewritten, matching LIVE
+    keys' physical rows are hidden by a ``(file, pos)`` sidecar.
+
+    ``stats_filter`` prunes the CANDIDATE scan from zone maps — same
+    stale-winner rule as DML: only applied on all-base snapshots; with
+    deltas present the scan stays whole so winner resolution is exact."""
+    from kf_etl_clin_portal_spark.lake.merge import _order_expr
+
+    def attempt() -> DvResult:
+        table.refresh()
+        basis = table.version
+        st = table.state
+        has_deltas = any(f.get("kind") == "delta" for f in st["files"])
+        key_cols = table.key_cols
+
+        # --- physical rows with (file, pos) lineage, DVs already applied --
+        phys = table._read_with_lineage(
+            spark, stats_filter=None if has_deltas else stats_filter
+        )
+        # resolved winner per key (the LIVE state the predicate sees)
+        row = F.struct(*[F.col(c) for c in phys.columns])
+        winners = (
+            phys.groupBy(*key_cols)
+            .agg(F.max_by(row, _order_expr(seq_col, phys.schema)).alias("__row"))
+            .select(F.col("__row.*"))
+            if has_deltas
+            else phys
+        )
+        hit = winners.where(
+            _live(winners) & F.coalesce(predicate, F.lit(False))
+        ).withColumn(BUCKET_COL, bucket_expr(key_cols, table.num_buckets))
+        hit = hit.localCheckpoint(eager=True)  # pin: the plan reads the
+        # table being mutated; count + positions + commit must agree
+        m = hit.agg(
+            F.count(F.lit(1)).alias("n"), F.collect_set(BUCKET_COL).alias("b")
+        ).first()
+        n_matched = int(m["n"] or 0)
+        if n_matched == 0:
+            return DvResult(basis, 0, 0, 0, skipped=True)
+        touched = sorted(m["b"])
+
+        # --- ALL physical copies of every matched key (stale-winner rule:
+        # hiding only the winner would resurrect a stale older copy). On an
+        # all-base snapshot the winner row IS the key's only copy — no join.
+        doomed = (
+            phys.join(hit.select(*key_cols), on=key_cols, how="left_semi")
+            if has_deltas else hit
+        ).select(F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos"))
+
+        # --- write the sidecar, register the entry, commit ----------------
+        # coverage (distinct data files hidden from) is computed
+        # distributed — it is bounded by the table's FILE count, never by
+        # position count, so the driver holds paths, not positions
+        doomed = doomed.persist()
+        covered = sorted(r["file"] for r in doomed.select("file").distinct().collect())
+        staging = os.path.join(table.root, _DATA_DIR, f"_staging_{uuid.uuid4().hex}")
+        doomed.write.parquet(staging)
+        doomed.unpersist()
+        rel_paths: list[str] = []
+        n_positions, n_bytes = 0, 0
+        import pyarrow.parquet as pq
+
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fn)
+            n_rows = pq.read_metadata(src).num_rows  # footer only, no I/O
+            if n_rows == 0:
+                continue
+            rel = os.path.join(_DV_DIR, f"dv-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(table.root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            rel_paths.append(rel)
+            n_positions += n_rows
+            n_bytes += os.path.getsize(dst)
+        _cleanup(staging)
+
+        entry = {
+            "paths": rel_paths,
+            "rows": n_positions,
+            "bytes": n_bytes,
+            "files": sorted(covered),
+            "buckets": touched,
+        }
+        try:
+            commit = table.commit(
+                operation="delete_where_dv",
+                new_files=[],
+                new_dv=[entry],
+                basis_version=basis,
+                validate_buckets=set(touched),
+                lineage={
+                    "mode": "delete_where_dv",
+                    "n_matched": n_matched,
+                    "n_positions": n_positions,
+                    "buckets_touched": len(touched),
+                    "deltas_spanned": has_deltas,
+                },
+            )
+        except CommitConflict:
+            for rel in rel_paths:
+                try:
+                    os.unlink(os.path.join(table.root, rel))
+                except FileNotFoundError:
+                    pass
+            raise
+        return DvResult(commit.version, n_matched, n_positions, len(touched),
+                        skipped=False)
+
+    return retry_on_conflict(attempt)
+
+
+def _cleanup(staging: str) -> None:
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def fold_dv(spark: SparkSession, table: SnapshotTable) -> int:
+    """Materialize the deletion vectors: rewrite exactly the DV-covered
+    buckets (the read applies the DVs, so the new files simply lack the
+    hidden rows) — `_apply_delta` then prunes every entry to empty and the
+    sidecars become expirable. The targeted fold `plan_maintenance`
+    recommends when DV weight crosses its threshold; any broader rewrite
+    (compact_buckets, CoW merge) folds as a side effect the same way.
+    Returns the new version (current version if there was nothing to fold).
+    Basis-validated + conflict-retried like every bucket-replacing writer."""
+
+    def attempt() -> int:
+        table.refresh()
+        basis = table.version
+        st = table.state
+        covered_paths = {p for d in (st.get("dv") or []) for p in d["files"]}
+        if not covered_paths:
+            return basis
+        victims = sorted({
+            f["bucket"] for f in st["files"] if f["path"] in covered_paths
+        })
+        df = table.read(spark, buckets=victims).withColumn(
+            BUCKET_COL, bucket_expr(table.key_cols, table.num_buckets)
+        ).repartition(len(victims), F.col(BUCKET_COL))
+        new_files = table.write_data_files(df, st["current_schema_id"])
+        try:
+            commit = table.commit(
+                operation="fold_dv",
+                new_files=new_files,
+                replaced_buckets=set(victims),
+                basis_version=basis,
+                lineage={"mode": "fold_dv", "buckets": len(victims)},
+            )
+        except CommitConflict:
+            table.discard_files(new_files)
+            raise
+        return commit.version
+
+    return retry_on_conflict(attempt)
+
+
+def dv_stats(table: SnapshotTable) -> dict:
+    """Metadata-only DV posture: how many positions are hidden, how many
+    files carry a vector — the compaction-advisor input (a table drowning
+    in DVs wants a `compact_buckets` to fold them)."""
+    st = table.refresh().state
+    dv = st.get("dv") or []
+    return {
+        "n_entries": len(dv),
+        "rows_hidden": sum(d["rows"] for d in dv),
+        "bytes": sum(d["bytes"] for d in dv),
+        "files_covered": len({p for d in dv for p in d["files"]}),
+        "buckets": sorted({b for d in dv for b in d.get("buckets", [])}),
+    }

@@ -62,6 +62,8 @@ def plan_maintenance(
     max_files_per_bucket: int = 8,
     max_rows_per_bucket: int = 50_000_000,
     min_expirable: int = 2,
+    max_dv_frac: float = 0.1,
+    min_dv_entries: int = 8,
 ) -> list[dict[str, Any]]:
     """Ordered recommendations ``[{action, reason, **evidence}]`` for the
     CURRENT snapshot; empty list = healthy. Ordering is the safe execution
@@ -82,10 +84,25 @@ def plan_maintenance(
             **ev,
         })
 
-    if not delta:
+    dv = st.get("dv") or []
+    if dv:
+        hidden = sum(d["rows"] for d in dv)
+        total = sum(f["rows"] for f in files)
+        if hidden / max(total, 1) > max_dv_frac or len(dv) >= min_dv_entries:
+            recs.append({
+                "action": "fold_dv",
+                "reason": "deletion-vector weight: every read pays the "
+                          "position anti-join",
+                "rows_hidden": hidden,
+                "dv_entries": len(dv),
+                "rows_total": total,
+            })
+
+    if not delta and not dv:
         # tombstone weight needs the per-file dead counts — footer zone
         # maps + the single boolean column on mixed files (metastats tier
-        # 2/3); only meaningful on compacted snapshots
+        # 2/3); only meaningful on compacted, DV-free snapshots
+        # (metadata_stats refuses both overlays)
         from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
 
         # pin to the snapshot the `not delta` guard was evaluated on — an

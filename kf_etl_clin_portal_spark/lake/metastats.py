@@ -101,6 +101,13 @@ def metadata_stats(
             "row counts don't sum to table cardinality. Run compact_deltas() "
             "first, or use read_merged() for a scan-based answer."
         )
+    if st.get("dv"):
+        raise ValueError(
+            "metadata_stats: snapshot carries deletion vectors — footer counts "
+            "include hidden rows and min/max may sit on a hidden row. Run "
+            "compact_buckets() to fold them, or use read_merged() for a "
+            "scan-based answer."
+        )
     schema_names = {
         f0["name"]
         for f0 in st["schemas"][str(st["current_schema_id"])]["fields"]

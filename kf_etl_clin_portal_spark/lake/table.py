@@ -71,6 +71,10 @@ from kf_etl_clin_portal_spark.lake.schema import (
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 BUCKET_COL = "__bucket"
+# deletion-vector read lineage (reserved column names, dropped before return)
+_DV_FILE = "__dv_file"
+_DV_POS = "__dv_pos"
+_DV_BROADCAST_ROWS = 4_000_000  # ~64 MB of (path, int64) pairs
 
 
 def bucket_expr(key_cols: list[str], num_buckets: int):
@@ -203,6 +207,22 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
         files = [f for f in files if f["bucket"] not in replaced]
     files = files + list(delta.get("new_files") or [])
 
+    # deletion vectors: entries survive only while they still cover a live
+    # data file — any rewrite of a covered file (CoW merge, compaction,
+    # DML, rebucket) re-materializes the visible rows WITHOUT the hidden
+    # ones (readers apply DVs), so the rewrite is the fold and the entry's
+    # coverage shrinks to the files that remain
+    dv = list(state.get("dv") or [])
+    if dv:
+        present = {f["path"] for f in files}
+        kept = []
+        for d in dv:
+            covered = [p for p in d["files"] if p in present]
+            if covered:
+                kept.append({**d, "files": covered} if len(covered) != len(d["files"]) else d)
+        dv = kept
+    dv = dv + list(delta.get("new_dv") or [])
+
     schemas = dict(state["schemas"])
     schema_fields = dict(state.get("schema_fields") or {})
     if delta.get("schema_add"):
@@ -246,6 +266,7 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
         "schema_fields": schema_fields,
         "partition": delta.get("partition_set") or state["partition"],
         "files": files,
+        "dv": dv,
         "applied_batches": applied,
         "fence_watermarks": watermarks,
         "refs": refs,
@@ -742,6 +763,23 @@ class SnapshotTable:
             },
         )
 
+    def _live_paths(self, floor: int) -> set[str]:
+        """Every data-file AND deletion-vector path referenced by any
+        retained version in [floor, current] — the keep-set both sweepers
+        (`remove_orphans`, `expire_snapshots`) honor."""
+        st0 = self.state_at(floor)
+        live = {f["path"] for f in st0["files"]}
+        live.update(p for d in (st0.get("dv") or []) for p in d["paths"])
+        for v in range(floor + 1, self.version + 1):
+            e = self._read_entry(v)
+            if e.get("type") == "delta":
+                live.update(f["path"] for f in e.get("new_files") or [])
+                live.update(p for d in (e.get("new_dv") or []) for p in d["paths"])
+            else:
+                live.update(f["path"] for f in e["files"])
+                live.update(p for d in (e.get("dv") or []) for p in d["paths"])
+        return live
+
     def remove_orphans(self, grace_secs: float = 3600.0) -> dict[str, Any]:
         """Delete data files on disk that no retained snapshot references —
         leftovers of crashed writers (staged output whose commit never
@@ -758,13 +796,7 @@ class SnapshotTable:
 
         self.refresh()
         floor = self.state.get("expire_below", 0)
-        live = {f["path"] for f in self.state_at(floor)["files"]}
-        for v in range(floor + 1, self.version + 1):
-            e = self._read_entry(v)
-            if e.get("type") == "delta":
-                live.update(f["path"] for f in e.get("new_files") or [])
-            else:
-                live.update(f["path"] for f in e["files"])
+        live = self._live_paths(floor)
         cutoff = _time.time() - grace_secs
         deleted, reclaimed = 0, 0
         data_root = os.path.join(self.root, _DATA_DIR)
@@ -889,13 +921,7 @@ class SnapshotTable:
         # earlier expiry or writer left stranded)
 
         # live = files referenced by ANY retained version [floor, latest+1]
-        live = {f["path"] for f in self.state_at(floor)["files"]}
-        for v in range(floor + 1, self.version + 1):
-            e = self._read_entry(v)
-            if e.get("type") == "delta":
-                live.update(f["path"] for f in e.get("new_files") or [])
-            else:
-                live.update(f["path"] for f in e["files"])
+        live = self._live_paths(floor)
 
         deleted, reclaimed = 0, 0
         data_root = os.path.join(self.root, _DATA_DIR)
@@ -924,6 +950,7 @@ class SnapshotTable:
         ref: str | None = None,
         stats_filter: dict[str, tuple[Any, Any]] | None = None,
         as_of: "str | datetime | None" = None,
+        _with_lineage: bool = False,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset, optionally
         at a published ref (``ref="published"``), explicit version, or
@@ -964,7 +991,27 @@ class SnapshotTable:
         if stats_filter:
             files = [f for f in files if _file_may_match(f, stats_filter)]
         if not files:
-            return spark.createDataFrame([], current)
+            empty = current if not _with_lineage else T.StructType(
+                current.fields
+                + [T.StructField(_DV_FILE, T.StringType()),
+                   T.StructField(_DV_POS, T.LongType())]
+            )
+            return spark.createDataFrame([], empty)
+        # deletion vectors covering any surviving file: rows are read with
+        # parquet (file, row_index) lineage and the hidden positions are
+        # anti-joined away — no data file was rewritten to delete them
+        dv = [
+            d for d in (st.get("dv") or [])
+            if {f["path"] for f in files} & set(d["files"])
+        ]
+        lineage = bool(dv) or _with_lineage
+        target = current
+        if lineage:
+            target = T.StructType(
+                current.fields
+                + [T.StructField(_DV_FILE, T.StringType()),
+                   T.StructField(_DV_POS, T.LongType())]
+            )
         by_schema: dict[int, list[str]] = {}
         for f in files:
             by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
@@ -975,9 +1022,62 @@ class SnapshotTable:
             df = spark.read.schema(group_schema).parquet(*paths)
             # field-id resolution first (renamed columns keep their data,
             # dropped ids vanish), then cast/backfill to the current schema
-            df = remap_by_field_id(df, field_map(st, schema_id), cur_map)
-            parts.append(align_df(df, current))
-        return reduce(DataFrame.unionByName, parts)
+            gmap, cmap = field_map(st, schema_id), cur_map
+            if lineage:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias(_DV_FILE),
+                    F.col("_metadata.row_index").alias(_DV_POS),
+                )
+                gmap = {**gmap, _DV_FILE: _DV_FILE, _DV_POS: _DV_POS}
+                cmap = {**cmap, _DV_FILE: _DV_FILE, _DV_POS: _DV_POS}
+            df = remap_by_field_id(df, gmap, cmap)
+            parts.append(align_df(df, target))
+        out = reduce(DataFrame.unionByName, parts)
+        if lineage:
+            # _metadata.file_path is a URI ("file:///abs/…"); manifests
+            # store root-relative paths — normalize once for both the DV
+            # anti-join and lineage-requesting callers
+            prefix_len = len(os.path.abspath(self.root)) + 2  # 1-based + "/"
+            out = out.withColumn(
+                _DV_FILE,
+                F.substring(
+                    F.regexp_replace(F.col(_DV_FILE), "^[a-zA-Z0-9+.-]+:/+", "/"),
+                    prefix_len, 1 << 30,
+                ),
+            )
+        if dv:
+            out = self._anti_join_dv(spark, out, dv)
+        if lineage and not _with_lineage:
+            out = out.select(*[f.name for f in current.fields])
+        return out
+
+    def _read_with_lineage(self, spark: SparkSession, **kw) -> DataFrame:
+        """`read` plus `_DV_FILE` (root-relative data-file path) and
+        `_DV_POS` (parquet row index) columns — existing DVs already
+        applied, so positions emitted here are live, never double-hidden."""
+        return self.read(spark, _with_lineage=True, **kw)
+
+    def _anti_join_dv(
+        self, spark: SparkSession, df: DataFrame, dv: list[dict[str, Any]]
+    ) -> DataFrame:
+        """Anti-join the union of ``dv`` entries' (file, pos) sets against a
+        frame carrying root-relative `_DV_FILE` / `_DV_POS` lineage. Small
+        DVs broadcast (the common case — a delete touches a sliver of the
+        table); large ones fall back to a shuffled anti-join rather than
+        OOM the executors."""
+        paths = [os.path.join(self.root, p) for d in dv for p in d["paths"]]
+        dvdf = spark.read.schema(
+            T.StructType([T.StructField("file", T.StringType()),
+                          T.StructField("pos", T.LongType())])
+        ).parquet(*paths)
+        if sum(d["rows"] for d in dv) <= _DV_BROADCAST_ROWS:
+            dvdf = F.broadcast(dvdf)
+        return df.join(
+            dvdf,
+            (F.col(_DV_FILE) == dvdf["file"]) & (F.col(_DV_POS) == dvdf["pos"]),
+            "left_anti",
+        )
 
     # ------------------------------------------------------------- writing
     def write_data_files(self, df: DataFrame, schema_id: int) -> list[dict[str, Any]]:
@@ -1100,6 +1200,8 @@ class SnapshotTable:
         set_current_schema_id: int | None = None,
         field_ids: dict[str, Any] | None = None,
         properties_set: dict[str, str] | None = None,
+        new_dv: list[dict[str, Any]] | None = None,
+        validate_buckets: set[int] | None = None,
     ) -> CommitInfo:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
@@ -1125,8 +1227,13 @@ class SnapshotTable:
             st = self.state
             if batch_id is not None and self.is_batch_applied(batch_id):
                 raise BatchAlreadyApplied(batch_id)
-            if basis_version is not None and replaced_buckets:
-                v = self._conflicting_version(basis_version, set(replaced_buckets))
+            guarded = set(replaced_buckets or ()) | set(validate_buckets or ())
+            if basis_version is not None and guarded:
+                # validate_buckets extends the lost-update check to commits
+                # that replace NO files but whose correctness still depends
+                # on the basis snapshot's physical layout (deletion vectors:
+                # positions are meaningless against a rewritten file)
+                v = self._conflicting_version(basis_version, guarded)
                 if v is not None:
                     raise CommitConflict(
                         f"{operation} computed on snapshot v{basis_version}, but "
@@ -1204,6 +1311,7 @@ class SnapshotTable:
                 "current_schema_id": schema_id,
                 "schema_add": schema_add,
                 "new_files": new_files,
+                "new_dv": new_dv,
                 "replaced_buckets": sorted(replaced_buckets) if replaced_buckets else [],
                 "partition_set": new_partition,
                 "properties_set": properties_set,

@@ -1,0 +1,210 @@
+"""Deletion vectors (lake/dv.py): DELETE with zero data-file rewrites.
+
+Semantics must be identical to the CoW delete (lake/dml.py) — same matched
+rows, tombstones never matched, time travel intact — while the physical
+story is the opposite: the data files are untouched and a (file, pos)
+sidecar hides the rows. The all-base fast path (shuffle-free reads, zone
+maps, scan planning) must survive a DV delete; compaction/fold must
+materialize it away; the sweepers must treat sidecars as live files.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.dv import delete_where_dv, dv_stats, fold_dv
+from kf_etl_clin_portal_spark.lake.merge import read_live, read_merged
+
+
+def _build(spark, root, strategy="union_agg", n=4000, seed=7):
+    ev = generate_change_events(spark, n, seed=seed)
+    pipe = CDCPipeline(spark, root, num_buckets=8, merge_strategy=strategy)
+    pipe.replay(ev, n_batches=3, by="seq", feed_id="dv")
+    return pipe
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_dv_delete_matches_cow_delete_without_rewriting(spark, tmp_path):
+    a = _build(spark, str(tmp_path / "cow"))
+    b = _build(spark, str(tmp_path / "dv"))
+    pred = F.col("repo") == "repo_0000"  # the hot monorepo: many keys
+
+    pre_version = b.table.refresh().version
+    pre_files = sorted(f["path"] for f in b.table.state["files"])
+    pre_rows = b.current().count()
+
+    ra = a.delete_where(pred)
+    rb = b.delete_where(pred, mode="dv")
+    assert not rb.skipped and rb.n_matched == ra.n_matched > 0
+    assert rb.n_positions >= rb.n_matched
+    assert _rows(a.current()) == _rows(b.current())
+
+    # the physical contract: same data files, only a sidecar was added
+    st = b.table.refresh().state
+    assert sorted(f["path"] for f in st["files"]) == pre_files
+    assert st["version"] == pre_version + 1
+    stats = dv_stats(b.table)
+    assert stats["rows_hidden"] == rb.n_positions
+    assert stats["n_entries"] == 1
+
+    # time travel still serves the deleted rows
+    assert read_live(spark, b.table, version=pre_version).count() == pre_rows
+
+
+def test_dv_preserves_all_base_fast_path(spark, tmp_path):
+    pipe = _build(spark, str(tmp_path / "t"))
+    pipe.delete_where(F.col("lang") == "python", mode="dv")
+    t = pipe.table
+    assert not any(f.get("kind") == "delta" for f in t.refresh().state["files"])
+    # stats_filter on read_merged is the all-base privilege MoR tombstone
+    # deletes forfeit — a DV delete must keep it legal and exact
+    got = read_merged(spark, t, stats_filter={"seq": (0, 10_000_000)})
+    assert _rows(got.where(~F.col("is_deleted")).drop("is_deleted")) == _rows(
+        pipe.current()
+    )
+    # and the scan planner still plans the "pruned" path
+    from kf_etl_clin_portal_spark.lake.scan import plan_scan
+
+    assert plan_scan(spark, t, "seq >= 0")["stats_path"] == "pruned"
+
+
+def test_dv_mor_hides_every_copy_no_stale_resurrection(spark, tmp_path):
+    pipe = _build(spark, str(tmp_path / "m"), strategy="mor")
+    t = pipe.table
+    assert any(f.get("kind") == "delta" for f in t.refresh().state["files"])
+    pre = pipe.current()
+    pred = F.col("repo") == "repo_0000"
+    doomed_keys = {tuple(r) for r in pre.where(pred).select("repo", "path").collect()}
+    assert doomed_keys
+    r = delete_where_dv(spark, t, pred)
+    # multi-version keys: more physical rows hidden than winners matched
+    assert r.n_positions > r.n_matched == len(doomed_keys)
+    after = pipe.current()
+    got_keys = {tuple(x) for x in after.select("repo", "path").collect()}
+    assert not (got_keys & doomed_keys)  # no stale older copy resurfaced
+    assert _rows(after) == _rows(pre.where(~pred))
+
+
+def test_dv_deleted_key_resurrects_on_higher_seq_upsert(spark, tmp_path):
+    pipe = _build(spark, str(tmp_path / "t"))
+    victim = pipe.current().select("repo", "path", "seq").first()
+    pipe.delete_where(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"]),
+        mode="dv",
+    )
+    cur = pipe.current().where(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+    )
+    assert cur.count() == 0
+    feed = generate_change_events(spark, 1, seed=99).withColumns({
+        "repo": F.lit(victim["repo"]), "path": F.lit(victim["path"]),
+        "seq": F.lit(int(victim["seq"]) + 10_000_000),
+        "op": F.lit("upsert"), "lang": F.lit("go"),
+    })
+    pipe.apply_batch(feed, batch_id="dv-resurrect")
+    back = pipe.current().where(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+    ).collect()
+    assert len(back) == 1 and back[0]["lang"] == "go"
+
+
+def test_fold_dv_materializes_and_sweepers_respect_sidecars(spark, tmp_path):
+    pipe = _build(spark, str(tmp_path / "t"))
+    t = pipe.table
+    pipe.delete_where(F.col("lang") == "python", mode="dv")
+    want = _rows(pipe.current())
+    assert dv_stats(t)["n_entries"] == 1
+
+    # sweepers must NOT reap a live sidecar
+    t.remove_orphans(grace_secs=0.0)
+    assert dv_stats(t)["files_covered"] > 0
+    assert _rows(pipe.current()) == want
+
+    v = fold_dv(spark, t)
+    assert t.refresh().version == v
+    assert dv_stats(t)["n_entries"] == 0  # coverage pruned to nothing
+    assert _rows(pipe.current()) == want  # pure fold
+
+    # once no retained snapshot references them, sidecars are reclaimed
+    t.expire_snapshots(keep_last=1)
+    dv_dir = os.path.join(t.root, "data", "_dv")
+    left = [fn for _, _, fns in os.walk(dv_dir) for fn in fns] if os.path.isdir(dv_dir) else []
+    assert left == []
+    assert _rows(pipe.current()) == want
+
+
+def test_dv_tombstones_never_matched_and_stay_fatal(spark, tmp_path):
+    pipe = _build(spark, str(tmp_path / "t"))
+    dead = read_merged(spark, pipe.table).where(F.col("is_deleted"))
+    n_dead = dead.count()
+    assert n_dead > 0  # the feed's delete_frac produced tombstones
+    victim = dead.select("repo", "path", "seq").first()
+
+    r = pipe.delete_where(F.lit(True), mode="dv")  # delete ALL live rows
+    assert pipe.current().count() == 0
+    # tombstones were not matched — still physically present as fences
+    assert read_merged(spark, pipe.table).where(F.col("is_deleted")).count() == n_dead
+
+    # an out-of-order lower-seq re-offer of a tombstoned key stays dead
+    feed = generate_change_events(spark, 1, seed=99).withColumns({
+        "repo": F.lit(victim["repo"]), "path": F.lit(victim["path"]),
+        "seq": F.lit(int(victim["seq"]) - 1),
+        "op": F.lit("upsert"), "lang": F.lit("go"),
+    })
+    pipe.apply_batch(feed, batch_id="dv-zombie")
+    assert pipe.current().where(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+    ).count() == 0
+    assert r.n_matched > 0
+
+
+def test_dv_no_match_makes_no_commit(spark, tmp_path):
+    pipe = _build(spark, str(tmp_path / "t"))
+    v = pipe.table.refresh().version
+    r = pipe.delete_where(F.col("repo") == "no_such_repo", mode="dv")
+    assert r.skipped and r.n_matched == 0
+    assert pipe.table.refresh().version == v
+    # NULL predicate keeps the row (SQL ternary logic)
+    r2 = pipe.delete_where(F.lit(None).cast("boolean"), mode="dv")
+    assert r2.skipped
+
+
+def test_dv_metastats_refuses_and_advisor_recommends_fold(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.maintenance import plan_maintenance
+    from kf_etl_clin_portal_spark.lake.metastats import metadata_stats
+
+    pipe = _build(spark, str(tmp_path / "t"))
+    pipe.delete_where(F.col("repo") == "repo_0000", mode="dv")  # hot: >10%
+    with pytest.raises(ValueError, match="deletion vectors"):
+        metadata_stats(pipe.table)
+    recs = {r["action"] for r in plan_maintenance(pipe.table)}
+    assert "fold_dv" in recs
+    fold_dv(spark, pipe.table)
+    recs = {r["action"] for r in plan_maintenance(pipe.table)}
+    assert "fold_dv" not in recs
+
+
+def test_dv_commit_in_diff_feed_and_strict_raise(spark, tmp_path):
+    from kf_etl_clin_portal_spark.lake.changes import diff_changes, read_changes
+
+    pipe = _build(spark, str(tmp_path / "t"))
+    t = pipe.table
+    since = t.refresh().version
+    pre = pipe.current()
+    doomed = {tuple(r) for r in pre.where(F.col("lang") == "python")
+              .select("repo", "path").collect()}
+    assert doomed
+    pipe.delete_where(F.col("lang") == "python", mode="dv")
+
+    d = diff_changes(spark, t, since)
+    dels = {tuple(r) for r in d.where(F.col("_change_op") == "delete")
+            .select("repo", "path").collect()}
+    assert dels == doomed
+    with pytest.raises(ValueError, match="delete_where_dv"):
+        read_changes(spark, t, since)
