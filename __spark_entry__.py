@@ -1936,6 +1936,49 @@ def q_cdc_purge(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_dv_correction(spark, sf):
+    """The dml_correction scenario re-run through deletion vectors
+    (`lake/dv.py`): same MoR table, same out-of-band DELETE + UPDATE — but
+    the delete hides positions in a sidecar and the update appends only
+    post-image rows, so the heavy data files written by the merges are
+    byte-identical before and after (asserted in-gate). Same oracle SQL as
+    dml_correction: DV DML must be a drop-in for CoW DML."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.dv import delete_where_dv, update_where_dv
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="dvdml_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        for i in range(2):
+            pipe.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"dvdml-b{i}",
+            )
+        before = sorted(f["path"] for f in pipe.table.refresh().state["files"])
+        delete_where_dv(spark, pipe.table, F.col("value") < 10, seq_col="seq")
+        update_where_dv(
+            spark, pipe.table, {"event_type": "corrected"},
+            F.col("value") >= 90, seq_col="seq",
+        )
+        after = [f["path"] for f in pipe.table.refresh().state["files"]]
+        assert set(before) <= set(after), "DV DML must not rewrite merge files"
+        out = pipe.current().select(
+            "user_id", F.col("seq").alias("event_id"), "event_type", "value"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdc_dv_delete(spark, sf):
     """Deletion-vector DELETE (`lake/dv.py:delete_where_dv`): the events
     WAL is merged into a CoW table keyed user_id, every 37th user is
@@ -2092,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_purge": q_cdc_purge,
         "cdc_scan_where": q_cdc_scan_where,
         "cdc_dv_delete": q_cdc_dv_delete,
+        "dv_correction": q_dv_correction,
         "ivm_derived_rollup": q_ivm_derived_rollup,
         "dml_correction": q_dml_correction,
         "merge_into_clauses": q_merge_into_clauses,
@@ -2431,6 +2475,22 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(value, event_id) AS value
             FROM events WHERE user_id % 41 <> 0
             GROUP BY user_id
+        """,
+        "dv_correction": """
+            WITH latest AS (
+              SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) rn
+                FROM events) WHERE rn = 1
+            ), kept AS (
+              SELECT * FROM latest WHERE NOT COALESCE(value < 10, FALSE)
+            )
+            SELECT user_id, event_id,
+                   CASE WHEN COALESCE(value >= 90, FALSE)
+                        THEN 'corrected' ELSE event_type END AS event_type,
+                   value
+            FROM kept
         """,
         "cdc_dv_delete": """
             SELECT user_id,

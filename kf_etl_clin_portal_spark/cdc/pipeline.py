@@ -459,9 +459,20 @@ class CDCPipeline:
                             stats_filter=stats_filter, seq_col="seq")
 
     def update_where(self, assignments: dict, predicate,
-                     stats_filter: dict | None = None):
+                     stats_filter: dict | None = None, mode: str = "cow"):
         """Row-level ``UPDATE … SET … WHERE`` (key columns not assignable;
-        CHECK constraints re-validated on post-images; see `lake/dml.py`)."""
+        CHECK constraints re-validated on post-images). ``mode="cow"``:
+        bucket rewrite (`lake/dml.py`); ``mode="dv"``: old rows hidden by a
+        deletion vector, post-images appended — O(matched rows) write cost
+        (`lake/dv.py`)."""
+        if mode == "dv":
+            from kf_etl_clin_portal_spark.lake.dv import update_where_dv
+
+            return update_where_dv(self.spark, self.table, assignments,
+                                   predicate, stats_filter=stats_filter,
+                                   seq_col="seq")
+        if mode != "cow":
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         from kf_etl_clin_portal_spark.lake.dml import update_where
 
         return update_where(self.spark, self.table, assignments, predicate,

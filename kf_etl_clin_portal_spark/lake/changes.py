@@ -66,7 +66,8 @@ _MAINTENANCE_OPS = {
 _PRUNABLE_CHANGE_OPS = {
     "merge", "merge_mor", "append", "overwrite", "overwrite_where",
     "merge_into", "delete_where", "update_where", "rollback",
-    "delete_where_dv",  # replaces no files; its dv entries carry buckets
+    # replace no files; their dv entries carry the touched buckets
+    "delete_where_dv", "update_where_dv",
 }
 
 

@@ -99,6 +99,68 @@ def delete_where_dv(
     ``stats_filter`` prunes the CANDIDATE scan from zone maps — same
     stale-winner rule as DML: only applied on all-base snapshots; with
     deltas present the scan stays whole so winner resolution is exact."""
+    return _hide_where(spark, table, predicate, stats_filter, seq_col,
+                       operation="delete_where_dv", post_images=None)
+
+
+def update_where_dv(
+    spark: SparkSession,
+    table: SnapshotTable,
+    assignments: dict,
+    predicate,
+    stats_filter: dict | None = None,
+    seq_col: str = "seq",
+) -> DvResult:
+    """``UPDATE table SET col = expr, … WHERE predicate`` at deletion-vector
+    cost: the matched keys' OLD physical rows are hidden by the sidecar and
+    their post-images land in one small appended base file per touched
+    bucket — write cost O(matched rows), never O(touched buckets' bytes).
+    The all-base invariant holds (the post-image becomes the key's only
+    visible row) and ``seq`` is untouched, so a later feed event with a
+    higher seq still wins — same contract as `lake/dml.py:update_where`:
+    assigned values cast to the registered column types, key columns not
+    assignable, post-images re-validate CHECK constraints."""
+    schema = table.refresh().schema
+    fields = {f.name: f for f in schema.fields}
+    bad = sorted(set(assignments) - set(fields))
+    if bad:
+        raise ValueError(f"unknown columns in SET: {bad}")
+    keyed = sorted(set(assignments) & set(table.key_cols))
+    if keyed:
+        raise ValueError(
+            f"key columns are not assignable (bucket membership would "
+            f"change): {keyed}; use MERGE delete+insert instead"
+        )
+    from pyspark.sql import Column
+
+    casted = {
+        c: (v if isinstance(v, Column) else F.lit(v)).cast(fields[c].dataType)
+        for c, v in assignments.items()
+    }
+    data_cols = [f.name for f in schema.fields]
+
+    def post_images(hit: DataFrame) -> DataFrame:
+        from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+
+        post = hit.select(
+            *[casted[c].alias(c) if c in casted else F.col(c) for c in data_cols]
+        )
+        enforce_constraints(post, table, what="update_where_dv post-image")
+        return post
+
+    return _hide_where(spark, table, predicate, stats_filter, seq_col,
+                       operation="update_where_dv", post_images=post_images)
+
+
+def _hide_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    predicate,
+    stats_filter: dict | None,
+    seq_col: str,
+    operation: str,
+    post_images,  # callable(hit_df) -> replacement rows (data cols), or None
+) -> DvResult:
     from kf_etl_clin_portal_spark.lake.merge import _order_expr
 
     def attempt() -> DvResult:
@@ -171,6 +233,13 @@ def delete_where_dv(
             n_bytes += os.path.getsize(dst)
         _cleanup(staging)
 
+        new_files: list[dict] = []
+        if post_images is not None:
+            out = post_images(hit.drop(_DV_FILE, _DV_POS, BUCKET_COL)).withColumn(
+                BUCKET_COL, bucket_expr(key_cols, table.num_buckets)
+            ).repartition(len(touched), F.col(BUCKET_COL))
+            new_files = table.write_data_files(out, st["current_schema_id"])
+
         entry = {
             "paths": rel_paths,
             "rows": n_positions,
@@ -180,13 +249,13 @@ def delete_where_dv(
         }
         try:
             commit = table.commit(
-                operation="delete_where_dv",
-                new_files=[],
+                operation=operation,
+                new_files=new_files,
                 new_dv=[entry],
                 basis_version=basis,
                 validate_buckets=set(touched),
                 lineage={
-                    "mode": "delete_where_dv",
+                    "mode": operation,
                     "n_matched": n_matched,
                     "n_positions": n_positions,
                     "buckets_touched": len(touched),
@@ -194,6 +263,7 @@ def delete_where_dv(
                 },
             )
         except CommitConflict:
+            table.discard_files(new_files)
             for rel in rel_paths:
                 try:
                     os.unlink(os.path.join(table.root, rel))

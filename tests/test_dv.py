@@ -208,3 +208,56 @@ def test_dv_commit_in_diff_feed_and_strict_raise(spark, tmp_path):
     assert dels == doomed
     with pytest.raises(ValueError, match="delete_where_dv"):
         read_changes(spark, t, since)
+
+
+def test_dv_update_matches_cow_update_with_appended_postimages(spark, tmp_path):
+    a = _build(spark, str(tmp_path / "cow"))
+    b = _build(spark, str(tmp_path / "dv"))
+    pred = F.col("repo") == "repo_0000"
+    assigns = {"lang": F.lit("rust"), "content": F.concat(F.col("content"), F.lit("!"))}
+
+    pre_files = {f["path"] for f in b.table.refresh().state["files"]}
+    ra = a.update_where(assigns, pred)
+    rb = b.update_where(assigns, pred, mode="dv")
+    assert not rb.skipped and rb.n_matched == ra.n_matched > 0
+    assert _rows(a.current()) == _rows(b.current())
+
+    st = b.table.refresh().state
+    # old files untouched, post-images appended as new small files
+    assert pre_files <= {f["path"] for f in st["files"]}
+    added = [f for f in st["files"] if f["path"] not in pre_files]
+    assert added and sum(f["rows"] for f in added) == rb.n_matched
+    assert dv_stats(b.table)["rows_hidden"] == rb.n_positions
+
+    # seq untouched: a later higher-seq feed event still wins over the
+    # post-image (update must not fence the feed's sequence domain)
+    victim = b.current().where(pred).select("repo", "path", "seq").first()
+    feed = generate_change_events(spark, 1, seed=99).withColumns({
+        "repo": F.lit(victim["repo"]), "path": F.lit(victim["path"]),
+        "seq": F.lit(int(victim["seq"]) + 10_000_000),
+        "op": F.lit("upsert"), "lang": F.lit("go"),
+    })
+    b.apply_batch(feed, batch_id="dv-after-update")
+    got = b.current().where(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+    ).first()
+    assert got["lang"] == "go"
+
+
+def test_dv_update_mor_and_guards(spark, tmp_path):
+    pipe = _build(spark, str(tmp_path / "m"), strategy="mor")
+    pre = pipe.current()
+    pred = F.col("lang") == "python"
+    n_hit = pre.where(pred).count()
+    assert n_hit > 0
+    r = pipe.update_where({"lang": "py3"}, pred, mode="dv")
+    assert r.n_matched == n_hit and r.n_positions >= n_hit
+    after = pipe.current()
+    assert after.where(F.col("lang") == "python").count() == 0
+    assert after.where(F.col("lang") == "py3").count() == n_hit
+    assert after.count() == pre.count()  # update never changes cardinality
+
+    with pytest.raises(ValueError, match="key columns"):
+        pipe.update_where({"repo": "x"}, pred, mode="dv")
+    with pytest.raises(ValueError, match="unknown columns"):
+        pipe.update_where({"nope": 1}, pred, mode="dv")
