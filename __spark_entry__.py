@@ -413,6 +413,29 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (arXiv:2303.09540): IVF-cluster the embeddings, prune
+    near-dups within each cluster (min-id survivor). Survivors only —
+    the training-corpus curation shape of embedding dedup."""
+    from kf_etl_clin_portal_spark.dedup.semantic import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf, "embeddings"), min_cos=0.25, n_clusters=8
+    ).select("vec_id", "cell")
+
+
+def q_doc_bm25_topk(spark, sf):
+    """BM25 lexical top-k: the reference's ES relevance ranking
+    (`etl/.../indexed/`) as an in-engine inverted-index scoring pass."""
+    from kf_etl_clin_portal_spark.similarity.lexical import bm25_topk
+
+    q = spark.createDataFrame(
+        [(0, "merge batch stream"), (1, "vector scan"), (2, "customer order group")],
+        ["query_id", "qtext"],
+    )
+    return bm25_topk(_t(spark, sf, "documents"), q, k=5)
+
+
 def q_member_top_custs(spark, sf):
     """J4 containment join (`prepared/clinical/Utils.scala:369-376`) via the
     explode+equi rewrite — nation→member-array built first, then resolved
@@ -2087,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "member_top_custs": q_member_top_custs,
         "part_root_chain": q_part_root_chain,
         "order_lines_pair": q_order_lines_pair,
@@ -2797,6 +2822,66 @@ def oracle_sql() -> dict[str, str]:
                    round({OSQL.cosine_sql('a.v', 'b.v')}, 6) AS cos
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({OSQL.cosine_sql('a.v', 'b.v')}, 6) >= 0.25
+        """,
+        "semantic_dedup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 h AS (SELECT vec_id, v,
+                              {OSQL.h60_sql("vec_id::VARCHAR")} AS hh FROM e),
+                 cent AS (SELECT row_number() OVER (ORDER BY hh ASC, vec_id ASC) - 1 AS cell,
+                                 v AS cv
+                          FROM (SELECT * FROM h ORDER BY hh ASC, vec_id ASC LIMIT 8)),
+                 asg AS (SELECT vec_id, cell FROM (
+                           SELECT e.vec_id, cent.cell,
+                                  row_number() OVER (
+                                    PARTITION BY e.vec_id
+                                    ORDER BY {OSQL.cosine_exact_sql('e.v', 'cent.cv')} DESC,
+                                             cent.cell ASC) AS rn
+                           FROM e CROSS JOIN cent) WHERE rn = 1),
+                 ea AS (SELECT e.vec_id, e.v, asg.cell
+                        FROM e JOIN asg ON e.vec_id = asg.vec_id),
+                 dup AS (SELECT DISTINCT b.vec_id
+                         FROM ea a JOIN ea b
+                           ON a.cell = b.cell AND a.vec_id < b.vec_id
+                         WHERE round({OSQL.cosine_sql('a.v', 'b.v')}, 6) >= 0.25)
+            SELECT vec_id, cell FROM ea
+            WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        """,
+        "doc_bm25_topk": f"""
+            WITH q(query_id, qtext) AS (VALUES
+                   (0, 'merge batch stream'),
+                   (1, 'vector scan'),
+                   (2, 'customer order group')),
+                 toks AS (SELECT doc_id, {OSQL.words_sql('text')} AS w FROM documents),
+                 dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
+                 st AS (SELECT count(*)::BIGINT AS n,
+                               (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+                 postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                              FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                              GROUP BY 1, 2),
+                 dft AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+                 qt AS (SELECT DISTINCT query_id, term
+                        FROM (SELECT query_id, unnest({OSQL.words_sql('qtext')}) AS term
+                              FROM q)),
+                 cand AS (SELECT qt.query_id, p.doc_id, qt.term,
+                                 ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                                 * (p.tf * (1.2 + 1.0)
+                                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+                                 AS c
+                          FROM postings p
+                          JOIN qt ON p.term = qt.term
+                          JOIN dft ON p.term = dft.term
+                          JOIN dl ON p.doc_id = dl.doc_id
+                          CROSS JOIN st),
+                 sc AS (SELECT query_id, doc_id,
+                               round(list_reduce(
+                                 list_prepend(0.0::DOUBLE, list(c ORDER BY term ASC)),
+                                 (acc, x) -> acc + x), 6) AS score
+                        FROM cand GROUP BY 1, 2)
+            SELECT query_id, doc_id, score, rank FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank
+              FROM sc) WHERE rank <= 5
         """,
         "member_top_custs": """
             SELECT c_nationkey, c_custkey, c_name

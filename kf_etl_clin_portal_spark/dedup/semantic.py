@@ -1,0 +1,149 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540).
+
+Cluster-then-prune: embeddings are coarsely clustered, and near-duplicate
+pruning runs *within* each cluster only — the all-pairs O(n²) cosine scan
+becomes Σ O(b²) over cluster sizes b, the same blocking economics as
+`dedup.embedding` but with blocks derived from the geometry itself instead
+of a metadata column or an LSH sign bucket.
+
+Spark-first composition of two existing pieces:
+
+- coarse clusters = the deterministic IVF quantizer
+  (`similarity.ivf._centroids`: the ``n_clusters`` corpus rows with the
+  smallest portable 60-bit hash of their id — reproducible across engines,
+  no RNG, no training job; swap in k-means|| centroids on real data
+  without touching the pruning path). Assignment is one broadcast of
+  ``n_clusters`` dimension-bounded vectors + a JVM fold per row — a narrow
+  map over the corpus, NO shuffle. The centroid sample itself is ONE
+  TakeOrderedAndProject pass (computed once and shared by assignment,
+  pairing and survivor selection — not re-collected per stage).
+- within-cluster pruning = self-join on the cell id with exact cosine
+  verification, keeping the smallest-id member of every near-dup pair
+  (the min-id survivor rule `dedup.exact` established).
+
+``max_cluster`` bounds the quadratic blow-up of a degenerate cell (at web
+scale one cell can soak a boilerplate mode of the embedding space): cells
+larger than the cap skip pruning — every member SURVIVES (fail-open: a
+guard that silently dropped oversized cells would delete data), observable
+via `cluster_stats`, never silent.
+
+Cross-engine determinism: cell assignment compares UNROUNDED cosines, so
+it uses the exact left-fold dot product (`functions.vectors.cosine`) that
+`plans.oracle_sql.cosine_exact_sql` replicates bit-for-bit; the pruning
+threshold compares cosines rounded to 6 decimals on both engines (the
+`dedup.embedding` convention).
+
+Reference parity: the reference has no embedding pipeline at all — this is
+part of the brief-mandated training-data layer (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.vectors import cosine, to_double_array
+from kf_etl_clin_portal_spark.similarity.ivf import _centroids, _nearest_cells
+
+
+def _assigned(
+    df: DataFrame, cents, id_col: str, vec_col: str
+) -> DataFrame:
+    return df.withColumn(
+        "cell", _nearest_cells(to_double_array(F.col(vec_col)), cents, 1)[0]
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Input rows + a ``cell`` column (nearest deterministic centroid by
+    cosine, ties → smallest cell id). Narrow map: centroids are broadcast
+    as literals inside one codegen'd array_sort expression."""
+    cents = _centroids(df, id_col, vec_col, n_clusters)
+    return _assigned(df, cents, id_col, vec_col)
+
+
+def cluster_stats(
+    df: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Per-cell size + whether the ``max_cluster`` guard would skip it —
+    the `block_stats` / `lsh_bucket_stats` observability analog."""
+    assigned = assign_clusters(df, n_clusters, id_col, vec_col)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.withColumn(
+        "pruning_skipped",
+        F.lit(False) if max_cluster is None else F.col("cluster_size") > max_cluster,
+    ).orderBy("cell")
+
+
+def _dup_pairs(
+    assigned: DataFrame,
+    min_cos: float,
+    id_col: str,
+    vec_col: str,
+    max_cluster: int | None,
+) -> DataFrame:
+    base = assigned.select(F.col(id_col), F.col(vec_col), "cell")
+    if max_cluster is not None:
+        ok = (
+            base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") <= max_cluster)
+            .select("cell")
+        )
+        base = base.join(ok, on="cell")
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell")
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell")
+    return (
+        a.join(b, on="cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cell", "cos")
+    )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    min_cos: float = 0.9,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cell, cos) near-dup pairs within a shared cluster,
+    id_a < id_b, round(cos, 6) ≥ min_cos."""
+    cents = _centroids(df, id_col, vec_col, n_clusters)
+    return _dup_pairs(
+        _assigned(df, cents, id_col, vec_col), min_cos, id_col, vec_col, max_cluster
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    min_cos: float = 0.9,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Surviving rows (all input columns + ``cell``): a row is dropped iff
+    some smaller-id row in the same cluster has cosine ≥ min_cos with it —
+    so the earliest member of every near-dup neighborhood survives and the
+    output is deterministic under any partitioning."""
+    cents = _centroids(df, id_col, vec_col, n_clusters)
+    assigned = _assigned(df, cents, id_col, vec_col)
+    dups = (
+        _dup_pairs(assigned, min_cos, id_col, vec_col, max_cluster)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, on=id_col, how="left_anti")

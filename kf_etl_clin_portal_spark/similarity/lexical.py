@@ -1,0 +1,129 @@
+"""BM25 lexical top-k retrieval over a document corpus.
+
+The lexical leg of hybrid (keyword + embedding) search: score =
+Σ_{t ∈ query} idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with the
+Lucene idf variant ln(1 + (N − df + 0.5)/(df + 0.5)) (always ≥ 0, so
+stop-word-frequency terms never produce negative scores).
+
+Scale shape (the inverted-index discipline, not a corpus scan per query):
+
+- postings = explode(words) → ONE hash aggregation (map-side combine) per
+  (doc, term); document lengths and the global (N, avgdl) scalars fall out
+  of the same tokenization pass.
+- the query term set is tiny and BROADCAST; the postings table is
+  inner-joined against it, so only postings of query terms ever flow into
+  scoring — the corpus is never shuffled, let alone scored, for terms no
+  query mentions.
+- per-(query, doc) scores aggregate the few matched-term contributions;
+  the final top-k is a per-query window over candidate docs only
+  (candidates = docs sharing ≥1 term with the query, ≪ corpus for
+  selective terms; a stop-word query degrades to df(term) candidates,
+  which is the same cost every inverted index pays).
+
+Cross-engine determinism: contributions are collected per (query, doc),
+sorted by term, and summed with an explicit left fold — the same
+sequential-double-fold contract `functions.vectors.dot` uses — so the
+DuckDB oracle (list_sort + list_reduce) adds in the identical order.
+N and avgdl derive from integer sums (order-independent); the final score
+is rounded to 6 decimals and ranked (score DESC, doc id ASC).
+
+Tokenization is `functions.text.words` (trim + split on whitespace),
+mirrored bit-for-bit by `plans.oracle_sql.words_sql`.
+
+Reference parity: the reference defers all text relevance to Elasticsearch
+after a full re-index (`etl/src/main/scala/bio/ferlab/etl/indexed/`);
+here the same ranking primitive runs inside the lake engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.functions.text import words
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): top-k docs per query by BM25.
+
+    Repeated terms in a query count once (the standard bag-of-words query
+    simplification); docs sharing no term with a query are absent (their
+    score is identically 0).
+    """
+    toks = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).localCheckpoint(eager=True)  # tokenize once; feeds postings + dl + stats
+
+    dl = toks.select(F.col(id_col), F.size("__w").alias("__dl"))
+    # global scalars from integer sums — order-independent, exact
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+
+    postings = (
+        toks.select(F.col(id_col), F.explode("__w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("term"),
+    )
+
+    cand = (
+        postings.join(F.broadcast(qterms), on="term")
+        .join(df_t, on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("__tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    # deterministic sum: sort matched terms, fold left (oracle mirrors with
+    # list_sort + list_reduce — identical addition order, identical bits)
+    scored = (
+        cand.select(F.col(query_id_col), F.col(id_col), "term", contrib.alias("__c"))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "__c"))),
+                    lambda s: s["__c"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__score")
+        )
+        .withColumn("score", F.round("__score", 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

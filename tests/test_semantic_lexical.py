@@ -1,0 +1,155 @@
+"""SemDeDup semantic dedup (`dedup/semantic.py`) + BM25 lexical top-k
+(`similarity/lexical.py`).
+
+Reference parity note: neither exists in the reference — the ES index it
+ships to provides BM25 (`etl/src/main/scala/bio/ferlab/etl/indexed/`), and
+it has no embedding layer; both are brief-mandated training-data-pipeline
+extensions (SURVEY.md §2 extensions).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.dedup.semantic import (
+    assign_clusters,
+    cluster_stats,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+from kf_etl_clin_portal_spark.similarity.lexical import bm25_topk
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 12 vectors in 3 tight directions + noise ids; enough rows for 4 centroids
+    base = {
+        "x": [1.0, 0.05, 0.0, 0.0],
+        "y": [0.0, 1.0, 0.05, 0.0],
+        "z": [0.0, 0.0, 1.0, 0.05],
+    }
+    rows = []
+    for i in range(12):
+        d = base[["x", "y", "z"][i % 3]]
+        # small deterministic perturbation keeps cos within-group ~0.99+
+        rows.append((i, [v + 0.01 * ((i * 7 + j) % 3) for j, v in enumerate(d)]))
+    return _emb(spark, rows)
+
+
+def test_semantic_dedup_min_id_survivor_rule(spark, corpus):
+    surv = semantic_dedup(corpus, min_cos=0.95, n_clusters=4).select("vec_id")
+    pairs = semantic_dup_pairs(corpus, min_cos=0.95, n_clusters=4)
+    surv_ids = {r.vec_id for r in surv.collect()}
+    dropped = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    # survivors + dropped partition the corpus
+    assert surv_ids | dropped == all_ids
+    assert surv_ids & dropped == set()
+    # every dropped row has a surviving-or-smaller neighbor in a pair
+    for r in pairs.collect():
+        assert r.id_a < r.id_b and r.cos >= 0.95
+
+
+def test_semantic_dedup_collapses_identical_vectors(spark):
+    rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(10)]
+    rows += [(50, [3.0, 2.0, 1.0]), (99, [3.0, 2.0, 1.0])]  # planted exact dup
+    df = _emb(spark, rows)
+    surv = {r.vec_id for r in semantic_dedup(df, min_cos=0.999999, n_clusters=3)
+            .select("vec_id").collect()}
+    assert 50 in surv and 99 not in surv
+
+
+def test_semantic_dedup_matches_bruteforce_spec(spark, corpus):
+    """Survivor set == a pandas recomputation of the same rule."""
+    import numpy as np
+
+    assigned = assign_clusters(corpus, n_clusters=4).select(
+        "vec_id", "embedding", "cell"
+    )
+    pdf = assigned.toPandas().sort_values("vec_id").reset_index(drop=True)
+    vecs = {r.vec_id: np.array(r.embedding) for r in pdf.itertuples()}
+    cells = {r.vec_id: r.cell for r in pdf.itertuples()}
+    dropped = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cells[a] != cells[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if cos >= 0.95:
+                dropped.add(b)
+    got = {r.vec_id for r in semantic_dedup(corpus, min_cos=0.95, n_clusters=4)
+           .select("vec_id").collect()}
+    assert got == set(ids) - dropped
+
+
+def test_semantic_max_cluster_guard_fails_open(spark, corpus):
+    stats = cluster_stats(corpus, n_clusters=4, max_cluster=1).collect()
+    assert all(s.pruning_skipped for s in stats if s.cluster_size > 1)
+    # every cell over the cap skips pruning -> all members survive
+    surv = semantic_dedup(corpus, min_cos=0.95, n_clusters=4, max_cluster=1)
+    assert surv.count() == corpus.count()
+
+
+def test_assignment_stable_under_repartition(spark, corpus):
+    a1 = assign_clusters(corpus, n_clusters=4).select("vec_id", "cell")
+    a2 = assign_clusters(corpus.repartition(7), n_clusters=4).select("vec_id", "cell")
+    assert {tuple(r) for r in a1.collect()} == {tuple(r) for r in a2.collect()}
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+
+
+def _queries(spark, qs):
+    return spark.createDataFrame(list(enumerate(qs)), "query_id: long, qtext: string")
+
+
+def test_bm25_known_value_single_term(spark):
+    docs = _docs(spark, ["cat dog", "cat cat cat dog", "dog bird"])
+    out = bm25_topk(docs, _queries(spark, ["cat"]), k=10, k1=1.2, b=0.75)
+    rows = {r.doc_id: r.score for r in out.collect()}
+    # N=3, df(cat)=2, dl=[2,4,2], avgdl=8/3
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return round(idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3)))), 6)
+
+    assert rows == {0: s(1, 2), 1: s(3, 4)}  # doc 2 has no 'cat' -> absent
+    # tf saturation: doc 1 (tf=3) outranks doc 0 (tf=1) despite longer dl
+    assert rows[1] > rows[0]
+
+
+def test_bm25_multi_term_and_rank_ties(spark):
+    docs = _docs(spark, ["a b", "a b", "a x", "y z"])
+    out = bm25_topk(docs, _queries(spark, ["a b"]), k=10).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # docs 0 and 1 identical -> equal scores, tie broken by doc_id
+    assert by_doc[0].score == by_doc[1].score
+    assert by_doc[0].rank == 1 and by_doc[1].rank == 2
+    # two-term match beats one-term match
+    assert by_doc[0].score > by_doc[2].score
+    assert 3 not in by_doc  # no shared term
+
+
+def test_bm25_k_caps_and_repeated_query_terms_count_once(spark):
+    docs = _docs(spark, [f"w{i} common" for i in range(6)])
+    one = bm25_topk(docs, _queries(spark, ["common"]), k=3)
+    assert one.count() == 3
+    a = bm25_topk(docs, _queries(spark, ["common common common"]), k=10)
+    b = bm25_topk(docs, _queries(spark, ["common"]), k=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
