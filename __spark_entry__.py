@@ -413,6 +413,16 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+# shared by q_doc_bm25_topk / q_doc_hybrid_topk and their oracles — one
+# source of truth so the Spark literals and the SQL VALUES never drift
+_BM25_QUERIES = [
+    (0, "merge batch stream"),
+    (1, "vector scan"),
+    (2, "customer order group"),
+]
+_BM25_QUERIES_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+
 def q_semantic_dedup(spark, sf):
     """SemDeDup (arXiv:2303.09540): IVF-cluster the embeddings, prune
     near-dups within each cluster (min-id survivor). Survivors only —
@@ -429,11 +439,25 @@ def q_doc_bm25_topk(spark, sf):
     (`etl/.../indexed/`) as an in-engine inverted-index scoring pass."""
     from kf_etl_clin_portal_spark.similarity.lexical import bm25_topk
 
-    q = spark.createDataFrame(
-        [(0, "merge batch stream"), (1, "vector scan"), (2, "customer order group")],
-        ["query_id", "qtext"],
-    )
+    q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
     return bm25_topk(_t(spark, sf, "documents"), q, k=5)
+
+
+def q_doc_hybrid_topk(spark, sf):
+    """Hybrid retrieval: BM25 lexical + embedding-cosine rankings fused by
+    reciprocal rank (`similarity/hybrid.py:rrf_fuse`) — the in-engine
+    analog of the hybrid search the reference defers to Elasticsearch."""
+    from kf_etl_clin_portal_spark.similarity.hybrid import rrf_fuse
+    from kf_etl_clin_portal_spark.similarity.lexical import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
+    lex = bm25_topk(docs, q, k=20).select("query_id", "doc_id", "rank")
+    sem = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], k=60, topk=10)
 
 
 def q_member_top_custs(spark, sf):
@@ -2112,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_hybrid_topk": q_doc_hybrid_topk,
         "member_top_custs": q_member_top_custs,
         "part_root_chain": q_part_root_chain,
         "order_lines_pair": q_order_lines_pair,
@@ -2846,42 +2871,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cell FROM ea
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         """,
-        "doc_bm25_topk": f"""
-            WITH q(query_id, qtext) AS (VALUES
-                   (0, 'merge batch stream'),
-                   (1, 'vector scan'),
-                   (2, 'customer order group')),
-                 toks AS (SELECT doc_id, {OSQL.words_sql('text')} AS w FROM documents),
-                 dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
-                 st AS (SELECT count(*)::BIGINT AS n,
-                               (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
-                 postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-                              FROM (SELECT doc_id, unnest(w) AS term FROM toks)
-                              GROUP BY 1, 2),
-                 dft AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
-                 qt AS (SELECT DISTINCT query_id, term
-                        FROM (SELECT query_id, unnest({OSQL.words_sql('qtext')}) AS term
-                              FROM q)),
-                 cand AS (SELECT qt.query_id, p.doc_id, qt.term,
-                                 ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
-                                 * (p.tf * (1.2 + 1.0)
-                                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
-                                 AS c
-                          FROM postings p
-                          JOIN qt ON p.term = qt.term
-                          JOIN dft ON p.term = dft.term
-                          JOIN dl ON p.doc_id = dl.doc_id
-                          CROSS JOIN st),
-                 sc AS (SELECT query_id, doc_id,
-                               round(list_reduce(
-                                 list_prepend(0.0::DOUBLE, list(c ORDER BY term ASC)),
-                                 (acc, x) -> acc + x), 6) AS score
-                        FROM cand GROUP BY 1, 2)
-            SELECT query_id, doc_id, score, rank FROM (
-              SELECT query_id, doc_id, score,
+        "doc_bm25_topk": OSQL.bm25_topk_sql(_BM25_QUERIES_VALUES, 5),
+        "doc_hybrid_topk": f"""
+            WITH lex AS ({OSQL.bm25_topk_sql(_BM25_QUERIES_VALUES, 20)}),
+                 qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                        FROM embeddings WHERE vec_id < 3),
+                 cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 ss AS (SELECT query_id, vec_id AS doc_id,
+                               round({OSQL.cosine_sql('v', 'qv')}, 6) AS cos
+                        FROM cv CROSS JOIN qv WHERE vec_id <> query_id),
+                 sem AS (SELECT query_id, doc_id, rank FROM (
+                           SELECT query_id, doc_id,
+                                  row_number() OVER (PARTITION BY query_id
+                                                     ORDER BY cos DESC, doc_id ASC)
+                                    AS rank
+                           FROM ss) WHERE rank <= 20),
+                 c AS (SELECT query_id, doc_id, 0 AS src,
+                              1.0 / (60 + rank) AS c FROM lex
+                       UNION ALL
+                       SELECT query_id, doc_id, 1 AS src,
+                              1.0 / (60 + rank) AS c FROM sem),
+                 f AS (SELECT query_id, doc_id,
+                              list_reduce(
+                                list_prepend(0.0::DOUBLE, list(c ORDER BY src ASC)),
+                                (acc, x) -> acc + x) AS rrf
+                       FROM c GROUP BY 1, 2)
+            SELECT query_id, doc_id, rrf, rank FROM (
+              SELECT query_id, doc_id, rrf,
                      row_number() OVER (PARTITION BY query_id
-                                        ORDER BY score DESC, doc_id ASC) AS rank
-              FROM sc) WHERE rank <= 5
+                                        ORDER BY rrf DESC, doc_id ASC) AS rank
+              FROM f) WHERE rank <= 10
         """,
         "member_top_custs": """
             SELECT c_nationkey, c_custkey, c_name

@@ -251,3 +251,57 @@ def zvalue_sql(exprs: list[str], bounds: list[tuple[float, float]], bits: int = 
             shift = j * k + (k - 1 - i)
             terms.append(f"((({r} >> {j}) & 1) << {shift})")
     return "(" + " + ".join(terms) + ")"
+
+
+def bm25_topk_sql(
+    queries_values: str,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """BM25 top-k — mirrors similarity.lexical.bm25_topk: same tokenizer
+    (words_sql), same Lucene idf, the identical operand sequence in the
+    per-term contribution, and the identical term-sorted left-fold sum
+    (list_prepend(0.0) + list_reduce ≡ F.aggregate's init + fold), so the
+    unrounded fold is bit-identical and the rounded score matches exactly.
+
+    ``queries_values`` is a SQL VALUES list: "(0, 'merge batch'), (1, ...)".
+    """
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {queries_values}),
+             toks AS (SELECT {id_col} AS doc_id, {words_sql(text_col)} AS w
+                      FROM {table}),
+             dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
+             st AS (SELECT count(*)::BIGINT AS n,
+                           (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+             postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                          FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                          GROUP BY 1, 2),
+             dft AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+             qt AS (SELECT DISTINCT query_id, term
+                    FROM (SELECT query_id, unnest({words_sql('qtext')}) AS term
+                          FROM q)),
+             cand AS (SELECT qt.query_id, p.doc_id, qt.term,
+                             ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                             * (p.tf * ({k1!r} + 1.0)
+                                / (p.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl.dl / st.avgdl)))
+                             AS c
+                      FROM postings p
+                      JOIN qt ON p.term = qt.term
+                      JOIN dft ON p.term = dft.term
+                      JOIN dl ON p.doc_id = dl.doc_id
+                      CROSS JOIN st),
+             sc AS (SELECT query_id, doc_id,
+                           round(list_reduce(
+                             list_prepend(0.0::DOUBLE, list(c ORDER BY term ASC)),
+                             (acc, x) -> acc + x), 6) AS score
+                    FROM cand GROUP BY 1, 2)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id ASC) AS rank
+          FROM sc) WHERE rank <= {k}
+    """

@@ -1,0 +1,78 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of ranked lists.
+
+Fuses any number of per-query rankings — BM25 lexical
+(`similarity.lexical`), embedding ANN (`similarity.ann` / `similarity.ivf`),
+or anything else emitting (query_id, doc_id, rank) — with the standard
+RRF score (Cormack, Clarke & Büttcher 2009):
+
+    rrf(d) = Σ_{ranking r that retrieved d}  w_r / (k + rank_r(d))
+
+Rank-based fusion deliberately ignores the incomparable raw scores
+(BM25 logs vs cosine), which is why it is the default hybrid combiner in
+OpenSearch/Elasticsearch/Vespa — and why the reference's ES deployment
+gets it for free; here it runs inside the lake engine.
+
+Scale shape: each ranking is already top-k per query (tiny relative to
+the corpus — the expensive part was producing it); fusion is one union +
+one hash aggregation keyed (query, doc), map-side combinable. Nothing is
+collected; no corpus access at all.
+
+Cross-engine determinism: contributions are exact doubles (w / (k + rank)
+over integer ranks — bit-identical in any IEEE engine), summed with an
+explicit fold ordered by ranking index (the `lexical.bm25_topk` fold
+contract), so fused scores are bit-identical to the DuckDB oracle with NO
+rounding. Final order: rrf DESC, doc id ASC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    weights: list[float] | None = None,
+    topk: int | None = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query_id, doc_id, rrf, rank): fused ranking over the union of the
+    input rankings' candidates. A doc absent from one ranking simply
+    contributes nothing for it (the RRF convention). ``weights`` scales
+    each ranking's contribution (default 1.0 each)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    w = weights if weights is not None else [1.0] * len(rankings)
+    if len(w) != len(rankings):
+        raise ValueError(f"weights has {len(w)} entries for {len(rankings)} rankings")
+    tagged = []
+    for i, (r, wi) in enumerate(zip(rankings, w)):
+        tagged.append(
+            r.select(
+                F.col(query_col),
+                F.col(id_col),
+                F.lit(i).alias("__src"),
+                (F.lit(float(wi)) / (F.lit(k) + F.col(rank_col))).alias("__c"),
+            )
+        )
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    fused = allc.groupBy(query_col, id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__src", "__c"))),
+                lambda s: s["__c"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("rrf")
+    )
+    win = Window.partitionBy(query_col).orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    out = fused.withColumn("rank", F.row_number().over(win))
+    if topk is not None:
+        out = out.where(F.col("rank") <= topk)
+    return out.select(query_col, id_col, "rrf", "rank")

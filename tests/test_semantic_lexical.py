@@ -153,3 +153,45 @@ def test_bm25_k_caps_and_repeated_query_terms_count_once(spark):
     a = bm25_topk(docs, _queries(spark, ["common common common"]), k=10)
     b = bm25_topk(docs, _queries(spark, ["common"]), k=10)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, "query_id: long, doc_id: long, rank: int")
+
+
+def test_rrf_known_values_and_missing_doc_convention(spark):
+    from kf_etl_clin_portal_spark.similarity.hybrid import rrf_fuse
+
+    lex = _ranking(spark, [(0, 10, 1), (0, 11, 2)])
+    sem = _ranking(spark, [(0, 11, 1), (0, 12, 2)])
+    out = {r.doc_id: (r.rrf, r.rank) for r in rrf_fuse([lex, sem], k=60).collect()}
+    # doc 11 retrieved by both: 1/62 + 1/61; docs 10/12 by one ranking only
+    assert out[11][0] == 1 / 62 + 1 / 61 and out[11][1] == 1
+    assert out[10][0] == 1 / 61 and out[12][0] == 1 / 62
+    assert out[10][1] == 2 and out[12][1] == 3  # tie-free ordering by rrf
+
+
+def test_rrf_weights_and_topk(spark):
+    from kf_etl_clin_portal_spark.similarity.hybrid import rrf_fuse
+
+    lex = _ranking(spark, [(0, 1, 1), (0, 2, 2)])
+    sem = _ranking(spark, [(0, 2, 1), (0, 1, 2)])
+    # unweighted: symmetric -> tie broken by doc_id
+    u = rrf_fuse([lex, sem]).collect()
+    assert [r.doc_id for r in sorted(u, key=lambda r: r.rank)] == [1, 2]
+    # upweighting the semantic ranking flips the order
+    w = rrf_fuse([lex, sem], weights=[1.0, 3.0]).collect()
+    assert [r.doc_id for r in sorted(w, key=lambda r: r.rank)] == [2, 1]
+    assert rrf_fuse([lex, sem], topk=1).count() == 1
+
+
+def test_rrf_validation(spark):
+    from kf_etl_clin_portal_spark.similarity.hybrid import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([_ranking(spark, [(0, 1, 1)])], weights=[1.0, 2.0])
