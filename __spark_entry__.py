@@ -429,9 +429,13 @@ def q_semantic_dedup(spark, sf):
     the training-corpus curation shape of embedding dedup."""
     from kf_etl_clin_portal_spark.dedup.semantic import semantic_dedup
 
-    return semantic_dedup(
-        _t(spark, sf, "embeddings"), min_cos=0.25, n_clusters=8
-    ).select("vec_id", "cell")
+    # local parquet arrives as ONE partition (file < maxPartitionBytes);
+    # spread it so the assignment map and the within-cell pairing use the
+    # whole machine — result is row-deterministic, partitioning-free
+    emb = _t(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return semantic_dedup(emb, min_cos=0.25, n_clusters=32).select("vec_id", "cell")
 
 
 def q_doc_bm25_topk(spark, sf):
@@ -2854,7 +2858,7 @@ def oracle_sql() -> dict[str, str]:
                               {OSQL.h60_sql("vec_id::VARCHAR")} AS hh FROM e),
                  cent AS (SELECT row_number() OVER (ORDER BY hh ASC, vec_id ASC) - 1 AS cell,
                                  v AS cv
-                          FROM (SELECT * FROM h ORDER BY hh ASC, vec_id ASC LIMIT 8)),
+                          FROM (SELECT * FROM h ORDER BY hh ASC, vec_id ASC LIMIT 32)),
                  asg AS (SELECT vec_id, cell FROM (
                            SELECT e.vec_id, cent.cell,
                                   row_number() OVER (

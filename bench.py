@@ -49,6 +49,9 @@ HEADLINE = [
     "ngram_jaccard",
     "embedding_topk",
     "embedding_neardup",
+    "semantic_dedup",
+    "doc_bm25_topk",
+    "doc_hybrid_topk",
     "latest_event_maxby",
     "scd2_history",
     "part_ancestors",
