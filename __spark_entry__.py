@@ -863,6 +863,20 @@ def q_ann_ivf_topk(spark, sf):
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_lists=8, n_probes=2)
 
 
+def q_ann_recall(spark, sf):
+    """Recall@5 of the IVF ranking vs brute force
+    (`similarity/evaluate.py:recall_at_k`) — the measured quality knob
+    behind every n_lists/n_probes choice."""
+    from kf_etl_clin_portal_spark.similarity.evaluate import recall_at_k
+    from kf_etl_clin_portal_spark.similarity.ivf import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probes=2)
+    return recall_at_k(approx, exact, k=5)
+
+
 def q_shingle_profile(spark, sf):
     """Higher-order array fns (P-transform/size) without SQL counterpart."""
     docs = _t(spark, sf, "documents")
@@ -2169,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "shingle_profile": q_shingle_profile,
         "nested_type_sets": q_nested_type_sets,
         "doc_shards": q_doc_shards,
@@ -3335,5 +3350,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
         )
         SELECT node, min(r) AS comp FROM reach GROUP BY node
+    """
+    # recall@5 of IVF (8 lists, 2 probes) vs brute force — composed from
+    # this dict's own two gated rankings so the three queries can never
+    # drift apart; recall = integer-count division, bit-exact
+    out["ann_recall"] = f"""
+        WITH approx AS ({out["ann_ivf_topk"]}),
+             exact AS ({out["embedding_topk"]}),
+             ex AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 5),
+             ap AS (SELECT query_id, neighbor_id FROM approx WHERE rank <= 5),
+             ne AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+             nh AS (SELECT ex.query_id, count(*)::BIGINT AS n_hit
+                    FROM ex JOIN ap ON ex.query_id = ap.query_id
+                                   AND ex.neighbor_id = ap.neighbor_id
+                    GROUP BY 1)
+        SELECT ne.query_id, ne.n_exact,
+               coalesce(nh.n_hit, 0)::BIGINT AS n_hit,
+               coalesce(nh.n_hit, 0) / ne.n_exact AS recall
+        FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
     """
     return out

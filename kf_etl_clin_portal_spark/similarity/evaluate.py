@@ -1,0 +1,81 @@
+"""Retrieval-quality evaluation: recall@k of an approximate ranking
+against the exact one.
+
+The operational companion of the ANN variants (`similarity.ann`,
+`similarity.ivf`): tuning n_lists/n_probes/lsh_planes at scale needs a
+measured recall curve, not a guess. recall@k(q) = |approx∩exact| / |exact|
+over each ranking's top-k (by its own rank column), so the metric is
+rank-based and score-scale-free — BM25 vs cosine vs fused rankings compare
+on equal footing.
+
+Scale shape: both inputs are already top-k per query (bounded, tiny); the
+overlap is one inner join on (query, doc) + per-query hash aggregations.
+The exact side for a sampled query set comes from `ann.brute_force_topk`
+over broadcast queries — the corpus is scanned once, never shuffled.
+
+Determinism: counts are integers; recall = intersection/k in doubles from
+integer operands — bit-identical in any engine, no rounding needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall): per-query recall@k.
+
+    Both inputs are (query, doc, rank) rankings; rows with rank > k are
+    ignored so callers can pass deeper rankings unchanged. Queries the
+    approximate ranking missed entirely still appear (n_hit = 0) — the
+    exact side defines the query universe.
+    """
+    ex = (
+        exact.where(F.col(rank_col) <= k)
+        .select(F.col(query_col), F.col(id_col))
+    )
+    ap = (
+        approx.where(F.col(rank_col) <= k)
+        .select(F.col(query_col), F.col(id_col))
+    )
+    n_exact = ex.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        ex.join(ap, on=[query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(hits, on=query_col, how="left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
+        .select(query_col, "n_exact", "n_hit", "recall")
+    )
+
+
+def mean_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """One row: (k, n_queries, micro_recall) — the tuning-loop scalar.
+    Micro-averaged (sum of hits / sum of exact positions): derived from
+    two integer sums, so it is order-independent and bit-deterministic
+    across engines — a macro average would sum per-query doubles in
+    nondeterministic order."""
+    per_q = recall_at_k(approx, exact, k, query_col, id_col, rank_col)
+    return per_q.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.sum("n_hit").cast("double") / F.sum("n_exact")).alias("micro_recall"),
+    )

@@ -195,3 +195,49 @@ def test_rrf_validation(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="weights"):
         rrf_fuse([_ranking(spark, [(0, 1, 1)])], weights=[1.0, 2.0])
+
+
+# ---------------------------------------------------------------- recall@k
+
+
+def _nn(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id: long, neighbor_id: long, rank: int"
+    )
+
+
+def test_recall_at_k_known_values(spark):
+    from kf_etl_clin_portal_spark.similarity.evaluate import (
+        mean_recall_at_k,
+        recall_at_k,
+    )
+
+    exact = _nn(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 7, 1), (1, 8, 2)])
+    approx = _nn(spark, [(0, 2, 1), (0, 9, 2), (0, 3, 3)])  # query 1 missed
+    out = {r.query_id: r for r in recall_at_k(approx, exact, k=3).collect()}
+    assert out[0].n_exact == 3 and out[0].n_hit == 2 and out[0].recall == 2 / 3
+    assert out[1].n_exact == 2 and out[1].n_hit == 0 and out[1].recall == 0.0
+    m = mean_recall_at_k(approx, exact, k=3).collect()[0]
+    assert m.k == 3 and m.n_queries == 2 and m.micro_recall == 2 / 5
+
+
+def test_recall_at_k_ignores_ranks_beyond_k(spark):
+    from kf_etl_clin_portal_spark.similarity.evaluate import recall_at_k
+
+    exact = _nn(spark, [(0, 1, 1), (0, 2, 2), (0, 99, 7)])  # rank 7 out of k
+    approx = _nn(spark, [(0, 1, 1), (0, 99, 2), (0, 2, 9)])  # doc 2 too deep
+    r = recall_at_k(approx, exact, k=2).collect()[0]
+    # exact top-2 = {1, 2}; approx top-2 = {1, 99} -> only doc 1 hits
+    assert r.n_exact == 2 and r.n_hit == 1 and r.recall == 0.5
+
+
+def test_full_probe_ivf_has_perfect_recall(spark):
+    from kf_etl_clin_portal_spark.similarity.ann import brute_force_topk
+    from kf_etl_clin_portal_spark.similarity.evaluate import mean_recall_at_k
+    from kf_etl_clin_portal_spark.similarity.ivf import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, qs, k=3)
+    full = ivf_topk(emb, qs, k=3, n_lists=4, n_probes=4)  # probe every list
+    assert mean_recall_at_k(full, exact, k=3).collect()[0].micro_recall == 1.0
