@@ -1051,6 +1051,30 @@ def q_event_hot_keys(spark, sf):
     return hot_keys(ev, ["user_id"], top_k=20)
 
 
+def q_event_value_hist(spark, sf):
+    """Mergeable equi-width histogram sketch (`operators/sketch.py:
+    hist_rollup/hist_merge`): per-(event_type, user_id%4) histograms of
+    value over [0, 500) x 20 bins are MERGED to per-event_type by exact
+    bin addition, then emitted long-form (bin, cnt). The oracle bins the
+    raw table directly per event_type — so the gate proves binning AND
+    the merge-of-parts law in one comparison, bit-exact (counts are
+    integers; the bin formula is two IEEE ops both engines share)."""
+    from kf_etl_clin_portal_spark.operators.sketch import hist_merge, hist_rollup
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", "value", F.pmod("user_id", F.lit(4)).alias("part")
+    )
+    fine = hist_rollup(ev, ["event_type", "part"], "value", 0.0, 500.0, 20)
+    merged = hist_merge(fine, ["event_type"])
+    return (
+        merged.select(
+            "event_type", F.posexplode("value_hist").alias("bin", "cnt")
+        )
+        .where(F.col("cnt") > 0)
+        .select("event_type", "bin", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
 def q_cdc_metadata_stats(spark, sf):
     """Metadata-only table stats (lake/metastats.py) end-to-end: the events
     WAL (op=delete when event_type='error') is replayed into a CoW lake in
@@ -2179,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact": q_doc_redact,
         "cdc_metadata_stats": q_cdc_metadata_stats,
         "event_hot_keys": q_event_hot_keys,
+        "event_value_hist": q_event_value_hist,
         "doc_sequences": q_doc_sequences,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3134,6 +3159,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             ORDER BY n DESC, user_id ASC
             LIMIT 20
+        """,
+        # equi-width histogram: same two-IEEE-op bin formula as
+        # operators/sketch.py:hist_bin (lo=0.0, w=25.0, 20 bins + under/
+        # overflow) — counts are integers so parity is bit-exact; the Spark
+        # side goes through a two-level rollup + merge, proving the merge
+        # law against this direct binning
+        "event_value_hist": """
+            SELECT event_type,
+                   LEAST(GREATEST(CAST(floor((value - 0.0) / 25.0) AS INTEGER)
+                                  + 1, 0), 21) AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1, 2
         """,
         "doc_redact": _redact_oracle_sql(),
         "cdc_metadata_stats": """

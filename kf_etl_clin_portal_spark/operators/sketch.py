@@ -21,11 +21,12 @@ doesn't offer it and this stays a rollup-layer operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SKETCH_SUFFIX = "_hll"
 ESTIMATE_SUFFIX = "_approx_distinct"
+HIST_SUFFIX = "_hist"
 
 
 def hll_rollup(
@@ -73,3 +74,153 @@ def hll_merge(
             f"{base}{ESTIMATE_SUFFIX}", F.hll_sketch_estimate(F.col(c))
         )
     return out
+
+
+# ---------------------------------------------------------------- histograms
+#
+# Mergeable equi-width histogram sketches — the quantile companion of the HLL
+# rollups above. Counts are EXACT integers (only the quantile read-out is an
+# estimate, error ≤ one bin width), so unlike HLL the merge law is bit-exact
+# sums: merge-of-parts == sketch-of-whole by arithmetic, any engine agrees.
+# That also makes them retractable (a delete subtracts), so a histogram CAN
+# live under `lake/ivm.py:maintain_agg` as per-bin `sum(CASE …)` columns —
+# the one thing HLL registers can't do (see module docstring).
+#
+# The 100 TB use: percentile-driven curation cutoffs (doc length / token
+# count / quality score) need a distribution, and exact percentile_approx
+# over the corpus is a full shuffle per question. A per-(group, day) histogram
+# row is n_bins longs; every coarser rollup and every quantile afterwards is
+# metadata-sized arithmetic.
+
+
+def hist_bin(col: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Bin index for ``col`` over ``n_bins`` equi-width bins spanning
+    [lo, hi): 0 = underflow (< lo), 1..n_bins = in range, n_bins+1 =
+    overflow (≥ hi), NULL stays NULL (excluded from counts, reported via
+    ``n_null``). The formula is two IEEE double ops + floor — deterministic
+    and engine-portable, which is what makes the oracle parity exact."""
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got [{lo}, {hi}) x {n_bins}")
+    w = (hi - lo) / n_bins
+    raw = F.floor((col - F.lit(float(lo))) / F.lit(w)).cast("int") + F.lit(1)
+    return F.when(
+        col.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins + 1)))
+
+
+def hist_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Per-group exact equi-width histogram: ``<value>_hist`` is an
+    array<bigint> of length n_bins + 2 (underflow, bins 1..n, overflow) plus
+    ``n_total`` / ``n_null``. ONE hash aggregation — each bin is a map-side
+    combined `sum(CASE)`, so the shuffle carries n_bins longs per group, not
+    values; keep n_bins modest (≤ ~256), the point is a sketch."""
+    b = hist_bin(F.col(value_col), lo, hi, n_bins)
+    out = df.groupBy(*group_cols).agg(
+        F.array(
+            *[
+                F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+                for i in range(n_bins + 2)
+            ]
+        ).alias(f"{value_col}{HIST_SUFFIX}"),
+        F.count(F.col(value_col)).alias("n_total"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_null"
+        ),
+    )
+    return out
+
+
+def hist_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    hist_cols: list[str] | None = None,
+    sum_cols: tuple[str, ...] = ("n_total", "n_null"),
+) -> DataFrame:
+    """Re-aggregate histogram rows to a coarser grouping (possibly empty =
+    grand total) by element-wise bin addition — exact, associative,
+    commutative, so merge order can never change a count. ``hist_cols``
+    default to every ``*_hist`` column; ``sum_cols`` present in the input
+    are summed along."""
+    cols = hist_cols or [c for c in sketches.columns if c.endswith(HIST_SUFFIX)]
+    if not cols:
+        raise ValueError("no *_hist histogram columns to merge")
+
+    def vec_sum(c: str) -> Column:
+        lst = F.collect_list(F.col(c))
+        return F.aggregate(
+            lst,
+            F.array_repeat(F.lit(0).cast("long"), F.size(F.element_at(lst, 1))),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias(c)
+
+    aggs = [vec_sum(c) for c in cols] + [
+        F.sum(F.col(c)).cast("long").alias(c)
+        for c in sum_cols
+        if c in sketches.columns
+    ]
+    return sketches.groupBy(*group_cols).agg(*aggs) if group_cols else sketches.agg(*aggs)
+
+
+def hist_quantile(hist: Column, lo: float, hi: float, q: float) -> Column:
+    """Quantile estimate from a histogram column (`hist_rollup` layout):
+    walk the cumulative counts to the bin holding rank ceil(q·total) and
+    linearly interpolate inside it — error bounded by one bin width.
+    Underflow/overflow ranks clamp to lo/hi (their true extent is unknown
+    to the sketch); empty histograms → NULL. Pure JVM expressions, so
+    quantile read-outs over millions of sketch rows stay codegen'd."""
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    n_plus2 = F.size(hist)
+    n_bins = n_plus2 - F.lit(2)
+    w = (F.lit(float(hi)) - F.lit(float(lo))) / n_bins.cast("double")
+    total = F.aggregate(hist, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.greatest(F.ceil(F.lit(float(q)) * total.cast("double")), F.lit(1).cast("long"))
+    indexed = F.zip_with(
+        hist,
+        F.sequence(F.lit(0), n_plus2 - 1),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("bin"),
+        F.lit(0).cast("long").alias("before"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+    acc = F.aggregate(
+        indexed,
+        zero,
+        lambda a, x: F.when(a["bin"] >= 0, a).otherwise(
+            F.when(
+                a["cum"] + x["c"] >= target,
+                F.struct(
+                    (a["cum"] + x["c"]).alias("cum"),
+                    x["i"].alias("bin"),
+                    a["cum"].alias("before"),
+                    x["c"].cast("long").alias("cnt"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (a["cum"] + x["c"]).alias("cum"),
+                    F.lit(-1).alias("bin"),
+                    (a["cum"] + x["c"]).alias("before"),
+                    F.lit(0).cast("long").alias("cnt"),
+                )
+            )
+        ),
+    )
+    b = acc["bin"]
+    frac = (target - acc["before"]).cast("double") / acc["cnt"].cast("double")
+    in_range = F.lit(float(lo)) + w * ((b - 1).cast("double") + frac)
+    return (
+        F.when(total == 0, F.lit(None).cast("double"))
+        .when(b == 0, F.lit(float(lo)))
+        .when(b == n_plus2 - 1, F.lit(float(hi)))
+        .otherwise(in_range)
+    )

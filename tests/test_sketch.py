@@ -1,10 +1,19 @@
 """HLL sketch rollups (operators/sketch.py): accuracy envelope vs exact
 count-distinct, and the mergeability law — union of partial sketches gives
-EXACTLY the same estimate as one sketch over the whole (same registers)."""
+EXACTLY the same estimate as one sketch over the whole (same registers).
+Histogram sketches: exact bin counts, bit-exact merge law, quantile
+read-out within one bin width of the true percentile."""
 
 from pyspark.sql import functions as F
 
-from kf_etl_clin_portal_spark.operators.sketch import hll_merge, hll_rollup
+from kf_etl_clin_portal_spark.operators.sketch import (
+    hist_bin,
+    hist_merge,
+    hist_quantile,
+    hist_rollup,
+    hll_merge,
+    hll_rollup,
+)
 
 
 def _data(spark):
@@ -61,3 +70,84 @@ def test_merge_is_idempotent_under_reoffer(spark):
     a = {r["g"]: r["user_approx_distinct"] for r in hll_merge(fine, ["g"]).collect()}
     b = {r["g"]: r["user_approx_distinct"] for r in hll_merge(doubled, ["g"]).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- histograms
+
+
+def test_hist_rollup_known_bins_nulls_and_edges(spark):
+    # [0, 10) x 5 bins, width 2; includes underflow, overflow, exact edges
+    df = spark.createDataFrame(
+        [("a", -1.0), ("a", 0.0), ("a", 1.9), ("a", 2.0), ("a", 9.9),
+         ("a", 10.0), ("a", 25.0), ("a", None), ("b", 5.0)],
+        "g: string, v: double",
+    )
+    out = {r["g"]: r for r in hist_rollup(df, ["g"], "v", 0.0, 10.0, 5).collect()}
+    # a: underflow=1 (-1); bin1=2 (0, 1.9); bin2=1 (2.0); bin5=1 (9.9);
+    #    overflow=2 (10.0 lands ON hi, 25.0); null excluded
+    assert out["a"]["v_hist"] == [1, 2, 1, 0, 0, 1, 2]
+    assert out["a"]["n_total"] == 7 and out["a"]["n_null"] == 1
+    assert out["b"]["v_hist"] == [0, 0, 0, 1, 0, 0, 0]
+    assert sum(out["a"]["v_hist"]) == out["a"]["n_total"]
+
+
+def test_hist_merge_of_parts_is_bit_exact(spark):
+    df = spark.range(50_000).select(
+        F.pmod("id", F.lit(6)).alias("g"),
+        F.pmod("id", F.lit(4)).alias("day"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double") / 10).alias("v"),
+    )
+    fine = hist_rollup(df, ["g", "day"], "v", 0.0, 100.0, 16)
+    merged = {r["g"]: r for r in hist_merge(fine, ["g"]).collect()}
+    whole = {r["g"]: r for r in hist_rollup(df, ["g"], "v", 0.0, 100.0, 16).collect()}
+    assert set(merged) == set(whole)
+    for g in whole:  # EXACT equality — counts, not registers
+        assert merged[g]["v_hist"] == whole[g]["v_hist"]
+        assert merged[g]["n_total"] == whole[g]["n_total"]
+        assert merged[g]["n_null"] == whole[g]["n_null"]
+    # grand total without re-touching raw data
+    top = hist_merge(fine, []).collect()[0]
+    assert top["n_total"] == 50_000
+    assert sum(top["v_hist"]) == 50_000
+
+
+def test_hist_quantile_within_bin_width(spark):
+    # uniform 0..9999 → true quantile q*9999; 100 bins of width 100
+    df = spark.range(10_000).select(F.col("id").cast("double").alias("v"))
+    h = hist_rollup(df.withColumn("g", F.lit(1)), ["g"], "v", 0.0, 10_000.0, 100)
+    row = h.select(
+        *[
+            hist_quantile(F.col("v_hist"), 0.0, 10_000.0, q).alias(f"q{int(q*100)}")
+            for q in (0.0, 0.25, 0.5, 0.95, 1.0)
+        ]
+    ).collect()[0]
+    for q in (0.25, 0.5, 0.95):
+        assert abs(row[f"q{int(q*100)}"] - q * 9_999) <= 100.0, (q, row)
+    assert row["q0"] >= 0.0 and row["q100"] <= 10_000.0
+
+
+def test_hist_quantile_clamps_and_empty(spark):
+    df = spark.createDataFrame(
+        [("u", -5.0), ("o", 99.0), ("e", None)], "g: string, v: double"
+    )
+    h = hist_rollup(df, ["g"], "v", 0.0, 10.0, 5)
+    got = {
+        r["g"]: r["q"]
+        for r in h.select(
+            "g", hist_quantile(F.col("v_hist"), 0.0, 10.0, 0.5).alias("q")
+        ).collect()
+    }
+    assert got["u"] == 0.0   # all mass in underflow → clamp to lo
+    assert got["o"] == 10.0  # all mass in overflow → clamp to hi
+    assert got["e"] is None  # empty histogram → NULL
+
+
+def test_hist_bin_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_bin(F.col("v"), 5.0, 5.0, 4)
+    with pytest.raises(ValueError, match="q must be"):
+        hist_quantile(F.col("h"), 0.0, 1.0, 1.5)
+    with pytest.raises(ValueError, match="no \\*_hist"):
+        hist_merge(spark.range(1), [])
