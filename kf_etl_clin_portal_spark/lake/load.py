@@ -352,7 +352,9 @@ def zorder_buckets(
             .sortWithinPartitions(F.col(BUCKET_COL), F.col("__zv"))
             .drop("__zv")
         )
-        new_files = table.write_data_files(out, table.state["current_schema_id"])
+        new_files = table.write_data_files(
+            out, table.state["current_schema_id"], presorted=True
+        )
         try:
             commit = table.commit(
                 operation="zorder",
@@ -434,7 +436,9 @@ def cluster_buckets(
             )
             .sortWithinPartitions(F.col(BUCKET_COL), *order)
         )
-        new_files = table.write_data_files(out, table.state["current_schema_id"])
+        new_files = table.write_data_files(
+            out, table.state["current_schema_id"], presorted=True
+        )
         try:
             commit = table.commit(
                 operation="cluster",

@@ -1080,7 +1080,9 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------- writing
-    def write_data_files(self, df: DataFrame, schema_id: int) -> list[dict[str, Any]]:
+    def write_data_files(
+        self, df: DataFrame, schema_id: int, presorted: bool = False
+    ) -> list[dict[str, Any]]:
         """Write df (which must carry BUCKET_COL) as parquet files laid out
         by bucket; returns file entries for a subsequent commit().
 
@@ -1106,6 +1108,27 @@ class SnapshotTable:
 
         staging = os.path.join(self.root, _DATA_DIR, f"_staging_{uuid.uuid4().hex}")
         target_rows = int(self.state["properties"].get("write.target_rows_per_file", 0))
+        # ``write.sort.columns``: keep every written file sorted on the named
+        # columns (task-local sort — no extra shuffle; the caller already
+        # repartitioned by bucket). Two effects at scale: parquet row-group
+        # stats inside each file become tight (row-group skipping on range
+        # scans), and — combined with ``write.target_rows_per_file`` — an
+        # oversized bucket splits into files with near-disjoint value ranges,
+        # so the manifest zone maps prune at FILE granularity continuously,
+        # without waiting for a `cluster_buckets`/`zorder_buckets` rewrite
+        # (those remain the tools for re-clustering history; this keeps new
+        # data born clustered — the Iceberg write-order / Delta OPTIMIZE-less
+        # clustering analog).
+        # ``presorted=True`` (the zorder/cluster rewrites) means the caller
+        # already ordered rows deliberately — the property sort must not
+        # clobber an explicitly requested clustering.
+        sort_cols = [
+            c.strip()
+            for c in self.state["properties"].get("write.sort.columns", "").split(",")
+            if c.strip() and c.strip() in df.columns
+        ]
+        if sort_cols and not presorted:
+            df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
         writer = df.write.mode("overwrite")
         if target_rows > 0:
             writer = writer.option("maxRecordsPerFile", target_rows)

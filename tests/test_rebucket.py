@@ -79,3 +79,62 @@ def test_target_rows_per_file_splits_buckets(spark, tmp_path):
     assert all(f["rows"] <= 200 for f in st["files"])
     rep = verify_parity(pipe.current(), feed_path)
     assert rep["ok"], rep
+
+
+def test_write_sort_columns_born_clustered(spark, tmp_path):
+    """write.sort.columns + write.target_rows_per_file: an oversized bucket
+    splits into files whose seq ranges are DISJOINT (each file's zone map is
+    tight), so range scans prune at file granularity on freshly written data
+    — no cluster_buckets/zorder rewrite needed."""
+    events, feed_path = _feed(spark, tmp_path, n=4000, seed=29)
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), num_buckets=2,
+        table_properties={
+            "write.target_rows_per_file": 200,
+            "write.sort.columns": "seq",
+        },
+    )
+    pipe.replay(events, n_batches=1, by="seq", feed_id="ws")
+    st = pipe.table.state
+    per_bucket: dict[int, list] = {}
+    for f in st["files"]:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    for fs in per_bucket.values():
+        assert len(fs) > 1  # split actually happened
+        ranges = sorted((f["stats"]["seq"][0], f["stats"]["seq"][1]) for f in fs)
+        for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+            assert hi_a < lo_b, ranges  # disjoint → file-level pruning works
+    # a narrow seq probe now reads fewer files than the table holds
+    all_seq = sorted(r["seq"] for r in pipe.current().select("seq").collect())
+    mid = all_seq[len(all_seq) // 2]
+    probe = pipe.table.read(spark, stats_filter={"seq": (mid, mid)})
+    assert 0 < len(probe.inputFiles()) < len(st["files"])
+    assert probe.where(F.col("seq") == mid).count() == 1
+    rep = verify_parity(pipe.current(), feed_path)
+    assert rep["ok"], rep
+
+
+def test_explicit_cluster_rewrite_beats_write_sort_property(spark, tmp_path):
+    """cluster_buckets([lang]) on a table whose write.sort.columns says
+    "seq" must still produce lang-clustered files (presorted=True skips the
+    property sort) — an explicitly requested one-off clustering wins over
+    the standing write order."""
+    from kf_etl_clin_portal_spark.lake.load import cluster_buckets
+
+    events, feed_path = _feed(spark, tmp_path, n=4000, seed=31)
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "tbl"), num_buckets=2,
+        table_properties={
+            "write.target_rows_per_file": 200,
+            "write.sort.columns": "seq",
+        },
+    )
+    pipe.replay(events, n_batches=1, by="seq", feed_id="cw")
+    cluster_buckets(spark, pipe.table, ["lang"], target_files_per_bucket=4)
+    pipe.table.refresh()
+    st = pipe.table.state
+    langs = sorted(r["lang"] for r in pipe.current().select("lang").distinct().collect())
+    probe = pipe.table.read(spark, stats_filter={"lang": (langs[0], langs[0])})
+    assert 0 < len(probe.inputFiles()) < len(st["files"])
+    rep = verify_parity(pipe.current(), feed_path)
+    assert rep["ok"], rep
