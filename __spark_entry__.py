@@ -447,6 +447,54 @@ def q_doc_bm25_topk(spark, sf):
     return bm25_topk(_t(spark, sf, "documents"), q, k=5)
 
 
+def q_doc_bm25_incremental(spark, sf):
+    """Incremental BM25 index (`similarity/incremental.py`): the documents
+    corpus is ingested into a MoR lake table in TWO batches (evens, then
+    odds plus deletes of doc_id%34==0), the term-vector index polls the
+    change feed after each (O(changed text) per poll — edits re-vector one
+    row, deletes tombstone it), and the ranking is served from the index
+    without re-reading any text. Oracle: the batch BM25 SQL over the final
+    live corpus — so incremental maintenance across polls must land
+    byte-identical to a from-scratch ranking."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.similarity.incremental import (
+        bm25_topk_indexed,
+        update_bm25_index,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", F.col("doc_id").cast("long").alias("seq")
+    )
+    tmp = tempfile.mkdtemp(prefix="bm25i_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "s"), key_cols=("doc_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        idx = CDCPipeline(
+            spark, os.path.join(tmp, "i"), key_cols=("doc_id",), num_buckets=8
+        )
+        src.apply_batch(docs.where(F.pmod("doc_id", F.lit(2)) == 0), batch_id="bi-1")
+        update_bm25_index(spark, src.table, idx)
+        second = docs.where(F.pmod("doc_id", F.lit(2)) == 1).unionByName(
+            docs.where(F.pmod("doc_id", F.lit(34)) == 0)
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("seq", F.col("seq") + F.lit(1_000_000_000))
+            .withColumn("op", F.lit("delete")),
+            allowMissingColumns=True,
+        )
+        src.apply_batch(second, batch_id="bi-2")
+        update_bm25_index(spark, src.table, idx)
+        q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
+        out = bm25_topk_indexed(spark, idx, q, k=5)
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_doc_hybrid_topk(spark, sf):
     """Hybrid retrieval: BM25 lexical + embedding-cosine rankings fused by
     reciprocal rank (`similarity/hybrid.py:rrf_fuse`) — the in-engine
@@ -2178,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_bm25_incremental": q_doc_bm25_incremental,
         "doc_hybrid_topk": q_doc_hybrid_topk,
         "member_top_custs": q_member_top_custs,
         "part_root_chain": q_part_root_chain,
@@ -2916,6 +2965,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         """,
         "doc_bm25_topk": OSQL.bm25_topk_sql(_BM25_QUERIES_VALUES, 5),
+        # incremental index built across two polls (evens, then odds +
+        # deletes of doc_id%34==0) must rank byte-identically to the batch
+        # BM25 over the final live corpus
+        "doc_bm25_incremental": OSQL.bm25_topk_sql(
+            _BM25_QUERIES_VALUES, 5,
+            table="(SELECT * FROM documents WHERE doc_id % 34 <> 0) corpus",
+        ),
         "doc_hybrid_topk": f"""
             WITH lex AS ({OSQL.bm25_topk_sql(_BM25_QUERIES_VALUES, 20)}),
                  qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -89,6 +89,22 @@ def bm25_topk(
         .join(dl, on=id_col)
         .crossJoin(F.broadcast(stats))
     )
+    return score_and_rank(cand, k, k1, b, query_id_col, [id_col])
+
+
+def score_and_rank(
+    cand: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    query_id_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Shared BM25 scoring tail — ``cand`` carries one row per matched
+    (query, doc, term) with ``__tf``/``__df``/``__dl``/``__n``/``__avgdl``.
+    One code path for the batch ranker above AND the incremental-index
+    ranker (`similarity/incremental.py`), so the two can never drift a bit:
+    identical operand sequence, identical term-sorted left fold."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
@@ -105,8 +121,11 @@ def bm25_topk(
     # deterministic sum: sort matched terms, fold left (oracle mirrors with
     # list_sort + list_reduce — identical addition order, identical bits)
     scored = (
-        cand.select(F.col(query_id_col), F.col(id_col), "term", contrib.alias("__c"))
-        .groupBy(query_id_col, id_col)
+        cand.select(
+            F.col(query_id_col), *[F.col(c) for c in id_cols], "term",
+            contrib.alias("__c"),
+        )
+        .groupBy(query_id_col, *id_cols)
         .agg(
             F.aggregate(
                 F.transform(
@@ -120,10 +139,10 @@ def bm25_topk(
         .withColumn("score", F.round("__score", 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+        F.col("score").desc(), *[F.col(c).asc() for c in id_cols]
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
+        .select(query_id_col, *id_cols, "score", "rank")
     )
