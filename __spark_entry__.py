@@ -925,6 +925,37 @@ def q_ann_recall(spark, sf):
     return recall_at_k(approx, exact, k=5)
 
 
+def q_media_features(spark, sf):
+    """Multimodal binary-column plumbing (`multimodal/binary.py:
+    decode_and_featurize`), oracle-gated end to end: documents' UTF-8
+    bytes stand in for media payloads (documents are ASCII — byte ==
+    codepoint, which is what lets DuckDB mirror the byte histogram), the
+    REAL Arrow `mapInPandas` path runs with the deterministic stand-in
+    decoder (floor-quantized byte-mod-8 histogram; a real codec is a
+    drop-in callable), and the oracle recomputes n_bytes, sha256 and every
+    feature lane in SQL. Gates the batch shape, the float32 feature
+    schema, and the JVM↔Arrow handoff — the parts that must be right
+    before any real decoder shows up."""
+    from kf_etl_clin_portal_spark.multimodal.binary import (
+        decode_and_featurize,
+        fake_decode_features,
+    )
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = decode_and_featurize(media, decoder=fake_decode_features)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "payload_sha256",
+        F.posexplode("features").alias("lane", "feat"),
+    )
+
+
 def q_shingle_profile(spark, sf):
     """Higher-order array fns (P-transform/size) without SQL counterpart."""
     docs = _t(spark, sf, "documents")
@@ -2259,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
         "shingle_profile": q_shingle_profile,
+        "media_features": q_media_features,
         "nested_type_sets": q_nested_type_sets,
         "doc_shards": q_doc_shards,
         "event_asof_purchase": q_event_asof_purchase,
@@ -3229,6 +3261,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE value IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # multimodal plumbing: documents' ASCII text stands in for media
+        # payloads (byte == codepoint, so the byte-mod-8 histogram is
+        # expressible over chars); floor-quantization and the double→FLOAT
+        # cast mirror fake_decode_features + the float32 feature schema
+        "media_features": """
+            WITH d AS (
+              SELECT doc_id AS media_id,
+                     ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+                     text AS t
+              FROM documents),
+            ch AS (
+              SELECT media_id, t, unnest(range(1, length(t) + 1)) AS i FROM d),
+            cnt AS (
+              SELECT media_id, ord(substr(t, i::INT, 1)) % 8 AS k,
+                     count(*)::BIGINT AS c
+              FROM ch GROUP BY 1, 2),
+            lanes AS (
+              SELECT media_id, unnest(range(0, 8)) AS lane FROM d)
+            SELECT d.media_id, d.kind,
+                   octet_length(encode(d.t))::BIGINT AS n_bytes,
+                   sha256(d.t) AS payload_sha256,
+                   l.lane::INT AS lane,
+                   CAST(floor(coalesce(c.c, 0) * 1000000.0
+                              / greatest(length(d.t), 1)) / 1000000.0
+                        AS FLOAT) AS feat
+            FROM d
+            JOIN lanes l ON l.media_id = d.media_id
+            LEFT JOIN cnt c ON c.media_id = l.media_id AND c.k = l.lane
         """,
         "doc_redact": _redact_oracle_sql(),
         "cdc_metadata_stats": """

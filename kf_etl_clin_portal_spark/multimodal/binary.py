@@ -61,14 +61,18 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
 def fake_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
     """Deterministic stand-in for a decoder: 8 floats derived from payload
-    bytes (length-bucketed byte histogram)."""
+    bytes (length-bucketed byte histogram). Quantization is FLOOR to 1e-6,
+    not round(): Python rounds half-even, SQL engines half-away — floor is
+    the one convention every engine reproduces bit-for-bit (the same choice
+    `operators/profile.py:hot_keys` makes for its share column), which is
+    what lets the multimodal plumbing be oracle-gated end to end."""
     if payload is None:
         return [0.0] * n_features
     buckets = [0] * n_features
     for i, b in enumerate(payload):
         buckets[b % n_features] += 1
     total = max(len(payload), 1)
-    return [round(c / total, 6) for c in buckets]
+    return [int(c * 1_000_000 / total) / 1_000_000 for c in buckets]
 
 
 def decode_and_featurize(
