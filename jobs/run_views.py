@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain a first-seen paragraph ownership index "
                          "(dedup/incremental.py:update_paragraph_index; "
                          "default separator regex '\\n\\n+'; repeatable)")
+    ap.add_argument("--bm25-index", action="append", default=[],
+                    metavar="ROOT[:TEXT_COL]",
+                    help="maintain a BM25 term-vector index of the source "
+                         "(similarity/incremental.py:update_bm25_index; "
+                         "default text column 'content'; repeatable)")
     ap.add_argument("--secondary", action="append", default=[],
                     metavar="ROOT:COL",
                     help="maintain a secondary index of the source on "
@@ -147,11 +152,11 @@ def main(argv: list[str] | None = None) -> int:
                          "delta files); metadata-only decision")
     args = ap.parse_args(argv)
     if not (args.agg or args.join or args.scd2 or args.minhash_index
-            or args.paragraph_index or args.secondary or args.plan
-            or args.apply_plan):
+            or args.paragraph_index or args.bm25_index or args.secondary
+            or args.plan or args.apply_plan):
         ap.error("nothing to do: pass --agg, --join, --scd2, "
-                 "--minhash-index, --paragraph-index, --secondary, "
-                 "--plan, and/or --apply-plan")
+                 "--minhash-index, --paragraph-index, --bm25-index, "
+                 "--secondary, --plan, and/or --apply-plan")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -248,6 +253,28 @@ def main(argv: list[str] | None = None) -> int:
         report["views"][root] = update_paragraph_index(
             spark, src, ipipe, sep_regex=sep,
             source_id=f"{args.source_id}-pi",
+            max_versions=args.max_versions,
+        )
+
+    for spec in args.bm25_index:
+        from kf_etl_clin_portal_spark.similarity.incremental import (
+            update_bm25_index,
+        )
+
+        # rpartition keeps URI roots whole (s3://bkt/t:col → col after the
+        # last ':' only when one is present past the scheme)
+        root, text_col = spec, "content"
+        if ":" in spec.rsplit("/", 1)[-1]:
+            root, _, text_col = spec.rpartition(":")
+            if not text_col:
+                ap.error(f"--bm25-index: empty text column in {spec!r}")
+        ipipe = CDCPipeline(
+            spark, root, key_cols=tuple(src.key_cols),
+            num_buckets=args.view_buckets,
+        )
+        report["views"][root] = update_bm25_index(
+            spark, src, ipipe, text_col=text_col,
+            source_id=f"{args.source_id}-bm",
             max_versions=args.max_versions,
         )
 

@@ -285,6 +285,17 @@ def test_run_views_cli_tick(spark, tmp_path):
     assert rep4["views"][mh]["applied"] is False
     assert rep4["views"][pi]["applied"] is False
 
+    # BM25 term-vector index rides the tick (default text col 'content');
+    # one row per live doc with a non-empty vector; repeat tick parks
+    bm = str(tmp_path / "bm")
+    rep_bm = run("run_views.py", "--source", src, "--bm25-index", bm)
+    assert rep_bm["views"][bm]["applied"] is True
+    bm_pipe = CDCPipeline(spark, bm, key_cols=("repo", "path"), num_buckets=8)
+    assert bm_pipe.current().count() == src_pipe.current().count()
+    assert bm_pipe.current().where(F.size("terms") < 1).count() == 0
+    rep_bm2 = run("run_views.py", "--source", src, "--bm25-index", bm)
+    assert rep_bm2["views"][bm]["applied"] is False
+
     # secondary index rides the tick too: lang → (repo, path), then a
     # probe equals a full filter; the repeat tick parks its cursor
     si = str(tmp_path / "si")
