@@ -142,6 +142,60 @@ def test_hist_quantile_clamps_and_empty(spark):
     assert got["e"] is None  # empty histogram → NULL
 
 
+def test_hist_bins_live_under_ivm(spark, tmp_path):
+    """The module-docstring claim, proven: unlike HLL registers, histogram
+    bins RETRACT (they're sums), so a per-bin histogram view follows
+    updates, bin-boundary moves and deletes under `lake/ivm.py:maintain_agg`
+    — always equal to `hist_rollup` recomputed on the live source."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.ivm import agg_view, maintain_agg
+
+    src = CDCPipeline(spark, str(tmp_path / "src"), key_cols=("k",),
+                      num_buckets=2, merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "view"), key_cols=("g",),
+                      num_buckets=2, merge_strategy="mor")
+    n_bins, lo, hi = 4, 0.0, 10.0  # width 2.5 — same formula as hist_bin
+    bin_sql = (
+        f"LEAST(GREATEST(CAST(FLOOR((v - {lo}) / {(hi - lo) / n_bins}) AS INT)"
+        f" + 1, 0), {n_bins + 1})"
+    )
+    sums = {
+        f"b{i}": f"CASE WHEN v IS NULL THEN 0 WHEN {bin_sql} = {i} THEN 1 ELSE 0 END"
+        for i in range(n_bins + 2)
+    }
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "seq long, op string, k long, g string, v double"
+        )
+
+    def view():
+        cols = [f"sum_b{i}" for i in range(n_bins + 2)]
+        return {r["g"]: [int(r[c] or 0) for c in cols]
+                for r in agg_view(dst).collect()}
+
+    def want():
+        return {r["g"]: list(r["v_hist"])
+                for r in hist_rollup(src.current(), ["g"], "v", lo, hi,
+                                     n_bins).collect()}
+
+    src.apply_batch(feed([
+        (1, "upsert", 1, "a", 0.5), (2, "upsert", 2, "a", 9.9),
+        (3, "upsert", 3, "b", -4.0), (4, "upsert", 4, "a", 25.0),
+    ]), batch_id="h1")
+    maintain_agg(spark, src.table, dst, ["g"], sums, source_id="h")
+    assert view() == want()
+
+    # k=1 crosses a bin boundary (retract bin 1, add bin 3); k=4's overflow
+    # count retracts on delete; k=5 lands a fresh group
+    src.apply_batch(feed([
+        (5, "upsert", 1, "a", 7.0), (6, "delete", 4, "a", None),
+        (7, "upsert", 5, "c", 5.0),
+    ]), batch_id="h2")
+    maintain_agg(spark, src.table, dst, ["g"], sums, source_id="h")
+    assert view() == want()
+
+
 def test_hist_bin_validation(spark):
     import pytest
 
