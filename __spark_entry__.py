@@ -1639,6 +1639,58 @@ def q_cdc_envelope_replay(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_branch_publish(spark, sf):
+    """Writable branch + fast-forward publish (`lake/branch.py`): the first
+    half of the events WAL lands on main, the second half is STAGED as two
+    exactly-once merges on an isolated branch lineage (main readers
+    provably never see it — asserted mid-flight), then ONE atomic
+    fast-forward adopts the branch head. Oracle: latest live row per user
+    over the full WAL — the staged publish must be invisible in the final
+    state. The reference's nearest analog is the all-at-once ES alias swap
+    (published/PublishUtils.scala:12-16); branches extend it to
+    multi-commit staging with fences carried across the publish."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.branch import create_branch, fast_forward
+
+    feed = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"),
+        "user_id",
+        F.when(F.pmod("event_id", F.lit(11)) == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    max_seq = feed.agg(F.max("seq")).first()[0]
+    half, q3 = max_seq // 2, (3 * max_seq) // 4
+    tmp = tempfile.mkdtemp(prefix="branch_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        pipe.apply_batch(feed.where(F.col("seq") <= half), batch_id="bp-b0")
+        create_branch(pipe.table, "staged")
+        bpipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), branch="staged"
+        )
+        bpipe.apply_batch(
+            feed.where((F.col("seq") > half) & (F.col("seq") <= q3)),
+            batch_id="bp-b1",
+        )
+        bpipe.apply_batch(feed.where(F.col("seq") > q3), batch_id="bp-b2")
+        # isolation proof: main readers still capped at the pre-branch half
+        main_max = pipe.current().agg(F.max("seq")).first()[0]
+        assert main_max <= half, f"branch leaked into main: {main_max} > {half}"
+        fast_forward(pipe.table, "staged", drop=True)
+        out = pipe.current().select("user_id", "seq", "event_type", "value")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_scd2_view(spark, sf):
     """Incrementally maintained Type-2 history (`lake/scd2view.py:
     maintain_scd2`): the events WAL (deletes at seq%11, payload NULLed)
@@ -2301,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_diff_cdf": q_cdc_diff_cdf,
         "cdc_patch_fold": q_cdc_patch_fold,
         "cdc_envelope_replay": q_cdc_envelope_replay,
+        "cdc_branch_publish": q_cdc_branch_publish,
         "scd2_view": q_scd2_view,
         "cdc_join_view": q_cdc_join_view,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
@@ -2495,6 +2548,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, seq, op,
                 CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS event_type,
                 CASE WHEN op = 'delete' THEN NULL ELSE value END AS value,
+                row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM feed)
+            WHERE rn = 1 AND op <> 'delete'
+        """,
+        "cdc_branch_publish": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     ELSE 'upsert' END AS op,
+                event_type, value
+              FROM events
+            )
+            SELECT user_id, seq, event_type, value FROM (
+              SELECT user_id, seq, op, event_type, value,
                 row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
               FROM feed)
             WHERE rn = 1 AND op <> 'delete'

@@ -73,9 +73,11 @@ class CDCPipeline:
         table_properties: dict[str, str] | None = None,
         quarantine_root: str | None = None,
         quarantine_buckets: int = 4,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.root = root
+        self.branch = branch
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
         self.salt_buckets = salt_buckets
@@ -111,7 +113,7 @@ class CDCPipeline:
     @property
     def table(self) -> SnapshotTable:
         if self._table is None:
-            self._table = SnapshotTable(self.root).refresh()
+            self._table = SnapshotTable(self.root, branch=self.branch).refresh()
         return self._table
 
     def ensure_table(self, events_schema: T.StructType) -> SnapshotTable:
@@ -122,6 +124,11 @@ class CDCPipeline:
         (replays only new deltas), so the per-batch driver cost stays
         O(commits since last batch), not O(log)."""
         if self._table is not None:
+            return self._table
+        if self.branch is not None:
+            # a branch pipeline ingests into an EXISTING fork —
+            # lake/branch.py:create_branch is the creation path
+            self._table = SnapshotTable(self.root, branch=self.branch).refresh()
             return self._table
         if SnapshotTable.exists(self.root):
             self._table = SnapshotTable(self.root).refresh()

@@ -1,0 +1,227 @@
+"""Writable branches + fast-forward publish — the Iceberg branching model
+on the snapshot log.
+
+`set_ref` (lake/table.py) gives TAGS: immutable pointers at main-lineage
+snapshots, the reference's ES alias swap analog
+(`published/PublishUtils.scala:12-16`). A *branch* is the writable
+counterpart: a fork of the table at a chosen version with its OWN commit
+lineage, sharing the table's data files. The ordinary engine surface —
+exactly-once MERGE, MoR deltas + compaction, schema evolution, DML,
+time travel — runs unchanged against a branch handle
+(``SnapshotTable(root, branch=name)``), because a branch is just a second
+log directory over the same bucket layout.
+
+This completes the write-audit-publish story: `publish_if` audits ONE
+candidate commit; a branch stages an arbitrary SEQUENCE of commits (a
+whole backfill, a schema migration, a reingest) invisibly to main readers,
+then `fast_forward` adopts the branch head as ONE atomic main commit — or
+`drop_branch` discards the lot without main ever seeing a byte.
+
+Scale notes (100 TB): branching is metadata-only — the fork point is one
+full-state JSON copy (O(files) entries, no data movement); branch commits
+are the same O(delta) appends as main's; fast-forward is one log rename.
+Data files written under a branch land in the shared ``data/`` dir, so the
+main handle's `remove_orphans`/`expire_snapshots` keep them live
+(table.py `_live_paths` walks branch logs) and a dropped branch's files
+age out through the normal orphan sweep.
+
+Layout::
+
+    root/_log/                    main lineage (versions 0..N)
+    root/_log/branches/<name>/    branch lineage (versions base..M)
+    root/data/                    shared, append-only data files
+
+Branch versions CONTINUE main numbering from the fork point: the branch's
+first entry is a full-state copy of main's state at ``base`` (so branch
+reconstruction never consults main for v >= base), and time travel below
+``base`` falls through to the main log (shared pre-fork history).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import re
+import shutil
+import uuid
+from typing import Any
+
+from kf_etl_clin_portal_spark.lake.table import (
+    _BRANCH_DIR,
+    _LOG_DIR,
+    CommitInfo,
+    SnapshotTable,
+    _now,
+)
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+class BranchDiverged(Exception):
+    """Main advanced past the branch's fork point — a fast-forward would
+    silently drop main's intervening commits. Re-branch from the new head
+    and re-apply, or roll main back first."""
+
+
+def _branches_dir(root: str) -> str:
+    return os.path.join(root, _LOG_DIR, _BRANCH_DIR)
+
+
+def list_branches(table_or_root: "SnapshotTable | str") -> list[str]:
+    root = table_or_root if isinstance(table_or_root, str) else table_or_root.root
+    bdir = _branches_dir(root)
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        d for d in os.listdir(bdir) if os.path.isdir(os.path.join(bdir, d))
+    )
+
+
+def branch_table(root: str, name: str) -> SnapshotTable:
+    """Handle to an existing branch (refuses unknown names up front so a
+    typo doesn't read as an empty table)."""
+    if name not in list_branches(root):
+        raise ValueError(f"no such branch {name!r}; known: {list_branches(root)}")
+    return SnapshotTable(root, branch=name).refresh()
+
+
+def create_branch(
+    table: SnapshotTable, name: str, version: int | None = None
+) -> SnapshotTable:
+    """Fork ``table`` at ``version`` (default: current head) into a writable
+    branch. Metadata-only: one full-state log entry is copied into the
+    branch's log dir; no data moves. Returns the branch handle.
+
+    The fork point is recorded in the entry (``branch_base_version``) —
+    `fast_forward` later requires main to still be AT that version (strict
+    linear fast-forward, the Iceberg ``fast_forward`` semantics; there is
+    deliberately no merge/rebase of diverged lineages).
+    """
+    if table.branch is not None:
+        raise ValueError("create_branch: fork from the main handle, not a branch")
+    if not _NAME_RE.match(name or ""):
+        raise ValueError(f"invalid branch name {name!r}")
+    table.refresh()
+    base = table.version if version is None else version
+    if base > table.version:
+        raise ValueError(f"cannot branch at future version {base}")
+    floor = table.state.get("expire_below", 0)
+    if base < floor:
+        raise ValueError(f"version {base} was expired (oldest readable: {floor})")
+    blog = os.path.join(_branches_dir(table.root), name)
+    if os.path.isdir(blog):
+        raise ValueError(f"branch {name!r} already exists")
+    state = copy.deepcopy(table.state_at(base))
+    state["operation"] = "branch_create"
+    state["branch"] = name
+    state["branch_base_version"] = base
+    state["ts"] = _now()
+    os.makedirs(blog, exist_ok=True)
+    br = SnapshotTable(table.root, branch=name)
+    # _write_commit -> O_EXCL create: two racing create_branch calls for the
+    # same name collide on the base entry, second one fails loudly
+    br._write_commit(state, expected_version=base)
+    return br
+
+
+def branch_base_version(root: str, name: str) -> int:
+    """The fork point recorded at branch creation."""
+    br = branch_table(root, name)
+    entry = br._read_entry(br._branch_base())
+    return int(entry["branch_base_version"])
+
+
+def fast_forward(
+    table: SnapshotTable, name: str, drop: bool = False
+) -> "CommitInfo | None":
+    """Atomically adopt branch ``name``'s head as main's next commit.
+
+    Requires main to still sit at the branch's fork point (strict linear
+    fast-forward) — otherwise `BranchDiverged`. The adopted commit is a
+    FULL-state entry equal to the branch head (files, schemas, properties,
+    applied-batch fences, deletion vectors), so exactly-once holds across
+    the publish: a batch merged on the branch stays fenced on main after
+    fast-forward. One log rename is the visibility point; main readers see
+    the entire staged sequence at once or not at all.
+
+    Returns None when the branch has no commits beyond the fork point
+    (nothing to adopt). ``drop=True`` removes the branch afterwards.
+    """
+    if table.branch is not None:
+        raise ValueError("fast_forward: publish onto the main handle")
+    br = branch_table(table.root, name)
+    base_entry = br._read_entry(br._branch_base())
+    base = int(base_entry["branch_base_version"])
+    if br.version == base:
+        if drop:
+            drop_branch(table, name)
+        return None
+    table.refresh()
+    if table.version != base:
+        raise BranchDiverged(
+            f"branch {name!r} forked at v{base} but main is at v{table.version}; "
+            "fast-forward would drop main's commits — re-branch from the head"
+        )
+    new_version = table.version + 1
+    snapshot_id = uuid.uuid4().hex
+    state = copy.deepcopy(br.state)
+    state.pop("branch", None)
+    state.pop("branch_base_version", None)
+    state["version"] = new_version
+    state["snapshot_id"] = snapshot_id
+    state["parent_snapshot_id"] = table.state["snapshot_id"]
+    state["ts"] = _now()
+    state["operation"] = "fast_forward"
+    state["lineage"] = {
+        "operation": "fast_forward",
+        "branch": name,
+        "base_version": base,
+        "branch_head_version": br.version,
+        "commits_folded": br.version - base,
+        "version": new_version,
+        "snapshot_id": snapshot_id,
+        "ts": state["ts"],
+    }
+    try:
+        table._write_log(state, expected_version=new_version)
+    except FileExistsError:
+        # someone committed to main between refresh and write — by
+        # definition main no longer sits at the fork point
+        raise BranchDiverged(
+            f"main advanced concurrently while fast-forwarding {name!r}; "
+            "re-branch from the new head"
+        ) from None
+    table._state, table._version = state, new_version
+    table._maybe_checkpoint()
+    info = CommitInfo(new_version, snapshot_id, "fast_forward", state["lineage"])
+    if drop:
+        drop_branch(table, name)
+    return info
+
+
+def drop_branch(table_or_root: "SnapshotTable | str", name: str) -> None:
+    """Delete a branch's log lineage. Data files only the branch referenced
+    become orphans and age out via the main handle's `remove_orphans`
+    (grace-windowed); every main/ref-reachable file is untouched."""
+    root = table_or_root if isinstance(table_or_root, str) else table_or_root.root
+    blog = os.path.join(_branches_dir(root), name)
+    if not os.path.isdir(blog):
+        raise ValueError(f"no such branch {name!r}")
+    shutil.rmtree(blog)
+
+
+def branch_info(root: str, name: str) -> dict[str, Any]:
+    """Metadata summary (no Spark job): fork point, head, commit count."""
+    br = branch_table(root, name)
+    base_entry = br._read_entry(br._branch_base())
+    with open(br._log_path(br._latest_version())) as fh:
+        head = json.load(fh)
+    return {
+        "name": name,
+        "base_version": int(base_entry["branch_base_version"]),
+        "head_version": br.version,
+        "commits": br.version - int(base_entry["branch_base_version"]),
+        "head_snapshot_id": head["snapshot_id"],
+        "head_operation": head.get("operation"),
+    }

@@ -69,6 +69,7 @@ from kf_etl_clin_portal_spark.lake.schema import (
 )
 
 _LOG_DIR = "_log"
+_BRANCH_DIR = "branches"  # writable branches live at _log/branches/<name>/
 _DATA_DIR = "data"
 BUCKET_COL = "__bucket"
 # deletion-vector read lineage (reserved column names, dropped before return)
@@ -292,12 +293,21 @@ def field_map(st: dict[str, Any], schema_id: int) -> dict[str, Any]:
 
 
 class SnapshotTable:
-    """Handle to a snapshot-committed table rooted at ``root``."""
+    """Handle to a snapshot-committed table rooted at ``root``.
 
-    def __init__(self, root: str):
+    ``branch`` opens a WRITABLE branch (see `lake/branch.py`): commits go to
+    the branch's own log lineage at ``_log/branches/<name>/`` while data
+    files share the table's ``data/`` dir. The main handle stays the single
+    root for file lifecycle — `expire_snapshots` / `remove_orphans` refuse
+    to run on a branch handle and the main sweeps keep every
+    branch-referenced file live."""
+
+    def __init__(self, root: str, branch: str | None = None):
         self.root = root
+        self.branch = branch
         self._state: dict[str, Any] | None = None
         self._version: int | None = None
+        self._branch_base_cache: int | None = None
 
     # ------------------------------------------------------------- creation
     @classmethod
@@ -345,14 +355,39 @@ class SnapshotTable:
         return os.path.isdir(log) and any(f.endswith(".json") for f in os.listdir(log))
 
     # ------------------------------------------------------------- log I/O
+    def _log_dir(self) -> str:
+        if self.branch is None:
+            return os.path.join(self.root, _LOG_DIR)
+        return os.path.join(self.root, _LOG_DIR, _BRANCH_DIR, self.branch)
+
     def _log_path(self, version: int) -> str:
-        return os.path.join(self.root, _LOG_DIR, f"{version:011d}.json")
+        return os.path.join(self._log_dir(), f"{version:011d}.json")
 
     def _ckpt_path(self, version: int) -> str:
-        return os.path.join(self.root, _LOG_DIR, f"{version:011d}.ckpt.json")
+        return os.path.join(self._log_dir(), f"{version:011d}.ckpt.json")
+
+    def _branch_base(self) -> int:
+        """Oldest version present in a branch's own log = the fork point
+        (the branch_create full-state entry). Versions below it belong to
+        the shared pre-fork history and are served from the main log."""
+        if self.branch is None:
+            return 0
+        if self._branch_base_cache is None:
+            log = self._log_dir()
+            versions = [
+                int(f[:-5])
+                for f in os.listdir(log)
+                if f.endswith(".json")
+                and not f.endswith(".ckpt.json")
+                and not f.endswith(".tmp.json")
+            ]
+            if not versions:
+                raise FileNotFoundError(f"branch log is empty: {log}")
+            self._branch_base_cache = min(versions)
+        return self._branch_base_cache
 
     def _latest_version(self) -> int:
-        log = os.path.join(self.root, _LOG_DIR)
+        log = self._log_dir()
         versions = [
             int(f[:-5])
             for f in os.listdir(log)
@@ -363,7 +398,12 @@ class SnapshotTable:
         return max(versions)
 
     def _read_entry(self, version: int) -> dict[str, Any]:
-        with open(self._log_path(version)) as fh:
+        path = self._log_path(version)
+        if self.branch is not None and version < self._branch_base():
+            # pre-fork history is shared: time travel below the fork point
+            # reads the main log (the branch log starts at its base entry)
+            path = os.path.join(self.root, _LOG_DIR, f"{version:011d}.json")
+        with open(path) as fh:
             return json.load(fh)
 
     def refresh(self) -> "SnapshotTable":
@@ -408,6 +448,8 @@ class SnapshotTable:
         state: dict[str, Any] | None = None
         while cur >= 0:
             ck = self._ckpt_path(cur)
+            if self.branch is not None and cur < self._branch_base():
+                ck = os.path.join(self.root, _LOG_DIR, f"{cur:011d}.ckpt.json")
             if os.path.exists(ck):
                 with open(ck) as fh:
                     state = json.load(fh)
@@ -778,6 +820,25 @@ class SnapshotTable:
             else:
                 live.update(f["path"] for f in e["files"])
                 live.update(p for d in (e.get("dv") or []) for p in d["paths"])
+        if self.branch is None:
+            # branch lineages share data/: every file any branch commit
+            # references must survive the main handle's sweeps. Branch logs
+            # are O(branch commits) small JSONs — a metadata walk, no scans.
+            bdir = os.path.join(self.root, _LOG_DIR, _BRANCH_DIR)
+            if os.path.isdir(bdir):
+                for name in os.listdir(bdir):
+                    blog = os.path.join(bdir, name)
+                    if not os.path.isdir(blog):
+                        continue
+                    for fn in os.listdir(blog):
+                        if not fn.endswith(".json") or fn.endswith(".tmp.json"):
+                            continue
+                        with open(os.path.join(blog, fn)) as fh:
+                            e = json.load(fh)
+                        for f in e.get("new_files") or e.get("files") or []:
+                            live.add(f["path"])
+                        for d in e.get("new_dv") or e.get("dv") or []:
+                            live.update(d["paths"])
         return live
 
     def remove_orphans(self, grace_secs: float = 3600.0) -> dict[str, Any]:
@@ -794,6 +855,11 @@ class SnapshotTable:
         """
         import time as _time
 
+        if self.branch is not None:
+            raise ValueError(
+                "remove_orphans must run on the main table handle — branches "
+                "share data/ and only the main sweep sees every lineage"
+            )
         self.refresh()
         floor = self.state.get("expire_below", 0)
         live = self._live_paths(floor)
@@ -861,21 +927,31 @@ class SnapshotTable:
                     n += walk(v)
             return n
 
-        log_dir = os.path.join(self.root, _LOG_DIR)
+        log_dirs = [os.path.join(self.root, _LOG_DIR)]
+        bdir = os.path.join(self.root, _LOG_DIR, _BRANCH_DIR)
+        if os.path.isdir(bdir):
+            # compliance must reach branch lineages too — a branch's
+            # full-state base entry carries the same stats verbatim
+            log_dirs += [
+                os.path.join(bdir, d)
+                for d in os.listdir(bdir)
+                if os.path.isdir(os.path.join(bdir, d))
+            ]
         scrubbed = 0
-        for fn in sorted(os.listdir(log_dir)):
-            if not fn.endswith(".json"):
-                continue
-            path = os.path.join(log_dir, fn)
-            with open(path) as fh:
-                entry = json.load(fh)
-            n = walk(entry)
-            if n:
-                tmp = path + f".tmp.{uuid.uuid4().hex}"
-                with open(tmp, "w") as fh:
-                    json.dump(entry, fh)
-                os.replace(tmp, path)
-                scrubbed += n
+        for log_dir in log_dirs:
+            for fn in sorted(os.listdir(log_dir)):
+                if not fn.endswith(".json"):
+                    continue
+                path = os.path.join(log_dir, fn)
+                with open(path) as fh:
+                    entry = json.load(fh)
+                n = walk(entry)
+                if n:
+                    tmp = path + f".tmp.{uuid.uuid4().hex}"
+                    with open(tmp, "w") as fh:
+                        json.dump(entry, fh)
+                    os.replace(tmp, path)
+                    scrubbed += n
         if scrubbed:
             # drop the cached state so scrubbed stats don't linger in memory
             self._state = None
@@ -903,6 +979,11 @@ class SnapshotTable:
         Single-maintainer action (like compaction); returns
         {expired_below, files_deleted, bytes_reclaimed}.
         """
+        if self.branch is not None:
+            raise ValueError(
+                "expire_snapshots must run on the main table handle — branches "
+                "share data/ and only the main sweep sees every lineage"
+            )
         self.refresh()
         latest = self.version
         floor = max(0, latest - keep_last + 1)

@@ -1,0 +1,212 @@
+"""Writable branches + fast-forward publish (lake/branch.py).
+
+The staged-publish generalization of WAP: a whole SEQUENCE of ingest
+commits lands on an isolated branch lineage (invisible to main readers),
+then one atomic fast-forward adopts the branch head — or the branch is
+dropped and main never saw a byte. The reference's nearest analog is the
+all-at-once ES alias swap (`published/PublishUtils.scala:12-16`); branches
+extend it to multi-commit staging with exactly-once fences carried across
+the publish.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events, with_evolution
+from kf_etl_clin_portal_spark.cdc.oracle import verify_parity
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.branch import (
+    BranchDiverged,
+    branch_info,
+    branch_table,
+    create_branch,
+    drop_branch,
+    fast_forward,
+    list_branches,
+)
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+N_EVENTS = 4_000
+CUT = 2_000
+
+
+@pytest.fixture(scope="module")
+def feed_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bfeed") / "events.parquet")
+    generate_change_events(spark, N_EVENTS, seed=99).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _halves(spark, feed_path):
+    feed = spark.read.parquet(feed_path)
+    return feed.where(F.col("seq") <= CUT), feed.where(F.col("seq") > CUT)
+
+
+def _late_quarters(spark, feed_path):
+    _, late = _halves(spark, feed_path)
+    mid = CUT + (N_EVENTS - CUT) // 2
+    return late.where(F.col("seq") <= mid), late.where(F.col("seq") > mid)
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return df.select(*cols).orderBy(*cols).collect()
+
+
+def _mk_staged(spark, feed_path, tmp_path, name="tbl"):
+    """Main table with the first half replayed, plus a branch holding the
+    second half staged across 2 exactly-once merges."""
+    early, _ = _halves(spark, feed_path)
+    root = str(tmp_path / name)
+    pipe = CDCPipeline(spark, root, num_buckets=4)
+    pipe.replay(early, n_batches=2, by="seq", feed_id="base")
+    main = pipe.table
+    br = create_branch(main, "staged")
+    bpipe = CDCPipeline(spark, root, num_buckets=4, branch="staged")
+    q1, q2 = _late_quarters(spark, feed_path)
+    bpipe.apply_batch(q1, batch_id="staged-b0")
+    bpipe.apply_batch(q2, batch_id="staged-b1")
+    return root, main, br, pipe
+
+
+def test_branch_isolated_from_main(spark, feed_path, tmp_path):
+    root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
+    base_version = main.version
+    # branch advanced, main did not
+    assert branch_table(root, "staged").version > base_version
+    assert SnapshotTable(root).refresh().version == base_version
+    assert list_branches(root) == ["staged"]
+    info = branch_info(root, "staged")
+    assert info["base_version"] == base_version
+    assert info["commits"] == 2
+    # main readers still see only the early half
+    assert pipe.current().agg(F.max("seq")).first()[0] <= CUT
+    # branch readers see the merged whole
+    bpipe = CDCPipeline(spark, root, branch="staged")
+    assert bpipe.current().agg(F.max("seq")).first()[0] > CUT
+
+
+def test_fast_forward_adopts_branch_head_atomically(spark, feed_path, tmp_path):
+    root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
+    before = main.version
+    staged_rows = _sorted_rows(CDCPipeline(spark, root, branch="staged").current())
+    info = fast_forward(main, "staged")
+    assert info is not None and info.version == before + 1
+    assert info.lineage["commits_folded"] == 2
+    # ONE new main commit equal to the branch head, full-feed parity
+    pipe2 = CDCPipeline(spark, root)
+    assert pipe2.table.version == before + 1
+    assert _sorted_rows(pipe2.current()) == staged_rows
+    report = verify_parity(pipe2.current(), feed_path)
+    assert report["ok"], report
+
+
+def test_fences_carry_across_fast_forward(spark, feed_path, tmp_path):
+    root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
+    fast_forward(main, "staged", drop=True)
+    assert list_branches(root) == []
+    # re-offering the branch's batches to MAIN must fence, version unchanged
+    q1, q2 = _late_quarters(spark, feed_path)
+    pipe2 = CDCPipeline(spark, root)
+    v = pipe2.table.version
+    r1 = pipe2.apply_batch(q1, batch_id="staged-b0")
+    r2 = pipe2.apply_batch(q2, batch_id="staged-b1")
+    assert r1.skipped and r2.skipped
+    assert SnapshotTable(root).refresh().version == v
+
+
+def test_fast_forward_refuses_diverged_main(spark, feed_path, tmp_path):
+    root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
+    # main moves after the fork: a metadata-only commit is enough to diverge
+    main.set_properties({"note": "moved"})
+    with pytest.raises(BranchDiverged):
+        fast_forward(main, "staged")
+    # branch remains intact for re-staging
+    assert "staged" in list_branches(root)
+
+
+def test_noop_fast_forward_returns_none(spark, feed_path, tmp_path):
+    early, _ = _halves(spark, feed_path)
+    root = str(tmp_path / "tbl")
+    pipe = CDCPipeline(spark, root, num_buckets=4)
+    pipe.replay(early, n_batches=1, by="seq", feed_id="base")
+    create_branch(pipe.table, "empty")
+    assert fast_forward(pipe.table, "empty") is None
+    assert SnapshotTable(root).refresh().version == pipe.table.version
+
+
+def test_sweeps_keep_branch_files_then_reclaim_on_drop(spark, feed_path, tmp_path):
+    root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
+    bpipe = CDCPipeline(spark, root, branch="staged")
+    staged_rows = _sorted_rows(bpipe.current())
+    # main sweeps must NOT touch branch-referenced files
+    main = SnapshotTable(root).refresh()
+    got = main.remove_orphans(grace_secs=0.0)
+    assert got["orphans_deleted"] == 0
+    main.expire_snapshots(keep_last=1)
+    assert _sorted_rows(CDCPipeline(spark, root, branch="staged").current()) == staged_rows
+    # after drop, branch-only files become orphans and are reclaimed
+    branch_files = {
+        f["path"] for f in branch_table(root, "staged").state["files"]
+    } - {f["path"] for f in main.refresh().state["files"]}
+    assert branch_files, "branch should have written its own files"
+    drop_branch(main, "staged")
+    got = main.remove_orphans(grace_secs=0.0)
+    assert got["orphans_deleted"] >= len(branch_files)
+    for p in branch_files:
+        assert not os.path.exists(os.path.join(root, p))
+    # main's own rows unaffected by the reclaim
+    cur = CDCPipeline(spark, root).current()
+    assert cur.count() > 0 and cur.agg(F.max("seq")).first()[0] <= CUT
+
+
+def test_branch_time_travel_below_fork_reads_main_history(spark, feed_path, tmp_path):
+    root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
+    base = branch_info(root, "staged")["base_version"]
+    bt = branch_table(root, "staged")
+    # versions below the fork resolve through the shared main log
+    pre = bt.read(spark, version=max(0, base - 1))
+    main_pre = SnapshotTable(root).refresh().read(spark, version=max(0, base - 1))
+    assert pre.count() == main_pre.count()
+
+
+def test_schema_evolution_on_branch_publishes_via_ff(spark, tmp_path):
+    events = generate_change_events(spark, 2_000, seed=31)
+    early, late = with_evolution(events, cutover_seq=1_000)
+    root = str(tmp_path / "tbl")
+    pipe = CDCPipeline(spark, root, num_buckets=4)
+    pipe.apply_batch(early, batch_id="evo-b0")
+    main = pipe.table
+    create_branch(main, "mig")
+    bpipe = CDCPipeline(spark, root, branch="mig")
+    r = bpipe.apply_batch(late, batch_id="evo-b1")
+    assert r.schema_evolved
+    # main schema untouched until publish
+    assert "size_bytes" not in {f.name for f in SnapshotTable(root).refresh().schema.fields}
+    fast_forward(SnapshotTable(root).refresh(), "mig", drop=True)
+    after = SnapshotTable(root).refresh()
+    fields = {f.name: f.dataType.typeName() for f in after.schema.fields}
+    assert fields["size_bytes"] == "long" and fields["lines"] == "long"
+
+
+def test_guards(spark, feed_path, tmp_path):
+    root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
+    bt = branch_table(root, "staged")
+    with pytest.raises(ValueError, match="main table handle"):
+        bt.remove_orphans(grace_secs=0.0)
+    with pytest.raises(ValueError, match="main table handle"):
+        bt.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="fork from the main"):
+        create_branch(bt, "nested")
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(main, "staged")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        create_branch(main, "../escape")
+    with pytest.raises(ValueError, match="no such branch"):
+        branch_table(root, "ghost")
+    with pytest.raises(ValueError, match="no such branch"):
+        drop_branch(main, "ghost")
+    with pytest.raises(ValueError, match="main handle"):
+        fast_forward(bt, "staged")
