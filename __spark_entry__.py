@@ -1691,6 +1691,59 @@ def q_cdc_branch_publish(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_default_column(spark, sf):
+    """Initial-default ADD COLUMN (`lake/table.py:add_column`): the events
+    WAL replays into a table, `tier string DEFAULT 'bronze'` is added as a
+    metadata-only commit (zero files written — asserted in-gate), then a
+    correction batch upgrades every user_id%5==0 survivor to 'gold' at a
+    fresh seq. Final read: pre-add rows surface the default with no
+    backfill rewrite, corrected rows their explicit value. Oracle: winners
+    over the WAL with the tier CASE applied. Iceberg v3 initial-default
+    semantics; the reference's added columns read back null forever
+    (KFVCFUtils.scala:122-174)."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    feed = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"),
+        "user_id",
+        F.when(F.pmod("event_id", F.lit(11)) == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    max_seq = feed.agg(F.max("seq")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="default_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+        )
+        pipe.apply_batch(feed, batch_id="dc-b0")
+        files_before = len(pipe.table.state["files"])
+        pipe.table.add_column("tier", "string", default="bronze")
+        assert len(pipe.table.state["files"]) == files_before, "backfill leaked"
+        corr = (
+            pipe.current()
+            .where(F.pmod("user_id", F.lit(5)) == 0)
+            .select(
+                "user_id",
+                (F.lit(max_seq) + F.col("user_id")).alias("seq"),
+                "event_type",
+                "value",
+                F.lit("gold").alias("tier"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+        pipe.apply_batch(corr, batch_id="dc-b1")
+        out = pipe.current().select("user_id", "seq", "event_type", "value", "tier")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_scd2_view(spark, sf):
     """Incrementally maintained Type-2 history (`lake/scd2view.py:
     maintain_scd2`): the events WAL (deletes at seq%11, payload NULLed)
@@ -2354,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_fold": q_cdc_patch_fold,
         "cdc_envelope_replay": q_cdc_envelope_replay,
         "cdc_branch_publish": q_cdc_branch_publish,
+        "cdc_default_column": q_cdc_default_column,
         "scd2_view": q_scd2_view,
         "cdc_join_view": q_cdc_join_view,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
@@ -2565,6 +2619,28 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
               FROM feed)
             WHERE rn = 1 AND op <> 'delete'
+        """,
+        "cdc_default_column": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     ELSE 'upsert' END AS op,
+                event_type, value
+              FROM events
+            ), w AS (
+              SELECT user_id, seq, op, event_type, value FROM (
+                SELECT user_id, seq, op, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+                FROM feed)
+              WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT user_id,
+              CASE WHEN user_id % 5 = 0
+                   THEN (SELECT max(event_id) FROM events) + user_id
+                   ELSE seq END AS seq,
+              event_type, value,
+              CASE WHEN user_id % 5 = 0 THEN 'gold' ELSE 'bronze' END AS tier
+            FROM w
         """,
         "scd2_view": """
             WITH nn AS (SELECT count(*) AS c FROM events),

@@ -126,13 +126,23 @@ def normalize_nullability(dt: T.DataType) -> T.DataType:
     return dt
 
 
-def align_df(df: DataFrame, target_schema: T.StructType) -> DataFrame:
+def align_df(
+    df: DataFrame,
+    target_schema: T.StructType,
+    defaults: "dict[str, dict] | None" = None,
+) -> DataFrame:
     """Project df onto target_schema: cast widenable columns, fill missing
     columns with typed nulls. Column order follows target_schema.
 
     The per-file-schema-group read path and the micro-batch MERGE path both
     funnel through this (the reference's unionByName-with-null-backfill,
     `KFVCFUtils.scala:122-174`, as one reusable projection).
+
+    ``defaults`` ({name: {"value": literal}}) replaces the null-fill for
+    ABSENT columns only — the initial-default read path for file groups
+    written before `add_column` (table.py). The write path never passes it:
+    a post-add batch missing the column stores NULL (initial-default, not
+    write-default).
     """
     present = {f.name: f for f in df.schema.fields}
     cols = []
@@ -143,7 +153,9 @@ def align_df(df: DataFrame, target_schema: T.StructType) -> DataFrame:
             else:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            d = (defaults or {}).get(f.name)
+            fill = F.lit(None) if d is None else F.lit(d["value"])
+            cols.append(fill.cast(f.dataType).alias(f.name))
     return df.select(*cols)
 
 

@@ -251,6 +251,10 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
     if delta.get("properties_set"):
         props.update(delta["properties_set"])
 
+    defaults = dict(state.get("column_defaults") or {})
+    if delta.get("defaults_set"):
+        defaults.update(delta["defaults_set"])
+
     expire_below = max(
         state.get("expire_below", 0), delta.get("expire_below") or 0
     )
@@ -272,6 +276,7 @@ def _apply_delta(state: dict[str, Any], delta: dict[str, Any]) -> dict[str, Any]
         "fence_watermarks": watermarks,
         "refs": refs,
         "properties": props,
+        "column_defaults": defaults,
         "lineage": delta.get("lineage") or {},
         "summary": {
             "total_rows": sum(f["rows"] for f in files),
@@ -805,6 +810,84 @@ class SnapshotTable:
             },
         )
 
+    # allowed (spark typeName -> python literal types) for initial defaults
+    _DEFAULT_TYPES = {
+        "string": (str,),
+        "boolean": (bool,),
+        "byte": (int,), "short": (int,), "integer": (int,), "long": (int,),
+        "float": (int, float), "double": (int, float),
+        "date": (str,), "timestamp": (str,), "decimal": (str, int, float),
+    }
+
+    def add_column(
+        self, name: str, dtype: "T.DataType | str", default: Any = None
+    ) -> CommitInfo:
+        """ALTER TABLE ADD COLUMN with an optional *initial default* — the
+        Iceberg v3 ``initial-default`` semantics: metadata-only commit; rows
+        written BEFORE the column existed read back ``default`` instead of
+        NULL (applied at scan time to pre-add file groups — no backfill
+        rewrite of a 100 TB table), while rows written after store the
+        column explicitly, so a post-add NULL stays NULL (this is
+        initial-default, not write-default). Defaults are keyed by the
+        column's stable FIELD ID, so they survive `rename_column`; a
+        `drop_column` retires the id and the default with it.
+
+        The reference has no default story — a column added mid-history
+        reads back null for old rows (`KFVCFUtils.scala:122-174`
+        add-missing-as-null); here a rollout can give history a meaningful
+        value without touching a byte of data."""
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        self.refresh()
+        st = self.state
+        cur = self.schema
+        if name in {f.name for f in cur.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        defaults_set = None
+        parent_map = field_map(st, st["current_schema_id"])
+        legacy = isinstance(next(iter(parent_map.values()), 0), str)
+        if legacy:
+            fid: "int | str" = name
+        else:
+            taken = [
+                v
+                for m in (st.get("schema_fields") or {}).values()
+                for v in m.values()
+                if isinstance(v, int)
+            ]
+            fid = max(taken, default=-1) + 1
+        if default is not None:
+            tn = dtype.typeName()
+            allowed = self._DEFAULT_TYPES.get(tn)
+            if allowed is None:
+                raise ValueError(
+                    f"initial default not supported for type {tn!r} "
+                    "(primitive types only)"
+                )
+            if not isinstance(default, allowed) or (
+                tn not in ("boolean",) and isinstance(default, bool)
+            ):
+                raise ValueError(
+                    f"default {default!r} is not a valid {tn} literal"
+                )
+            defaults_set = {str(fid): {"value": default, "type": dtype.simpleString()}}
+        new_schema = T.StructType(
+            list(cur.fields) + [T.StructField(name, dtype, True)]
+        )
+        return self.commit(
+            operation="add_column",
+            new_files=[],
+            new_schema=new_schema,
+            field_ids={**parent_map, name: fid},
+            defaults_set=defaults_set,
+            lineage={
+                "mode": "add_column",
+                "column": name,
+                "type": dtype.simpleString(),
+                "has_default": default is not None,
+            },
+        )
+
     def _live_paths(self, floor: int) -> set[str]:
         """Every data-file AND deletion-vector path referenced by any
         retained version in [floor, current] — the keep-set both sweepers
@@ -1097,6 +1180,15 @@ class SnapshotTable:
         for f in files:
             by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
         cur_map = field_map(st, st["current_schema_id"])
+        # initial defaults (add_column): {current name: {"value", "type"}}
+        # for every live field id carrying one — applied by align_df ONLY
+        # where the file group predates the column (absent from the group)
+        col_defaults = st.get("column_defaults") or {}
+        defaults_by_name = {
+            fname: col_defaults[str(fid)]
+            for fname, fid in cur_map.items()
+            if str(fid) in col_defaults
+        }
         parts = []
         for schema_id, paths in by_schema.items():
             group_schema = T.StructType.fromJson(st["schemas"][str(schema_id)])
@@ -1113,7 +1205,7 @@ class SnapshotTable:
                 gmap = {**gmap, _DV_FILE: _DV_FILE, _DV_POS: _DV_POS}
                 cmap = {**cmap, _DV_FILE: _DV_FILE, _DV_POS: _DV_POS}
             df = remap_by_field_id(df, gmap, cmap)
-            parts.append(align_df(df, target))
+            parts.append(align_df(df, target, defaults=defaults_by_name))
         out = reduce(DataFrame.unionByName, parts)
         if lineage:
             # _metadata.file_path is a URI ("file:///abs/…"); manifests
@@ -1306,6 +1398,7 @@ class SnapshotTable:
         properties_set: dict[str, str] | None = None,
         new_dv: list[dict[str, Any]] | None = None,
         validate_buckets: set[int] | None = None,
+        defaults_set: dict[str, Any] | None = None,
     ) -> CommitInfo:
         """Atomically commit: replace files of ``replaced_buckets`` with
         ``new_files``, optionally register an evolved schema, record the
@@ -1419,6 +1512,7 @@ class SnapshotTable:
                 "replaced_buckets": sorted(replaced_buckets) if replaced_buckets else [],
                 "partition_set": new_partition,
                 "properties_set": properties_set,
+                "defaults_set": defaults_set,
                 "expire_below": expire_below,
                 "applied_batch": (
                     [

@@ -1,0 +1,145 @@
+"""Initial-default columns (`SnapshotTable.add_column`) — Iceberg v3
+``initial-default`` semantics: metadata-only ADD COLUMN where rows written
+before the column existed read back the default instead of NULL, with no
+backfill rewrite. Defaults are field-id keyed (survive rename, retired by
+drop). Distinct from write-default on purpose: a post-add batch that omits
+or NULLs the column stores NULL.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+N = 3_000
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    return generate_change_events(spark, N, seed=17).localCheckpoint()
+
+
+def _pipe(spark, tmp_path, **kw):
+    return CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4, **kw)
+
+
+def test_pre_add_rows_read_default_post_add_rows_explicit(spark, feed, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(feed.where(F.col("seq") <= N // 2), batch_id="d-b0")
+    files_before = len(pipe.table.state["files"])
+    info = pipe.table.add_column("tier", "string", default="bronze")
+    # metadata-only: no data files written
+    assert len(pipe.table.state["files"]) == files_before
+    assert info.lineage["has_default"]
+    cur = pipe.current()
+    assert cur.where(F.col("tier") != "bronze").count() == 0
+    assert cur.where(F.col("tier").isNull()).count() == 0
+    # post-add batch carrying explicit values wins for its keys
+    late = feed.where(F.col("seq") > N // 2).withColumn("tier", F.lit("gold"))
+    pipe.apply_batch(late, batch_id="d-b1")
+    cur = pipe.current()
+    assert set(r[0] for r in cur.select("tier").distinct().collect()) == {"bronze", "gold"}
+    # every key whose winner is a late upsert must be gold
+    assert cur.where((F.col("seq") > N // 2) & (F.col("tier") != "gold")).count() == 0
+    assert cur.where((F.col("seq") <= N // 2) & (F.col("tier") != "bronze")).count() == 0
+
+
+def test_post_add_null_and_missing_stay_null(spark, feed, tmp_path):
+    """initial-default, not write-default: after the add, an explicit NULL
+    and an omitted column both store (and read back) NULL."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(feed.where(F.col("seq") <= 1000), batch_id="n-b0")
+    pipe.table.add_column("tier", "string", default="bronze")
+    # batch WITHOUT the column: aligned to NULL at write, not defaulted
+    pipe.apply_batch(
+        feed.where((F.col("seq") > 1000) & (F.col("seq") <= 2000)), batch_id="n-b1"
+    )
+    cur = pipe.current()
+    assert cur.where((F.col("seq") > 1000) & (F.col("seq") <= 2000))\
+              .where(F.col("tier").isNotNull()).count() == 0
+    # pre-add survivors still default
+    assert cur.where(F.col("seq") <= 1000).where(F.col("tier").isNull()).count() == 0
+
+
+def test_default_survives_rename_and_dies_with_drop(spark, feed, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(feed.where(F.col("seq") <= 1000), batch_id="r-b0")
+    pipe.table.add_column("tier", "string", default="bronze")
+    pipe.table.rename_column("tier", "grade")
+    cur = pipe.current()
+    assert "tier" not in cur.columns
+    assert cur.where(F.col("grade") != "bronze").count() == 0
+    # drop retires the field id and its default; re-adding the NAME without
+    # a default must read NULL (no bleed through the retired id)
+    pipe.table.drop_column("grade")
+    pipe.table.add_column("tier", "string")
+    cur = pipe.current()
+    assert cur.where(F.col("tier").isNotNull()).count() == 0
+
+
+def test_time_travel_pre_add_has_no_column(spark, feed, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(feed.where(F.col("seq") <= 1000), batch_id="t-b0")
+    v = pipe.table.version
+    pipe.table.add_column("lines_default", "long", default=0)
+    old = pipe.table.read(spark, version=v)
+    assert "lines_default" not in old.columns
+    now = pipe.current()
+    assert now.where(F.col("lines_default") != 0).count() == 0
+
+
+def test_mor_deltas_and_compaction_preserve_defaults(spark, feed, tmp_path):
+    pipe = _pipe(spark, tmp_path, merge_strategy="mor")
+    pipe.apply_batch(feed.where(F.col("seq") <= 1500), batch_id="m-b0")
+    pipe.table.add_column("tier", "string", default="bronze")
+    pipe.apply_batch(
+        feed.where(F.col("seq") > 1500).withColumn("tier", F.lit("gold")),
+        batch_id="m-b1",
+    )
+    def snap(df):
+        cols = sorted(df.columns)
+        return df.select(*cols).orderBy(*cols).collect()
+    before = snap(pipe.current())
+    pipe.compact()
+    assert snap(pipe.current()) == before
+    # compaction materialized the defaults into the rewritten files; the
+    # read must be identical either way
+    assert pipe.current().where(F.col("tier").isNull()).count() == 0
+
+
+def test_numeric_default_and_widening(spark, feed, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(feed.where(F.col("seq") <= 1000), batch_id="w-b0")
+    pipe.table.add_column("score", "integer", default=7)
+    cur = pipe.current()
+    assert cur.schema["score"].dataType.typeName() == "integer"
+    assert cur.where(F.col("score") != 7).count() == 0
+    # widening the defaulted column keeps the default working (cast at read)
+    batch = feed.where((F.col("seq") > 1000) & (F.col("seq") <= 1200)).withColumn(
+        "score", F.lit(9).cast("long")
+    )
+    pipe.apply_batch(batch, batch_id="w-b1")
+    cur = pipe.current()
+    assert cur.schema["score"].dataType.typeName() == "long"
+    assert cur.where(F.col("score").isNull()).count() == 0
+
+
+def test_validation(spark, feed, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(feed.where(F.col("seq") <= 500), batch_id="v-b0")
+    t = pipe.table
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("repo", "string")
+    with pytest.raises(ValueError, match="not a valid"):
+        t.add_column("bad1", "string", default=5)
+    with pytest.raises(ValueError, match="not a valid"):
+        t.add_column("bad2", "long", default=True)
+    with pytest.raises(ValueError, match="primitive types only"):
+        t.add_column("bad3", "array<string>", default="x")
+    # no failed-validation commit leaked
+    assert all(
+        e["operation"] != "add_column" or e["lineage"]["column"] not in
+        ("bad1", "bad2", "bad3")
+        for e in t.history()
+    )
