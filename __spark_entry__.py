@@ -1104,6 +1104,61 @@ def q_ivm_event_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ivm_distinct_rollup(spark, sf):
+    """Retractable COUNT(DISTINCT)/MIN/MAX view (`lake/ivm.py:
+    maintain_distinct`) exercised END-TO-END: the events WAL (deletes at
+    event_id%11) replays into a MoR source in 3 out-of-order batches, and
+    after EACH the per-event_type support table — one row per live
+    (group, value) with multiplicity — is folded forward from the change
+    feed, so retractions of group extrema really happen mid-history. The
+    final `distinct_view` must equal COUNT(DISTINCT)/MIN/MAX recomputed
+    from scratch over the surviving winners — exactly what the DuckDB
+    oracle does. FLOOR keeps the value domain integral, hence bit-exact."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.ivm import distinct_view, maintain_distinct
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.pmod("event_id", F.lit(11)) == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivmd_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        sup = CDCPipeline(
+            spark, os.path.join(tmp, "sup"), key_cols=("event_type", "v"),
+            num_buckets=4, merge_strategy="mor",
+        )
+        for i in range(3):
+            src.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(3)) == i),
+                batch_id=f"ivmd-b{i}",
+            )
+            maintain_distinct(
+                spark, src.table, sup, ["event_type"],
+                "CAST(FLOOR(value) AS BIGINT)", source_id="gate",
+            )
+        out = distinct_view(sup).select(
+            "event_type",
+            F.col("nd_v").alias("nd"),
+            F.col("min_v").alias("mn"),
+            F.col("max_v").alias("mx"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_doc_sequences(spark, sf):
     """Concat-and-chunk sequence packing (operators/pack.py:
     pack_sequences): documents in doc_id order, cut into 1000-char
@@ -2401,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_purchase": q_event_asof_purchase,
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
+        "ivm_distinct_rollup": q_ivm_distinct_rollup,
         "cdc_changes_datasource": q_cdc_changes_datasource,
         "cdc_diff_feed": q_cdc_diff_feed,
         "cdc_diff_cdf": q_cdc_diff_cdf,
@@ -2515,6 +2571,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    {OSQL.zvalue_sql(["o_custkey", "o_totalprice"], ZORDER_GATE_BOUNDS, bits=8)} AS zval
             FROM orders
+        """,
+        "ivm_distinct_rollup": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     ELSE 'upsert' END AS op,
+                event_type, value
+              FROM events
+            ), w AS (
+              SELECT event_type, value FROM (
+                SELECT event_type, value, op,
+                  row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+                FROM feed)
+              WHERE rn = 1 AND op <> 'delete'
+            ), v AS (
+              SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS val
+              FROM w WHERE value IS NOT NULL
+            )
+            SELECT event_type,
+              CAST(count(DISTINCT val) AS BIGINT) AS nd,
+              min(val) AS mn,
+              max(val) AS mx
+            FROM v GROUP BY event_type
         """,
         "ivm_event_rollup": """
             WITH latest AS (

@@ -33,10 +33,14 @@ Aggregate semantics match SQL exactly: ``n`` counts live rows,
 count) lets the read view return NULL sums for all-NULL groups and compute
 ``avg = sum / nn`` — so a full recompute (`GROUP BY` over the source's
 current state) is the oracle for every poll. Sums are maintained as
-doubles; integral-valued expressions stay exact (< 2^53). min/max are
-deliberately NOT offered: they are not retractable without a per-group
-rescan, and a silent rescan would break the O(delta) contract this module
-exists to provide.
+doubles; integral-valued expressions stay exact (< 2^53). min/max and
+COUNT(DISTINCT) are NOT retractable from the rolled-up state alone (a
+retraction of the current extremum / last occurrence would force a
+per-group rescan); :func:`maintain_distinct` makes them retractable at
+O(delta) anyway by maintaining the classic auxiliary *support table* —
+one row per live (group, value) with its multiplicity — from which
+``distinct_view`` reads COUNT(DISTINCT)/MIN/MAX exactly, at O(distinct
+values), never O(source).
 """
 
 from __future__ import annotations
@@ -91,6 +95,67 @@ def _live(df: DataFrame) -> DataFrame:
     if TOMBSTONE_COL not in df.columns:
         return df
     return df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+
+
+def _poll_images(
+    spark: SparkSession,
+    src: SnapshotTable,
+    since: int,
+    until: int,
+    effective: str,
+    seq_col: str,
+    strict: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(old, new): pre-image winners at the cursor version and post-image
+    winners at ``until``, both restricted to exactly the keys whose resolved
+    state changed in ``(since, until]``, aligned to the current schema.
+    The retraction algebra every follower in this module shares.
+
+    Bucket pruning uses commit entries' bucket ids, which are only
+    meaningful if the partition spec didn't change inside the range
+    (rebucket — possible mid-range). Correctness never depends on the
+    pruning: the semi-join on changed keys does the real restriction.
+    """
+    key_cols = src.key_cols
+    current_schema = src.schema
+    if effective == "diff":
+        ch = diff_changes(
+            spark, src, since_version=since, until_version=until, seq_col=seq_col
+        ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+        new = align_df(ch, current_schema)
+        changed_keys = new.select(*key_cols).distinct()
+        bkts = _diff_prune_buckets(src, since, until)  # None = full read
+    else:
+        feed = read_changes(
+            spark, src, since_version=since, until_version=until, strict=strict
+        ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+        feed = align_df(feed, current_schema)
+        changed_keys = feed.select(*key_cols).distinct()
+        spec_since = src.state_at(since).get("partition") if since > 0 else None
+        spec_until = src.state_at(until).get("partition")
+        same_spec = since == 0 or spec_since == spec_until
+        bkts = sorted(changed_buckets(src, since, until)) if same_spec else None
+
+    # retraction side: old winners of the changed keys, at the cursor
+    # version (bucket-pruned read on the source)
+    if since > 0:
+        old_raw = src.read(spark, version=since, buckets=bkts)
+        old_raw = align_df(old_raw, current_schema)
+        old = _latest_per_key(
+            old_raw.join(changed_keys, on=key_cols, how="left_semi"),
+            key_cols,
+            seq_col,
+        )
+    else:
+        old = spark.createDataFrame([], current_schema)
+
+    # post-image. Diff rows ARE the new winners of exactly the changed
+    # keys. The per-commit feed alone is NOT: an out-of-order emission can
+    # lose to the pre-image row (MoR resolves base ∪ deltas by max seq), so
+    # the feed path resolves the engine comparator over (old ∪ feed).
+    if effective != "diff":
+        new = _latest_per_key(old.unionByName(feed), key_cols, seq_col)
+    return old, new
 
 
 def maintain_agg(
@@ -169,51 +234,8 @@ def maintain_agg(
     if mode == "auto":
         effective = "feed" if _feed_capable(src, since, until) else "diff"
 
-    key_cols = src.key_cols
-    current_schema = src.schema
-
-    # ---- changed keys + pre-image pruning set. Bucket pruning uses commit
-    # entries' bucket ids, which are only meaningful if the partition spec
-    # didn't change inside the range (rebucket — possible mid-range).
-    # Correctness never depends on the pruning: the semi-join on changed
-    # keys does the real restriction.
-    if effective == "diff":
-        ch = diff_changes(
-            spark, src, since_version=since, until_version=until, seq_col=seq_col
-        ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
-        new = align_df(ch, current_schema)
-        changed_keys = new.select(*key_cols).distinct()
-        bkts = _diff_prune_buckets(src, since, until)  # None = full read
-    else:
-        feed = read_changes(
-            spark, src, since_version=since, until_version=until, strict=strict
-        ).drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
-        feed = align_df(feed, current_schema)
-        changed_keys = feed.select(*key_cols).distinct()
-        spec_since = src.state_at(since).get("partition") if since > 0 else None
-        spec_until = src.state_at(until).get("partition")
-        same_spec = since == 0 or spec_since == spec_until
-        bkts = sorted(changed_buckets(src, since, until)) if same_spec else None
-
-    # ---- retraction side: old winners of the changed keys, at the cursor
-    # version (bucket-pruned read on the source)
-    if since > 0:
-        old_raw = src.read(spark, version=since, buckets=bkts)
-        old_raw = align_df(old_raw, current_schema)
-        old = _latest_per_key(
-            old_raw.join(changed_keys, on=key_cols, how="left_semi"),
-            key_cols,
-            seq_col,
-        )
-    else:
-        old = spark.createDataFrame([], current_schema)
-
-    # ---- post-image. Diff rows ARE the new winners of exactly the changed
-    # keys. The per-commit feed alone is NOT: an out-of-order emission can
-    # lose to the pre-image row (MoR resolves base ∪ deltas by max seq), so
-    # the feed path resolves the engine comparator over (old ∪ feed).
-    if effective != "diff":
-        new = _latest_per_key(old.unionByName(feed), key_cols, seq_col)
+    # ---- pre/post-image winners of exactly the changed keys
+    old, new = _poll_images(spark, src, since, until, effective, seq_col, strict)
 
     # ---- group delta: +1-weighted new contributions, −1-weighted old ones
     signed = _live(new).withColumn("__w", F.lit(1)).unionByName(
@@ -388,6 +410,199 @@ def audit_agg_view(
     return {
         "ok": n_bad == 0,
         "groups_checked": j.count(),
+        "mismatches": n_bad,
+        "examples": [r.asDict() for r in mism.limit(max_examples).collect()],
+    }
+
+
+def maintain_distinct(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst_pipe,
+    group_cols: list[str],
+    value_expr: str,
+    source_id: str = "ivm-distinct",
+    seq_col: str = "seq",
+    strict: bool = True,
+    mode: str = "feed",
+    value_col: str = "v",
+    max_versions: int | None = None,
+) -> dict[str, Any]:
+    """Maintain the *support table* that makes COUNT(DISTINCT), MIN and MAX
+    retractable at O(delta) — the auxiliary relation classical IVM keeps
+    for non-distributive aggregates (one row per live ``(group, value)``
+    with its multiplicity ``n``). A rolled-up ``max`` can't survive the
+    retraction of its own extremum without a per-group rescan; the support
+    table can: the retracted value's row just drops (or decrements), and
+    the new extremum is already sitting in the table. Read the aggregate
+    with :func:`distinct_view` — O(distinct values), never O(source).
+
+    ``dst_pipe`` must be keyed on exactly ``group_cols + [value_col]`` (the
+    support row's identity IS the (group, value) pair). ``value_expr`` is
+    any deterministic SQL expression over a source row; NULL values are
+    excluded, matching SQL ``COUNT(DISTINCT)/MIN/MAX`` semantics. Rows with
+    multiplicity 0 are tombstoned through the ordinary MERGE, so the
+    support table's live size is exactly the number of distinct live
+    (group, value) pairs.
+
+    Cursor/fence/`mode`/`max_versions` semantics are identical to
+    :func:`maintain_agg` (same lineage keys; give each follower its own
+    ``source_id``). The reference's equivalent of every view in this module
+    is a staged full rebuild (`etl/.../prepared/clinical/StudyCentric.scala`
+    collects distinct sets from the whole layer each release).
+    """
+    if mode not in ("feed", "diff", "auto"):
+        raise ValueError("mode must be 'feed', 'diff', or 'auto'")
+    full_key = list(group_cols) + [value_col]
+    if list(dst_pipe.key_cols) != full_key:
+        raise ValueError(
+            f"destination pipeline key_cols {list(dst_pipe.key_cols)} must "
+            f"equal group_cols + [value_col] {full_key} — the support row's "
+            f"merge key IS the (group, value) pair"
+        )
+    src.refresh()
+    until = src.version
+    since, epoch = (
+        ivm_cursor(dst_pipe.table, source_id)
+        if SnapshotTable.exists(dst_pipe.root)
+        else (0, -1)
+    )
+    if max_versions is not None and until > since:
+        until = capped_until(src, since, until, max_versions)
+    if until <= since:
+        return {"applied": False, "since": since, "until": until, "values": 0}
+    effective = mode
+    if mode == "auto":
+        effective = "feed" if _feed_capable(src, since, until) else "diff"
+
+    old, new = _poll_images(spark, src, since, until, effective, seq_col, strict)
+
+    def contrib(df: DataFrame, w: int) -> DataFrame:
+        return (
+            _live(df)
+            .select(
+                *[F.col(c) for c in group_cols],
+                F.expr(value_expr).alias(value_col),
+            )
+            .where(F.col(value_col).isNotNull())
+            .withColumn("__w", F.lit(w))
+        )
+
+    delta = (
+        contrib(new, 1)
+        .unionByName(contrib(old, -1))
+        .groupBy(*full_key)
+        .agg(F.sum("__w").cast("long").alias("__dn"))
+        .where(F.col("__dn") != 0)
+    )
+
+    if SnapshotTable.exists(dst_pipe.root):
+        dst_table = dst_pipe.table.refresh()
+        gb = (
+            delta.select(
+                bucket_expr(full_key, dst_table.num_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )  # ≤ num_buckets ints — bounded driver traffic
+        cur = _live(
+            _latest_per_key(
+                dst_pipe.table.read(spark, buckets=sorted(r["b"] for r in gb)),
+                full_key,
+                seq_col,
+            )
+        ).select(*full_key, "n")
+    else:
+        cur = None
+
+    out = delta if cur is None else delta.join(cur, on=full_key, how="left")
+    n_old = F.coalesce(F.col("n"), F.lit(0)) if cur is not None else F.lit(0)
+    batch = (
+        out.select(
+            *[F.col(c) for c in full_key],
+            (n_old + F.col("__dn")).cast("long").alias("n"),
+        )
+        .withColumn(TOMBSTONE_COL, F.col("n") <= 0)
+        .withColumn(seq_col, F.lit(epoch + 1).cast("long"))
+    )
+
+    res = dst_pipe.apply_batch(
+        batch,
+        batch_id=f"ivmd.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            _IVM_SRC_KEY: source_id,
+            _IVM_UNTIL_KEY: until,
+            _IVM_EPOCH_KEY: epoch + 1,
+            "ivm_mode": effective,
+        },
+    )
+    if res.skipped:
+        return {"applied": False, "since": since, "until": until, "values": 0,
+                "mode": effective}
+    return {
+        "applied": True,
+        "since": since,
+        "until": until,
+        "values": res.n_events,
+        "dst_version": res.version,
+        "epoch": epoch + 1,
+        "mode": effective,
+    }
+
+
+def distinct_view(dst_pipe, name: str | None = None) -> DataFrame:
+    """Read a :func:`maintain_distinct` support table as the aggregate it
+    maintains: per group, ``nd_<name>`` = COUNT(DISTINCT value),
+    ``min_<name>`` / ``max_<name>`` — exact (the support table holds every
+    live distinct value), computed in one hash aggregation over O(distinct
+    values). SQL semantics: a group whose values were all NULL has no
+    support rows, hence no output row — exactly what ``GROUP BY`` with
+    ``COUNT(DISTINCT x) ... HAVING count > 0`` sees."""
+    key_cols = list(dst_pipe.key_cols)
+    groups, value_col = key_cols[:-1], key_cols[-1]
+    name = name or value_col
+    return dst_pipe.current().groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias(f"nd_{name}"),
+        F.min(value_col).alias(f"min_{name}"),
+        F.max(value_col).alias(f"max_{name}"),
+    )
+
+
+def audit_distinct_view(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst_pipe,
+    group_cols: list[str],
+    value_expr: str,
+    seq_col: str = "seq",
+    max_examples: int = 5,
+) -> dict[str, Any]:
+    """Operational trust check at the SUPPORT level (stronger than
+    comparing the rolled-up view): recompute per-(group, value)
+    multiplicities from the source's current live state and full-outer
+    compare against the maintained support rows. O(source); run like any
+    audit job, not per poll."""
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+
+    key_cols = list(dst_pipe.key_cols)
+    value_col = key_cols[-1]
+    want = (
+        read_live(spark, src, seq_col=seq_col)
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.expr(value_expr).alias(value_col),
+        )
+        .where(F.col(value_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    got = dst_pipe.current().select(*key_cols, "n")
+    j = got.join(want, on=key_cols, how="full_outer")
+    mism = j.where(F.col("n").eqNullSafe(F.col("__n")) == F.lit(False))
+    n_bad = mism.count()
+    return {
+        "ok": n_bad == 0,
+        "values_checked": j.count(),
         "mismatches": n_bad,
         "examples": [r.asDict() for r in mism.limit(max_examples).collect()],
     }

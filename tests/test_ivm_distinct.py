@@ -1,0 +1,238 @@
+"""Retractable COUNT(DISTINCT)/MIN/MAX views (lake/ivm.py:maintain_distinct).
+
+The support table (one row per live (group, value) with multiplicity) is
+the classical IVM auxiliary relation for non-distributive aggregates.
+Oracle for every poll: a full recompute over the source's current live
+state — COUNT(DISTINCT expr), MIN(expr), MAX(expr) GROUP BY — must equal
+`distinct_view` exactly. The case a rolled-up view cannot survive —
+retraction of the group's own extremum — must resolve with no rescan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.ivm import (
+    audit_distinct_view,
+    distinct_view,
+    ivm_cursor,
+    maintain_distinct,
+)
+
+EXPR = "length(content)"
+
+
+def _recompute(src_pipe, groups, expr):
+    return (
+        src_pipe.current()
+        .select(*groups, F.expr(expr).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy(*groups)
+        .agg(
+            F.countDistinct("v").cast("long").alias("nd"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+
+
+def _assert_matches(dst, src_pipe, groups, expr):
+    got = {
+        tuple(r[g] for g in groups): (r["nd_v"], r["min_v"], r["max_v"])
+        for r in distinct_view(dst).collect()
+    }
+    want = {
+        tuple(r[g] for g in groups): (r["nd"], r["mn"], r["mx"])
+        for r in _recompute(src_pipe, groups, expr).collect()
+    }
+    assert got == want
+
+
+def test_tracks_recompute_over_out_of_order_polls(spark, tmp_path):
+    feed = generate_change_events(spark, 8_000, seed=33)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    dst = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("lang", "v"), num_buckets=4,
+        merge_strategy="mor",
+    )
+    # delivery order carries out-of-order seqs — the retraction path and
+    # the out-of-order guard both do real work every poll
+    for stop in (1, 2, None):
+        src.replay(feed, by="delivery", feed_id="f", stop_after=stop)
+        r = maintain_distinct(spark, src.table, dst, ["lang"], EXPR, source_id="s")
+        assert r["applied"]
+        _assert_matches(dst, src, ["lang"], EXPR)
+    assert audit_distinct_view(spark, src.table, dst, ["lang"], EXPR)["ok"]
+    # idle poll parks the cursor
+    r = maintain_distinct(spark, src.table, dst, ["lang"], EXPR, source_id="s")
+    assert not r["applied"]
+    cur, _ = ivm_cursor(dst.table, "s")
+    assert cur == src.table.version
+
+
+def _mini(spark, rows):
+    return spark.createDataFrame(rows, "k string, seq long, g string, x long")
+
+
+def test_extremum_retraction_without_rescan(spark, tmp_path):
+    """Delete/update the key holding the group max — the rolled-up-state
+    impossibility. The support table must fall back to the next value."""
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("k",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    dst = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("g", "v"), num_buckets=2,
+        merge_strategy="mor",
+    )
+    src.apply_batch(
+        _mini(spark, [("a", 1, "g1", 10), ("b", 2, "g1", 50), ("c", 3, "g1", 30)]),
+        batch_id="b0",
+    )
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    row = distinct_view(dst).collect()[0]
+    assert (row["nd_v"], row["min_v"], row["max_v"]) == (3, 10, 50)
+
+    # delete the max-holder; update the min-holder upward
+    d = _mini(spark, [("b", 4, "g1", 50), ("a", 5, "g1", 20)]).withColumn(
+        "op", F.when(F.col("k") == "b", "delete").otherwise("upsert")
+    )
+    src.apply_batch(d, batch_id="b1")
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    row = distinct_view(dst).collect()[0]
+    assert (row["nd_v"], row["min_v"], row["max_v"]) == (2, 20, 30)
+    _assert_matches(dst, src, ["g"], "x")
+
+
+def test_multiplicity_and_null_semantics(spark, tmp_path):
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("k",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    dst = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("g", "v"), num_buckets=2,
+        merge_strategy="mor",
+    )
+    # two keys share x=7; one NULL x (excluded); a group of only-NULLs
+    src.apply_batch(
+        _mini(
+            spark,
+            [("a", 1, "g1", 7), ("b", 2, "g1", 7), ("c", 3, "g1", None),
+             ("d", 4, "g2", None)],
+        ),
+        batch_id="b0",
+    )
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    rows = {r["g"]: r for r in distinct_view(dst).collect()}
+    assert rows["g1"]["nd_v"] == 1 and rows["g1"]["min_v"] == 7
+    assert "g2" not in rows  # all-NULL group: no support rows, no output
+    # support multiplicity: n=2 for (g1, 7)
+    sup = {(r["g"], r["v"]): r["n"] for r in dst.current().collect()}
+    assert sup[("g1", 7)] == 2
+
+    # delete one of the two holders — the value must survive
+    src.apply_batch(
+        _mini(spark, [("a", 5, "g1", 7)]).withColumn("op", F.lit("delete")),
+        batch_id="b1",
+    )
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    rows = {r["g"]: r for r in distinct_view(dst).collect()}
+    assert rows["g1"]["nd_v"] == 1
+    # delete the second holder — value (and group) drop
+    src.apply_batch(
+        _mini(spark, [("b", 6, "g1", 7)]).withColumn("op", F.lit("delete")),
+        batch_id="b2",
+    )
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    assert distinct_view(dst).where(F.col("g") == "g1").count() == 0
+    _assert_matches(dst, src, ["g"], "x")
+
+
+def test_group_move_retracts_and_asserts(spark, tmp_path):
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("k",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    dst = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("g", "v"), num_buckets=2,
+        merge_strategy="mor",
+    )
+    src.apply_batch(_mini(spark, [("a", 1, "g1", 9)]), batch_id="b0")
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    src.apply_batch(_mini(spark, [("a", 2, "g2", 9)]), batch_id="b1")
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    rows = {r["g"] for r in distinct_view(dst).collect()}
+    assert rows == {"g2"}
+    _assert_matches(dst, src, ["g"], "x")
+
+
+def test_diff_mode_follows_dml_history(spark, tmp_path):
+    """CoW source + row-level DML — the per-commit feed must refuse this
+    history; diff mode follows it."""
+    feed = generate_change_events(spark, 3_000, seed=7)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4)  # CoW
+    dst = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("lang", "v"), num_buckets=4,
+        merge_strategy="mor",
+    )
+    src.replay(feed, n_batches=2, feed_id="f", stop_after=1)
+    r = maintain_distinct(
+        spark, src.table, dst, ["lang"], EXPR, source_id="s", mode="diff"
+    )
+    assert r["applied"] and r["mode"] == "diff"
+    _assert_matches(dst, src, ["lang"], EXPR)
+
+    src.replay(feed, n_batches=2, feed_id="f")
+    src.delete_where(F.expr("lang = 'python'"))
+    r = maintain_distinct(
+        spark, src.table, dst, ["lang"], EXPR, source_id="s", mode="auto"
+    )
+    assert r["applied"] and r["mode"] == "diff"
+    assert distinct_view(dst).where(F.col("lang") == "python").count() == 0
+    _assert_matches(dst, src, ["lang"], EXPR)
+    assert audit_distinct_view(spark, src.table, dst, ["lang"], EXPR)["ok"]
+
+
+def test_audit_detects_corruption(spark, tmp_path):
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("k",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    dst = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("g", "v"), num_buckets=2,
+        merge_strategy="mor",
+    )
+    src.apply_batch(
+        _mini(spark, [("a", 1, "g1", 1), ("b", 2, "g1", 2)]), batch_id="b0"
+    )
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    assert audit_distinct_view(spark, src.table, dst, ["g"], "x")["ok"]
+    # out-of-band corruption: phantom support row
+    bad = spark.createDataFrame(
+        [("g1", 99, 1, 10_000)], "g string, v long, n long, seq long"
+    )
+    dst.apply_batch(bad, batch_id="corrupt")
+    rep = audit_distinct_view(spark, src.table, dst, ["g"], "x")
+    assert not rep["ok"] and rep["mismatches"] == 1
+    assert rep["examples"][0]["v"] == 99
+
+
+def test_validation(spark, tmp_path):
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("k",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    src.apply_batch(_mini(spark, [("a", 1, "g1", 1)]), batch_id="b0")
+    wrong = CDCPipeline(
+        spark, str(tmp_path / "w"), key_cols=("g",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        maintain_distinct(spark, src.table, wrong, ["g"], "x")
+    ok = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("g", "v"), num_buckets=2,
+        merge_strategy="mor",
+    )
+    with pytest.raises(ValueError, match="mode"):
+        maintain_distinct(spark, src.table, ok, ["g"], "x", mode="bogus")
