@@ -1159,6 +1159,55 @@ def q_ivm_distinct_rollup(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ivm_topk_values(spark, sf):
+    """Exact incremental heavy hitters (`lake/ivm.py:topk_view`): the
+    support table maintained by `maintain_distinct` over 2 out-of-order
+    WAL batches (deletes at event_id%11) is read as top-3 most frequent
+    value buckets per event_type — exact counts with retraction, which a
+    count-min/SpaceSaving sketch cannot give. Deterministic tie-break
+    (count desc, value asc) makes the ranking oracle-comparable."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.ivm import maintain_distinct, topk_view
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.pmod("event_id", F.lit(11)) == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivmk_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        sup = CDCPipeline(
+            spark, os.path.join(tmp, "sup"), key_cols=("event_type", "v"),
+            num_buckets=4, merge_strategy="mor",
+        )
+        for i in range(2):
+            src.apply_batch(
+                ev.where(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"ivmk-b{i}",
+            )
+            maintain_distinct(
+                spark, src.table, sup, ["event_type"],
+                "CAST(FLOOR(value / 50) AS BIGINT)", source_id="gate",
+            )
+        out = topk_view(sup, 3).withColumn(
+            "rank_v", F.col("rank_v").cast("long")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_doc_sequences(spark, sf):
     """Concat-and-chunk sequence packing (operators/pack.py:
     pack_sequences): documents in doc_id order, cut into 1000-char
@@ -2457,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "ivm_event_rollup": q_ivm_event_rollup,
         "ivm_distinct_rollup": q_ivm_distinct_rollup,
+        "ivm_topk_values": q_ivm_topk_values,
         "cdc_changes_datasource": q_cdc_changes_datasource,
         "cdc_diff_feed": q_cdc_diff_feed,
         "cdc_diff_cdf": q_cdc_diff_cdf,
@@ -2594,6 +2644,34 @@ def oracle_sql() -> dict[str, str]:
               min(val) AS mn,
               max(val) AS mx
             FROM v GROUP BY event_type
+        """,
+        "ivm_topk_values": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     ELSE 'upsert' END AS op,
+                event_type, value
+              FROM events
+            ), w AS (
+              SELECT event_type, value FROM (
+                SELECT event_type, value, op,
+                  row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+                FROM feed)
+              WHERE rn = 1 AND op <> 'delete'
+            ), c AS (
+              SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS val,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM w WHERE value IS NOT NULL
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT event_type, val, cnt,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cnt DESC, val ASC) AS rk
+              FROM c
+            )
+            SELECT event_type, val AS value_v, cnt AS count_v,
+              CAST(rk AS BIGINT) AS rank_v
+            FROM r WHERE rk <= 3
         """,
         "ivm_event_rollup": """
             WITH latest AS (

@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="ROOT:FK=DIMKEY[,..]@DIM_ROOT",
                     help="denormalized join view with this table as the "
                          "fact side (repeatable)")
+    ap.add_argument("--distinct", action="append", default=[],
+                    metavar="ROOT:GROUPS:EXPR[@MODE]",
+                    help="retractable COUNT(DISTINCT)/MIN/MAX support table "
+                         "(lake/ivm.py:maintain_distinct): "
+                         "ROOT:GROUP[,G2]:VALUE_EXPR[@feed|diff|auto] "
+                         "(repeatable)")
     ap.add_argument("--scd2", action="append", default=[],
                     metavar="ROOT",
                     help="Type-2 history view of the source "
@@ -151,10 +157,10 @@ def main(argv: list[str] | None = None) -> int:
                          "delta bytes exceed RATIO of base bytes (or ≥8 "
                          "delta files); metadata-only decision")
     args = ap.parse_args(argv)
-    if not (args.agg or args.join or args.scd2 or args.minhash_index
-            or args.paragraph_index or args.bm25_index or args.secondary
-            or args.plan or args.apply_plan):
-        ap.error("nothing to do: pass --agg, --join, --scd2, "
+    if not (args.agg or args.join or args.distinct or args.scd2
+            or args.minhash_index or args.paragraph_index or args.bm25_index
+            or args.secondary or args.plan or args.apply_plan):
+        ap.error("nothing to do: pass --agg, --join, --distinct, --scd2, "
                  "--minhash-index, --paragraph-index, --bm25-index, "
                  "--secondary, --plan, and/or --apply-plan")
 
@@ -199,6 +205,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         report["views"][root] = maintain_join(
             spark, src, dim, vpipe, on, source_id=args.source_id,
+            max_versions=args.max_versions,
+        )
+        if args.auto_compact is not None and SnapshotTable.exists(root):
+            report["views"][root]["compacted_buckets"] = vpipe.maybe_compact(
+                max_delta_ratio=args.auto_compact
+            )
+
+    for spec in args.distinct:
+        from kf_etl_clin_portal_spark.lake.ivm import maintain_distinct
+
+        mode = "feed"
+        at = _sep_at(spec)
+        if at != -1:
+            spec, mode = spec[:at], spec[at + 1:]
+        parts = spec.split(":", 2)
+        if len(parts) != 3 or not parts[1] or not parts[2]:
+            ap.error(f"--distinct needs ROOT:GROUPS:EXPR[@MODE], got {spec!r}")
+        root, groups = parts[0], [g for g in parts[1].split(",") if g]
+        vpipe = CDCPipeline(
+            spark, root, key_cols=tuple(groups + ["v"]),
+            num_buckets=args.view_buckets, merge_strategy="mor",
+        )
+        report["views"][root] = maintain_distinct(
+            spark, src, vpipe, groups, parts[2],
+            source_id=f"{args.source_id}-nd", mode=mode,
             max_versions=args.max_versions,
         )
         if args.auto_compact is not None and SnapshotTable.exists(root):

@@ -568,6 +568,39 @@ def distinct_view(dst_pipe, name: str | None = None) -> DataFrame:
     )
 
 
+def topk_view(dst_pipe, k: int, name: str | None = None) -> DataFrame:
+    """Exact incremental heavy hitters: the k most frequent live values per
+    group, read from a :func:`maintain_distinct` support table — the
+    multiplicity column IS the frequency, so top-k-by-count is one window
+    over O(distinct values), maintained at O(delta) like the rest of the
+    view. Deterministic tie-break (count desc, value asc) keeps the result
+    stable across engines and repartitions. Columns: groups, ``value_<n>``,
+    ``count_<n>``, ``rank_<n>``.
+
+    Exactness is what the support table buys over a sketch: a
+    count-min/SpaceSaving heavy hitter can over-count and cannot retract;
+    these counts are exact under updates AND deletes."""
+    from pyspark.sql.window import Window
+
+    key_cols = list(dst_pipe.key_cols)
+    groups, value_col = key_cols[:-1], key_cols[-1]
+    name = name or value_col
+    w = Window.partitionBy(*groups).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        dst_pipe.current()
+        .withColumn(f"rank_{name}", F.row_number().over(w))
+        .where(F.col(f"rank_{name}") <= k)
+        .select(
+            *groups,
+            F.col(value_col).alias(f"value_{name}"),
+            F.col("n").alias(f"count_{name}"),
+            f"rank_{name}",
+        )
+    )
+
+
 def audit_distinct_view(
     spark: SparkSession,
     src: SnapshotTable,

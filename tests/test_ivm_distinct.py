@@ -194,6 +194,42 @@ def test_diff_mode_follows_dml_history(spark, tmp_path):
     assert audit_distinct_view(spark, src.table, dst, ["lang"], EXPR)["ok"]
 
 
+def test_topk_heavy_hitters_exact_under_deletes(spark, tmp_path):
+    """Top-k by frequency read from the support table: exact counts, the
+    thing a count-min/SpaceSaving sketch can't give — retraction. Deleting
+    holders of the #1 value must demote it below #2."""
+    from kf_etl_clin_portal_spark.lake.ivm import topk_view
+
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("k",), num_buckets=2,
+        merge_strategy="mor",
+    )
+    dst = CDCPipeline(
+        spark, str(tmp_path / "sup"), key_cols=("g", "v"), num_buckets=2,
+        merge_strategy="mor",
+    )
+    # value 1 held by 3 keys, value 2 by 2 keys, values 3/4 by 1 (tie)
+    rows = [("a", 1, "g", 1), ("b", 2, "g", 1), ("c", 3, "g", 1),
+            ("d", 4, "g", 2), ("e", 5, "g", 2), ("f", 6, "g", 3),
+            ("h", 7, "g", 4)]
+    src.apply_batch(_mini(spark, rows), batch_id="b0")
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    top = topk_view(dst, 3).collect()
+    assert [(r["value_v"], r["count_v"], r["rank_v"]) for r in top] == [
+        (1, 3, 1), (2, 2, 2), (3, 1, 3)  # tie at n=1 broken by value asc
+    ]
+    # delete two holders of value 1 → it falls to count 1, rank by tie-break
+    d = _mini(spark, [("a", 8, "g", 1), ("b", 9, "g", 1)]).withColumn(
+        "op", F.lit("delete")
+    )
+    src.apply_batch(d, batch_id="b1")
+    maintain_distinct(spark, src.table, dst, ["g"], "x", source_id="s")
+    top = topk_view(dst, 2).collect()
+    assert [(r["value_v"], r["count_v"], r["rank_v"]) for r in top] == [
+        (2, 2, 1), (1, 1, 2)
+    ]
+
+
 def test_audit_detects_corruption(spark, tmp_path):
     src = CDCPipeline(
         spark, str(tmp_path / "src"), key_cols=("k",), num_buckets=2,

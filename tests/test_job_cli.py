@@ -320,6 +320,34 @@ def test_run_views_cli_tick(spark, tmp_path):
     rep6 = run("run_views.py", "--source", src, "--secondary", f"{si}:lang")
     assert rep6["views"][si]["applied"] is False
 
+    # distinct support table rides the tick: per-lang distinct content
+    # lengths; the view read must equal a recompute; repeat tick parks
+    nd = str(tmp_path / "nd")
+    rep7 = run("run_views.py", "--source", src,
+               "--distinct", f"{nd}:lang:length(content)@auto")
+    assert rep7["views"][nd]["applied"] is True
+    from kf_etl_clin_portal_spark.lake.ivm import distinct_view
+
+    nd_pipe = CDCPipeline(spark, nd, key_cols=("lang", "v"), num_buckets=8,
+                          merge_strategy="mor")
+    got_nd = {
+        r["lang"]: (r["nd_v"], r["min_v"], r["max_v"])
+        for r in distinct_view(nd_pipe).collect()
+    }
+    want_nd = {
+        r["lang"]: (r["nd"], r["mn"], r["mx"])
+        for r in src_pipe.current()
+        .select("lang", F.expr("length(content)").alias("x"))
+        .groupBy("lang")
+        .agg(F.countDistinct("x").cast("long").alias("nd"),
+             F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    assert got_nd == want_nd and got_nd
+    rep8 = run("run_views.py", "--source", src,
+               "--distinct", f"{nd}:lang:length(content)@auto")
+    assert rep8["views"][nd]["applied"] is False
+
 
 def test_sep_at_cli_separator_is_uri_authority_aware():
     """`_sep_at` (jobs/run_views.py): the field-separator '@' is the last
