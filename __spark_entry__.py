@@ -1848,6 +1848,53 @@ def q_cdc_default_column(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_generated_column(spark, sf):
+    """Generated columns (`lake/generated.py`) END-TO-END: the events WAL
+    (deletes at event_id%11) replays into a table declaring
+    ``generated.v_bucket = CAST(FLOOR(value/100) AS BIGINT)`` — every
+    batch OMITS the column, the engine fills it and evolves the schema;
+    then an `update_where` shifts value for user_id%7==0 rows and the
+    GENERATED ALWAYS recompute must move v_bucket with it. Oracle: winners
+    over the WAL, the update applied, the expression recomputed in SQL."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    feed = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"),
+        "user_id",
+        F.when(F.pmod("event_id", F.lit(11)) == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="gen_gate_")
+    try:
+        pipe = CDCPipeline(
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",),
+            num_buckets=8,
+            table_properties={
+                "generated.v_bucket": "CAST(FLOOR(value / 100) AS BIGINT)"
+            },
+        )
+        for i in range(2):
+            pipe.apply_batch(
+                feed.where(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"gen-b{i}",
+            )
+        pipe.update_where(
+            {"value": F.col("value") + 1000.0}, F.expr("user_id % 7 = 0")
+        )
+        out = pipe.current().select(
+            "user_id", "seq", "event_type", "value", "v_bucket"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_scd2_view(spark, sf):
     """Incrementally maintained Type-2 history (`lake/scd2view.py:
     maintain_scd2`): the events WAL (deletes at seq%11, payload NULLed)
@@ -2514,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_replay": q_cdc_envelope_replay,
         "cdc_branch_publish": q_cdc_branch_publish,
         "cdc_default_column": q_cdc_default_column,
+        "cdc_generated_column": q_cdc_generated_column,
         "scd2_view": q_scd2_view,
         "cdc_join_view": q_cdc_join_view,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
@@ -2798,6 +2846,29 @@ def oracle_sql() -> dict[str, str]:
               event_type, value,
               CASE WHEN user_id % 5 = 0 THEN 'gold' ELSE 'bronze' END AS tier
             FROM w
+        """,
+        "cdc_generated_column": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     ELSE 'upsert' END AS op,
+                event_type, value
+              FROM events
+            ), w AS (
+              SELECT user_id, seq, event_type, value FROM (
+                SELECT user_id, seq, op, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+                FROM feed)
+              WHERE rn = 1 AND op <> 'delete'
+            ), u AS (
+              SELECT user_id, seq, event_type,
+                CASE WHEN user_id % 7 = 0 THEN value + 1000
+                     ELSE value END AS value
+              FROM w
+            )
+            SELECT user_id, seq, event_type, value,
+              CAST(FLOOR(value / 100) AS BIGINT) AS v_bucket
+            FROM u
         """,
         "scd2_view": """
             WITH nn AS (SELECT count(*) AS c FROM events),

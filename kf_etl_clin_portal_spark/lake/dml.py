@@ -198,19 +198,27 @@ def update_where(
             f"key columns are not assignable (bucket membership would "
             f"change): {keyed}; use MERGE delete+insert instead"
         )
+    from kf_etl_clin_portal_spark.lake.generated import (
+        recompute_generated,
+        reject_generated_assignments,
+    )
+
+    reject_generated_assignments(table, assignments)
     casted = {
         c: (v if isinstance(v, Column) else F.lit(v)).cast(fields[c].dataType)
         for c, v in assignments.items()
     }
 
     def transform(state: DataFrame, match) -> DataFrame:
-        return state.select(
+        out = state.select(
             *[
                 (F.when(match, casted[c]).otherwise(F.col(c)).alias(c)
                  if c in casted else F.col(c))
                 for c in state.columns
             ]
         )
+        # GENERATED ALWAYS: derived columns follow the assigned post-image
+        return recompute_generated(out, table, when=match)
 
     def validate(state: DataFrame, match) -> None:
         from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints

@@ -133,6 +133,12 @@ def update_where_dv(
         )
     from pyspark.sql import Column
 
+    from kf_etl_clin_portal_spark.lake.generated import (
+        recompute_generated,
+        reject_generated_assignments,
+    )
+
+    reject_generated_assignments(table, assignments)
     casted = {
         c: (v if isinstance(v, Column) else F.lit(v)).cast(fields[c].dataType)
         for c, v in assignments.items()
@@ -145,6 +151,8 @@ def update_where_dv(
         post = hit.select(
             *[casted[c].alias(c) if c in casted else F.col(c) for c in data_cols]
         )
+        # GENERATED ALWAYS: derived columns follow the assigned post-image
+        post = recompute_generated(post, table)
         enforce_constraints(post, table, what="update_where_dv post-image")
         return post
 

@@ -1,0 +1,154 @@
+"""Generated columns — the Delta ``GENERATED ALWAYS AS (expr)`` analog.
+
+A generated column is a table property ``generated.<col> = <sql expr>``
+(versioned through `SnapshotTable.set_properties`, like CHECK
+constraints): the ENGINE owns the column's value. Every feed writer
+(MERGE CoW/MoR, the load modes) funnels the batch through
+:func:`apply_generated` before anything else:
+
+- batch OMITS the column → it is **filled** with the expression (a narrow
+  projection, no job; on the MERGE paths the filled column then flows
+  through ordinary schema evolution, so declaring a generated column and
+  streaming on is enough to materialize it);
+- batch CARRIES the column → it is **validated**: live rows where the
+  stored value differs from the recomputed expression reject the whole
+  batch in ONE O(batch) aggregation, before any file lands (null-safe
+  compare; tombstones exempt — a delete has no payload to derive from).
+
+Row-level DML keeps the invariant from the other side: generated columns
+are not assignable (`update_where` / `update_where_dv` raise), and every
+post-image RECOMPUTES them from the assigned row, so an update to a
+source column moves its derived column with it. `merge_into` recomputes
+fired post-images the same way — clause-provided values for a generated
+column are overwritten, the GENERATED ALWAYS contract.
+
+Scope notes, honestly: expressions must be deterministic and may only
+reference NON-generated columns (no chaining — order would be ambiguous).
+The non-evolving load writers (`overwrite`/`append`) align to the table
+schema, so a generated column not yet in the schema materializes through
+MERGE, not load. Quarantine pre-splitting (`CDCPipeline`) evaluates CHECK
+constraints BEFORE the writer-level fill — a constraint over a generated
+column needs the column present in the feed or the fail policy.
+
+The reference precomputes every derived column inside its staged
+transformations (e.g. the age-interval ladder,
+`normalized/clinical/Utils.scala:87-92`) and re-runs the whole stage when
+the derivation changes; here the derivation is a table-level contract the
+engine applies to every write path uniformly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PREFIX = "generated."
+
+
+class GeneratedColumnViolation(Exception):
+    """A batch (or existing data) carries values that disagree with the
+    column's generation expression."""
+
+
+def table_generated(table) -> dict[str, str]:
+    """{column: sql_expr} of the table's generated columns (current
+    snapshot's properties)."""
+    return {
+        k[len(PREFIX):]: v
+        for k, v in table.state["properties"].items()
+        if k.startswith(PREFIX) and v
+    }
+
+
+def validate_generated(
+    df: DataFrame,
+    checks: dict[str, str],
+    what: str = "batch",
+    tombstone_col: str = "is_deleted",
+) -> None:
+    """One aggregation job: count live rows per column whose stored value
+    differs (null-safe) from the recomputed expression; raise with
+    per-column counts if any."""
+    if not checks:
+        return
+    if tombstone_col in df.columns:
+        df = df.where(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+    aggs = [
+        F.sum(
+            (F.col(c).eqNullSafe(F.expr(e)) == F.lit(False)).cast("long")
+        ).alias(c)
+        for c, e in checks.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {c: int(row[c] or 0) for c in checks if row[c]}
+    if bad:
+        raise GeneratedColumnViolation(
+            f"{what}: stored values disagree with the generation "
+            f"expression (GENERATED ALWAYS): {bad} — omit the column to "
+            f"have the engine fill it, or fix the producer"
+        )
+
+
+def apply_generated(df: DataFrame, table, what: str = "batch") -> DataFrame:
+    """Fill absent generated columns, validate present ones. No-op
+    (no job, no projection) for tables without generated columns."""
+    gen = table_generated(table)
+    if not gen:
+        return df
+    fills = {c: e for c, e in gen.items() if c not in df.columns}
+    checks = {c: e for c, e in gen.items() if c in df.columns}
+    for c, e in fills.items():
+        df = df.withColumn(c, F.expr(e))
+    validate_generated(df, checks, what)
+    return df
+
+
+def recompute_generated(df: DataFrame, table, when=None) -> DataFrame:
+    """Overwrite generated columns with their recomputed expressions —
+    the post-image side of DML/merge_into. ``when`` (optional Column)
+    restricts the rewrite to matched rows, carrying others unchanged.
+    Columns not present in ``df`` are skipped (a pre-materialization
+    snapshot has nothing to recompute)."""
+    for c, e in table_generated(table).items():
+        if c in df.columns:
+            new = F.expr(e)
+            if when is not None:
+                new = F.when(when, new).otherwise(F.col(c))
+            df = df.withColumn(c, new)
+    return df
+
+
+def reject_generated_assignments(table, assignments) -> None:
+    """DML guard: generated columns are not assignable."""
+    bad = sorted(set(assignments) & set(table_generated(table)))
+    if bad:
+        raise ValueError(
+            f"generated columns are not assignable (GENERATED ALWAYS — "
+            f"the engine recomputes them from the post-image): {bad}"
+        )
+
+
+def add_generated(
+    spark: SparkSession,
+    table,
+    col: str,
+    expr: str,
+    validate: bool = True,
+) -> None:
+    """Declare ``generated.<col> = expr`` (metadata-only, versioned). With
+    ``validate=True`` and the column already materialized, the CURRENT
+    live state is scanned first so the contract can't be declared over
+    data that already disagrees — the `add_constraint(validate=True)`
+    behavior."""
+    table.refresh()
+    if validate and col in table.schema.fieldNames():
+        from kf_etl_clin_portal_spark.lake.merge import read_live
+
+        live = read_live(spark, table)
+        n = live.where(~F.col(col).eqNullSafe(F.expr(expr))).count()
+        if n:
+            raise GeneratedColumnViolation(
+                f"cannot declare generated column {col!r}: {n} existing "
+                f"live rows disagree with {expr!r}"
+            )
+    table.set_properties({PREFIX + col: expr})

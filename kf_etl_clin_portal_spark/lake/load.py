@@ -58,7 +58,12 @@ def _bucketed(
     non-MERGE ingest writer (overwrite / overwrite_where / append);
     maintenance rewrites of already-committed rows don't re-validate."""
     from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+    from kf_etl_clin_portal_spark.lake.generated import apply_generated
 
+    # fill/validate generated columns; the load modes do NOT evolve schema,
+    # so a generated column materializes here only once it's in the table
+    # schema (first materialization goes through MERGE)
+    df = apply_generated(df, table, what="load batch")
     enforce_constraints(df, table, what="load batch")
     df = align_df(df, table.schema)
     key, n = table.key_cols, table.num_buckets

@@ -111,9 +111,14 @@ def merge_batch(
             return MergeResult(skipped=True, batch_id=batch_id)
         basis = table.version
 
-        # 1b. CHECK constraints (no-op without any; one O(batch) job with)
+        # 1b. generated columns (fill absent / validate present), then
+        # CHECK constraints (no-op without any; one O(batch) job with).
+        # The fill precedes the schema diff below, so a freshly declared
+        # generated column materializes through ordinary evolution.
         from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+        from kf_etl_clin_portal_spark.lake.generated import apply_generated
 
+        batch = apply_generated(batch, table, what=f"merge batch {batch_id!r}")
         enforce_constraints(batch, table, what=f"merge batch {batch_id!r}")
 
         # 2. schema evolution
@@ -408,7 +413,9 @@ def merge_batch_mor(
     if batch_id is not None and table.is_batch_applied(batch_id):
         return MergeResult(skipped=True, batch_id=batch_id)
     from kf_etl_clin_portal_spark.lake.constraints import enforce_constraints
+    from kf_etl_clin_portal_spark.lake.generated import apply_generated
 
+    batch = apply_generated(batch, table, what=f"merge batch {batch_id!r}")
     enforce_constraints(batch, table, what=f"merge batch {batch_id!r}")
     key_cols, num_buckets = table.key_cols, table.num_buckets
     diff = schema_diff(table.schema, batch.schema)

@@ -327,6 +327,17 @@ def merge_into(
 
             resolved = j.select(*[cascade(c) for c in data_cols], action())
 
+            # GENERATED ALWAYS: fired post-images (updates + inserts)
+            # recompute their generated columns from the resolved row —
+            # clause-provided values for a generated column are overwritten
+            from kf_etl_clin_portal_spark.lake.generated import (
+                recompute_generated,
+            )
+
+            resolved = recompute_generated(
+                resolved, table, when=F.col("__action").isin(1, 3)
+            )
+
             # contract check BEFORE any file lands: post-images of rows this
             # merge writes anew (updates + inserts) must satisfy the table's
             # CHECK constraints. One extra agg job over the join — and only

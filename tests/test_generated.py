@@ -1,0 +1,192 @@
+"""Generated columns (lake/generated.py) — GENERATED ALWAYS AS semantics.
+
+The engine owns the column: feed batches that omit it are filled (and the
+column materializes via ordinary schema evolution), batches that carry a
+disagreeing value are rejected whole before any file lands, DML cannot
+assign it and every post-image (update_where, DV update, merge_into)
+recomputes it from the assigned row.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.events import generate_change_events
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.lake.generated import (
+    GeneratedColumnViolation,
+    add_generated,
+    table_generated,
+)
+
+GEN = "CASE WHEN length(content) >= 12 THEN 'big' ELSE 'small' END"
+PROPS = {"generated.size_class": GEN}
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    return generate_change_events(spark, 3_000, seed=23).localCheckpoint()
+
+
+def _assert_consistent(df):
+    assert df.where(~F.col("size_class").eqNullSafe(F.expr(GEN))).count() == 0
+
+
+def test_fill_materializes_via_evolution(spark, feed, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, table_properties=PROPS
+    )
+    pipe.replay(feed, n_batches=2, feed_id="f")
+    cur = pipe.current()
+    assert "size_class" in cur.columns
+    assert "size_class" in pipe.table.schema.fieldNames()
+    _assert_consistent(cur)
+    assert cur.where(F.col("size_class").isNull()).count() == 0
+
+
+def test_mor_fill_and_compaction(spark, feed, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, merge_strategy="mor",
+        table_properties=PROPS,
+    )
+    pipe.replay(feed, n_batches=2, feed_id="f")
+    _assert_consistent(pipe.current())
+    pipe.compact()
+    _assert_consistent(pipe.current())
+
+
+def test_carried_consistent_passes_drift_rejects_whole_batch(
+    spark, feed, tmp_path
+):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, table_properties=PROPS
+    )
+    ok = feed.where(F.col("seq") <= 1000).withColumn("size_class", F.expr(GEN))
+    pipe.apply_batch(ok, batch_id="g-b0")
+    _assert_consistent(pipe.current())
+    v = pipe.table.version
+
+    drift = feed.where(F.col("seq") > 1000).withColumn(
+        "size_class", F.lit("huge")
+    )
+    with pytest.raises(GeneratedColumnViolation, match="size_class"):
+        pipe.apply_batch(drift, batch_id="g-b1")
+    # nothing committed, fence unused — the fixed batch can re-use the id
+    assert pipe.table.refresh().version == v
+    assert not pipe.table.is_batch_applied("g-b1")
+    pipe.apply_batch(drift.drop("size_class"), batch_id="g-b1")
+    _assert_consistent(pipe.current())
+
+
+def test_deletes_exempt_from_validation(spark, feed, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, table_properties=PROPS
+    )
+    pipe.apply_batch(feed.where(F.col("seq") <= 500), batch_id="d-b0")
+    # tombstones with a NULL generated value must not trip validation
+    dels = (
+        feed.where(F.col("seq") <= 100)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.col("seq") + 10_000)
+        .withColumn("size_class", F.lit(None).cast("string"))
+    )
+    pipe.apply_batch(dels, batch_id="d-b1")
+    _assert_consistent(pipe.current())
+
+
+def test_update_where_recomputes_and_rejects_assignment(spark, feed, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, table_properties=PROPS
+    )
+    pipe.replay(feed, n_batches=2, feed_id="f")
+    with pytest.raises(ValueError, match="not assignable"):
+        pipe.update_where({"size_class": "huge"}, F.expr("TRUE"))
+    # shrink some rows' content → their size_class must follow
+    pred = F.expr("length(content) >= 12")
+    n = pipe.current().where(pred).count()
+    assert n > 0
+    pipe.update_where({"content": "x"}, pred)
+    cur = pipe.current()
+    _assert_consistent(cur)
+    assert cur.where(F.col("content") == "x").where(
+        F.col("size_class") != "small"
+    ).count() == 0
+
+
+def test_dv_update_recomputes(spark, feed, tmp_path):
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, table_properties=PROPS
+    )
+    pipe.replay(feed, n_batches=2, feed_id="f")
+    with pytest.raises(ValueError, match="not assignable"):
+        pipe.update_where({"size_class": "huge"}, F.expr("TRUE"), mode="dv")
+    pred = F.expr("length(content) >= 12")
+    pipe.update_where({"content": "y"}, pred, mode="dv")
+    cur = pipe.current()
+    _assert_consistent(cur)
+    assert cur.where(F.col("content") == "y").where(
+        F.col("size_class") != "small"
+    ).count() == 0
+
+
+def test_merge_into_overwrites_clause_values(spark, feed, tmp_path):
+    from kf_etl_clin_portal_spark.lake.merge_into import (
+        WhenMatchedUpdate,
+        WhenNotMatchedInsert,
+    )
+
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "t"), num_buckets=4, table_properties=PROPS
+    )
+    pipe.replay(feed, n_batches=2, feed_id="f")
+    src = (
+        pipe.current()
+        .limit(50)
+        .select(
+            "repo", "path",
+            (F.col("seq") + 100_000).alias("seq"),
+            F.lit("zz").alias("content"),
+        )
+        .localCheckpoint()
+    )
+    # the clause tries to force a wrong generated value — GENERATED ALWAYS
+    # overwrites it from the post-image
+    pipe.merge_into(
+        src,
+        [
+            WhenMatchedUpdate(
+                {"content": F.col("s.content"), "seq": F.col("s.seq"),
+                 "size_class": F.lit("huge")}
+            ),
+            WhenNotMatchedInsert(),
+        ],
+        on_duplicate="last_wins",
+    )
+    cur = pipe.current()
+    _assert_consistent(cur)
+    assert cur.where(F.col("content") == "zz").where(
+        F.col("size_class") != "small"
+    ).count() == 0
+
+
+def test_add_generated_validates_existing_state(spark, feed, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "t"), num_buckets=4)
+    pipe.apply_batch(
+        feed.where(F.col("seq") <= 500).withColumn("size_class", F.lit("huge")),
+        batch_id="a-b0",
+    )
+    with pytest.raises(GeneratedColumnViolation, match="existing"):
+        add_generated(spark, pipe.table, "size_class", GEN)
+    assert "generated.size_class" not in pipe.table.state["properties"]
+    # a fresh column (not yet materialized) declares without a scan
+    add_generated(spark, pipe.table, "lines", "length(content)")
+    assert table_generated(pipe.table) == {"lines": "length(content)"}
+    pipe.apply_batch(
+        feed.where((F.col("seq") > 500) & (F.col("seq") <= 800))
+        .withColumn("size_class", F.lit("huge")),
+        batch_id="a-b1",
+    )
+    cur = pipe.current()
+    assert cur.where(
+        (F.col("seq") > 500) & (F.col("seq") <= 800)
+        & ~F.col("lines").eqNullSafe(F.expr("length(content)"))
+    ).count() == 0
