@@ -162,6 +162,27 @@ def main() -> None:
             maintain_agg(spark, fact.table, agg, ["event_type"],
                          {"v": "value"}, source_id="bv")
             views["agg_delta_1pct"] = round(time.monotonic() - t0, 3)
+            # distinct support table (COUNT DISTINCT/MIN/MAX/top-k family):
+            # initial build then the same 1% delta, O(delta) like the rest
+            from kf_etl_clin_portal_spark.lake.ivm import maintain_distinct
+
+            nd = CDCPipeline(spark, vtmp + "/nd",
+                             key_cols=("event_type", "v"),
+                             num_buckets=8, merge_strategy="mor")
+            t0 = time.monotonic()
+            maintain_distinct(spark, fact.table, nd, ["event_type"],
+                              "CAST(FLOOR(value) AS BIGINT)", source_id="bvd")
+            views["nd_initial"] = round(time.monotonic() - t0, 3)
+            fact.apply_batch(
+                frows.where(F.pmod("event_id", F.lit(100)) == 50)
+                .withColumn("value", F.col("value") + 2)
+                .withColumn("seq", F.col("seq") + F.lit(2 * 10**9)),
+                batch_id="bv-f3",
+            )
+            t0 = time.monotonic()
+            maintain_distinct(spark, fact.table, nd, ["event_type"],
+                              "CAST(FLOOR(value) AS BIGINT)", source_id="bvd")
+            views["nd_delta_1pct"] = round(time.monotonic() - t0, 3)
             for k, v in views.items():
                 print(f"# views.{k}: {v:.2f}s", file=sys.stderr)
         finally:
