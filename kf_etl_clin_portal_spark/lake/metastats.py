@@ -133,16 +133,28 @@ def metadata_stats(
         a serial loop makes a 10k-file table's 'free' stats call take
         seconds-to-minutes on object storage)."""
         missing = [c for c in cols if c not in (f.get("stats") or {})]
-        need_footer = (tomb_in_schema and f["rows"] > 0) or missing
+        # manifest-level tombstone zone (write_data_files lifts it for
+        # free): [False,False]/[True,True] settles dead rows with NO footer
+        tz = (f.get("stats") or {}).get(TOMBSTONE_COL)
+        manifest_dead = (
+            0 if tz == [False, False]
+            else f["rows"] if tz == [True, True]
+            else None
+        )
+        need_footer = (
+            tomb_in_schema and f["rows"] > 0 and manifest_dead is None
+        ) or missing
         md = _footer_md(table, f) if need_footer else None
         zones = dict(f.get("stats") or {})
         if missing and md is not None:
             zones.update(_footer_zone_maps(md, missing))
         incomplete = [c for c in cols if zones.get(c) is None and f["rows"] > 0]
-        dead, read_col = (
-            _dead_rows(table, f, md) if (tomb_in_schema and md is not None)
-            else (0, False)
-        )
+        if tomb_in_schema and manifest_dead is not None:
+            dead, read_col = manifest_dead, False
+        elif tomb_in_schema and md is not None:
+            dead, read_col = _dead_rows(table, f, md)
+        else:
+            dead, read_col = 0, False
         return zones, dead, int(md is not None), int(read_col), incomplete
 
     from concurrent.futures import ThreadPoolExecutor

@@ -177,9 +177,12 @@ class _Constraints:
                 pass
 
 
-def _absorb(c: list[tuple[str, Any]], cons: _Constraints) -> None:
+def _absorb(c: list[tuple[str, Any]], cons: _Constraints) -> bool:
     """Pattern-match one conjunct; silently contribute nothing when the
-    shape isn't one of the known atoms (superset-only pruning)."""
+    shape isn't one of the known atoms (superset-only pruning). Returns
+    whether the conjunct was FULLY absorbed into ``cons`` — pruning
+    ignores this (superset-only either way); `estimate_rows`'s provable
+    lower bound requires every conjunct understood."""
     c = _strip_parens(c)
     kinds = [t[0] for t in c]
     # ident op lit   /   lit op ident
@@ -190,15 +193,18 @@ def _absorb(c: list[tuple[str, Any]], cons: _Constraints) -> None:
             col, op, lit = c[0][1], c[1][1], c[2][1]
         if op in ("=", "=="):
             cons.add_eq(col, {lit})
+            return True
         elif op in (">", ">="):
             cons.add_range(col, lit, None)  # strict > kept inclusive: superset
+            return True
         elif op in ("<", "<="):
             cons.add_range(col, None, lit)
-        return
+            return True
+        return False  # e.g. != / <> — contributes nothing
     # ident BETWEEN lit AND lit
     if kinds == ["ident", "BETWEEN", "lit", "AND", "lit"]:
         cons.add_range(c[0][1], c[2][1], c[4][1])
-        return
+        return True
     # ident IN ( lit , lit , ... )
     if (
         len(c) >= 4
@@ -210,7 +216,8 @@ def _absorb(c: list[tuple[str, Any]], cons: _Constraints) -> None:
         and kinds[3:-1][-1:] == ["lit"]
     ):
         cons.add_eq(c[0][1], {t[1] for t in c[3:-1] if t[0] == "lit"})
-        return
+        return True
+    return False
 
 
 def plan_scan(
@@ -315,3 +322,109 @@ def read_where(
         stats_filter=plan["stats_filter"],
     )
     return df.where(F.expr(where))
+
+
+# tombstone flag; = merge.TOMBSTONE_COL (import would be circular elsewhere,
+# kept literal like lake/metastats.py does)
+_TOMBSTONE = "is_deleted"
+
+
+def estimate_rows(
+    spark: SparkSession,
+    table: SnapshotTable,
+    where: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> dict[str, Any]:
+    """Metadata-only cardinality BOUNDS for a predicate — the Iceberg
+    ``estimateStatistics`` analog, for monitoring probes and join-side
+    planning decisions (broadcast or not, prune or not) that must not cost
+    a 100 TB cluster scan. No data I/O; the only job is `plan_scan`'s tiny
+    literal-hash probe when key equalities allow bucket pruning.
+
+    Returns ``upper`` / ``lower`` such that
+
+        lower  <=  count(live rows satisfying where)  <=  upper
+
+    always holds. ``upper`` sums physical rows of the files the manifest
+    cannot rule out (bucket pruning + zone-map skipping — live rows are a
+    subset of physical rows, so the bound survives MoR deltas, tombstones
+    and deletion vectors). ``lower`` sums rows of files PROVEN from the
+    manifest alone to be entirely live and entirely matching: every
+    conjunct understood by the planner, file zone ranges strictly inside
+    every range constraint (strictness sidesteps >/>= ambiguity — sound,
+    conservatively so at the boundaries), equality columns constant at a
+    wanted value, the tombstone flag's zone map proving zero dead rows,
+    no delta file in the bucket (a delta could supersede base winners) and
+    no deletion vector covering the file. Anything unprovable contributes
+    0 to ``lower``, never an error.
+    """
+    plan = plan_scan(spark, table, where, version=version, ref=ref)
+    v = plan["version"]
+    st = table.state_at(v)
+    files = st["files"]
+    out: dict[str, Any] = {
+        "where": where,
+        "version": v,
+        "upper": 0,
+        "lower": 0,
+        "files_counted": plan["files_selected"],
+        "files_proven": 0,
+        "files_total": len(files),
+    }
+    if plan["empty"]:
+        return out
+
+    bset = set(plan["buckets"]) if plan["buckets"] is not None else None
+    cand = [f for f in files if bset is None or f["bucket"] in bset]
+    if plan["stats_filter"]:
+        cand = [f for f in cand if _file_may_match(f, plan["stats_filter"])]
+    out["upper"] = sum(f["rows"] for f in cand)
+
+    # ---- provable lower bound ------------------------------------------
+    cons = _Constraints()
+    toks = _tokenize(where)
+    conjs = _split_conjuncts(toks) if toks is not None else None
+    if not conjs or not all(_absorb(c, cons) for c in conjs) or cons.impossible:
+        return out
+
+    schema_names = {
+        f["name"]
+        for f in st["schemas"][str(st["current_schema_id"])]["fields"]
+    }
+    has_tomb = _TOMBSTONE in schema_names
+    dv_covered = {p for d in (st.get("dv") or []) for p in d["files"]}
+    delta_buckets = {f["bucket"] for f in files if f.get("kind") == "delta"}
+    constrained = set(cons.eq) | set(cons.lo) | set(cons.hi)
+
+    def proven(f: dict[str, Any]) -> bool:
+        if f.get("kind") == "delta" or f["bucket"] in delta_buckets:
+            return False
+        if f["path"] in dv_covered:
+            return False
+        zs = f.get("stats") or {}
+        if has_tomb and zs.get(_TOMBSTONE) != [False, False]:
+            return False
+        try:
+            for col in constrained:
+                z = zs.get(col)
+                if not z or z[0] is None or z[1] is None:
+                    return False
+                mn, mx = z
+                if col in cons.eq:
+                    if mn != mx or mn not in cons.eq[col]:
+                        return False
+                else:
+                    lo, hi = cons.lo.get(col), cons.hi.get(col)
+                    if lo is not None and not (mn > lo):
+                        return False
+                    if hi is not None and not (mx < hi):
+                        return False
+        except TypeError:  # zone/literal type mismatch — not provable
+            return False
+        return True
+
+    good = [f for f in cand if proven(f)]
+    out["lower"] = sum(f["rows"] for f in good)
+    out["files_proven"] = len(good)
+    return out

@@ -1371,7 +1371,12 @@ class SnapshotTable:
                 "rows": md.num_rows,
                 "bytes": os.path.getsize(dst),
             }
-            zones = _footer_zone_maps(md, stats_cols)
+            # the tombstone flag's zone map rides along for free (footer is
+            # already open): [False,False] is the manifest-level proof of an
+            # all-live file that metastats' footer tier and scan.py's
+            # estimate_rows lower bound otherwise pay a footer read for.
+            # "is_deleted" = merge.TOMBSTONE_COL (no circular import).
+            zones = _footer_zone_maps(md, stats_cols + ["is_deleted"])
             if zones:
                 entry["stats"] = zones
             return entry

@@ -41,6 +41,10 @@ def test_clean_feed_is_exact_without_column_reads(spark, tmp_path):
     pipe.replay(feed, by="delivery", feed_id="f")
     ms = pipe.stats(cols=("seq",))
     assert ms["rows_dead"] == 0 and ms["column_reads"] == 0
+    # the manifest carries the tombstone flag's zone map (lifted at write
+    # time from the already-open footer), so a clean tombstone-bearing
+    # table answers with ZERO footer reads — truly metadata-only
+    assert ms["footer_reads"] == 0
     assert ms["cols"]["seq"]["exact"]
     assert ms["rows_live"] == pipe.current().count()
 

@@ -137,3 +137,96 @@ def test_mor_snapshot_degrades_to_bucket_pruning_only(spark, tmp_path):
     # the unsound combination is refused outright at the low-level API
     with pytest.raises(ValueError, match="stale-winner"):
         read_merged(spark, t, stats_filter={"seq": (0, None)})
+
+
+# ---------------------------------------------------------------------------
+# estimate_rows — metadata-only cardinality bounds
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        "seq BETWEEN 500 AND 1500",
+        "seq >= 2500",
+        "repo = 'r1' AND seq >= 2500",
+        "repo = 'r1' OR seq < 10",      # un-plannable: lower 0, upper total
+        "length(path) > 4 AND seq <= 100",
+        "seq > 10 AND seq < 5",          # contradiction
+        "val < 100.0",                   # not zone-mapped: no proof, bound holds
+    ],
+)
+def test_estimate_rows_bounds_law(spark, table, pred):
+    from kf_etl_clin_portal_spark.lake.scan import estimate_rows
+
+    est = estimate_rows(spark, table, pred)
+    true = read_live(spark, table).where(F.expr(pred)).count()
+    assert est["lower"] <= true <= est["upper"], (pred, est, true)
+
+
+def test_estimate_rows_proves_interior_files(spark, table):
+    """A range strictly containing whole appends: the interior files are
+    provably all-match + all-live, so lower > 0 (and exact here — every
+    candidate file is interior)."""
+    from kf_etl_clin_portal_spark.lake.scan import estimate_rows
+
+    est = estimate_rows(spark, table, "seq >= -1 AND seq <= 3000")
+    assert est["lower"] == est["upper"] == 3000
+    assert est["files_proven"] == est["files_counted"] > 0
+    # boundary-touching range: proof is strict, lower drops below upper
+    est2 = estimate_rows(spark, table, "seq >= 0 AND seq <= 1999")
+    true = read_live(spark, table).where("seq >= 0 AND seq <= 1999").count()
+    assert true == 2000
+    assert est2["upper"] >= 2000 >= est2["lower"]
+    assert est2["files_proven"] < est2["files_counted"]
+
+
+def test_estimate_rows_contradiction_and_unparseable(spark, table):
+    from kf_etl_clin_portal_spark.lake.scan import estimate_rows
+
+    est = estimate_rows(spark, table, "seq > 10 AND seq < 5")
+    assert est["upper"] == 0 and est["lower"] == 0
+    # != conjunct: never part of a proof even when others are interior
+    est2 = estimate_rows(spark, table, "seq >= -1 AND seq <= 3000 AND repo != 'r1'")
+    assert est2["lower"] == 0
+    true = read_live(spark, table).where("repo != 'r1'").count()
+    assert true <= est2["upper"]
+
+
+def test_estimate_rows_mor_and_tombstones_break_proof_not_bound(
+    spark, tmp_path
+):
+    """Deltas and dead rows make files unprovable (lower honest) while the
+    upper bound stays correct."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.scan import estimate_rows
+
+    pipe = CDCPipeline(
+        spark, str(tmp_path / "m"), key_cols=("repo", "path"), num_buckets=4,
+        merge_strategy="mor",
+    )
+    pipe.apply_batch(
+        _batch(spark, 0).withColumn("op", F.lit("upsert")), batch_id="e-b0"
+    )
+    # a delete slice → tombstones live in delta files
+    pipe.apply_batch(
+        _batch(spark, 0, 200)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.col("seq") + 5000),
+        batch_id="e-b1",
+    )
+    est = estimate_rows(spark, pipe.table, "seq BETWEEN 0 AND 999")
+    true = pipe.current().where("seq BETWEEN 0 AND 999").count()
+    assert true == 800
+    assert est["lower"] == 0  # deltas: nothing provable
+    assert est["upper"] >= true
+    # compaction folds deltas but KEEPS tombstone rows (out-of-order
+    # fencing): files now carry dead rows, so the all-live proof stays
+    # honestly off while the physical upper bound widens past the truth
+    pipe.compact()
+    est2 = estimate_rows(spark, pipe.table, "seq BETWEEN -1 AND 10000")
+    assert est2["lower"] == 0 and est2["upper"] == 1000
+    # vacuum removes the dead rows physically — proof returns, bounds close
+    pipe.vacuum(10**9)
+    est3 = estimate_rows(spark, pipe.table, "seq BETWEEN -1 AND 10000")
+    assert est3["lower"] == est3["upper"] == 800
