@@ -1895,6 +1895,63 @@ def q_cdc_generated_column(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_mirror_repair(spark, sf):
+    """Anti-entropy repair (`lake/changes.py:audit_mirror/repair_mirror`)
+    END-TO-END: the events WAL (deletes at event_id%11) replays into a MoR
+    source, a mirror follows it, then the replica is damaged out-of-band
+    (one key drifted to a bogus payload at a huge seq, one real key
+    deleted, one invented key inserted) and `repair_mirror` must restore
+    exactly the source's live state — which is what the DuckDB oracle
+    recomputes as the winners over the WAL. The in-gate audit asserts
+    found-then-clean."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.lake.changes import audit_mirror, repair_mirror
+
+    feed = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"),
+        "user_id",
+        F.when(F.pmod("event_id", F.lit(11)) == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="repair_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("user_id",),
+            num_buckets=8, merge_strategy="mor",
+        )
+        dst = CDCPipeline(
+            spark, os.path.join(tmp, "dst"), key_cols=("user_id",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        for i in range(2):
+            src.apply_batch(
+                feed.where(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"mr-b{i}",
+            )
+            dst.mirror_from(src.table, source_id="gate")
+        ks = sorted(r["user_id"] for r in dst.current().select("user_id").limit(2).collect())
+        damage = spark.createDataFrame(
+            [(ks[0], 10**12, "upsert", "bogus", -1.0),
+             (-999, 10**12 + 1, "upsert", "bogus", -2.0)],
+            "user_id long, seq long, op string, event_type string, value double",
+        )
+        dst.apply_batch(damage, batch_id="damage")
+        dst.delete_where(F.col("user_id") == ks[1])
+        assert not audit_mirror(spark, src.table, dst)["ok"]
+        repair_mirror(spark, src.table, dst, source_id="gate")
+        assert audit_mirror(spark, src.table, dst)["ok"]
+        out = dst.current().select("user_id", "seq", "event_type", "value")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_scd2_view(spark, sf):
     """Incrementally maintained Type-2 history (`lake/scd2view.py:
     maintain_scd2`): the events WAL (deletes at seq%11, payload NULLed)
@@ -2562,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_branch_publish": q_cdc_branch_publish,
         "cdc_default_column": q_cdc_default_column,
         "cdc_generated_column": q_cdc_generated_column,
+        "cdc_mirror_repair": q_cdc_mirror_repair,
         "scd2_view": q_scd2_view,
         "cdc_join_view": q_cdc_join_view,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
@@ -2846,6 +2904,20 @@ def oracle_sql() -> dict[str, str]:
               event_type, value,
               CASE WHEN user_id % 5 = 0 THEN 'gold' ELSE 'bronze' END AS tier
             FROM w
+        """,
+        "cdc_mirror_repair": """
+            WITH feed AS (
+              SELECT event_id AS seq, user_id,
+                CASE WHEN event_id % 11 = 0 THEN 'delete'
+                     ELSE 'upsert' END AS op,
+                event_type, value
+              FROM events
+            )
+            SELECT user_id, seq, event_type, value FROM (
+              SELECT user_id, seq, op, event_type, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+              FROM feed)
+            WHERE rn = 1 AND op <> 'delete'
         """,
         "cdc_generated_column": """
             WITH feed AS (

@@ -637,3 +637,157 @@ def mirror_changes(
         "epoch": epoch + 1,
         "mode": "feed",
     }
+
+
+def audit_mirror(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst_pipe,
+    columns: "list[str] | None" = None,
+    seq_col: str = "seq",
+    max_examples: int = 5,
+) -> dict[str, Any]:
+    """Anti-entropy audit: full-outer compare the source's CURRENT live
+    state against the mirror's, per key — ``missing`` (source key absent
+    from the mirror), ``extra`` (mirror key the source no longer has
+    live), ``drifted`` (both present, any shared column differs null-safe,
+    seq included — a right-value/wrong-seq replica would misapply future
+    merges, so it counts). O(both tables), distributed, bounded examples
+    to the driver; run it like any audit job, not per poll. Returns the
+    pinned ``src_version`` so a repair made from this audit's snapshot is
+    attributable. ``columns`` must match a projected mirror's projection.
+    """
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+
+    src.refresh()
+    v = src.version
+    key = list(src.key_cols)
+    proj = _mirror_projection(src, columns, seq_col=seq_col)
+    want = read_live(spark, src, seq_col=seq_col, version=v)
+    if proj is not None:
+        want = want.select(*[c for c in proj if c in want.columns])
+    got = dst_pipe.current()
+    shared = [c for c in want.columns if c in got.columns]
+    nonkey = [c for c in shared if c not in key]
+    g = got.select(*shared).withColumn("__g", F.lit(True)).alias("g")
+    w = want.select(*shared).withColumn("__w", F.lit(True)).alias("w")
+    j = g.join(w, on=key, how="full_outer")
+    missing = F.col("__w").isNotNull() & F.col("__g").isNull()
+    extra = F.col("__g").isNotNull() & F.col("__w").isNull()
+    drift = F.lit(False)
+    for c in nonkey:
+        drift = drift | (F.col(f"g.{c}").eqNullSafe(F.col(f"w.{c}")) == F.lit(False))
+    drift = F.col("__g").isNotNull() & F.col("__w").isNotNull() & drift
+    agg = j.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(missing.cast("long")).alias("missing"),
+        F.sum(extra.cast("long")).alias("extra"),
+        F.sum(drift.cast("long")).alias("drifted"),
+    ).collect()[0]
+    bad = int(agg["missing"] or 0) + int(agg["extra"] or 0) + int(agg["drifted"] or 0)
+    examples = []
+    if bad:
+        status = (
+            F.when(missing, F.lit("missing"))
+            .when(extra, F.lit("extra"))
+            .otherwise(F.lit("drifted"))
+        )
+        examples = [
+            r.asDict()
+            for r in j.where(missing | extra | drift)
+            .select(*key, status.alias("status"))
+            .limit(max_examples)
+            .collect()
+        ]
+    return {
+        "ok": bad == 0,
+        "src_version": v,
+        "checked": int(agg["checked"] or 0),
+        "missing": int(agg["missing"] or 0),
+        "extra": int(agg["extra"] or 0),
+        "drifted": int(agg["drifted"] or 0),
+        "examples": examples,
+    }
+
+
+def repair_mirror(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst_pipe,
+    source_id: str = "mirror",
+    columns: "list[str] | None" = None,
+    seq_col: str = "seq",
+) -> dict[str, Any]:
+    """Anti-entropy repair: make the mirror equal the source's CURRENT
+    live state in one source-wins `merge_into` — matched keys updated,
+    missing keys inserted, mirror-only keys deleted (the
+    NOT-MATCHED-BY-SOURCE clause `mirror_changes` never needs but a
+    corrupted or out-of-band-mutated replica does). O(source) by design —
+    the repair verb behind `audit_mirror`, not a poll.
+
+    The mirror cursor advances to the repaired source version in the SAME
+    commit (the repair row carries the mirror lineage keys), so the next
+    `mirror_changes` poll resumes incrementally from the repaired
+    snapshot instead of replaying ranges the repair already covers.
+    Bootstrapping a brand-new mirror root is the degenerate repair
+    (everything inserts). Idempotent by value: repairing a healthy mirror
+    commits nothing the audit can see and still parks the cursor forward.
+    """
+    from kf_etl_clin_portal_spark.lake.merge_into import (
+        WhenMatchedUpdate,
+        WhenNotMatchedBySourceDelete,
+        WhenNotMatchedInsert,
+        merge_into,
+    )
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+
+    src.refresh()
+    v = src.version
+    proj = _mirror_projection(src, columns, seq_col=seq_col)
+    _, epoch = (
+        mirror_cursor(dst_pipe.table, source_id)
+        if SnapshotTable.exists(dst_pipe.root)
+        else (0, -1)
+    )
+    state = read_live(spark, src, seq_col=seq_col, version=v)
+    if proj is not None:
+        state = state.select(*[c for c in proj if c in state.columns])
+    dst_pipe.ensure_table(state.schema)
+    tbl = dst_pipe.table
+    tbl.evolve_schema_to(state.schema)
+    src_cols = set(state.columns)
+    assigns = {
+        c: F.col(f"s.{c}")
+        for c in tbl.refresh().schema.fieldNames()
+        if c not in tbl.key_cols and c in src_cols
+    }
+    # update only rows that actually drifted (null-safe, seq included) —
+    # a healthy mirror's repair fires zero matched clauses and the result
+    # counts read as the audit's missing/extra/drifted
+    drift = None
+    for c in assigns:
+        d = F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")) == F.lit(False)
+        drift = d if drift is None else (drift | d)
+    res = merge_into(
+        spark,
+        tbl,
+        state,
+        [
+            WhenMatchedUpdate(assigns, condition=drift),
+            WhenNotMatchedInsert(),
+            WhenNotMatchedBySourceDelete(),
+        ],
+        extra_lineage={
+            _MIRROR_SRC_KEY: source_id,
+            _MIRROR_UNTIL_KEY: v,
+            _MIRROR_EPOCH_KEY: epoch + 1,
+        },
+    )
+    return {
+        "src_version": v,
+        "updated": res.n_updated,
+        "inserted": res.n_inserted,
+        "deleted": res.n_deleted,
+        "dst_version": res.version,
+        "epoch": epoch + 1,
+    }

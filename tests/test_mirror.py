@@ -196,3 +196,85 @@ def test_projected_mirror_slim_columns(spark, events_path, tmp_path):
 
     with pytest.raises(ValueError, match="not in the source"):
         dst.mirror_from(src.table, source_id="m", columns=["nope"])
+
+
+def test_audit_and_repair_anti_entropy(spark, events_path, tmp_path):
+    """audit_mirror names missing/extra/drifted keys; repair_mirror makes
+    the replica equal the source live state in one source-wins merge AND
+    advances the mirror cursor, so the next poll resumes incrementally."""
+    from kf_etl_clin_portal_spark.lake.changes import audit_mirror, repair_mirror
+
+    feed = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    dst = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=8, merge_strategy="mor")
+    src.replay(feed, n_batches=2, by="delivery", feed_id="a", stop_after=1)
+    dst.mirror_from(src.table, source_id="s")
+    rep = audit_mirror(spark, src.table, dst)
+    assert rep["ok"] and rep["checked"] > 0
+
+    # out-of-band damage: drift one key (huge seq), invent an extra key,
+    # and delete a real key from the replica
+    sample = dst.current().limit(2).collect()
+    k_drift, k_dead = sample[0], sample[1]
+    damage = spark.createDataFrame(
+        [
+            (k_drift["repo"], k_drift["path"], 10**12, "upsert", "xx", "zz", None),
+            ("repo_bogus", "no/such/path", 10**12 + 1, "upsert", "xx", "zz", None),
+        ],
+        "repo string, path string, seq long, op string, commit string, "
+        "lang string, content string",
+    )
+    dst.apply_batch(damage, batch_id="damage")
+    dst.delete_where(
+        (F.col("repo") == k_dead["repo"]) & (F.col("path") == k_dead["path"])
+    )
+    rep = audit_mirror(spark, src.table, dst)
+    assert not rep["ok"]
+    assert rep["drifted"] >= 1 and rep["extra"] >= 1 and rep["missing"] >= 1
+    assert {e["status"] for e in rep["examples"]} <= {"missing", "extra", "drifted"}
+
+    fix = repair_mirror(spark, src.table, dst, source_id="s")
+    assert fix["updated"] >= 1 and fix["deleted"] >= 1 and fix["inserted"] >= 1
+    rep = audit_mirror(spark, src.table, dst)
+    assert rep["ok"], rep
+    assert _state_set(dst.current()) == _state_set(src.current())
+
+    # cursor advanced with the repair: an idle poll parks...
+    r = dst.mirror_from(src.table, source_id="s")
+    assert not r["applied"]
+    # ...and new source commits still flow incrementally afterwards
+    src.replay(feed, n_batches=2, by="delivery", feed_id="a")
+    r = dst.mirror_from(src.table, source_id="s")
+    assert r["applied"] and r["since"] == fix["src_version"]
+    assert _state_set(dst.current()) == _state_set(src.current())
+    assert audit_mirror(spark, src.table, dst)["ok"]
+
+
+def test_repair_bootstraps_and_healthy_repair_is_quiet(spark, events_path, tmp_path):
+    from kf_etl_clin_portal_spark.lake.changes import audit_mirror, repair_mirror
+
+    feed = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    src.replay(feed, n_batches=1, by="delivery", feed_id="b")
+    dst = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=8, merge_strategy="mor")
+    # degenerate repair == bootstrap: everything inserts
+    fix = repair_mirror(spark, src.table, dst, source_id="s")
+    assert fix["inserted"] == src.current().count()
+    assert fix["updated"] == 0 and fix["deleted"] == 0
+    assert audit_mirror(spark, src.table, dst)["ok"]
+    # healthy repair fires nothing (drift-conditioned update)
+    fix2 = repair_mirror(spark, src.table, dst, source_id="s")
+    assert fix2["updated"] == 0 and fix2["deleted"] == 0 and fix2["inserted"] == 0
+    assert _state_set(dst.current()) == _state_set(src.current())
+
+
+def test_audit_respects_projected_mirror(spark, events_path, tmp_path):
+    from kf_etl_clin_portal_spark.lake.changes import audit_mirror
+
+    feed = spark.read.parquet(events_path)
+    src = CDCPipeline(spark, str(tmp_path / "src"), num_buckets=4, merge_strategy="mor")
+    src.replay(feed, n_batches=1, by="delivery", feed_id="p")
+    dst = CDCPipeline(spark, str(tmp_path / "dst"), num_buckets=8, merge_strategy="mor")
+    dst.mirror_from(src.table, source_id="s", columns=["lang"])
+    rep = audit_mirror(spark, src.table, dst, columns=["lang"])
+    assert rep["ok"] and rep["checked"] > 0
