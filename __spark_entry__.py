@@ -911,6 +911,63 @@ def q_ann_ivf_topk(spark, sf):
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_lists=8, n_probes=2)
 
 
+def q_ann_ivf_incremental(spark, sf):
+    """Incremental IVF index (`similarity/incremental.py`): the embeddings
+    table ingests as a CDC source, the coarse quantizer is PINNED at index
+    creation (batch 1 = the full corpus, original vectors), then a second
+    range EDITS vec_id%10==3 (negated vectors — they move cells) and
+    DELETES vec_id%17==5; one O(changed-vectors) poll maintains the
+    inverted lists and the search is served from the index alone. Oracle:
+    centroids over the ORIGINAL vectors, assignment/scoring over the
+    edited-minus-deleted corpus — the exact pinned-quantizer semantics."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.similarity.incremental import (
+        create_ivf_index,
+        ivf_topk_indexed,
+        update_ivf_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivfinc_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("vec_id",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        idx = CDCPipeline(
+            spark, os.path.join(tmp, "idx"), key_cols=("vec_id",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        feed0 = emb.select("vec_id", "embedding").withColumn(
+            "seq", F.col("vec_id").cast("long")
+        )
+        src.apply_batch(feed0, batch_id="ivfg-b0")
+        create_ivf_index(spark, src.table, idx, n_lists=8)
+        edits = (
+            feed0.where(F.pmod("vec_id", F.lit(10)) == 3)
+            .withColumn("embedding", F.transform("embedding", lambda x: -x))
+            .withColumn("seq", F.col("seq") + 100_000)
+        )
+        dels = (
+            feed0.where(F.pmod("vec_id", F.lit(17)) == 5)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("seq", F.col("seq") + 200_000)
+        )
+        src.apply_batch(edits, batch_id="ivfg-b1")
+        src.apply_batch(dels, batch_id="ivfg-b2")
+        update_ivf_index(spark, src.table, idx)
+        queries = src.current().where(F.col("vec_id") < 10).select(
+            "vec_id", "embedding"
+        )
+        out = ivf_topk_indexed(spark, idx, queries, k=5, n_probes=2)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ann_recall(spark, sf):
     """Recall@5 of the IVF ranking vs brute force
     (`similarity/evaluate.py:recall_at_k`) — the measured quality knob
@@ -2601,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
         "ann_recall": q_ann_recall,
         "shingle_profile": q_shingle_profile,
         "media_features": q_media_features,
@@ -3820,6 +3878,45 @@ def oracle_sql() -> dict[str, str]:
                   FROM e WHERE vec_id < 10),
             s AS (SELECT query_id, c.vec_id AS vec_id, round({cos}, 6) AS cos
                   FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+            r AS (SELECT query_id, vec_id AS neighbor_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+        """,
+        "ann_ivf_incremental": f"""
+            WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+              SELECT (row_number() OVER (ORDER BY h, vec_id) - 1) AS cell, v AS cv
+              FROM (SELECT vec_id, v, {h60_id} AS h FROM e0)
+              QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8
+            ),
+            e_fin AS (
+              SELECT vec_id,
+                CASE WHEN vec_id % 10 = 3 THEN list_transform(v, x -> -x)
+                     ELSE v END AS v
+              FROM e0 WHERE vec_id % 17 <> 5
+            ),
+            assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, cent.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cell_cos} DESC, cent.cell ASC)
+                         AS rn
+                FROM e_fin e CROSS JOIN cent)
+              WHERE rn = 1
+            ),
+            q AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, cent.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cell_cos} DESC, cent.cell ASC)
+                         AS rn
+                FROM e_fin e CROSS JOIN cent WHERE e.vec_id < 10)
+              WHERE rn <= 2
+            ),
+            s AS (SELECT query_id, a.vec_id AS vec_id, round({cos}, 6) AS cos
+                  FROM assign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id),
             r AS (SELECT query_id, vec_id AS neighbor_id, cos,
                          row_number() OVER (PARTITION BY query_id
                                             ORDER BY cos DESC, vec_id ASC) AS rank

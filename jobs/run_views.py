@@ -123,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain a BM25 term-vector index of the source "
                          "(similarity/incremental.py:update_bm25_index; "
                          "default text column 'content'; repeatable)")
+    ap.add_argument("--ivf-index", action="append", default=[],
+                    metavar="ROOT[:VEC_COL[:N_LISTS]]",
+                    help="maintain an IVF ANN index of the source "
+                         "(similarity/incremental.py; centroids pinned at "
+                         "first tick; default vec col 'embedding', 8 "
+                         "lists; repeatable)")
     ap.add_argument("--secondary", action="append", default=[],
                     metavar="ROOT:COL",
                     help="maintain a secondary index of the source on "
@@ -159,10 +165,11 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if not (args.agg or args.join or args.distinct or args.scd2
             or args.minhash_index or args.paragraph_index or args.bm25_index
-            or args.secondary or args.plan or args.apply_plan):
+            or args.ivf_index or args.secondary or args.plan
+            or args.apply_plan):
         ap.error("nothing to do: pass --agg, --join, --distinct, --scd2, "
                  "--minhash-index, --paragraph-index, --bm25-index, "
-                 "--secondary, --plan, and/or --apply-plan")
+                 "--ivf-index, --secondary, --plan, and/or --apply-plan")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -308,6 +315,36 @@ def main(argv: list[str] | None = None) -> int:
             source_id=f"{args.source_id}-bm",
             max_versions=args.max_versions,
         )
+
+    for spec in args.ivf_index:
+        from kf_etl_clin_portal_spark.similarity.incremental import (
+            create_ivf_index,
+            update_ivf_index,
+        )
+
+        parts = spec.rsplit("/", 1)[-1].split(":")
+        root, vec_col, n_lists = spec, "embedding", 8
+        if len(parts) >= 2:
+            root = spec[: len(spec) - len(":".join(parts[1:])) - 1]
+            vec_col = parts[1] or "embedding"
+            if len(parts) >= 3:
+                n_lists = int(parts[2])
+        ipipe = CDCPipeline(
+            spark, root, key_cols=tuple(src.key_cols),
+            num_buckets=args.view_buckets, merge_strategy="mor",
+        )
+        if SnapshotTable.exists(root):
+            report["views"][root] = update_ivf_index(
+                spark, src, ipipe, vec_col=vec_col,
+                source_id=f"{args.source_id}-ivf",
+                max_versions=args.max_versions,
+            )
+        else:
+            # first tick: pin the quantizer and build from full history
+            report["views"][root] = create_ivf_index(
+                spark, src, ipipe, n_lists=n_lists, vec_col=vec_col,
+                source_id=f"{args.source_id}-ivf",
+            )
 
     for spec in args.secondary:
         from kf_etl_clin_portal_spark.lake.secondary import (

@@ -180,3 +180,200 @@ def bm25_topk_indexed(
         .crossJoin(F.broadcast(stats))
     )
     return score_and_rank(cand, k, k1, b, query_id_col, key_cols)
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF ANN index over the change feed
+# ---------------------------------------------------------------------------
+#
+# `similarity/ivf.py:ivf_topk` derives its coarse centroids from the corpus
+# it is handed, then assigns EVERY vector per call — at 10^10 embeddings the
+# assignment pass is the cost, and it is pure waste when a poll changed
+# 0.01% of them. Here the quantizer is PINNED at index creation (the FAISS
+# discipline: train once, assign forever) in the index table's own
+# properties, and only changed vectors are (re)assigned per poll — the same
+# cursor/fence machinery as the BM25/MinHash indexes. Search probes the
+# n_probes nearest cells with an `isin` filter the parquet scan pushes down
+# (cluster the index on `cell` for file skipping), then scores exactly like
+# the batch path — so the indexed ranking is byte-identical to
+# `ivf_topk(live_corpus, queries, centroids=pinned)` after ANY poll
+# history. The reference has no vector story at all.
+
+_IVF_CENT_PROP = "ivf.centroids"  # JSON [[cell0 vec...], ...] — pinned
+_IVF_VEC_PROP = "ivf.vec_col"
+
+
+def _pinned_centroids(index_table) -> list[tuple[int, list[float]]]:
+    import json
+
+    raw = index_table.refresh().state["properties"].get(_IVF_CENT_PROP)
+    if not raw:
+        raise ValueError(
+            f"table at {index_table.root} carries no {_IVF_CENT_PROP!r} "
+            f"property — create it with create_ivf_index()"
+        )
+    return [(i, v) for i, v in enumerate(json.loads(raw))]
+
+
+def create_ivf_index(
+    spark: SparkSession,
+    src: SnapshotTable,
+    index_pipe,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    seq_col: str = "seq",
+    source_id: str = "ivfidx",
+) -> dict[str, Any]:
+    """Pin the coarse quantizer from ``src``'s CURRENT live state (the
+    deterministic smallest-h60 sample — swap in KMeans centroids by
+    writing the property yourself) and build the index with one
+    full-history poll. Centroids are a JSON table property: versioned,
+    replayable, and small (n_lists × dim doubles — a coarse quantizer, not
+    the corpus; for very large n_lists × dim store a sidecar and keep the
+    path here instead). The source must be single-column-keyed (the h60
+    sample and the self-exclusion in search key on it)."""
+    import json
+
+    from kf_etl_clin_portal_spark.lake.merge import read_live
+    from kf_etl_clin_portal_spark.similarity.ivf import _centroids
+
+    if len(src.key_cols) != 1:
+        raise ValueError(
+            f"IVF index needs a single-column source key, got {src.key_cols}"
+        )
+    if list(index_pipe.key_cols) != list(src.key_cols):
+        raise ValueError(
+            f"index key_cols {list(index_pipe.key_cols)} must equal the "
+            f"source's {list(src.key_cols)} — the index row is the doc"
+        )
+    live = read_live(spark, src, seq_col=seq_col)
+    cents = _centroids(live, src.key_cols[0], vec_col, n_lists)
+    probe = live.select(
+        *src.key_cols, F.col(seq_col),
+        F.lit(0).cast("int").alias("cell"), F.col(vec_col),
+    )
+    index_pipe.ensure_table(probe.schema)
+    index_pipe.table.set_properties({
+        _IVF_CENT_PROP: json.dumps([v for _, v in cents]),
+        _IVF_VEC_PROP: vec_col,
+    })
+    res = update_ivf_index(
+        spark, src, index_pipe, vec_col=vec_col, seq_col=seq_col,
+        source_id=source_id,
+    )
+    return {**res, "n_lists": len(cents)}
+
+
+def update_ivf_index(
+    spark: SparkSession,
+    src: SnapshotTable,
+    index_pipe,
+    vec_col: str = "embedding",
+    seq_col: str = "seq",
+    source_id: str = "ivfidx",
+    strict: bool = True,
+    max_versions: int | None = None,
+) -> dict[str, Any]:
+    """Poll ``src``'s change feed once and MERGE (cell, vector) rows for
+    the changed keys into the index — O(changed vectors): each changed
+    vector is assigned to its nearest PINNED centroid with the same JVM
+    fold as the batch path (one narrow map, no shuffle), deletions
+    tombstone. Cursor/fence semantics identical to `update_bm25_index`."""
+    from kf_etl_clin_portal_spark.lake.changes import capped_until
+    from kf_etl_clin_portal_spark.similarity.ivf import _nearest_cells
+    from kf_etl_clin_portal_spark.functions.vectors import to_double_array
+
+    if not SnapshotTable.exists(index_pipe.root):
+        raise ValueError(
+            f"no index at {index_pipe.root} — create_ivf_index() first"
+        )
+    cents = _pinned_centroids(index_pipe.table)
+    src.refresh()
+    until = src.version
+    since, epoch = mirror_cursor(index_pipe.table, source_id)
+    if max_versions is not None:
+        until = capped_until(src, since, until, max_versions)
+    if until <= since:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+
+    ch = read_changes(spark, src, since_version=since, until_version=until,
+                      strict=strict).drop(
+        CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL
+    )
+    key_cols = list(src.key_cols)
+    dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    cell = F.when(
+        dead, F.lit(None).cast("int")
+    ).otherwise(
+        _nearest_cells(to_double_array(F.col(vec_col)), cents, 1)[0].cast("int")
+    )
+    batch = ch.select(
+        *key_cols, F.col(seq_col), TOMBSTONE_COL,
+        cell.alias("cell"), F.col(vec_col),
+    )
+    res = index_pipe.apply_batch(
+        batch,
+        batch_id=f"cdf.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            "mirror_source": source_id,
+            "mirror_until": until,
+            "mirror_epoch": epoch + 1,
+        },
+    )
+    if res.skipped:
+        return {"applied": False, "since": since, "until": until, "rows": 0}
+    return {
+        "applied": True, "since": since, "until": until,
+        "rows": res.n_events, "dst_version": res.version,
+    }
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_pipe,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k served FROM THE INDEX — the corpus is never
+    touched: queries pick their ``n_probes`` nearest pinned cells, the
+    index read is filtered to exactly those inverted lists (`isin` pushed
+    to parquet; `cluster_buckets(index, ["cell"])` additionally skips
+    whole files), and scoring/tie-breaking matches `ivf_topk` operand for
+    operand — byte-identical to the batch path on the live corpus with the
+    same centroids."""
+    from pyspark.sql import Window
+
+    from kf_etl_clin_portal_spark.functions.vectors import (
+        cosine,
+        to_double_array,
+    )
+    from kf_etl_clin_portal_spark.similarity.ivf import _nearest_cells
+
+    cents = _pinned_centroids(index_pipe.table)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "__cells",
+        _nearest_cells(to_double_array(F.col("__qvec")), cents, n_probes),
+    )
+    qx = q.select("query_id", "__qvec", F.explode("__cells").alias("cell"))
+    probe_cells = sorted(
+        r["cell"] for r in qx.select("cell").distinct().collect()
+    )  # ≤ n_lists ints — bounded driver traffic
+    lists = index_pipe.current().where(F.col("cell").isin(probe_cells))
+    scored = (
+        lists.join(F.broadcast(qx), on="cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )

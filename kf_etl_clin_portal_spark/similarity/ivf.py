@@ -98,10 +98,18 @@ def ivf_topk(
     n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Approximate top-k: (query_id, neighbor_id, cos, rank), scanning only
-    each query's ``n_probes`` nearest inverted lists."""
-    cents = _centroids(corpus, id_col, vec_col, n_lists)
+    each query's ``n_probes`` nearest inverted lists. ``centroids``
+    overrides the corpus-derived sample — how a PINNED coarse quantizer
+    (e.g. `similarity/incremental.py`'s CDF-maintained index) is compared
+    against this batch path on the same cell geometry."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _centroids(corpus, id_col, vec_col, n_lists)
+    )
     cvec = to_double_array(F.col(vec_col))
     assigned = (
         corpus.withColumn("__rn", norm(cvec))

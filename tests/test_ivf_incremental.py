@@ -1,0 +1,139 @@
+"""Incremental IVF ANN index (similarity/incremental.py): pinned coarse
+quantizer in the index table's properties, assignments maintained from the
+change feed at O(changed vectors), search served from the inverted lists
+alone — byte-identical to the batch `ivf_topk` on the live corpus with the
+same centroids after every poll.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.similarity.incremental import (
+    _pinned_centroids,
+    create_ivf_index,
+    ivf_topk_indexed,
+    update_ivf_index,
+)
+from kf_etl_clin_portal_spark.similarity.ivf import ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint()
+
+
+def _pipes(spark, tmp_path):
+    src = CDCPipeline(
+        spark, str(tmp_path / "src"), key_cols=("vec_id",), num_buckets=4,
+        merge_strategy="mor",
+    )
+    idx = CDCPipeline(
+        spark, str(tmp_path / "idx"), key_cols=("vec_id",), num_buckets=4,
+        merge_strategy="mor",
+    )
+    return src, idx
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _assert_matches_batch(spark, src, idx, k=5, n_probes=2):
+    cents = _pinned_centroids(idx.table)
+    live = src.current().select("vec_id", "embedding")
+    queries = live.where(F.col("vec_id") < 10)
+    got = ivf_topk_indexed(spark, idx, queries, k=k, n_probes=n_probes)
+    want = ivf_topk(live, queries, k=k, n_probes=n_probes, centroids=cents)
+    assert _rows(got) == _rows(want)
+
+
+def test_index_tracks_batch_ivf_over_polls(spark, emb, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    feed0 = emb.select("vec_id", "embedding").withColumn(
+        "seq", F.col("vec_id").cast("long")
+    )
+    src.apply_batch(feed0, batch_id="v-b0")
+    r = create_ivf_index(spark, src.table, idx, n_lists=8)
+    assert r["applied"] and r["n_lists"] == 8
+    _assert_matches_batch(spark, src, idx)
+
+    # poll 2: edit some vectors (they must move cells), delete others
+    edits = (
+        feed0.where(F.pmod("vec_id", F.lit(10)) == 3)
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        .withColumn("seq", F.col("seq") + 100_000)
+    )
+    dels = (
+        feed0.where(F.pmod("vec_id", F.lit(17)) == 5)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.col("seq") + 200_000)
+    )
+    before = {
+        r["vec_id"]: r["cell"]
+        for r in idx.current().select("vec_id", "cell").collect()
+    }
+    src.apply_batch(edits, batch_id="v-b1")
+    src.apply_batch(dels, batch_id="v-b2")
+    r = update_ivf_index(spark, src.table, idx)
+    assert r["applied"]
+    _assert_matches_batch(spark, src, idx)
+
+    after = {
+        r["vec_id"]: r["cell"]
+        for r in idx.current().select("vec_id", "cell").collect()
+    }
+    # deletions left the index (tombstoned)
+    deleted = {r["vec_id"] for r in dels.select("vec_id").collect()}
+    assert deleted & set(before) and not (deleted & set(after))
+    # at least one negated vector landed in a different cell
+    edited = {r["vec_id"] for r in edits.select("vec_id").collect()} - deleted
+    assert any(before[v] != after[v] for v in edited)
+
+    # idle poll parks; re-offering the same source batch fences
+    assert not update_ivf_index(spark, src.table, idx)["applied"]
+    src.apply_batch(edits, batch_id="v-b1")  # fenced at the source
+    assert not update_ivf_index(spark, src.table, idx)["applied"]
+
+
+def test_search_reads_only_probed_cells(spark, emb, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    src.apply_batch(
+        emb.select("vec_id", "embedding").withColumn(
+            "seq", F.col("vec_id").cast("long")
+        ),
+        batch_id="p-b0",
+    )
+    create_ivf_index(spark, src.table, idx, n_lists=8)
+    queries = src.current().where(F.col("vec_id") == 0).select(
+        "vec_id", "embedding"
+    )
+    got = ivf_topk_indexed(spark, idx, queries, k=5, n_probes=1)
+    # with ONE probe cell, every scored candidate sits in one inverted list
+    assert got.count() > 0
+    cells = (
+        idx.current()
+        .join(got.select(F.col("neighbor_id").alias("vec_id")), on="vec_id")
+        .select("cell")
+        .distinct()
+        .count()
+    )
+    assert cells == 1
+
+
+def test_validation(spark, emb, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    feed = emb.select("vec_id", "embedding").withColumn(
+        "seq", F.col("vec_id").cast("long")
+    )
+    src.apply_batch(feed, batch_id="x-b0")
+    with pytest.raises(ValueError, match="create_ivf_index"):
+        update_ivf_index(spark, src.table, idx)
+    wrong = CDCPipeline(
+        spark, str(tmp_path / "w"), key_cols=("other",), num_buckets=4,
+        merge_strategy="mor",
+    )
+    with pytest.raises(ValueError, match="key_cols"):
+        create_ivf_index(spark, src.table, wrong)

@@ -504,6 +504,48 @@ def test_run_views_scd2_tick(tmp_path):
     assert rep2["views"][hist]["applied"] is False
 
 
+def test_run_views_ivf_tick(spark, tmp_path):
+    """--ivf-index pins the quantizer on first tick (full build) and
+    maintains assignments incrementally; a repeat tick parks."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src_pipe = CDCPipeline(
+        spark, src, key_cols=("vec_id",), num_buckets=4, merge_strategy="mor"
+    )
+    src_pipe.apply_batch(
+        emb.select("vec_id", "embedding").withColumn(
+            "seq", F.col("vec_id").cast("long")
+        ),
+        batch_id="t-b0",
+    )
+
+    def run(*cli):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_views.py"), *cli],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(lines[-1])
+
+    rep = run("--source", src, "--ivf-index", idx)
+    assert rep["views"][idx]["applied"] is True
+    assert rep["views"][idx]["n_lists"] == 8
+    rep2 = run("--source", src, "--ivf-index", idx)
+    assert rep2["views"][idx]["applied"] is False
+    idx_pipe = CDCPipeline(
+        spark, idx, key_cols=("vec_id",), num_buckets=8, merge_strategy="mor"
+    )
+    assert idx_pipe.current().count() == src_pipe.current().count()
+
+
 def test_run_purge_cli_dry_run_then_purge(spark, tmp_path):
     """Purge CLI: seed with run_replay, dry-run reports without changing
     anything, the real purge erases and a re-run with the same id fences."""
