@@ -66,6 +66,7 @@ def stream_feed_into_table(
     join_views: list[JoinViewSpec] | None = None,
     transform=None,
     source_format: str = "parquet",
+    followers: list | None = None,
 ):
     """Run the feed directory through the pipeline as a stream; returns the
     StreamingQuery (caller awaits termination). available_now=True drains
@@ -83,7 +84,19 @@ def stream_feed_into_table(
     broadcastable or pre-bucketed — the transform executes once per
     micro-batch on the hot path. Schema changes it introduces flow through
     MERGE's ordinary schema evolution; exactly-once is unaffected (the
-    epoch fence wraps the transformed batch)."""
+    epoch fence wraps the transformed batch).
+
+    ``followers``: the generic chaining hook — a list of
+    ``callable(spark, table)`` run after each micro-batch's MERGE (and
+    after views/join_views). ANY change-feed follower slots in as a
+    closure over its own destination: ``update_bm25_index`` /
+    ``update_ivf_index`` / ``update_minhash_index`` / ``maintain_scd2`` /
+    ``maintain_distinct`` / ``maintain_index`` — every one carries its own
+    durable cursor + epoch fence, so the chain stays exactly-once
+    end-to-end without the stream knowing what it is pulling: a
+    re-delivered micro-batch fences at the MERGE, a crash between MERGE
+    and follower is healed by the follower's next poll (here, the next
+    micro-batch)."""
     if source_format not in ("parquet", "text"):
         raise ValueError(f"unknown source_format={source_format!r}")
     reader = spark.readStream.schema(feed_schema).option(
@@ -131,6 +144,8 @@ def stream_feed_into_table(
                     jv.on,
                     source_id=jv.source_id,
                 )
+        for fn in followers or []:
+            fn(spark, pipeline.table)
 
     writer = reader.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

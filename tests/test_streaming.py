@@ -253,3 +253,88 @@ def test_stream_maintains_join_view(spark, tmp_path):
     nulled = view.current().where(F.col("lang") == langs[1])
     if nulled.count():
         assert nulled.where(F.col("rating").isNotNull()).count() == 0
+
+
+def test_stream_chains_generic_followers(spark, tmp_path):
+    """The generic `followers` hook: a distinct support table and a BM25
+    term-vector index ride every micro-batch as plain closures, each on its
+    own cursor/fence — after the drain both equal their from-scratch
+    recomputes, and a re-stream with a FRESH checkpoint fences everything
+    (no state moves)."""
+    from kf_etl_clin_portal_spark.dedup.incremental import update_minhash_index
+    from kf_etl_clin_portal_spark.dedup.minhash import minhash_signatures
+    from kf_etl_clin_portal_spark.lake.ivm import (
+        distinct_view,
+        maintain_distinct,
+    )
+
+    events = generate_change_events(spark, 3_000, seed=29)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, events, feed_dir, n_files=3)
+
+    pipe = CDCPipeline(spark, str(tmp_path / "tbl"), num_buckets=4,
+                       merge_strategy="mor")
+    nd = CDCPipeline(spark, str(tmp_path / "nd"), key_cols=("lang", "v"),
+                     num_buckets=2, merge_strategy="mor")
+    mh = CDCPipeline(spark, str(tmp_path / "mh"), num_buckets=4)
+    followers = [
+        lambda s, t: maintain_distinct(s, t, nd, ["lang"], "length(content)",
+                                       source_id="f-nd"),
+        lambda s, t: update_minhash_index(s, t, mh, source_id="f-mh"),
+    ]
+    schema = spark.read.parquet(feed_dir).schema
+    q = stream_feed_into_table(
+        spark, feed_dir, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt"), stream_id="fchain",
+        max_files_per_trigger=1, followers=followers,
+    )
+    q.awaitTermination(300)
+
+    got_nd = {
+        r["lang"]: (r["nd_v"], r["min_v"], r["max_v"])
+        for r in distinct_view(nd).collect()
+    }
+    want_nd = {
+        r["lang"]: (r["nd"], r["mn"], r["mx"])
+        for r in pipe.current()
+        .select("lang", F.expr("length(content)").alias("x"))
+        .groupBy("lang")
+        .agg(F.countDistinct("x").cast("long").alias("nd"),
+             F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    assert got_nd == want_nd and got_nd
+
+    got_mh = {
+        (r["repo"], r["path"], tuple(r["signature"]))
+        for r in mh.current().select("repo", "path", "signature").collect()
+    }
+    want_mh = {
+        (r["repo"], r["path"], tuple(r["signature"]))
+        for r in minhash_signatures(
+            pipe.current().withColumn(
+                "doc_key", F.concat("repo", F.lit("#"), "path")
+            ),
+            text_col="content", id_col="doc_key",
+        ).join(
+            pipe.current().select(
+                "repo", "path",
+                F.concat("repo", F.lit("#"), "path").alias("doc_key"),
+            ),
+            on="doc_key",
+        ).collect()
+    }
+    assert got_mh == want_mh and got_mh
+
+    # fresh checkpoint, same feed, same stream_id: MERGE fences every
+    # micro-batch, follower cursors park — nothing moves anywhere
+    vs = (pipe.table.refresh().version, nd.table.refresh().version,
+          mh.table.refresh().version)
+    q2 = stream_feed_into_table(
+        spark, feed_dir, schema, pipe,
+        checkpoint_dir=str(tmp_path / "ckpt2"), stream_id="fchain",
+        max_files_per_trigger=1, followers=followers,
+    )
+    q2.awaitTermination(300)
+    assert vs == (pipe.table.refresh().version, nd.table.refresh().version,
+                  mh.table.refresh().version)
