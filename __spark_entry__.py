@@ -898,6 +898,59 @@ def q_minhash_lsh_pairs(spark, sf):
     return minhash_near_dups(_t(spark, sf, "documents"), min_agreement=0.3)
 
 
+def q_doc_clean_corpus(spark, sf):
+    """Incremental corpus curation (`dedup/clean_corpus.py`) END-TO-END:
+    the documents table ingests as a CDC source and ONE curation poll
+    judges every doc — quality gate (length ≥ 120), exact dedup via the
+    fingerprint ownership index (min doc_id per fingerprint in-poll),
+    near-dup rejection via the MinHash index (a candidate loses to any
+    smaller-key candidate with signature agreement ≥ 0.5; the bucket
+    guard counts over the FULL index). The oracle recomposes all three
+    stages from the already-gated fingerprint and MinHash SQL replicas."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.dedup.clean_corpus import maintain_clean_corpus
+
+    docs = _t(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="clean_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("doc_id",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        clean = CDCPipeline(
+            spark, os.path.join(tmp, "clean"), key_cols=("doc_id",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        fp = CDCPipeline(
+            spark, os.path.join(tmp, "fp"), key_cols=("h",), num_buckets=4,
+        )
+        mh = CDCPipeline(
+            spark, os.path.join(tmp, "mh"), key_cols=("doc_id",),
+            num_buckets=4,
+        )
+        src.apply_batch(
+            docs.select(
+                "doc_id",
+                F.col("doc_id").cast("long").alias("seq"),
+                F.col("text").alias("content"),
+            ),
+            batch_id="cc-b0",
+        )
+        maintain_clean_corpus(
+            spark, src.table, clean, fp, mh,
+            quality_expr="length(content) >= 120", min_jaccard=0.5,
+        )
+        out = clean.current().select(
+            "doc_id", F.length("content").cast("long").alias("n_chars")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=3)
@@ -2656,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_hist": q_event_value_hist,
         "doc_sequences": q_doc_sequences,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "doc_clean_corpus": q_doc_clean_corpus,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_incremental": q_ann_ivf_incremental,
@@ -3848,6 +3902,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shingle_profile": f"""
             SELECT doc_id, len({sh})::BIGINT AS n_shingles FROM documents
+        """,
+        "doc_clean_corpus": f"""
+            WITH q AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 120
+            ),
+            fpx AS (
+              SELECT doc_id, text,
+                     {OSQL.fingerprint_sql('text')} AS fp
+              FROM q
+            ),
+            ex AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM fpx)
+              WHERE rn = 1
+            ),
+            sh AS (SELECT doc_id, {sh} AS shingles FROM documents),
+            sig AS (SELECT doc_id, {sig_list} AS sig FROM sh),
+            banded AS (SELECT doc_id, unnest({band_keys}) AS band_key FROM sig),
+            pruned AS (
+              SELECT doc_id, band_key FROM (
+                SELECT doc_id, band_key,
+                       count(*) OVER (PARTITION BY band_key) AS n
+                FROM banded)
+              WHERE n > 1 AND n <= 50
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pruned a JOIN pruned b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            nd AS (
+              SELECT c.id_a, c.id_b FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b
+              WHERE {agree} >= 0.5
+            ),
+            rej AS (
+              SELECT nd.id_b AS doc_id FROM nd
+              JOIN ex a ON a.doc_id = nd.id_a
+              JOIN ex b ON b.doc_id = nd.id_b
+            )
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM rej)
         """,
         "minhash_lsh_pairs": f"""
             WITH sh AS (SELECT doc_id, {sh} AS shingles FROM documents),

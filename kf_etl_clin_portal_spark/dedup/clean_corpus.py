@@ -1,0 +1,215 @@
+"""Incremental corpus curation: a CLEAN training-data table that follows
+the raw feed at O(changed docs) per poll.
+
+`operators/curate.py:curate_corpus` is the batch composite — quality gate
+→ exact dedup → LSH near-dup removal — and at 100 TB it re-reads the
+world every run. This module keeps the same decisions *incremental*: one
+poll reads only the changed documents, consults two compact indexes it
+maintains alongside (a fingerprint OWNERSHIP index for exact dedup, the
+MinHash signature index for near-dup candidates), and MERGEs verdicts
+into the clean table — accepted docs upsert, everything else tombstones.
+Exactly-once via the standard mirror cursor (in the clean table's own
+lineage) + epoch fence.
+
+Streaming-dedup conventions, stated honestly (the same first-seen
+discipline as `incremental.py`'s paragraph index):
+
+- **Exact dedup is first-ever-seen-wins.** A fingerprint once claimed
+  stays claimed even if its owner is later edited away or deleted —
+  exact min-id-over-live ownership would need O(corpus) posting state and
+  reassignment storms. Within one poll, ties break to the smallest key.
+- **Near-dup is first-accepted-wins.** A changed doc colliding
+  (est_jaccard ≥ threshold) with any doc already LIVE in the clean table
+  is rejected; two colliding docs inside one poll keep the smaller key.
+  A doc rejected because of a blocker is NOT resurrected when the blocker
+  later disappears (it re-enters only when it itself changes) — the
+  trade every streaming dedup makes.
+- Deletes in the source delete from the clean table; an edit is
+  re-judged from scratch (a clean doc edited into a near-dup of another
+  clean doc drops out).
+
+Invariants the tests hold after EVERY poll: no two live clean docs share
+a fingerprint; every live clean doc passes the quality predicate; no two
+live clean docs are LSH-near-dups of each other.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.dedup.incremental import (
+    neardup_pairs_for_changed,
+    update_minhash_index,
+)
+from kf_etl_clin_portal_spark.functions.hashing import h60
+from kf_etl_clin_portal_spark.functions.text import fingerprint
+from kf_etl_clin_portal_spark.lake.changes import (
+    CHANGE_OP_COL,
+    CHANGE_TS_COL,
+    CHANGE_VERSION_COL,
+    mirror_cursor,
+    read_changes,
+)
+from kf_etl_clin_portal_spark.lake.merge import TOMBSTONE_COL, _order_expr
+from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+
+def _latest_per_key(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(row, _order_expr(seq_col, df.schema)).alias("__row"))
+        .select(F.col("__row.*"))
+    )
+
+
+def maintain_clean_corpus(
+    spark: SparkSession,
+    src: SnapshotTable,
+    clean_pipe,
+    fp_pipe,
+    mh_pipe,
+    text_col: str = "content",
+    quality_expr: str = "length(content) >= 40",
+    min_jaccard: float = 0.7,
+    seq_col: str = "seq",
+    source_id: str = "curate",
+    strict: bool = True,
+) -> dict[str, Any]:
+    """One curation poll. ``clean_pipe`` must be keyed like the source;
+    ``fp_pipe`` is the fingerprint ownership index (keyed ``("h",)``);
+    ``mh_pipe`` the MinHash signature index (keyed like the source, its
+    own cursor — maintained in here so both indexes and the verdicts
+    cover the same version range). Returns per-verdict counts."""
+    key_cols = list(src.key_cols)
+    if list(clean_pipe.key_cols) != key_cols:
+        raise ValueError(
+            f"clean table key_cols {list(clean_pipe.key_cols)} must equal "
+            f"the source's {key_cols}"
+        )
+    if list(fp_pipe.key_cols) != ["h"]:
+        raise ValueError("fingerprint index must be keyed ('h',)")
+
+    src.refresh()
+    until = src.version
+    since, epoch = (
+        mirror_cursor(clean_pipe.table, source_id)
+        if SnapshotTable.exists(clean_pipe.root)
+        else (0, -1)
+    )
+    if until <= since:
+        return {"applied": False, "since": since, "until": until}
+
+    # the signature index advances to the same head first, so near-dup
+    # candidates for this range see every doc the verdicts can see
+    update_minhash_index(spark, src, mh_pipe, text_col=text_col,
+                         source_id=f"{source_id}-mh", strict=strict)
+
+    ch = read_changes(spark, src, since_version=since, until_version=until,
+                      strict=strict).drop(
+        CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL
+    )
+    # in-range winner per key — the doc version this poll judges
+    changed = _latest_per_key(ch, key_cols, seq_col).localCheckpoint()
+
+    dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    deletes = changed.where(dead).select(*key_cols, seq_col)
+    live = changed.where(~dead)
+    passing = live.where(F.expr(quality_expr))
+    failing = live.where(~F.coalesce(F.expr(quality_expr), F.lit(False)))
+
+    # ---- exact dedup: claim fingerprints (first-seen; min-key in-poll) --
+    with_h = passing.withColumn("h", h60(fingerprint(F.col(text_col))))
+    owner_struct = F.struct(*[F.col(c) for c in key_cols])
+    claims = (
+        with_h.groupBy("h")
+        .agg(F.min(owner_struct).alias("__o"))
+        .select("h", F.col("__o.*"))
+        # earlier polls hold HIGHER seq — first-ever-seen wins through the
+        # ordinary max-seq MERGE (the paragraph-index trick)
+        .withColumn(seq_col, F.lit(-until).cast("long"))
+    )
+    fp_pipe.apply_batch(claims, batch_id=f"fp.{source_id}-b{epoch + 1:05d}")
+
+    # a doc survives exact dedup iff it owns its own fingerprint
+    from kf_etl_clin_portal_spark.lake.spj import pruned_dim_join
+
+    owners = pruned_dim_join(
+        spark, fp_pipe.table, with_h.select("h").distinct(),
+        on={"h": "h"}, how="inner",
+    ).select(
+        "h", *[F.col(c).alias(f"__own_{c}") for c in key_cols]
+    )
+    judged = with_h.join(owners, on="h", how="left")
+    owns = F.lit(True)
+    for c in key_cols:
+        owns = owns & F.col(c).eqNullSafe(F.col(f"__own_{c}"))
+    exact_ok = judged.where(owns).drop(*[f"__own_{c}" for c in key_cols])
+    exact_dup = judged.where(~owns).select(*key_cols, seq_col)
+
+    # ---- near-dup vs the index (clean members + this poll's candidates) -
+    cand = exact_ok.localCheckpoint()
+    pairs = neardup_pairs_for_changed(
+        spark, mh_pipe, cand.select(*key_cols), min_jaccard=min_jaccard
+    )
+    clean_live = (
+        clean_pipe.current().select(*key_cols)
+        if SnapshotTable.exists(clean_pipe.root)
+        else spark.createDataFrame([], cand.select(*key_cols).schema)
+    )
+    other_keys = [f"other_{c}" for c in key_cols]
+    # blocker 1: the other side is already live in the clean table
+    vs_clean = pairs.join(
+        clean_live.select(*[F.col(c).alias(o) for c, o in zip(key_cols, other_keys)]),
+        on=other_keys, how="left_semi",
+    ).select(*key_cols)
+    # blocker 2: the other side is a candidate in THIS poll with a smaller
+    # key (deterministic in-poll tie-break; both directions are in `pairs`)
+    in_poll = pairs.join(
+        cand.select(*[F.col(c).alias(o) for c, o in zip(key_cols, other_keys)]),
+        on=other_keys, how="left_semi",
+    ).where(
+        F.struct(*[F.col(o) for o in other_keys])
+        < F.struct(*[F.col(c) for c in key_cols])
+    ).select(*key_cols)
+    near_rej_keys = vs_clean.unionByName(in_poll).distinct().localCheckpoint()
+
+    accepted = cand.join(near_rej_keys, on=key_cols, how="left_anti").drop("h")
+    near_dup = cand.join(near_rej_keys, on=key_cols, how="left_semi").select(
+        *key_cols, seq_col
+    )
+
+    # ---- verdict MERGE: accepts upsert, everything else tombstones ------
+    def tomb(df: DataFrame) -> DataFrame:
+        return df.withColumn("op", F.lit("delete"))
+
+    rejects = tomb(deletes).unionByName(tomb(failing.select(*key_cols, seq_col))) \
+        .unionByName(tomb(exact_dup)).unionByName(tomb(near_dup))
+    batch = accepted.withColumn("op", F.lit("upsert")).unionByName(
+        rejects, allowMissingColumns=True
+    )
+    counts = {
+        "accepted": accepted.count(),
+        "rejected_quality": failing.count(),
+        "rejected_exact": exact_dup.count(),
+        "rejected_neardup": near_dup.count(),
+        "deleted": deletes.count(),
+    }
+    res = clean_pipe.apply_batch(
+        batch,
+        batch_id=f"cur.{source_id}-b{epoch + 1:05d}",
+        extra_lineage={
+            "mirror_source": source_id,
+            "mirror_until": until,
+            "mirror_epoch": epoch + 1,
+        },
+    )
+    if res.skipped:
+        return {"applied": False, "since": since, "until": until}
+    return {
+        "applied": True, "since": since, "until": until,
+        "dst_version": res.version, "epoch": epoch + 1, **counts,
+    }

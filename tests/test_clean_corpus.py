@@ -1,0 +1,150 @@
+"""Incremental corpus curation (dedup/clean_corpus.py): the clean table
+follows the raw feed at O(changed docs); after EVERY poll the invariants
+hold — no two live clean docs share a fingerprint, every clean doc passes
+the quality predicate, no two clean docs are LSH-near-dups.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.dedup.clean_corpus import maintain_clean_corpus
+from kf_etl_clin_portal_spark.functions.hashing import h60
+from kf_etl_clin_portal_spark.functions.text import fingerprint
+
+QUALITY = "length(content) >= 40"
+
+LONG_A = "the quick brown fox jumps over the lazy dog near the wide river bank today"
+LONG_B = "import numpy as np and pandas as pd to build the whole data pipeline module"
+LONG_C = "select repo path commit lang content from the events table where seq is max"
+NEAR_A = LONG_A.replace("today", "again")  # near-dup of LONG_A
+
+
+def _pipes(spark, tmp_path):
+    src = CDCPipeline(spark, str(tmp_path / "src"), key_cols=("doc_id",),
+                      num_buckets=2, merge_strategy="mor")
+    clean = CDCPipeline(spark, str(tmp_path / "clean"), key_cols=("doc_id",),
+                        num_buckets=2, merge_strategy="mor")
+    fp = CDCPipeline(spark, str(tmp_path / "fp"), key_cols=("h",),
+                     num_buckets=2)
+    mh = CDCPipeline(spark, str(tmp_path / "mh"), key_cols=("doc_id",),
+                     num_buckets=2)
+    return src, clean, fp, mh
+
+
+def _feed(spark, rows):
+    data = [
+        (seq, "delete" if text is None else "upsert", doc_id, text)
+        for seq, doc_id, text in rows
+    ]
+    return spark.createDataFrame(
+        data, "seq long, op string, doc_id long, content string"
+    )
+
+
+def _assert_invariants(spark, clean, min_jaccard=0.5):
+    from kf_etl_clin_portal_spark.dedup.minhash import minhash_near_dups
+
+    cur = clean.current().localCheckpoint()
+    n = cur.count()
+    # 1. fingerprint-distinct
+    assert cur.select(
+        h60(fingerprint(F.col("content")))
+    ).distinct().count() == n
+    # 2. quality holds
+    assert cur.where(~F.expr(QUALITY)).count() == 0
+    # 3. no LSH near-dup pair inside the clean set
+    if n > 1:
+        pairs = minhash_near_dups(
+            cur, text_col="content", id_col="doc_id",
+            min_agreement=min_jaccard,
+        )
+        assert pairs.count() == 0
+
+
+def test_quality_exact_and_near_dedup_first_poll(spark, tmp_path):
+    src, clean, fp, mh = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [
+        (1, 1, LONG_A),
+        (2, 2, "short junk"),          # fails quality
+        (3, 3, LONG_A),                # exact dup of doc 1 → rejected
+        (4, 4, NEAR_A),                # near-dup of doc 1 → rejected
+        (5, 5, LONG_B),                # unique → accepted
+    ]), batch_id="b0")
+    r = maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                              quality_expr=QUALITY, min_jaccard=0.5)
+    assert r["applied"]
+    assert r["accepted"] == 2 and r["rejected_quality"] == 1
+    assert r["rejected_exact"] == 1 and r["rejected_neardup"] == 1
+    assert {x["doc_id"] for x in clean.current().collect()} == {1, 5}
+    _assert_invariants(spark, clean)
+    # idle poll parks
+    assert not maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                                     quality_expr=QUALITY)["applied"]
+
+
+def test_edits_deletes_and_reentry(spark, tmp_path):
+    src, clean, fp, mh = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [
+        (1, 1, LONG_A), (2, 2, LONG_B), (3, 3, LONG_A),  # 3 = exact dup
+    ]), batch_id="b0")
+    maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                          quality_expr=QUALITY, min_jaccard=0.5)
+    assert {x["doc_id"] for x in clean.current().collect()} == {1, 2}
+
+    # poll 2: doc 2 edited to junk → drops; doc 1 deleted → drops;
+    # doc 3 edited to unique content → re-enters; doc 6 fresh → accepted
+    src.apply_batch(_feed(spark, [
+        (10, 2, "now junk"),
+        (11, 1, None),
+        (12, 3, LONG_C),
+        (13, 6, LONG_B + " with an extra unique suffix sentence attached"),
+    ]), batch_id="b1")
+    r = maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                              quality_expr=QUALITY, min_jaccard=0.5)
+    assert r["deleted"] == 1 and r["rejected_quality"] == 1
+    got = {x["doc_id"] for x in clean.current().collect()}
+    assert 1 not in got and 2 not in got and 3 in got
+    _assert_invariants(spark, clean)
+
+    # poll 3: edit a clean doc into a near-dup of another clean doc → it
+    # drops out (re-judged from scratch)
+    keep, move = sorted(got)[0], sorted(got)[1]
+    text_keep = clean.current().where(F.col("doc_id") == keep).collect()[0]["content"]
+    src.apply_batch(_feed(spark, [
+        (20, move, text_keep.replace(text_keep.split()[0], "zzz", 1)),
+    ]), batch_id="b2")
+    r = maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                              quality_expr=QUALITY, min_jaccard=0.5)
+    assert r["rejected_neardup"] == 1
+    got2 = {x["doc_id"] for x in clean.current().collect()}
+    assert keep in got2 and move not in got2
+    _assert_invariants(spark, clean)
+
+
+def test_first_seen_claims_persist(spark, tmp_path):
+    """Streaming convention: a fingerprint once claimed stays claimed —
+    a later doc with the departed owner's old text is still rejected."""
+    src, clean, fp, mh = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [(1, 1, LONG_A)]), batch_id="b0")
+    maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                          quality_expr=QUALITY, min_jaccard=0.5)
+    src.apply_batch(_feed(spark, [(10, 1, None)]), batch_id="b1")
+    maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                          quality_expr=QUALITY, min_jaccard=0.5)
+    assert clean.current().count() == 0
+    src.apply_batch(_feed(spark, [(20, 7, LONG_A)]), batch_id="b2")
+    r = maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                              quality_expr=QUALITY, min_jaccard=0.5)
+    assert r["rejected_exact"] == 1 and clean.current().count() == 0
+
+
+def test_validation(spark, tmp_path):
+    src, clean, fp, mh = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [(1, 1, LONG_A)]), batch_id="b0")
+    wrong = CDCPipeline(spark, str(tmp_path / "w"), key_cols=("other",),
+                        num_buckets=2, merge_strategy="mor")
+    with pytest.raises(ValueError, match="key_cols"):
+        maintain_clean_corpus(spark, src.table, wrong, fp, mh)
+    with pytest.raises(ValueError, match="keyed"):
+        maintain_clean_corpus(spark, src.table, clean, clean, mh)
