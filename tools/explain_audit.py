@@ -319,6 +319,61 @@ def main():
 
         _sh.rmtree(ptmp, ignore_errors=True)
 
+    # 8i. incremental IVF search: the probed query cells are BROADCAST into
+    # the inverted-list read and the index is never shuffled before the
+    # per-query top-k window (one hash exchange on query_id, nothing else
+    # wide; never a nested-loop join)
+    import tempfile as _tf
+
+    itmp = _tf.mkdtemp(prefix="audit_ivf_")
+    try:
+        from kf_etl_clin_portal_spark.similarity.incremental import (
+            create_ivf_index,
+            ivf_topk_indexed,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        isrc = CDCPipeline(spark, os.path.join(itmp, "src"),
+                           key_cols=("vec_id",), num_buckets=4,
+                           merge_strategy="mor")
+        isrc.apply_batch(
+            emb.select("vec_id", "embedding").withColumn(
+                "seq", F.col("vec_id").cast("long")
+            ),
+            batch_id="a-b0",
+        )
+        iidx = CDCPipeline(spark, os.path.join(itmp, "idx"),
+                           key_cols=("vec_id",), num_buckets=4,
+                           merge_strategy="mor")
+        create_ivf_index(spark, isrc.table, iidx, n_lists=8)
+        # production posture: a compacted index reads shuffle-free (the
+        # all-base fast path); queries arrive as an external frame. An
+        # uncompacted index legitimately pays ONE extra hash exchange for
+        # MoR winner resolution until the next compaction tick.
+        iidx.compact()
+        queries = isrc.current().where(F.col("vec_id") < 5).select(
+            "vec_id", "embedding"
+        ).localCheckpoint()
+        iq = ivf_topk_indexed(spark, iidx, queries)
+        p = plan_of(iq)
+        if "BroadcastHashJoin" not in p:
+            problems.append("ivf_topk_indexed: probe join not broadcast")
+        if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+            problems.append("ivf_topk_indexed: nested-loop/cartesian join")
+        n_ex = count_exchanges(p)
+        if n_ex > 1:
+            problems.append(
+                f"ivf_topk_indexed: {n_ex} wide exchanges (expected 1: the "
+                f"top-k window hash on query_id)"
+            )
+        print("== incremental IVF search ==")
+        print("\n".join(l for l in p.splitlines()
+                        if "Join" in l or "Exchange" in l))
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(itmp, ignore_errors=True)
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
