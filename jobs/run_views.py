@@ -391,6 +391,18 @@ def main(argv: list[str] | None = None) -> int:
                 r = src.expire_snapshots(keep_last=10)
                 applied.append({"action": act,
                                 "result": r["files_deleted"]})
+            elif act == "retention_delete":
+                # the retention.min_seq property IS the operator's policy
+                # declaration — executing it is safe; the delete tombstones
+                # expired rows (vacuum reclaims them later with a watermark)
+                from pyspark.sql import functions as F
+
+                from kf_etl_clin_portal_spark.lake.dml import delete_where
+
+                r = delete_where(spark, src, F.expr(rec["predicate"]))
+                applied.append({"action": act,
+                                "result": {"rows_deleted": r.n_matched,
+                                           "predicate": rec["predicate"]}})
             elif act == "vacuum_tombstones":
                 if args.vacuum_watermark is None:
                     applied.append({"action": act, "skipped":

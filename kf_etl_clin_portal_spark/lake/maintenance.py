@@ -141,6 +141,35 @@ def plan_maintenance(
             "num_buckets": n_buckets,
         })
 
+    # TTL retention: `retention.min_seq` is the operator's DECLARED
+    # watermark (set via set_properties — the policy decision stays
+    # human); live rows with seq below it are past retention. Evidence is
+    # manifest-only and provable: a file whose seq zone map starts below
+    # the watermark AND whose tombstone zone proves all-live certainly
+    # holds expired live rows. After the delete those rows are dead, the
+    # all-live proof drops, and the recommendation clears — no churn.
+    wm = st["properties"].get("retention.min_seq")
+    if wm is not None:
+        wm = int(wm)
+        hits = []
+        for f in files:
+            zs = f.get("stats") or {}
+            sz, tz = zs.get("seq"), zs.get("is_deleted")
+            if (
+                sz is not None and sz[0] is not None and sz[0] < wm
+                and tz == [False, False]
+            ):
+                hits.append(f["bucket"])
+        if hits:
+            recs.append({
+                "action": "retention_delete",
+                "reason": "rows past the declared retention watermark",
+                "watermark": wm,
+                "predicate": f"seq < {wm}",
+                "files_affected": len(hits),
+                "buckets": sorted(set(hits)),
+            })
+
     # what expire_snapshots(keep_last) would actually raise the floor to:
     # versions below (version - keep_last + 1) that are above the current
     # expire_below floor and not pinned by a ref. Matching the verb's own

@@ -476,6 +476,18 @@ def test_run_views_apply_plan(tmp_path):
     assert [r for r in rep2["maintenance"]
             if r["action"] == "compact_deltas"] == []
 
+    # declare a TTL watermark → the next apply-plan executes the
+    # retention delete; the plan after that is retention-clean
+    from kf_etl_clin_portal_spark.lake.table import SnapshotTable
+
+    SnapshotTable(src).refresh().set_properties({"retention.min_seq": "1000"})
+    rep3 = run("run_views.py", "--source", src, "--apply-plan")
+    acts3 = {a["action"]: a for a in rep3["maintenance_applied"]}
+    assert acts3["retention_delete"]["result"]["rows_deleted"] > 0
+    rep4 = run("run_views.py", "--source", src, "--plan")
+    assert [r for r in rep4["maintenance"]
+            if r["action"] == "retention_delete"] == []
+
 
 def test_run_views_scd2_tick(tmp_path):
     """--scd2 maintains a Type-2 history view on the tick; a repeat tick

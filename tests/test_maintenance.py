@@ -81,3 +81,30 @@ def test_small_files_recommend_bucket_compaction(spark, tmp_path):
     assert recs[0]["buckets"] == [0] and recs[0]["worst_files"] == 4
     compact_buckets(spark, t)
     assert plan_maintenance(t, max_files_per_bucket=3, keep_last=10) == []
+
+
+def test_retention_watermark_recommends_delete_then_clears(spark, tmp_path):
+    """`retention.min_seq` TTL: provably-live files below the watermark
+    fire retention_delete with the predicate as evidence; running the
+    delete (rows become tombstones, the all-live proof drops) clears it
+    without churn, and the expired rows are really gone from live state."""
+    pipe = CDCPipeline(spark, str(tmp_path / "r"), num_buckets=4)
+    feed = generate_change_events(spark, 2000, seed=9, delete_frac=0.0)
+    pipe.apply_batch(feed, batch_id="b0")
+    assert pipe.plan_maintenance() == []  # no watermark declared → silent
+
+    wm = 500
+    pipe.table.set_properties({"retention.min_seq": str(wm)})
+    recs = pipe.plan_maintenance()
+    acts = _actions(recs)
+    assert "retention_delete" in acts
+    rec = recs[acts.index("retention_delete")]
+    assert rec["predicate"] == f"seq < {wm}" and rec["files_affected"] > 0
+
+    n_expired = pipe.current().where(F.col("seq") < wm).count()
+    assert n_expired > 0
+    pipe.delete_where(F.expr(rec["predicate"]))
+    assert pipe.current().where(F.col("seq") < wm).count() == 0
+    # cleared: the rewritten files carry dead rows, the all-live proof is
+    # gone, and the recommendation must NOT re-fire forever
+    assert "retention_delete" not in _actions(pipe.plan_maintenance())
