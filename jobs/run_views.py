@@ -123,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain a BM25 term-vector index of the source "
                          "(similarity/incremental.py:update_bm25_index; "
                          "default text column 'content'; repeatable)")
+    ap.add_argument("--clean-corpus", action="append", default=[],
+                    metavar="CLEAN:FP:MH[@QUALITY_EXPR]",
+                    help="incremental corpus curation "
+                         "(dedup/clean_corpus.py): clean-table root, "
+                         "fingerprint-index root, minhash-index root, "
+                         "optional SQL quality predicate after '@' "
+                         "(default \"length(content) >= 40\"; repeatable)")
     ap.add_argument("--ivf-index", action="append", default=[],
                     metavar="ROOT[:VEC_COL[:N_LISTS]]",
                     help="maintain an IVF ANN index of the source "
@@ -165,11 +172,12 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if not (args.agg or args.join or args.distinct or args.scd2
             or args.minhash_index or args.paragraph_index or args.bm25_index
-            or args.ivf_index or args.secondary or args.plan
-            or args.apply_plan):
+            or args.ivf_index or args.clean_corpus or args.secondary
+            or args.plan or args.apply_plan):
         ap.error("nothing to do: pass --agg, --join, --distinct, --scd2, "
                  "--minhash-index, --paragraph-index, --bm25-index, "
-                 "--ivf-index, --secondary, --plan, and/or --apply-plan")
+                 "--ivf-index, --clean-corpus, --secondary, --plan, "
+                 "and/or --apply-plan")
 
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
     from kf_etl_clin_portal_spark.lake.table import SnapshotTable
@@ -315,6 +323,39 @@ def main(argv: list[str] | None = None) -> int:
             source_id=f"{args.source_id}-bm",
             max_versions=args.max_versions,
         )
+
+    for spec in args.clean_corpus:
+        from kf_etl_clin_portal_spark.dedup.clean_corpus import (
+            maintain_clean_corpus,
+        )
+
+        quality = "length(content) >= 40"
+        at = _sep_at(spec)
+        if at != -1:
+            spec, quality = spec[:at], spec[at + 1:]
+        parts = spec.split(":")
+        if len(parts) != 3 or not all(parts):
+            ap.error(f"--clean-corpus needs CLEAN:FP:MH[@QUALITY], got {spec!r}")
+        clean_root, fp_root, mh_root = parts
+        clean = CDCPipeline(
+            spark, clean_root, key_cols=tuple(src.key_cols),
+            num_buckets=args.view_buckets, merge_strategy="mor",
+        )
+        fpp = CDCPipeline(
+            spark, fp_root, key_cols=("h",), num_buckets=args.view_buckets,
+        )
+        mhp = CDCPipeline(
+            spark, mh_root, key_cols=tuple(src.key_cols),
+            num_buckets=args.view_buckets,
+        )
+        report["views"][clean_root] = maintain_clean_corpus(
+            spark, src, clean, fpp, mhp, quality_expr=quality,
+            source_id=f"{args.source_id}-cc",
+        )
+        if args.auto_compact is not None and SnapshotTable.exists(clean_root):
+            report["views"][clean_root]["compacted_buckets"] = (
+                clean.maybe_compact(max_delta_ratio=args.auto_compact)
+            )
 
     for spec in args.ivf_index:
         from kf_etl_clin_portal_spark.similarity.incremental import (

@@ -594,3 +594,48 @@ def test_run_purge_cli_dry_run_then_purge(spark, tmp_path):
                 "--where", "repo = 'repo_0001'", "--fence-seq",
                 str(ev["fence_seq"]))
     assert again["rows_purged"] == 0  # nothing live; fence batch fences
+
+
+def test_run_views_clean_corpus_tick(spark, tmp_path):
+    """--clean-corpus runs one curation poll on the tick; the clean table
+    holds the quality+dedup survivors; a repeat tick parks."""
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_MASTER"] = "local[4]"
+    env["SPARK_GRAFT_SHUFFLE"] = "4"
+    src = str(tmp_path / "src")
+    clean, fp, mh = (str(tmp_path / x) for x in ("clean", "fp", "mh"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_pipe = CDCPipeline(spark, src, key_cols=("doc_id",), num_buckets=4,
+                           merge_strategy="mor")
+    src_pipe.apply_batch(
+        docs.select(
+            "doc_id", F.col("doc_id").cast("long").alias("seq"),
+            F.col("text").alias("content"),
+        ),
+        batch_id="t-b0",
+    )
+
+    def run(*cli):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_views.py"), *cli],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(lines[-1])
+
+    spec = f"{clean}:{fp}:{mh}@length(content) >= 120"
+    rep = run("--source", src, "--clean-corpus", spec)
+    r = rep["views"][clean]
+    assert r["applied"] is True and r["accepted"] > 0
+    clean_pipe = CDCPipeline(spark, clean, key_cols=("doc_id",),
+                             num_buckets=8, merge_strategy="mor")
+    n = clean_pipe.current().count()
+    assert 0 < n < src_pipe.current().count()
+    assert clean_pipe.current().where("length(content) < 120").count() == 0
+    rep2 = run("--source", src, "--clean-corpus", spec)
+    assert rep2["views"][clean]["applied"] is False
