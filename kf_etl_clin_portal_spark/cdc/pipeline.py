@@ -399,6 +399,15 @@ class CDCPipeline:
 
         return plan_maintenance(self.table, **kw)
 
+    def estimate(self, where: str, version: int | None = None) -> dict:
+        """Metadata-only cardinality bounds for a predicate — `lower <=
+        count(live rows matching where) <= upper` from the manifest alone
+        (see `lake/scan.py:estimate_rows`; the only job is the tiny
+        literal-hash probe when key equalities allow bucket pruning)."""
+        from kf_etl_clin_portal_spark.lake.scan import estimate_rows
+
+        return estimate_rows(self.spark, self.table, where, version=version)
+
     def compact(self, min_delta_files: int = 1, strategy: str = "shuffle") -> int:
         """Fold MoR delta files into base (read-path maintenance).
         strategy: "shuffle" (default; fastest measured — see

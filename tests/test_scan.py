@@ -230,3 +230,14 @@ def test_estimate_rows_mor_and_tombstones_break_proof_not_bound(
     pipe.vacuum(10**9)
     est3 = estimate_rows(spark, pipe.table, "seq BETWEEN -1 AND 10000")
     assert est3["lower"] == est3["upper"] == 800
+
+
+def test_pipeline_estimate_wrapper(spark, tmp_path):
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+
+    pipe = CDCPipeline(spark, str(tmp_path / "p"), key_cols=("repo", "path"),
+                       num_buckets=4)
+    pipe.apply_batch(_batch(spark, 0), batch_id="b0")
+    est = pipe.estimate("seq BETWEEN 100 AND 200")
+    true = pipe.current().where("seq BETWEEN 100 AND 200").count()
+    assert est["lower"] <= true <= est["upper"]
