@@ -2649,7 +2649,66 @@ def q_cdc_scan_where(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate (round-2 VERDICT directive #3): the driver's
+    # correctness gate records a ~50-entry PREFIX of this dict, and
+    # CORRECTNESS_r02 covered only the first 50 keys of the round-2 order.
+    # The 49 entries its artifact never recorded (all round-2 lake/CDC/
+    # curation gates — each verified green locally via tools/check_oracle.py)
+    # therefore come FIRST, cheapest first so more fit any time budget; the
+    # 50 already-recorded queries follow.
     return {
+        # -- block 1: gates absent from CORRECTNESS_r02 (cheap, pure-query) --
+        "doc_repetition": q_doc_repetition,
+        "doc_redact": q_doc_redact,
+        "doc_paragraph_dedup": q_paragraph_dedup,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_sequences": q_doc_sequences,
+        "shingle_profile": q_shingle_profile,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "nested_type_sets": q_nested_type_sets,
+        "event_hot_keys": q_event_hot_keys,
+        "event_value_hist": q_event_value_hist,
+        "event_asof_purchase": q_event_asof_purchase,
+        "event_sessions": q_event_sessions,
+        "event_window_hits": q_event_window_hits,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
+        "media_features": q_media_features,
+        "doc_shards": q_doc_shards,
+        "dup_components": q_dup_components,
+        # -- block 1 (cont.): lake/CDC gates with embedded temp tables --
+        "cdc_metadata_stats": q_cdc_metadata_stats,
+        "cdc_scan_where": q_cdc_scan_where,
+        "table_profile": q_table_profile,
+        "zorder_curve": q_zorder_curve,
+        "cdc_changes_datasource": q_cdc_changes_datasource,
+        "cdc_diff_feed": q_cdc_diff_feed,
+        "cdc_diff_cdf": q_cdc_diff_cdf,
+        "cdc_default_column": q_cdc_default_column,
+        "cdc_generated_column": q_cdc_generated_column,
+        "cdc_secondary_lookup": q_cdc_secondary_lookup,
+        "cdc_pruned_lookup": q_cdc_pruned_lookup,
+        "cdc_spj_join": q_cdc_spj_join,
+        "cdc_purge": q_cdc_purge,
+        "cdc_dv_delete": q_cdc_dv_delete,
+        "dv_correction": q_dv_correction,
+        "dml_correction": q_dml_correction,
+        "merge_into_clauses": q_merge_into_clauses,
+        "scd2_view": q_scd2_view,
+        "cdc_join_view": q_cdc_join_view,
+        "ivm_event_rollup": q_ivm_event_rollup,
+        "ivm_distinct_rollup": q_ivm_distinct_rollup,
+        "ivm_topk_values": q_ivm_topk_values,
+        "ivm_derived_rollup": q_ivm_derived_rollup,
+        "cdc_branch_publish": q_cdc_branch_publish,
+        "cdc_mirror_repair": q_cdc_mirror_repair,
+        "cdc_txn_fanout": q_cdc_txn_fanout,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "doc_clean_corpus": q_doc_clean_corpus,
+        "cdc_patch_fold": q_cdc_patch_fold,
+        "cdc_envelope_replay": q_cdc_envelope_replay,
+        # -- block 2: queries already green in CORRECTNESS_r02 --
         "cdc_latest_state": q_cdc_latest_state,
         "cdc_salted_latest": q_cdc_salted_latest,
         "cdc_user_rollup": q_cdc_user_rollup,
@@ -2700,55 +2759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_sample": q_orders_sample,
         "docs_stratified": q_docs_stratified,
         "docs_temperature_mix": q_docs_temperature_mix,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_repetition": q_doc_repetition,
-        "doc_paragraph_dedup": q_paragraph_dedup,
-        "doc_redact": q_doc_redact,
-        "cdc_metadata_stats": q_cdc_metadata_stats,
-        "event_hot_keys": q_event_hot_keys,
-        "event_value_hist": q_event_value_hist,
-        "doc_sequences": q_doc_sequences,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "doc_clean_corpus": q_doc_clean_corpus,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_incremental": q_ann_ivf_incremental,
-        "ann_recall": q_ann_recall,
-        "shingle_profile": q_shingle_profile,
-        "media_features": q_media_features,
-        "nested_type_sets": q_nested_type_sets,
-        "doc_shards": q_doc_shards,
-        "event_asof_purchase": q_event_asof_purchase,
-        "event_sessions": q_event_sessions,
-        "ivm_event_rollup": q_ivm_event_rollup,
-        "ivm_distinct_rollup": q_ivm_distinct_rollup,
-        "ivm_topk_values": q_ivm_topk_values,
-        "cdc_changes_datasource": q_cdc_changes_datasource,
-        "cdc_diff_feed": q_cdc_diff_feed,
-        "cdc_diff_cdf": q_cdc_diff_cdf,
-        "cdc_patch_fold": q_cdc_patch_fold,
-        "cdc_envelope_replay": q_cdc_envelope_replay,
-        "cdc_branch_publish": q_cdc_branch_publish,
-        "cdc_default_column": q_cdc_default_column,
-        "cdc_generated_column": q_cdc_generated_column,
-        "cdc_mirror_repair": q_cdc_mirror_repair,
-        "scd2_view": q_scd2_view,
-        "cdc_join_view": q_cdc_join_view,
-        "cdc_secondary_lookup": q_cdc_secondary_lookup,
-        "cdc_txn_fanout": q_cdc_txn_fanout,
-        "cdc_spj_join": q_cdc_spj_join,
-        "cdc_pruned_lookup": q_cdc_pruned_lookup,
-        "cdc_purge": q_cdc_purge,
-        "cdc_scan_where": q_cdc_scan_where,
-        "cdc_dv_delete": q_cdc_dv_delete,
-        "dv_correction": q_dv_correction,
-        "ivm_derived_rollup": q_ivm_derived_rollup,
-        "dml_correction": q_dml_correction,
-        "merge_into_clauses": q_merge_into_clauses,
-        "zorder_curve": q_zorder_curve,
-        "event_window_hits": q_event_window_hits,
-        "table_profile": q_table_profile,
-        "dup_components": q_dup_components,
     }
 
 
