@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 
@@ -50,13 +51,40 @@ def _sep_at(spec: str) -> int:
         # '@' is inside the authority — keep scanning left
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def _split_fields(spec: str, maxsplit: int = -1) -> list[str]:
+    """Split a CLI spec on ':' field separators while keeping URI scheme
+    colons inside each field (``s3://bkt/t:lang`` → ``['s3://bkt/t',
+    'lang']``). Every field may itself be a scheme'd root — --clean-corpus
+    takes three of them. With ``maxsplit`` = n the last field keeps its
+    remaining colons verbatim (SQL exprs with ``::`` casts survive).
+    Shared by --agg/--join/--distinct/--clean-corpus so ROOT positions
+    parse identically everywhere (round-2 advisor: --distinct and
+    --clean-corpus used a naive split that tore scheme'd roots apart)."""
+    parts: list[str] = []
+    rest = spec
+    while True:
+        if maxsplit != -1 and len(parts) == maxsplit:
+            parts.append(rest)
+            return parts
+        m = _SCHEME_RE.match(rest)
+        idx = rest.find(":", m.end() if m else 0)
+        if idx == -1:
+            parts.append(rest)
+            return parts
+        parts.append(rest[:idx])
+        rest = rest[idx + 1:]
+
+
 def _parse_agg(spec: str):
     """ROOT:GROUP[,GROUP...][:NAME=EXPR[;NAME=EXPR...]][@MODE]"""
     mode = "feed"
     at = _sep_at(spec)
     if at != -1:
         spec, mode = spec[:at], spec[at + 1:]
-    parts = spec.split(":")
+    parts = _split_fields(spec, 2)
     if len(parts) < 2 or not parts[1]:
         raise ValueError(f"--agg needs ROOT:GROUP[,...][:N=EXPR;...], got {spec!r}")
     sums = {}
@@ -77,7 +105,7 @@ def _parse_join(spec: str):
     if at == -1:
         raise ValueError(f"--join needs ROOT:FK=DIMKEY@DIM_ROOT, got {spec!r}")
     left, dim_root = spec[:at], spec[at + 1:]
-    parts = left.split(":")
+    parts = _split_fields(left, 1)
     if len(parts) != 2 or not parts[1]:
         raise ValueError(f"--join needs ROOT:FK=DIMKEY@DIM_ROOT, got {spec!r}")
     on = {}
@@ -234,7 +262,7 @@ def main(argv: list[str] | None = None) -> int:
         at = _sep_at(spec)
         if at != -1:
             spec, mode = spec[:at], spec[at + 1:]
-        parts = spec.split(":", 2)
+        parts = _split_fields(spec, 2)
         if len(parts) != 3 or not parts[1] or not parts[2]:
             ap.error(f"--distinct needs ROOT:GROUPS:EXPR[@MODE], got {spec!r}")
         root, groups = parts[0], [g for g in parts[1].split(",") if g]
@@ -333,7 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         at = _sep_at(spec)
         if at != -1:
             spec, quality = spec[:at], spec[at + 1:]
-        parts = spec.split(":")
+        parts = _split_fields(spec)
         if len(parts) != 3 or not all(parts):
             ap.error(f"--clean-corpus needs CLEAN:FP:MH[@QUALITY], got {spec!r}")
         clean_root, fp_root, mh_root = parts

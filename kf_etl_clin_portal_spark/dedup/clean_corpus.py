@@ -132,7 +132,15 @@ def maintain_clean_corpus(
         # ordinary max-seq MERGE (the paragraph-index trick)
         .withColumn(seq_col, F.lit(-until).cast("long"))
     )
-    fp_pipe.apply_batch(claims, batch_id=f"fp.{source_id}-b{epoch + 1:05d}")
+    # fence on `until`, NOT on the clean table's epoch: the claim batch's
+    # content is a function of the recomputed (since, until] range, and a
+    # crash after this merge but before the clean-table MERGE retries with
+    # a possibly LARGER until (source advanced). An epoch-keyed id would
+    # fence-skip that superset batch — docs changed in the extension would
+    # never claim their fingerprints and be tombstoned as exact dups
+    # forever. Keying the fence by until makes the retry apply; first-seen
+    # ownership (seq = -until) keeps re-applying a superset idempotent.
+    fp_pipe.apply_batch(claims, batch_id=f"fp.{source_id}-v{until:09d}")
 
     # a doc survives exact dedup iff it owns its own fingerprint
     from kf_etl_clin_portal_spark.lake.spj import pruned_dim_join

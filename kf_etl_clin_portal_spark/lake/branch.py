@@ -73,8 +73,15 @@ def list_branches(table_or_root: "SnapshotTable | str") -> list[str]:
     bdir = _branches_dir(root)
     if not os.path.isdir(bdir):
         return []
+    # an entry-less dir is a creation that crashed (or lost the same-name
+    # race) between makedirs and the base-entry write — advertising it
+    # would wedge the name: create_branch says "already exists" while
+    # branch_table/refresh fail on the empty log. Treat it as nonexistent.
     return sorted(
-        d for d in os.listdir(bdir) if os.path.isdir(os.path.join(bdir, d))
+        d
+        for d in os.listdir(bdir)
+        if os.path.isdir(os.path.join(bdir, d))
+        and any(os.scandir(os.path.join(bdir, d)))
     )
 
 
@@ -111,7 +118,16 @@ def create_branch(
         raise ValueError(f"version {base} was expired (oldest readable: {floor})")
     blog = os.path.join(_branches_dir(table.root), name)
     if os.path.isdir(blog):
-        raise ValueError(f"branch {name!r} already exists")
+        if any(os.scandir(blog)):
+            raise ValueError(f"branch {name!r} already exists")
+        # dead dir from a crashed/raced earlier create (no base entry ever
+        # landed): reclaim the name. rmdir only removes an EMPTY dir, so a
+        # concurrent winner whose entry just landed survives — we then fall
+        # through to makedirs + the O_EXCL entry write, which loses loudly.
+        try:
+            os.rmdir(blog)
+        except OSError:
+            pass
     state = copy.deepcopy(table.state_at(base))
     state["operation"] = "branch_create"
     state["branch"] = name

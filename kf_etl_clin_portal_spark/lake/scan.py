@@ -151,6 +151,13 @@ class _Constraints:
         self.eq: dict[str, set] = {}  # col -> intersected finite value set
         self.lo: dict[str, Any] = {}  # col -> max of lower bounds (incl.)
         self.hi: dict[str, Any] = {}  # col -> min of upper bounds (incl.)
+        # bounds that came from EXPLICIT range conjuncts only (not derived
+        # from eq sets) — `estimate_rows`'s eq-file proof must re-check
+        # these, and must NOT be poisoned by the eq-derived envelope
+        # (x = 5 derives lo = hi = 5; a strict check against that would
+        # unprove every constant file).
+        self.xlo: dict[str, Any] = {}
+        self.xhi: dict[str, Any] = {}
         self.impossible = False
 
     def add_eq(self, col: str, values: set) -> None:
@@ -159,15 +166,21 @@ class _Constraints:
         if not self.eq[col]:
             self.impossible = True
         try:
-            self.add_range(col, min(values), max(values))
+            self.add_range(col, min(values), max(values), derived=True)
         except TypeError:  # mixed-type IN list — range says nothing
             pass
+        self._refine(col)
 
-    def add_range(self, col: str, lo: Any, hi: Any) -> None:
+    def add_range(self, col: str, lo: Any, hi: Any, derived: bool = False) -> None:
         if lo is not None and (col not in self.lo or lo > self.lo[col]):
             self.lo[col] = lo
         if hi is not None and (col not in self.hi or hi < self.hi[col]):
             self.hi[col] = hi
+        if not derived:
+            if lo is not None and (col not in self.xlo or lo > self.xlo[col]):
+                self.xlo[col] = lo
+            if hi is not None and (col not in self.xhi or hi < self.xhi[col]):
+                self.xhi[col] = hi
         l, h = self.lo.get(col), self.hi.get(col)
         if l is not None and h is not None:
             try:
@@ -175,6 +188,30 @@ class _Constraints:
                     self.impossible = True
             except TypeError:
                 pass
+        self._refine(col)
+
+    def _refine(self, col: str) -> None:
+        """Intersect an eq set with the accumulated range on the same
+        column (`x IN (1, 10) AND x < 5`): values strictly outside the
+        inclusive [lo, hi] envelope can never match (ranges are stored
+        inclusively even for strict ops, so only strict exclusion is
+        sound). An emptied set is a contradiction → impossible."""
+        vals = self.eq.get(col)
+        if not vals:
+            return
+        lo, hi = self.lo.get(col), self.hi.get(col)
+        try:
+            kept = {
+                v
+                for v in vals
+                if (lo is None or v >= lo) and (hi is None or v <= hi)
+            }
+        except TypeError:  # mixed types — cannot compare, keep everything
+            return
+        if kept != vals:
+            self.eq[col] = kept
+            if not kept:
+                self.impossible = True
 
 
 def _absorb(c: list[tuple[str, Any]], cons: _Constraints) -> bool:
@@ -413,6 +450,18 @@ def estimate_rows(
                 mn, mx = z
                 if col in cons.eq:
                     if mn != mx or mn not in cons.eq[col]:
+                        return False
+                    # an eq/IN and a range may constrain the SAME column
+                    # (`x IN (1,10) AND x < 5`): the constant value must
+                    # also sit strictly inside every EXPLICIT range bound,
+                    # else a file constant at an out-of-range member would
+                    # count rows that match nothing — violating
+                    # lower <= count. Strict comparison for the same >/>=
+                    # reason as below; xlo/xhi exclude eq-derived bounds.
+                    lo, hi = cons.xlo.get(col), cons.xhi.get(col)
+                    if lo is not None and not (mn > lo):
+                        return False
+                    if hi is not None and not (mn < hi):
                         return False
                 else:
                     lo, hi = cons.lo.get(col), cons.hi.get(col)

@@ -191,6 +191,36 @@ def test_schema_evolution_on_branch_publishes_via_ff(spark, tmp_path):
     assert fields["size_bytes"] == "long" and fields["lines"] == "long"
 
 
+def test_empty_branch_dir_does_not_wedge_the_name(spark, feed_path, tmp_path):
+    """Round-2 advisor finding: a crash (or lost same-name race) between
+    makedirs and the base-entry write leaves an empty branch log dir.
+    That dir must read as nonexistent — not advertised by list_branches,
+    not blocking create_branch — instead of wedging the name forever."""
+    from kf_etl_clin_portal_spark.lake.branch import _branches_dir
+
+    early, _ = _halves(spark, feed_path)
+    root = str(tmp_path / "wedge")
+    pipe = CDCPipeline(spark, root, num_buckets=4)
+    pipe.replay(early, n_batches=1, by="seq", feed_id="base")
+    main = pipe.table
+
+    # simulate the crashed create: dir exists, no base entry ever landed
+    dead = os.path.join(_branches_dir(root), "staged")
+    os.makedirs(dead)
+    assert list_branches(root) == []  # not advertised
+    with pytest.raises(ValueError, match="no such branch"):
+        branch_table(root, "staged")
+
+    # the name is reclaimable, and the reclaimed branch works end-to-end
+    create_branch(main, "staged")
+    assert list_branches(root) == ["staged"]
+    bpipe = CDCPipeline(spark, root, num_buckets=4, branch="staged")
+    q1, _ = _late_quarters(spark, feed_path)
+    bpipe.apply_batch(q1, batch_id="staged-b0")
+    assert fast_forward(main, "staged", drop=True) is not None
+    assert list_branches(root) == []
+
+
 def test_guards(spark, feed_path, tmp_path):
     root, main, br, pipe = _mk_staged(spark, feed_path, tmp_path)
     bt = branch_table(root, "staged")

@@ -139,6 +139,45 @@ def test_first_seen_claims_persist(spark, tmp_path):
     assert r["rejected_exact"] == 1 and clean.current().count() == 0
 
 
+def test_crash_between_fp_and_clean_merge_then_wider_retry(spark, tmp_path):
+    """Round-2 advisor finding: the fingerprint-claim merge is fenced by
+    `until` (not the clean table's epoch). A poll that crashes AFTER the
+    fp merge but BEFORE the clean-table MERGE retries over a LARGER range
+    when the source advanced in between — the retry's claim batch must
+    APPLY (superset re-application is idempotent under first-seen
+    ownership), or docs changed in the extension never claim their
+    fingerprints and are tombstoned as exact dups forever."""
+    src, clean, fp, mh = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [(1, 1, LONG_A)]), batch_id="b0")
+    maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                          quality_expr=QUALITY, min_jaccard=0.5)
+
+    # poll 2 crashes between the two merges: fp claims for doc 2 land,
+    # the clean-table MERGE (and therefore the cursor advance) does not
+    src.apply_batch(_feed(spark, [(10, 2, LONG_B)]), batch_id="b1")
+    real_apply = clean.apply_batch
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before clean MERGE")
+
+    clean.apply_batch = crash
+    with pytest.raises(RuntimeError, match="simulated"):
+        maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                              quality_expr=QUALITY, min_jaccard=0.5)
+    clean.apply_batch = real_apply
+
+    # the source advances BEFORE the retry → the retry covers a superset
+    src.apply_batch(_feed(spark, [(20, 3, LONG_C)]), batch_id="b2")
+    r = maintain_clean_corpus(spark, src.table, clean, fp, mh,
+                              quality_expr=QUALITY, min_jaccard=0.5)
+    assert r["applied"]
+    # both the crashed range's doc AND the extension's doc own their
+    # fingerprints and enter clean — no phantom exact-dup rejections
+    assert r["rejected_exact"] == 0
+    assert {x["doc_id"] for x in clean.current().collect()} == {1, 2, 3}
+    _assert_invariants(spark, clean)
+
+
 def test_validation(spark, tmp_path):
     src, clean, fp, mh = _pipes(spark, tmp_path)
     src.apply_batch(_feed(spark, [(1, 1, LONG_A)]), batch_id="b0")

@@ -374,6 +374,35 @@ def test_sep_at_cli_separator_is_uri_authority_aware():
     assert _sep_at(spec) == len("/v:fk=dk")
 
 
+def test_split_fields_keeps_scheme_colons_whole():
+    """`_split_fields` (jobs/run_views.py): the shared ':' field splitter
+    behind --agg/--join/--distinct/--clean-corpus keeps URI scheme colons
+    inside ROOT positions (round-2 advisor: --distinct/--clean-corpus used
+    a naive split(':') that tore `s3://` roots apart)."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        from run_views import _split_fields
+    finally:
+        sys.path.pop(0)
+
+    assert _split_fields("/v:lang:n=count(1)", 2) == ["/v", "lang", "n=count(1)"]
+    # scheme'd ROOT survives whole
+    assert _split_fields("s3://bkt/t:lang:bytes=length(c)", 2) == [
+        "s3://bkt/t", "lang", "bytes=length(c)"
+    ]
+    # last field keeps its own colons verbatim (maxsplit) — SQL '::' casts
+    assert _split_fields("s3://bkt/t:g:v=x::int", 2) == [
+        "s3://bkt/t", "g", "v=x::int"
+    ]
+    # --clean-corpus: THREE roots, each possibly scheme'd
+    assert _split_fields("s3://b/clean:s3://b/fp:s3://b/mh") == [
+        "s3://b/clean", "s3://b/fp", "s3://b/mh"
+    ]
+    assert _split_fields("/c:/f:/m") == ["/c", "/f", "/m"]
+    # too few separators → fewer fields, caller's arity check fires
+    assert _split_fields("s3://bkt/only") == ["s3://bkt/only"]
+
+
 def test_run_ingest_cli_batch_dlq_and_patch(tmp_path):
     """run_ingest.py end-to-end in one JVM: good+bad envelopes with a DLQ,
     then a sparse-image (--patch) second batch folding onto live state."""

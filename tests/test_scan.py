@@ -232,6 +232,52 @@ def test_estimate_rows_mor_and_tombstones_break_proof_not_bound(
     assert est3["lower"] == est3["upper"] == 800
 
 
+def test_estimate_rows_eq_and_range_same_column(spark, tmp_path):
+    """Round-2 advisor finding: when an equality/IN and a range constrain
+    the SAME column (`k IN (1, 10) AND k < 5`), a file whose zone map is
+    constant at an out-of-range member (k = 10) must NOT count into the
+    provable lower bound — zero of its rows match."""
+    from kf_etl_clin_portal_spark.lake.scan import estimate_rows
+
+    def kbatch(k, lo, n=400):
+        return spark.range(lo, lo + n).select(
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.col("id").alias("seq"),
+            F.lit(k).cast("long").alias("k"),
+        )
+
+    t = SnapshotTable.create(
+        str(tmp_path / "kt"),
+        kbatch(1, 0).schema,
+        key_cols=["path"],
+        num_buckets=4,
+        properties={"stats.columns": "seq,k"},
+    )
+    append(spark, t, kbatch(10, 0))      # every file constant k=10
+    append(spark, t, kbatch(1, 1000))    # every file constant k=1
+
+    for pred in (
+        "k IN (1, 10) AND k < 5",
+        "k IN (1, 10) AND k > 5",
+        "k = 10 AND k < 5",              # single-value contradiction
+        "k IN (1, 10) AND k >= 1 AND k <= 10",  # ranges don't exclude
+    ):
+        est = estimate_rows(spark, t, pred)
+        true = read_live(spark, t).where(F.expr(pred)).count()
+        assert est["lower"] <= true <= est["upper"], (pred, est, true)
+        got = _rows(read_where(spark, t, pred))
+        assert got == _rows(read_live(spark, t).where(F.expr(pred))), pred
+
+    # the k=10 file is fully excluded from upper too (eq∩range refinement
+    # tightens the stats envelope), and the k=1 side stays exactly proven
+    est = estimate_rows(spark, t, "k IN (1, 10) AND k < 5")
+    assert est["lower"] == est["upper"] == 400
+    # eq set emptied by the range → provably impossible, zero files read
+    est2 = estimate_rows(spark, t, "k IN (10, 20) AND k < 5")
+    assert est2["lower"] == est2["upper"] == 0
+    assert read_where(spark, t, "k IN (10, 20) AND k < 5").count() == 0
+
+
 def test_pipeline_estimate_wrapper(spark, tmp_path):
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
 
