@@ -23,7 +23,7 @@ from kf_etl_clin_portal_spark.dedup.ngram import ngram_jaccard_pairs
 from kf_etl_clin_portal_spark.dedup.simhash import simhash_fingerprints
 from kf_etl_clin_portal_spark.dedup.embedding import cosine_near_dup_pairs
 from kf_etl_clin_portal_spark.functions import text as TX
-from kf_etl_clin_portal_spark.functions.hashing import word_shingles
+
 from kf_etl_clin_portal_spark.operators.enrich import (
     anti,
     enrich_left,
@@ -1067,10 +1067,15 @@ def q_media_features(spark, sf):
 
 
 def q_shingle_profile(spark, sf):
-    """Higher-order array fns (P-transform/size) without SQL counterpart."""
+    """Higher-order array fns (P-transform/size) without SQL counterpart.
+    Words bound before the shingle lambda (shingles_of_words contract)."""
+    from kf_etl_clin_portal_spark.functions.hashing import shingles_of_words
+    from kf_etl_clin_portal_spark.functions.text import words as _words
+
     docs = _t(spark, sf, "documents")
-    return docs.select(
-        "doc_id", F.size(word_shingles(F.col("text"), 3)).cast("long").alias("n_shingles")
+    return docs.select("doc_id", _words(F.col("text")).alias("__w")).select(
+        "doc_id",
+        F.size(shingles_of_words(F.col("__w"), 3)).cast("long").alias("n_shingles"),
     )
 
 

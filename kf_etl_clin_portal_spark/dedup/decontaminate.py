@@ -26,18 +26,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kf_etl_clin_portal_spark.functions.hashing import h60, word_shingles
+from kf_etl_clin_portal_spark.functions.hashing import h60, shingles_of_words
+from kf_etl_clin_portal_spark.functions.text import words
 
 
 def _postings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, h) — one row per distinct shingle hash per doc."""
+    """(id, h) — one row per distinct shingle hash per doc. Words bound
+    before the shingle lambda (shingles_of_words performance contract)."""
+    from kf_etl_clin_portal_spark.session import scale_out
+
     return (
-        df.select(
+        scale_out(df)
+        .select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+        .select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+            F.explode(shingles_of_words(F.col("__w"), n)).alias("__s"),
         )
         .select(F.col(id_col), h60(F.col("__s")).alias("__h"))
-        .distinct()  # word_shingles is distinct; hashing can collide two
+        .distinct()  # shingles are distinct; hashing can collide two
     )
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kf_etl_clin_portal_spark.functions.vectors import cosine
+
 from kf_etl_clin_portal_spark.similarity.ann import _bucket_expr
 
 
@@ -75,7 +75,19 @@ def cosine_near_dup_pairs(
     max_block: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ min_cos, a < b."""
-    base, block = _blocked(df, vec_col, block_col, lsh_planes, dim)
+    from kf_etl_clin_portal_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+        to_double_array,
+    )
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    base, block = _blocked(scale_out(df), vec_col, block_col, lsh_planes, dim)
+    # double-cast + norm hoisted to once-per-row (`cosine_prenorm` is
+    # bit-identical to `cosine`): within-block pairing folds only dots
+    base = base.withColumn("__vd", to_double_array(F.col(vec_col))).withColumn(
+        "__n", norm(F.col("__vd"))
+    )
     if max_block is not None:
         # hash-agg the block sizes, then inner-join the allowed block keys
         # back in (nothing broadcast/collected: the key set grows with the
@@ -88,15 +100,25 @@ def cosine_near_dup_pairs(
         )
         base = base.join(ok, on=block)
     a = base.select(
-        *block, F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        *block, F.col(id_col).alias("id_a"), F.col("__vd").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = base.select(
-        *block, F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        *block, F.col(id_col).alias("id_b"), F.col("__vd").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     return (
         a.join(b, on=block)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenorm(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
         .where(F.col("cos") >= min_cos)
         .select("id_a", "id_b", "cos")
     )

@@ -35,9 +35,11 @@ from pyspark.sql import functions as F
 
 from kf_etl_clin_portal_spark.functions.hashing import (
     lsh_band_keys,
-    minhash_signature,
-    word_shingles,
+    minhash_signature_from_hashes,
+    shingle_hashes,
+    shingles_of_words,
 )
+from kf_etl_clin_portal_spark.functions.text import words
 from kf_etl_clin_portal_spark.lake.changes import (
     CHANGE_OP_COL,
     CHANGE_TS_COL,
@@ -90,19 +92,41 @@ def update_minhash_index(
                       strict=strict)
     key_cols = src.key_cols
     dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-    sig = minhash_signature(
-        word_shingles(F.col(text_col), shingle_n), k=k, seed=seed
-    )
-    batch = ch.drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL).select(
-        *key_cols,
-        F.col(seq_col),
-        F.col(TOMBSTONE_COL),
-        # casts pin containsNull=true: parquet reads arrays back nullable,
-        # so the registered schema must agree or alignment rejects the
-        # table's own files (same pitfall as constraints.VIOLATED_COL)
-        F.when(~dead, sig).cast("array<bigint>").alias("signature"),
-        F.when(~dead, lsh_band_keys(sig, bands, rows_per_band))
-        .cast("array<string>").alias("band_keys"),
+    # staged projections (words → shingles → hashes → signature) so each
+    # lambda captures a BOUND column, not a re-evaluated expression — see
+    # shingles_of_words' performance contract; the signature is also bound
+    # before band_keys references it per band
+    batch = (
+        ch.drop(CHANGE_VERSION_COL, CHANGE_TS_COL, CHANGE_OP_COL)
+        .select(
+            *key_cols, F.col(seq_col), F.col(TOMBSTONE_COL),
+            F.when(~dead, words(F.col(text_col))).alias("__w"),
+        )
+        .withColumn("__sh", shingles_of_words(F.col("__w"), shingle_n))
+        .withColumn("__hs", shingle_hashes(F.col("__sh")))
+        .select(
+            *key_cols,
+            F.col(seq_col),
+            F.col(TOMBSTONE_COL),
+            # casts pin containsNull=true: parquet reads arrays back
+            # nullable, so the registered schema must agree or alignment
+            # rejects the table's own files (same pitfall as
+            # constraints.VIOLATED_COL). Dead rows keep a NULL signature
+            # (the ~dead guard, as before the staging).
+            F.when(
+                ~dead,
+                minhash_signature_from_hashes(F.col("__hs"), k=k, seed=seed),
+            ).cast("array<bigint>").alias("signature"),
+        )
+        .select(
+            *key_cols,
+            F.col(seq_col),
+            F.col(TOMBSTONE_COL),
+            F.col("signature"),
+            F.when(F.col("signature").isNotNull(),
+                   lsh_band_keys(F.col("signature"), bands, rows_per_band))
+            .cast("array<string>").alias("band_keys"),
+        )
     )
     res = index_pipe.apply_batch(
         batch,

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kf_etl_clin_portal_spark.functions.hashing import h60, word_shingles
+from kf_etl_clin_portal_spark.functions.hashing import h60, shingles_of_words
+from kf_etl_clin_portal_spark.functions.text import words
 
 
 def ngram_jaccard_pairs(
@@ -52,10 +53,26 @@ def ngram_jaccard_pairs(
     capped index to a temp table — standard practice for shingle pipelines;
     the materialization is linear in corpus size, the join it feeds is not.
     """
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
-    exploded = sh.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    ).select(F.col(id_col), h60(F.col("shingle")).alias("h"))
+    # words bound BEFORE the shingle lambda captures it (see
+    # shingles_of_words' performance contract: the inline form re-runs
+    # the regex split once per shingle position); scale_out so a
+    # one-split scan doesn't run all shingling on one core. The explode
+    # input stays INLINE deliberately: exploding a bound alias lets
+    # InferFiltersFromGenerate infer `size(col) > 0`, and filter pushdown
+    # substitutes the full shingle expression BELOW the repartition —
+    # re-running the whole pipeline single-threaded pre-exchange
+    # (measured: the inferred filter was 5/7ths of the query).
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    exploded = (
+        scale_out(df)
+        .select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_words(F.col("__w"), n)).alias("shingle"),
+        )
+        .select(F.col(id_col), h60(F.col("shingle")).alias("h"))
+    )
     exploded = exploded.localCheckpoint(eager=True)
     if max_df is not None:
         ok = (

@@ -72,7 +72,9 @@ def paragraph_dedup(
     ``min_chars``: paragraphs shorter than this never participate in dedup
     (always kept) — short connective lines are not meaningful duplicates.
     """
-    ex = split_paragraphs(df, text_col, id_col, sep_regex)
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    ex = split_paragraphs(scale_out(df), text_col, id_col, sep_regex)
     eligible = F.length("para") >= min_chars
     occ = F.struct(F.col(id_col), F.col("pos"))
     winners = (

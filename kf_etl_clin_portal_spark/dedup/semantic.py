@@ -43,8 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kf_etl_clin_portal_spark.functions.vectors import (
-    cosine,
     cosine_pandas,
+    cosine_prenorm,
     norm,
     to_double_array,
 )
@@ -52,14 +52,22 @@ from kf_etl_clin_portal_spark.similarity.ivf import _centroids, _nearest_cells
 
 
 def _assigned(
-    df: DataFrame, cents, id_col: str, vec_col: str
+    df: DataFrame, cents, id_col: str, vec_col: str, keep_internals: bool = False
 ) -> DataFrame:
-    cvec = to_double_array(F.col(vec_col))
-    return (
-        df.withColumn("__rn", norm(cvec))
-        .withColumn("cell", _nearest_cells(cvec, cents, 1, row_norm=F.col("__rn"))[0])
-        .drop("__rn")
+    """Rows + nearest ``cell``. The double-cast vector (``__vd``) and its
+    norm (``__rn``) are staged as BOUND columns — the cell-argmax lambda
+    and (with ``keep_internals``) the downstream pair fan-out otherwise
+    re-fold the cast/norm per candidate; `cosine_prenorm` keeps the pair
+    math bit-identical to `cosine`."""
+    out = (
+        df.withColumn("__vd", to_double_array(F.col(vec_col)))
+        .withColumn("__rn", norm(F.col("__vd")))
+        .withColumn(
+            "cell",
+            _nearest_cells(F.col("__vd"), cents, 1, row_norm=F.col("__rn"))[0],
+        )
     )
+    return out if keep_internals else out.drop("__vd", "__rn")
 
 
 def assign_clusters(
@@ -71,8 +79,10 @@ def assign_clusters(
     """Input rows + a ``cell`` column (nearest deterministic centroid by
     cosine, ties → smallest cell id). Narrow map: centroids are broadcast
     as literals inside one codegen'd array_sort expression."""
+    from kf_etl_clin_portal_spark.session import scale_out
+
     cents = _centroids(df, id_col, vec_col, n_clusters)
-    return _assigned(df, cents, id_col, vec_col)
+    return _assigned(scale_out(df), cents, id_col, vec_col)
 
 
 def cluster_stats(
@@ -100,7 +110,10 @@ def _dup_pairs(
     max_cluster: int | None,
     arrow: bool = False,
 ) -> DataFrame:
-    base = assigned.select(F.col(id_col), F.col(vec_col), "cell")
+    # assigned must carry __vd/__rn (see _assigned keep_internals): the
+    # pair fan-out below then folds ONLY the dot per candidate instead of
+    # re-casting both sides and re-folding both norms per pair
+    base = assigned.select(F.col(id_col), "cell", "__vd", "__rn")
     if max_cluster is not None:
         ok = (
             base.groupBy("cell")
@@ -109,25 +122,29 @@ def _dup_pairs(
             .select("cell")
         )
         base = base.join(ok, on="cell")
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell")
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell")
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__vd").alias("__va"),
+        F.col("__rn").alias("__na"), "cell",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__vd").alias("__vb"),
+        F.col("__rn").alias("__nb"), "cell",
+    )
     # arrow=True: numpy batch cosine over Arrow batches (~10× the JVM fold
     # on wide vectors — the scale path). Sum order differs from the fold,
     # so last-ulp differences are possible; the round-6 threshold absorbs
     # them to the same tolerance every rounded-cosine gate already accepts.
-    cos_fn = cosine_pandas if arrow else cosine
+    cos = (
+        cosine_pandas(F.col("__va"), F.col("__vb"))
+        if arrow
+        else cosine_prenorm(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+        )
+    )
     return (
         a.join(b, on="cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(
-                cos_fn(
-                    to_double_array(F.col("__va")), to_double_array(F.col("__vb"))
-                ),
-                6,
-            ),
-        )
+        .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos") >= min_cos)
         .select("id_a", "id_b", "cell", "cos")
     )
@@ -144,8 +161,12 @@ def semantic_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cell, cos) near-dup pairs within a shared cluster,
     id_a < id_b, round(cos, 6) ≥ min_cos."""
+    from kf_etl_clin_portal_spark.session import scale_out
+
     cents = _centroids(df, id_col, vec_col, n_clusters)
-    assigned = _assigned(df, cents, id_col, vec_col).localCheckpoint(eager=True)
+    assigned = _assigned(
+        scale_out(df), cents, id_col, vec_col, keep_internals=True
+    ).localCheckpoint(eager=True)
     return _dup_pairs(assigned, min_cos, id_col, vec_col, max_cluster, arrow)
 
 
@@ -162,15 +183,19 @@ def semantic_dedup(
     some smaller-id row in the same cluster has cosine ≥ min_cos with it —
     so the earliest member of every near-dup neighborhood survives and the
     output is deterministic under any partitioning."""
+    from kf_etl_clin_portal_spark.session import scale_out
+
     cents = _centroids(df, id_col, vec_col, n_clusters)
     # materialize the assignment once: it feeds BOTH self-join sides and
     # the survivor anti-join — re-evaluating an n_clusters-way fold argmax
     # 3× over the corpus costs more than the pairing itself (measured 2×
     # end-to-end at 32 cells). Cluster equivalent: persist to a temp table.
-    assigned = _assigned(df, cents, id_col, vec_col).localCheckpoint(eager=True)
+    assigned = _assigned(
+        scale_out(df), cents, id_col, vec_col, keep_internals=True
+    ).localCheckpoint(eager=True)
     dups = (
         _dup_pairs(assigned, min_cos, id_col, vec_col, max_cluster, arrow)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return assigned.join(dups, on=id_col, how="left_anti")
+    return assigned.drop("__vd", "__rn").join(dups, on=id_col, how="left_anti")

@@ -10,13 +10,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kf_etl_clin_portal_spark.functions.hashing import hamming16, simhash16
+from kf_etl_clin_portal_spark.functions.hashing import (
+    h60,
+    hamming16,
+    simhash16_from_hashes,
+)
+from kf_etl_clin_portal_spark.functions.text import words
+from kf_etl_clin_portal_spark.session import scale_out
 
 
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    # scale_out: a one-split scan would run all hashing on one core.
+    # Token hashes staged as a bound column so the 16 bit-sum aggregates
+    # don't each re-run the md5 pipeline (no CSE across lambdas).
+    return (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.transform(words(F.col(text_col)), lambda t: h60(t)).alias("__hs"),
+        )
+        .select(F.col(id_col), simhash16_from_hashes(F.col("__hs")).alias("simhash"))
+    )
 
 
 def simhash_near_dups(

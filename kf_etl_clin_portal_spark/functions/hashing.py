@@ -38,39 +38,71 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
+def shingles_of_words(w: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Shingle expression over an ALREADY-BOUND words array column.
 
-    `transform(sequence(...), i -> concat_ws(slice(words,...)))` — the
-    reference's higher-order-function style (`Transformations.scala:82-90`)
-    instead of an explode/collect round-trip.
+    Performance contract: ``w`` must be a plain column reference (or a
+    cheap expression). The lambda body references it per element, and
+    Spark does NOT common-subexpression-eliminate across higher-order-
+    function lambda boundaries — passing ``words(text)`` directly here
+    re-runs the regex split once per shingle position (measured 5× the
+    whole postings cost at sf0.1). Bind words in a prior projection;
+    Catalyst's CollapseProject keeps multi-referenced non-trivial aliases
+    materialized, so the staging survives optimization.
     """
-    w = words(col)
     k = F.size(w) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-
-
-def word_shingles_all(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles WITH multiplicity (array<string>) — the
-    frequency-carrying variant of `word_shingles` for repetition
-    statistics (a duplicate-heavy doc must keep its duplicates)."""
-    w = words(col)
-    k = F.size(w) - (n - 1)
-    return F.when(
+    out = F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(out) if distinct else out
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    `transform(sequence(...), i -> concat_ws(slice(words,...)))` — the
+    reference's higher-order-function style (`Transformations.scala:82-90`)
+    instead of an explode/collect round-trip.
+
+    Hot paths should bind `words(col)` in a prior projection and call
+    `shingles_of_words` instead — see its performance contract.
+    """
+    return shingles_of_words(words(col), n)
+
+
+def word_shingles_all(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles WITH multiplicity (array<string>) — the
+    frequency-carrying variant of `word_shingles` for repetition
+    statistics (a duplicate-heavy doc must keep its duplicates).
+    Same `shingles_of_words` binding caveat as `word_shingles`."""
+    return shingles_of_words(words(col), n, distinct=False)
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """h60 mod P per shingle (array<long>) — the MinHash base hashes.
+    Same binding caveat as `shingles_of_words`: pass a bound column on
+    hot paths (each of the k permutations references the result)."""
+    return F.transform(shingles, lambda s: F.pmod(h60(s), F.lit(MERSENNE_31)))
+
+
+def minhash_signature_from_hashes(
+    hs: Column, k: int = 16, seed: int = 42
+) -> Column:
+    """MinHash signature from pre-hashed shingles (`shingle_hashes`).
+    ``hs`` should be a bound column: the expression below references it k
+    times and lambda-containing expressions are excluded from Spark's
+    subexpression elimination — an inline md5 pipeline would run k×."""
+    sigs = [
+        F.array_min(
+            F.transform(hs, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31)))
+        )
+        for a, b in minhash_params(k, seed)
+    ]
+    return F.array(*sigs)
 
 
 def minhash_signature(shingles: Column, k: int = 16, seed: int = 42) -> Column:
@@ -79,15 +111,12 @@ def minhash_signature(shingles: Column, k: int = 16, seed: int = 42) -> Column:
     sig_j = min over shingles s of (a_j * (h60(s) mod P) + b_j) mod P,
     P = 2^31-1. All int64 arithmetic (a_j*h' < 2^62) — overflow-free and
     bit-identical in any engine.
+
+    Hot paths should stage `shingle_hashes` into a bound column and call
+    `minhash_signature_from_hashes` — this convenience form re-evaluates
+    the md5 base hash once per permutation when inlined.
     """
-    hs = F.transform(shingles, lambda s: F.pmod(h60(s), F.lit(MERSENNE_31)))
-    sigs = [
-        F.array_min(
-            F.transform(hs, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31)))
-        )
-        for a, b in minhash_params(k, seed)
-    ]
-    return F.array(*sigs)
+    return minhash_signature_from_hashes(shingle_hashes(shingles), k, seed)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -114,14 +143,11 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash16(col: Column) -> Column:
-    """16-bit SimHash over whitespace tokens (portable formula).
-
-    bit_j = 1 iff sum over tokens of (2*bit_j(h60(token)) - 1) > 0.
-    Returned as an int in [0, 65536). Hamming distance on these detects
-    near-duplicates; 16 bits keeps the oracle SQL finite.
-    """
-    hs = F.transform(words(col), lambda t: h60(t))
+def simhash16_from_hashes(hs: Column) -> Column:
+    """16-bit SimHash from pre-hashed tokens (array<long> of h60 values).
+    ``hs`` should be a bound column — the 16 bit-sum aggregates each
+    reference it and lambda-containing expressions are excluded from
+    subexpression elimination (inline, the token md5 pipeline runs 16×)."""
     bit_sums = [
         F.aggregate(
             hs,
@@ -135,6 +161,19 @@ def simhash16(col: Column) -> Column:
     for j, s in enumerate(bit_sums):
         out = out + F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
     return out
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens (portable formula).
+
+    bit_j = 1 iff sum over tokens of (2*bit_j(h60(token)) - 1) > 0.
+    Returned as an int in [0, 65536). Hamming distance on these detects
+    near-duplicates; 16 bits keeps the oracle SQL finite.
+
+    Hot paths should stage `transform(words(col), h60)` into a bound
+    column and call `simhash16_from_hashes` (see its caveat).
+    """
+    return simhash16_from_hashes(F.transform(words(col), lambda t: h60(t)))
 
 
 def hamming16(a: Column, b: Column) -> Column:

@@ -172,10 +172,17 @@ def repetition_stats(
     agrees). The n-gram mode is a per-doc hash aggregation (explode →
     groupBy(doc, gram) → max_by), never a window sort; cost is linear in
     corpus tokens and shuffles only (doc, gram, count) triples."""
-    from kf_etl_clin_portal_spark.functions.hashing import word_shingles_all
+    from kf_etl_clin_portal_spark.functions.hashing import shingles_of_words
+    from kf_etl_clin_portal_spark.session import scale_out
 
+    # words bound before the shingle lambda captures it (see
+    # shingles_of_words' performance contract); scale_out vs one-split scans
+    df = scale_out(df)
     grams = df.select(
-        F.col(id_col), F.explode(word_shingles_all(F.col(text_col), n)).alias("__g")
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_of_words(F.col("__w"), n, distinct=False)).alias("__g"),
     )
     top = (
         grams.groupBy(id_col, "__g")

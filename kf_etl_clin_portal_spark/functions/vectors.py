@@ -37,6 +37,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / F.nullif(norm(ad) * norm(bd), F.lit(0.0))
 
 
+def cosine_prenorm(ad: Column, bd: Column, na: Column, nb: Column) -> Column:
+    """`cosine` with the per-row work hoisted: ``ad``/``bd`` are already
+    double arrays, ``na``/``nb`` their `norm`s (computed ONCE per row
+    instead of once per pair — the pair fan-out otherwise re-folds the
+    cast and both norms for every candidate). Bit-identical to `cosine`:
+    the same ops in the same order, only factored across projections —
+    so every rounded-cosine oracle gate is preserved by construction.
+    Argument order matters for the na*nb product order: pass the sides
+    exactly as they were passed to `cosine`."""
+    return dot(ad, bd) / F.nullif(na * nb, F.lit(0.0))
+
+
 @pandas_udf(T.DoubleType())
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine — numpy batch math for wide vectors."""

@@ -72,3 +72,24 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def scale_out(df, min_partitions: int | None = None):
+    """Raise a DataFrame's parallelism to the session default when the
+    scan gives less — and ONLY then (a no-op shuffle-free passthrough on
+    any input already split).
+
+    Why: expression-heavy per-row stages (shingling, MinHash, cosine
+    scoring) inherit the SCAN's parallelism. A dimension-sized input that
+    fits one parquet split runs the whole pipeline on ONE core — measured
+    5-10× of several headline queries at bench scale — while the cluster
+    idles. At 100 TB inputs arrive with thousands of splits and this
+    returns the frame untouched; the round-robin repartition it inserts
+    for narrow inputs shuffles only the small frame itself (row content
+    is partition-independent, so results are unchanged).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

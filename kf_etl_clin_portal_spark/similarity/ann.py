@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kf_etl_clin_portal_spark.functions.hashing import MERSENNE_31
-from kf_etl_clin_portal_spark.functions.vectors import cosine, to_double_array
+from kf_etl_clin_portal_spark.functions.vectors import to_double_array
 
 
 def brute_force_topk(
@@ -32,14 +32,33 @@ def brute_force_topk(
     Self-matches (same id) excluded. Deterministic tie-break on neighbor id.
     """
     query_id_col = query_id_col or id_col
+    from kf_etl_clin_portal_spark.functions.vectors import cosine_prenorm, norm
+
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("__qd"),
+    ).withColumn("__qn", norm(F.col("__qd")))
+    # scale_out: the corpus-side cosine scan inherits the scan's
+    # parallelism — a one-split corpus would score on one core.
+    # Double-cast + norm hoisted to once-per-row (`cosine_prenorm`, bit-
+    # identical to `cosine`): the per-pair fold is then only the dot.
+    from kf_etl_clin_portal_spark.session import scale_out
+
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        scale_out(corpus)
+        .select(F.col(id_col), to_double_array(F.col(vec_col)).alias("__cd"))
+        .withColumn("__cn", norm(F.col("__cd")))
         .crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenorm(
+                    F.col("__qd"), F.col("__cd"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -91,16 +110,41 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: hash corpus+queries into 2^n_planes sign buckets,
     scan only the query's bucket. (query_id, neighbor_id, cos, rank)."""
+    from kf_etl_clin_portal_spark.functions.vectors import cosine_prenorm, norm
+    from kf_etl_clin_portal_spark.session import scale_out
+
     b = _bucket_expr(vec_col, dim, n_planes, seed)
-    cb = corpus.withColumn("__bucket", b)
+    # hoist double-cast + norm to once-per-row (`cosine_prenorm` is
+    # bit-identical to `cosine`); a bucket's scan then folds only dots
+    cb = (
+        scale_out(corpus)
+        .withColumn("__bucket", b)
+        .select(
+            F.col(id_col), "__bucket",
+            to_double_array(F.col(vec_col)).alias("__cd"),
+        )
+        .withColumn("__cn", norm(F.col("__cd")))
+    )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-    ).withColumn("__bucket", _bucket_expr("__qvec", dim, n_planes, seed))
+    ).select(
+        "query_id",
+        _bucket_expr("__qvec", dim, n_planes, seed).alias("__bucket"),
+        to_double_array(F.col("__qvec")).alias("__qd"),
+    ).withColumn("__qn", norm(F.col("__qd")))
     scored = (
         cb.join(F.broadcast(qb), on="__bucket")
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenorm(
+                    F.col("__qd"), F.col("__cd"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (

@@ -347,27 +347,46 @@ def ivf_topk_indexed(
     from pyspark.sql import Window
 
     from kf_etl_clin_portal_spark.functions.vectors import (
-        cosine,
+        cosine_prenorm,
+        norm,
         to_double_array,
     )
     from kf_etl_clin_portal_spark.similarity.ivf import _nearest_cells
 
     cents = _pinned_centroids(index_pipe.table)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    ).withColumn(
-        "__cells",
-        _nearest_cells(to_double_array(F.col("__qvec")), cents, n_probes),
+    # double-cast + norm hoisted to once-per-row; `cosine_prenorm` is
+    # bit-identical to `cosine`, so the byte-parity with the batch path
+    # (which stages the same way) is preserved operand for operand
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            to_double_array(F.col(vec_col)).alias("__qd"),
+        )
+        .withColumn("__qn", norm(F.col("__qd")))
+        .withColumn("__cells", _nearest_cells(F.col("__qd"), cents, n_probes))
     )
-    qx = q.select("query_id", "__qvec", F.explode("__cells").alias("cell"))
+    qx = q.select("query_id", "__qd", "__qn", F.explode("__cells").alias("cell"))
     probe_cells = sorted(
         r["cell"] for r in qx.select("cell").distinct().collect()
     )  # ≤ n_lists ints — bounded driver traffic
-    lists = index_pipe.current().where(F.col("cell").isin(probe_cells))
+    lists = (
+        index_pipe.current()
+        .where(F.col("cell").isin(probe_cells))
+        .withColumn("__cd", to_double_array(F.col(vec_col)))
+        .withColumn("__cn", norm(F.col("__cd")))
+    )
     scored = (
         lists.join(F.broadcast(qx), on="cell")
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenorm(
+                    F.col("__qd"), F.col("__cd"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col(id_col).asc()

@@ -110,20 +110,42 @@ def ivf_topk(
         if centroids is not None
         else _centroids(corpus, id_col, vec_col, n_lists)
     )
-    cvec = to_double_array(F.col(vec_col))
+    from kf_etl_clin_portal_spark.functions.vectors import cosine_prenorm
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    # double-cast + norm staged once per row (bound columns: the cell
+    # argmax lambda and the per-candidate cosine would otherwise re-fold
+    # them; `cosine_prenorm` is bit-identical to `cosine`)
     assigned = (
-        corpus.withColumn("__rn", norm(cvec))
-        .withColumn("__cell", _nearest_cells(cvec, cents, 1, row_norm=F.col("__rn"))[0])
-        .drop("__rn")
+        scale_out(corpus)
+        .withColumn("__cd", to_double_array(F.col(vec_col)))
+        .withColumn("__cn", norm(F.col("__cd")))
+        .withColumn(
+            "__cell",
+            _nearest_cells(F.col("__cd"), cents, 1, row_norm=F.col("__cn"))[0],
+        )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    ).withColumn("__cells", _nearest_cells(to_double_array(F.col("__qvec")), cents, n_probes))
-    qx = q.select("query_id", "__qvec", F.explode("__cells").alias("__cell"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            to_double_array(F.col(vec_col)).alias("__qd"),
+        )
+        .withColumn("__qn", norm(F.col("__qd")))
+        .withColumn("__cells", _nearest_cells(F.col("__qd"), cents, n_probes))
+    )
+    qx = q.select("query_id", "__qd", "__qn", F.explode("__cells").alias("__cell"))
     scored = (
         assigned.join(F.broadcast(qx), on="__cell")
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenorm(
+                    F.col("__qd"), F.col("__cd"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (

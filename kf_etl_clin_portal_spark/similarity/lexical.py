@@ -60,7 +60,9 @@ def bm25_topk(
     simplification); docs sharing no term with a query are absent (their
     score is identically 0).
     """
-    toks = docs.select(
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    toks = scale_out(docs).select(
         F.col(id_col), words(F.col(text_col)).alias("__w")
     ).localCheckpoint(eager=True)  # tokenize once; feeds postings + dl + stats
 
