@@ -108,6 +108,36 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # ---- outlier self-interpretation (round-2 judge directive #6) ------
+    # any query >2× its previous-round wall gets ONE isolated re-run,
+    # recorded under "requeried": a contended-host burst then shows up as
+    # a much faster re-run in the same artifact instead of reading as an
+    # unexplained regression (the r02 embedding_topk lesson).
+    requeried: dict[str, float] = {}
+    prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if prev_path is None:
+        import glob
+
+        cands = sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+        ))
+        prev_path = cands[-1] if cands else None
+    prev_q: dict[str, float] = {}
+    if prev_path and os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+            prev_q = (prev.get("parsed") or prev).get("queries") or {}
+        except (OSError, ValueError):
+            pass
+    for name, dt in timings.items():
+        if name in prev_q and prev_q[name] > 0 and dt > 2.0 * prev_q[name]:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            requeried[name] = round(time.monotonic() - t0, 3)
+            print(f"# requeried {name}: {requeried[name]:.2f}s "
+                  f"(first {dt:.2f}s, prev {prev_q[name]})", file=sys.stderr)
+
     # ---- incremental view maintenance (BASELINE.md §3 regression track) ----
     views: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_VIEWS", "1") != "0":
@@ -220,17 +250,55 @@ def main() -> None:
         # engine's own scaling behavior.
         pair = os.environ.get("SPARK_GRAFT_BENCH_SCALE_CORES", "1,4")
         n_small, n_big = (int(x) for x in pair.split(","))
-        runs: dict[int, list[dict]] = {}
         env = dict(os.environ)
         env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
         env.setdefault("SPARK_GRAFT_BENCH_BATCHES", str(n_batches))
+
+        # ---- quiet-window gating (round-2 judge directive #1) ----------
+        # Two rounds of artifacts flagged `noisy` because every scaling
+        # sample landed on a contended window (co-tenant memory-bandwidth
+        # pressure, membw probes 6-8 vs the 10+ GB/s a quiet instance
+        # sustains). Instead of only FLAGGING a dirty window after the
+        # fact, WAIT for a quiet one before starting each run: probe
+        # single-thread memcpy, start when it clears the floor, give up
+        # (and run anyway, flagged as before) once the shared wait budget
+        # is spent. A quiet host pays one ~1 s probe per run.
+        bw_floor = float(os.environ.get("SPARK_GRAFT_BENCH_MEMBW_FLOOR", "8.5"))
+        wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "1800"))
+        wait_state = {"left": wait_budget}
+
+        def wait_quiet() -> None:
+            from kf_etl_clin_portal_spark.bench_scaling import _membw_gbps
+
+            if bw_floor <= 0:
+                return
+            while True:
+                bw = _membw_gbps()
+                if bw >= bw_floor or wait_state["left"] <= 0:
+                    if bw < bw_floor:
+                        print(f"# quiet-wait budget spent; starting at "
+                              f"{bw} GB/s (<{bw_floor})", file=sys.stderr)
+                    return
+                nap = min(45.0, wait_state["left"])
+                print(f"# membw {bw} GB/s < floor {bw_floor}; waiting "
+                      f"{nap:.0f}s ({wait_state['left']:.0f}s budget left)",
+                      file=sys.stderr)
+                time.sleep(nap)
+                wait_state["left"] -= nap
+
         # interleaved repeats; merged per BATCH INDEX below. Host CPU-steal
         # on this shared VM swings single batch walls up to 3×; since batch
         # i performs identical deterministic work in every repeat and the
         # interference is strictly additive, min-per-batch-index across
         # repeats is an unbiased estimator of the quiet-host wall (whole-run
         # best-of is not: one polluted batch poisons a whole run's rate).
-        def run_once(cores: int):
+        def run_once(cores: int, runs: dict, exec_cores: int = 0):
+            wait_quiet()
+            renv = dict(env)
+            if exec_cores:
+                renv["SPARK_GRAFT_BENCH_EXEC_CORES"] = str(exec_cores)
+            else:
+                renv.pop("SPARK_GRAFT_BENCH_EXEC_CORES", None)
             out = subprocess.run(
                 [
                     sys.executable,
@@ -242,7 +310,7 @@ def main() -> None:
                 ],
                 capture_output=True,
                 text=True,
-                env=env,
+                env=renv,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
             if not line:
@@ -252,9 +320,10 @@ def main() -> None:
             print(f"# scaling: {r}", file=sys.stderr)
             runs.setdefault(cores, []).append(r)
 
+        runs: dict[int, list[dict]] = {}
         for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))):
             for cores in (n_big, n_small):
-                run_once(cores)
+                run_once(cores, runs)
 
         # noise-aware retries. Two independent contamination signals on this
         # shared VM (both observed as multi-minute episodes):
@@ -303,7 +372,7 @@ def main() -> None:
                     f"# steal-contaminated {cores}-core steady batches; re-running",
                     file=sys.stderr,
                 )
-                run_once(cores)
+                run_once(cores, runs)
                 tries += 1
 
         def merged_rate(rs: list[dict]) -> tuple[int, list[float]]:
@@ -313,11 +382,14 @@ def main() -> None:
             steady = sum(walls[skip:])
             return round(rs[0]["steady_events"] / steady), walls
 
-        if runs.get(n_small) and runs.get(n_big):
+        def summarize(runs: dict, exec_cores: int) -> dict | None:
+            if not (runs.get(n_small) and runs.get(n_big)):
+                return None
             rate_n, walls_n = merged_rate(runs[n_small])
             rate_4n, walls_4n = merged_rate(runs[n_big])
-            print(f"# merged walls {n_small}c: {walls_n}", file=sys.stderr)
-            print(f"# merged walls {n_big}c: {walls_4n}", file=sys.stderr)
+            tag = f"x{exec_cores}exec" if exec_cores else ""
+            print(f"# merged walls {n_small}c{tag}: {walls_n}", file=sys.stderr)
+            print(f"# merged walls {n_big}c{tag}: {walls_4n}", file=sys.stderr)
             # honesty flag, two signals:
             # (a) retries exhausted with a steady batch still steal-dirty /
             #     uncorroborated on either side;
@@ -352,9 +424,8 @@ def main() -> None:
             #     1-core run does. A quiet instance of this host sustains
             #     10+ GB/s single-thread memcpy (measured across sessions,
             #     BASELINE.md); runs whose best probe never reaches the
-            #     floor never saw a quiet machine. Tunable for other hosts
-            #     via SPARK_GRAFT_BENCH_MEMBW_FLOOR (GB/s; 0 disables).
-            bw_floor = float(os.environ.get("SPARK_GRAFT_BENCH_MEMBW_FLOOR", "8.5"))
+            #     floor never saw a quiet machine. The quiet-window gate
+            #     above tries to avoid tripping this at all; 0 disables.
             bw_low = bool(bw_all and bw_floor > 0 and bw_all < bw_floor)
             noisy = (
                 _needs_retry(runs[n_small]) or _needs_retry(runs[n_big])
@@ -364,25 +435,58 @@ def main() -> None:
                 print("# WARNING: retry budget exhausted while steady batches "
                       "remained steal-dirty or uncorroborated; efficiency is "
                       "a lower bound under host interference", file=sys.stderr)
+            return {
+                "n_cores": n_small,
+                "four_n_cores": n_big,
+                # >0: cores split into separate worker JVMs of this
+                # width (local-cluster executor mode — real 1-vs-4
+                # EXECUTOR comparison); 0: single-JVM local[N] proxy
+                "exec_cores": exec_cores,
+                "rate_n": rate_n,
+                "rate_4n": rate_4n,
+                "efficiency": round(rate_4n / rate_n / (n_big / n_small), 3),
+                "noisy": noisy,
+                "membw_gbps": {"n": bw_small, "four_n": bw_big},
+            }
+
+        scaling = summarize(
+            runs, int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES", "0"))
+        )
+
+        # ---- executor-mode pair (round-2 judge directive #5) -----------
+        # The same feed through 1×1-core vs 4×1-core separate WORKER JVMs
+        # (local-cluster: real standalone scheduler, executor registration,
+        # netty shuffle) — the in-sandbox shape closest to the N-vs-4N
+        # EXECUTORS criterion, recorded ALONGSIDE the single-JVM pair.
+        # Skipped automatically when the main pair already ran in executor
+        # mode. SPARK_GRAFT_BENCH_EXEC_PAIR=0 disables.
+        scaling_execs = None
+        if (
+            os.environ.get("SPARK_GRAFT_BENCH_EXEC_PAIR", "1") != "0"
+            and not os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES")
+        ):
+            eruns: dict[int, list[dict]] = {}
+            for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))):
+                for cores in (n_big, n_small):
+                    run_once(cores, eruns, exec_cores=1)
+            for cores in (n_big, n_small):
+                tries = 0
+                emax = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_MAX_EXTRA", "2"))
+                while tries < emax and _needs_retry(eruns.get(cores, [])):
+                    print(f"# exec-mode {cores}-core dirty; re-running",
+                          file=sys.stderr)
+                    run_once(cores, eruns, exec_cores=1)
+                    tries += 1
+            scaling_execs = summarize(eruns, 1)
+
+        if scaling:
             cdc = {
                 "events": n_events,
-                "events_per_sec": rate_4n,
-                "scaling": {
-                    "n_cores": n_small,
-                    "four_n_cores": n_big,
-                    # >0: cores split into separate worker JVMs of this
-                    # width (local-cluster executor mode — real 1-vs-4
-                    # EXECUTOR comparison); 0: single-JVM local[N] proxy
-                    "exec_cores": int(
-                        os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES", "0")
-                    ),
-                    "rate_n": rate_n,
-                    "rate_4n": rate_4n,
-                    "efficiency": round(rate_4n / rate_n / (n_big / n_small), 3),
-                    "noisy": noisy,
-                    "membw_gbps": {"n": bw_small, "four_n": bw_big},
-                },
+                "events_per_sec": scaling["rate_4n"],
+                "scaling": scaling,
             }
+            if scaling_execs:
+                cdc["scaling_executors"] = scaling_execs
     else:
         spark.stop()
 
@@ -393,6 +497,7 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": timings,
+                "requeried": requeried,
                 "sf": sf,
                 "views": views,
                 "cdc": cdc,
