@@ -46,6 +46,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _pin_result(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Detach a gate query's RESULT from its temp lake table.
+
+    End-to-end gate queries build a throwaway table under tempfile and
+    delete it in their `finally` — but the returned DataFrame is lazy and
+    the driver materializes it AFTER the cleanup. Round-tripping through
+    the driver pins the values first. DRIVER-BOUNDED BY DESIGN: only gate
+    results (≤ a few hundred rows, asserted nowhere near data scale) may
+    pass through here — NEVER copy this idiom into a data path; inside
+    the library the equivalent is writing to a destination table
+    (lake/export.py) or localCheckpoint, both executor-side."""
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 # --------------------------------------------------------------------------
 # flagship: end-to-end CDC replay (generate feed → micro-batch MERGE →
 # current-state table), self-contained in a temp dir
@@ -489,7 +503,7 @@ def q_doc_bm25_incremental(spark, sf):
         update_bm25_index(spark, src.table, idx)
         q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
         out = bm25_topk_indexed(spark, idx, q, k=5)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _pin_result(spark, out)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -945,8 +959,7 @@ def q_doc_clean_corpus(spark, sf):
         out = clean.current().select(
             "doc_id", F.length("content").cast("long").alias("n_chars")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1015,8 +1028,7 @@ def q_ann_ivf_incremental(spark, sf):
             "vec_id", "embedding"
         )
         out = ivf_topk_indexed(spark, idx, queries, k=5, n_probes=2)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1213,8 +1225,7 @@ def q_ivm_event_rollup(spark, sf):
         )
         # the view is one row per event_type — materialize it so the lake
         # tempdir can be removed before the driver consumes the DataFrame
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1268,8 +1279,7 @@ def q_ivm_distinct_rollup(spark, sf):
             F.col("min_v").alias("mn"),
             F.col("max_v").alias("mx"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1317,8 +1327,7 @@ def q_ivm_topk_values(spark, sf):
         out = topk_view(sup, 3).withColumn(
             "rank_v", F.col("rank_v").cast("long")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1453,8 +1462,7 @@ def q_dml_correction(spark, sf):
         out = pipe.current().select(
             "user_id", F.col("seq").alias("event_id"), "event_type", "value"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1528,8 +1536,7 @@ def q_merge_into_clauses(spark, sf):
         out = pipe.current().select(
             "user_id", F.col("seq").alias("event_id"), "event_type", "value"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1649,8 +1656,7 @@ def q_cdc_changes_datasource(spark, sf):
                 "_change_version", "_change_op",
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1699,8 +1705,7 @@ def q_cdc_diff_feed(spark, sf):
             "user_id", "seq", "event_type", "value", "is_deleted",
             "_change_version", "_change_op",
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1745,8 +1750,7 @@ def q_cdc_diff_cdf(spark, sf):
             "user_id", "seq", "event_type", "value", "is_deleted",
             "_change_version", "_change_op",
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1793,8 +1797,7 @@ def q_cdc_patch_fold(spark, sf):
         apply_patch_batch(pipe, feed.where(F.col("seq") <= mid), batch_id="pg-a")
         apply_patch_batch(pipe, feed.where(F.col("seq") > mid), batch_id="pg-b")
         out = pipe.current().select("user_id", "seq", "event_type", "value")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1852,8 +1855,7 @@ def q_cdc_envelope_replay(spark, sf):
         )
         pipe.apply_batch(feed, batch_id="eg-1")
         out = pipe.current().select("user_id", "seq", "event_type", "value")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1904,8 +1906,7 @@ def q_cdc_branch_publish(spark, sf):
         assert main_max <= half, f"branch leaked into main: {main_max} > {half}"
         fast_forward(pipe.table, "staged", drop=True)
         out = pipe.current().select("user_id", "seq", "event_type", "value")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1957,8 +1958,7 @@ def q_cdc_default_column(spark, sf):
         )
         pipe.apply_batch(corr, batch_id="dc-b1")
         out = pipe.current().select("user_id", "seq", "event_type", "value", "tier")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2004,8 +2004,7 @@ def q_cdc_generated_column(spark, sf):
         out = pipe.current().select(
             "user_id", "seq", "event_type", "value", "v_bucket"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2061,8 +2060,7 @@ def q_cdc_mirror_repair(spark, sf):
         repair_mirror(spark, src.table, dst, source_id="gate")
         assert audit_mirror(spark, src.table, dst)["ok"]
         out = dst.current().select("user_id", "seq", "event_type", "value")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2114,8 +2112,7 @@ def q_scd2_view(spark, sf):
             "user_id", "valid_from_seq", "event_type", "value",
             "is_delete_event", "valid_to_seq", "is_current",
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2161,8 +2158,7 @@ def q_ivm_derived_rollup(spark, sf):
             "event_type", "vband", "n",
             F.col("sum_v").cast("long").alias("total"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2257,8 +2253,7 @@ def q_cdc_join_view(spark, sf):
         out = dst.current().select(
             "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2333,8 +2328,7 @@ def q_cdc_secondary_lookup(spark, sf):
         out = lookup_by(
             spark, src.table, idx, ["BUILDING", "SPECIAL"]
         ).select("c_custkey", "c_mktsegment", "c_acctbal")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2392,8 +2386,7 @@ def q_cdc_txn_fanout(spark, sf):
                 .withColumn("src", F.lit("activity")).select(*cols)
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2447,8 +2440,7 @@ def q_cdc_spj_join(spark, sf):
             F.col("r_n_events").alias("n_events"),
             F.col("r_total_value").cast("double").alias("total_value"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2490,8 +2482,7 @@ def q_cdc_pruned_lookup(spark, sf):
         out = pruned_dim_join(
             spark, a.table, dim, on={"user_id": "member"}
         ).select("user_id", "event_type", "value", "tag")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2526,8 +2517,7 @@ def q_cdc_purge(spark, sf):
         )
         purge_keys(spark, pipe, doomed, purge_id="gate")
         out = pipe.current().select("user_id", "event_type", "value")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2569,8 +2559,7 @@ def q_dv_correction(spark, sf):
         out = pipe.current().select(
             "user_id", F.col("seq").alias("event_id"), "event_type", "value"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2605,8 +2594,7 @@ def q_cdc_dv_delete(spark, sf):
         after = sorted(f["path"] for f in pipe.table.refresh().state["files"])
         assert after == before and not r.skipped, "DV delete must not rewrite"
         out = pipe.current().select("user_id", "event_type", "value")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2647,8 +2635,7 @@ def q_cdc_scan_where(spark, sf):
         out = read_where(spark, pipe.table, where, plan=plan).select(
             "user_id", "seq", "event_type", "value"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _pin_result(spark, out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
