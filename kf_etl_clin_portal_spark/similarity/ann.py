@@ -3,10 +3,20 @@
 - ``brute_force_topk`` — the exact baseline: broadcast the (small) query
   set against the corpus, cosine via JVM higher-order fns, per-query top-k
   by window. Corpus-side linear scan, no shuffle of the corpus beyond the
-  final top-k aggregation.
-- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH (sign bits
-  of fixed deterministic pseudo-random projections) buckets corpus and
-  queries; each query only scans its bucket (+ optional multi-probe).
+  final top-k aggregation (Spark pushes a WindowGroupLimit partial top-k
+  before the exchange, so per-query shuffle volume is k per map
+  partition, not |corpus|).
+- ``brute_force_topk_arrow`` — the same exact scan as one numpy GEMM per
+  Arrow batch (`mapInPandas`): the query matrix rides the closure, each
+  corpus batch emits only its per-query top-k, and a tiny exact window
+  finishes. ~10-100× the JVM fold on wide vectors / big corpora; scores
+  can differ from the fold in the last ulp (numpy pairwise summation),
+  which the round-6 convention absorbs except exactly AT a rounding
+  boundary — hence a separate entry point, chosen when throughput
+  matters more than bit-parity with the sequential-fold oracle.
+- ``lsh_bucketed_topk`` — the sublinear path: random-hyperplane LSH (sign
+  bits of fixed deterministic pseudo-random projections) buckets corpus
+  and queries; each query only scans its bucket (+ optional multi-probe).
   Recall/cost traded via n_planes / n_probes.
 """
 
@@ -65,6 +75,97 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k per query via numpy GEMM over Arrow batches.
+
+    Same semantics as `brute_force_topk` (self-matches excluded, ties →
+    smallest neighbor id, cos rounded to 6); scores may differ in the
+    last ulp (numpy pairwise summation vs the JVM sequential fold — see
+    module docstring). The query set is collected to the driver (bounded:
+    queries are the SMALL side by contract, exactly as the JVM path
+    broadcasts them) and rides the `mapInPandas` closure; each corpus
+    batch emits ≤ k rows per query — a global top-k row can never rank
+    below k within its own batch — so the finishing window sorts
+    k × n_batches × |queries| rows, never the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    query_id_col = query_id_col or id_col
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not qrows:
+        schema_empty = "query_id long, neighbor_id long, cos double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema_empty)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = np.nan  # cosine undefined for zero vectors (NULL later)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cn = np.linalg.norm(cm, axis=1)
+            cn[cn == 0] = np.nan
+            # |batch| × |queries| cosine matrix in one GEMM
+            cos = (cm @ qm.T) / np.outer(cn, qn)
+            cos = np.round(cos, 6)
+            # self-matches can never win
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, cos.shape[0])
+            # per-query local top-k under the (cos desc, id asc) order:
+            # lexsort on (ids, -cos) — last key primary
+            take = []
+            for j in range(cos.shape[1]):
+                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                col = cos[order, j]
+                keep = np.isfinite(col)
+                take.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": ids[order][keep],
+                            "cos": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(take, ignore_index=True)
+
+    local = scale_out(corpus).select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score_batches, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
     )
 
 

@@ -25,6 +25,27 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     assert full == exact
 
 
+def test_arrow_gemm_equals_jvm_brute_force(spark, sf_dir):
+    """The mapInPandas GEMM scale path must reproduce the JVM fold's
+    exact ranking (neighbor sets, ranks, rounded scores) on real data —
+    the per-batch top-k prefilter may not lose a global winner, and the
+    (cos desc, id asc) tie order must match through numpy's lexsort."""
+    from kf_etl_clin_portal_spark.similarity.ann import brute_force_topk_arrow
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 7)
+    jvm = sorted(map(tuple, brute_force_topk(emb, q, k=4).collect()))
+    gemm = sorted(map(tuple, brute_force_topk_arrow(emb, q, k=4).collect()))
+    assert [r[:2] + (r[3],) for r in jvm] == [r[:2] + (r[3],) for r in gemm]
+    for a, b in zip(jvm, gemm):
+        assert abs(a[2] - b[2]) <= 2e-6  # rounded scores; ulp at boundary
+
+    # empty query set → empty frame with the contract schema
+    empty = brute_force_topk_arrow(emb, q.where(F.lit(False)), k=4)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
 def test_ivf_partial_probe_shape(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 5)
