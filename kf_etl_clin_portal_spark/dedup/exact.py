@@ -22,8 +22,11 @@ def exact_dedup(
 ) -> DataFrame:
     """One surviving row per identical (canonicalized) text: the min-id row,
     plus the group size as ``n_dups``."""
+    from kf_etl_clin_portal_spark.session import scale_out
+
     fp = fingerprint_col if fingerprint_col is not None else fingerprint(F.col(text_col))
-    with_fp = df.withColumn("__fp", fp)
+    # scale_out: a one-split scan would canonicalize+hash on one core
+    with_fp = scale_out(df).withColumn("__fp", fp)
     row = F.struct(*[F.col(c) for c in df.columns])
     return (
         with_fp.groupBy("__fp")
