@@ -139,12 +139,20 @@ def main() -> None:
     # in the measured wall (it is part of the steady-state cost).
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor")
     compact_every = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_EVERY", "3"))
+    # parquet codec for the bench table (SPARK_GRAFT_BENCH_CODEC; empty =
+    # session default snappy). On this tmpfs-backed sandbox the dominant
+    # scaling-pair cost is MEMORY BANDWIDTH (bytes written to /dev/shm),
+    # so a denser codec trades CPU for bandwidth — see BASELINE.md A/B.
+    codec = os.environ.get("SPARK_GRAFT_BENCH_CODEC", "").strip()
     pipe = CDCPipeline(
         spark,
         os.path.join(root, "tbl"),
         num_buckets=int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64")),
         prune=False,
         merge_strategy="mor" if mode == "mor" else "union_agg",
+        table_properties=(
+            {"write.parquet.compression": codec} if codec else None
+        ),
     )
     bounds = [round(i * n_events / n_batches) for i in range(n_batches + 1)]
     walls = []
