@@ -1770,7 +1770,9 @@ def q_cdc_patch_fold(spark, sf):
     from kf_etl_clin_portal_spark.cdc.patch import apply_patch_batch
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
 
-    ev = _t(spark, sf, "events").select(
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    ev = scale_out(_t(spark, sf, "events")).select(
         F.col("event_id").alias("seq"), "user_id", "event_type", "value"
     )
     feed = ev.withColumn(
@@ -1824,7 +1826,9 @@ def q_cdc_envelope_replay(spark, sf):
             T_.StructField("value", T_.DoubleType()),
         ]
     )
-    src = _t(spark, sf, "events").select(
+    from kf_etl_clin_portal_spark.session import scale_out
+
+    src = scale_out(_t(spark, sf, "events")).select(
         F.col("event_id").alias("seq"), "user_id", "event_type", "value"
     ).withColumn(
         "dop",

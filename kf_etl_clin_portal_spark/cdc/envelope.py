@@ -125,7 +125,17 @@ def parse_envelopes(
         .when(is_del & F.col("__env.before").isNull(), F.lit("delete without before image"))
         .when(seq_expr.isNull(), F.lit(seq_missing))
     )
-    env = env.withColumn("__bad", bad_reason)
+    # Optimizer fence: every on_error mode filters on __bad, and Spark
+    # pushes DETERMINISTIC filter conditions below the __env projection by
+    # SUBSTITUTING the alias — re-running from_json once per reference in
+    # the predicate (measured 4-5× the single-parse cost at 100k rows/32
+    # cores). A nondeterministic condition is never pushed, so wrapping
+    # __bad in an always-true rand() guard pins the parse to ONE
+    # evaluation. Value-deterministic: rand ∈ [0,1) is always ≥ -1, so the
+    # guard selects bad_reason unconditionally.
+    env = env.withColumn(
+        "__bad", F.when(F.rand(7) >= F.lit(-1.0), bad_reason)
+    )
 
     payload_cols = []
     for f in payload_schema.fields:
