@@ -374,6 +374,56 @@ def main():
 
         _sh.rmtree(itmp, ignore_errors=True)
 
+    # 8g. ngram postings: the shingle pipeline must run ABOVE the
+    #     scale_out repartition, once. Round-3 regression guard: exploding
+    #     a BOUND shingle alias let InferFiltersFromGenerate + pushdown
+    #     substitute the full shingle expression into a Filter BELOW the
+    #     exchange (single-threaded duplicate evaluation, 5/7ths of the
+    #     query). Detect it structurally: no array_distinct/slice may
+    #     appear under the round-robin exchange (scan DataFilters line).
+    p = plan_of(E.q_ngram_jaccard(spark, sf))
+    lines = p.splitlines()
+    scan_lines = [l for l in lines if "DataFilters" in l or "PushedFilters" in l]
+    if any("array_distinct" in l or "slice(" in l for l in scan_lines):
+        problems.append(
+            "ngram_jaccard: shingle expression inferred into a scan filter "
+            "below the exchange (InferFiltersFromGenerate regression)"
+        )
+    print("== ngram postings placement ==")
+    print("\n".join(l[:160] for l in scan_lines[:4]))
+
+    # 8h. envelope parse: the from_json filter fence holds — the Filter
+    #     deciding envelope validity must reference the __bad column (a
+    #     nondeterministic alias that cannot be pushed/substituted), not
+    #     carry its own inlined from_json forest.
+    from pyspark.sql import types as T_
+
+    from kf_etl_clin_portal_spark.cdc.envelope import parse_envelopes, to_envelopes
+
+    pay = T_.StructType([
+        T_.StructField("repo", T_.StringType()),
+        T_.StructField("path", T_.StringType()),
+    ])
+    raw = to_envelopes(
+        ev.select("repo", "path", "seq").limit(100), ["repo", "path"]
+    )
+    p = plan_of(parse_envelopes(raw, pay, key_cols=["repo", "path"]))
+    filt = [l for l in p.splitlines() if re.match(r"\(\d+\) Filter", l)]
+    cond = "\n".join(
+        l for l in p.splitlines() if l.startswith("Condition")
+    )
+    n_fj_in_cond = sum(
+        l.count("from_json") for l in p.splitlines() if "Condition" in l
+    )
+    if n_fj_in_cond > 0:
+        problems.append(
+            f"parse_envelopes: {n_fj_in_cond} from_json calls inlined into "
+            f"the validity Filter (fence broken — parse re-evaluated per "
+            f"reference)"
+        )
+    print("== envelope parse fence ==")
+    print((cond or "\n".join(filt))[:300])
+
     # 9. file_centric view: repo rollup joined by broadcast
     from kf_etl_clin_portal_spark.cdc.views import file_centric
     cur = pipe.current()
