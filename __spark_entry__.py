@@ -1033,6 +1033,67 @@ def q_ann_ivf_incremental(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_semantic_dedup_incremental(spark, sf):
+    """Incremental SemDeDup (`similarity/incremental.py:
+    semantic_dedup_changed`): the embeddings ingest as a CDC source, the
+    quantizer is PINNED at index creation (original vectors), then a
+    second range EDITS vec_id%9==4 (reversed vectors — they move cells)
+    and DELETES vec_id%13==6; one O(changed) poll maintains the cell
+    assignments and the min-id survivor verdict is served from the index
+    alone. Oracle: centroids over the ORIGINAL vectors, assignment +
+    within-cell pruning over the edited-minus-deleted corpus — the batch
+    SemDeDup rule on the pinned geometry."""
+    import shutil
+
+    from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+    from kf_etl_clin_portal_spark.similarity.incremental import (
+        create_ivf_index,
+        semantic_dedup_changed,
+        update_ivf_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="seminc_gate_")
+    try:
+        src = CDCPipeline(
+            spark, os.path.join(tmp, "src"), key_cols=("vec_id",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        idx = CDCPipeline(
+            spark, os.path.join(tmp, "idx"), key_cols=("vec_id",),
+            num_buckets=4, merge_strategy="mor",
+        )
+        feed0 = emb.select("vec_id", "embedding").withColumn(
+            "seq", F.col("vec_id").cast("long")
+        )
+        src.apply_batch(feed0, batch_id="smg-b0")
+        create_ivf_index(spark, src.table, idx, n_lists=8)
+        edits = (
+            feed0.where(F.pmod("vec_id", F.lit(9)) == 4)
+            .withColumn("embedding", F.reverse("embedding"))
+            .withColumn("seq", F.col("seq") + 100_000)
+        )
+        dels = (
+            feed0.where(F.pmod("vec_id", F.lit(13)) == 6)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("seq", F.col("seq") + 200_000)
+        )
+        src.apply_batch(edits, batch_id="smg-b1")
+        src.apply_batch(dels, batch_id="smg-b2")
+        update_ivf_index(spark, src.table, idx)
+        live = src.current().select("vec_id")
+        drops = semantic_dedup_changed(spark, idx, live, min_cos=0.25)
+        out = (
+            idx.current()
+            .where(F.col("cell").isNotNull())
+            .join(drops, on="vec_id", how="left_anti")
+            .select("vec_id", F.col("cell").cast("long").alias("cell"))
+        )
+        return _pin_result(spark, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ann_recall(spark, sf):
     """Recall@5 of the IVF ranking vs brute force
     (`similarity/evaluate.py:recall_at_k`) — the measured quality knob
@@ -2701,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mirror_repair": q_cdc_mirror_repair,
         "cdc_txn_fanout": q_cdc_txn_fanout,
         "ann_ivf_incremental": q_ann_ivf_incremental,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "doc_clean_corpus": q_doc_clean_corpus,
         "cdc_patch_fold": q_cdc_patch_fold,
         "cdc_envelope_replay": q_cdc_envelope_replay,
@@ -3541,6 +3603,37 @@ def oracle_sql() -> dict[str, str]:
                  cent AS (SELECT row_number() OVER (ORDER BY hh ASC, vec_id ASC) - 1 AS cell,
                                  v AS cv
                           FROM (SELECT * FROM h ORDER BY hh ASC, vec_id ASC LIMIT 32)),
+                 asg AS (SELECT vec_id, cell FROM (
+                           SELECT e.vec_id, cent.cell,
+                                  row_number() OVER (
+                                    PARTITION BY e.vec_id
+                                    ORDER BY {OSQL.cosine_exact_sql('e.v', 'cent.cv')} DESC,
+                                             cent.cell ASC) AS rn
+                           FROM e CROSS JOIN cent) WHERE rn = 1),
+                 ea AS (SELECT e.vec_id, e.v, asg.cell
+                        FROM e JOIN asg ON e.vec_id = asg.vec_id),
+                 dup AS (SELECT DISTINCT b.vec_id
+                         FROM ea a JOIN ea b
+                           ON a.cell = b.cell AND a.vec_id < b.vec_id
+                         WHERE round({OSQL.cosine_sql('a.v', 'b.v')}, 6) >= 0.25)
+            SELECT vec_id, cell FROM ea
+            WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        """,
+        # pinned quantizer (centroids over ORIGINAL vectors, smallest-h60
+        # sample) + batch SemDeDup rule over the edited-minus-deleted
+        # corpus — exactly what the index-served incremental verdict must
+        # reproduce after the edit/delete poll
+        "semantic_dedup_incremental": f"""
+            WITH orig AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 e AS (SELECT vec_id,
+                              CASE WHEN vec_id % 9 = 4 THEN list_reverse(v)
+                                   ELSE v END AS v
+                       FROM orig WHERE vec_id % 13 <> 6),
+                 h AS (SELECT vec_id, v,
+                              {OSQL.h60_sql("vec_id::VARCHAR")} AS hh FROM orig),
+                 cent AS (SELECT row_number() OVER (ORDER BY hh ASC, vec_id ASC) - 1 AS cell,
+                                 v AS cv
+                          FROM (SELECT * FROM h ORDER BY hh ASC, vec_id ASC LIMIT 8)),
                  asg AS (SELECT vec_id, cell FROM (
                            SELECT e.vec_id, cent.cell,
                                   row_number() OVER (

@@ -396,3 +396,112 @@ def ivf_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
     )
+
+
+def semantic_pairs_for_changed(
+    spark: SparkSession,
+    index_pipe,
+    changed_keys: DataFrame,
+    min_cos: float = 0.9,
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup near-dup pairs touching the given changed keys, served
+    FROM the maintained IVF index — the embedding analog of
+    `dedup.incremental.neardup_pairs_for_changed`.
+
+    The index (created by `create_ivf_index`, maintained by
+    `update_ivf_index`) already stores every live vector's ``cell`` under
+    the PINNED quantizer, so one poll's changed keys are compared only
+    against their own cells' live members: O(|changed| × cell size), no
+    corpus re-scan, no re-assignment. Returns
+    ``(key..., other_key..., cell, cos)`` with ``round(cos, 6) ≥
+    min_cos`` — both the changed and the blocking side, deterministic
+    under any partitioning (the same exact cosine the batch
+    `dedup.semantic._dup_pairs` computes on identical cell geometry).
+
+    ``max_cluster`` mirrors the batch guard and FAILS OPEN the same way:
+    cells larger than the cap yield no pairs (every member survives a
+    dedup verdict built on this), measured over the full index so the
+    decision matches what a batch run over the same table would make.
+    """
+    from kf_etl_clin_portal_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+        to_double_array,
+    )
+
+    key_cols = list(index_pipe.table.key_cols)
+    index = (
+        index_pipe.current()
+        .select(*key_cols, "cell", vec_col)
+        .where(F.col("cell").isNotNull())
+        .withColumn("__vd", to_double_array(F.col(vec_col)))
+        .withColumn("__n", norm(F.col("__vd")))
+        .drop(vec_col)
+    )
+    changed = index.join(
+        F.broadcast(changed_keys.select(*key_cols).distinct()),
+        on=key_cols, how="left_semi",
+    )
+    if max_cluster is not None:
+        # guard measured over the FULL index (what the batch run sees),
+        # but only for the cells the changed keys touch — bounded output
+        changed_cells = changed.select("cell").distinct()
+        ok = (
+            index.join(F.broadcast(changed_cells), on="cell")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+            .where(F.col("__cn") <= max_cluster)
+            .select("cell")
+        )
+        changed = changed.join(F.broadcast(ok), on="cell")
+    other = index.select(
+        "cell",
+        *[F.col(c).alias(f"other_{c}") for c in key_cols],
+        F.col("__vd").alias("__ovd"),
+        F.col("__n").alias("__on"),
+    )
+    same = F.lit(True)
+    for c in key_cols:
+        same = same & (F.col(c) == F.col(f"other_{c}"))
+    return (
+        other.join(F.broadcast(changed), on="cell")
+        .where(~same)
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenorm(
+                    F.col("__vd"), F.col("__ovd"), F.col("__n"), F.col("__on")
+                ),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= min_cos)
+        .select(*key_cols, *[f"other_{c}" for c in key_cols], "cell", "cos")
+    )
+
+
+def semantic_dedup_changed(
+    spark: SparkSession,
+    index_pipe,
+    changed_keys: DataFrame,
+    min_cos: float = 0.9,
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """The dedup VERDICT for one poll's changed keys: the changed keys
+    that should DROP under the batch min-id survivor rule — a changed row
+    drops iff some smaller-key live row in its cell has cosine ≥ min_cos
+    (identical to `dedup.semantic.semantic_dedup`'s rule evaluated
+    against the index's live state; unchanged rows keep their standing
+    verdicts — the streaming-dedup convention `dedup/clean_corpus.py`
+    documents)."""
+    key_cols = list(index_pipe.table.key_cols)
+    pairs = semantic_pairs_for_changed(
+        spark, index_pipe, changed_keys, min_cos, vec_col, max_cluster
+    )
+    blocker = (
+        F.struct(*[F.col(f"other_{c}") for c in key_cols])
+        < F.struct(*[F.col(c) for c in key_cols])
+    )
+    return pairs.where(blocker).select(*key_cols).distinct()

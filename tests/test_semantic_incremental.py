@@ -1,0 +1,151 @@
+"""Incremental semantic (SemDeDup) dedup over the change feed
+(similarity/incremental.py:semantic_pairs_for_changed/semantic_dedup_changed):
+one poll's changed vectors are judged against the maintained IVF index's
+cell members only — no corpus re-scan — and the verdict matches the batch
+`dedup.semantic` rule on identical cell geometry (the pinned quantizer).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
+from kf_etl_clin_portal_spark.similarity.incremental import (
+    create_ivf_index,
+    semantic_dedup_changed,
+    semantic_pairs_for_changed,
+    update_ivf_index,
+)
+
+DIM = 8
+
+
+def _vec(seed, eps=0.0):
+    # deterministic unit-free vectors; eps nudges a near-dup
+    base = [((seed * 31 + j * 7) % 13) - 6.0 for j in range(DIM)]
+    return [v + (eps if j == 0 else 0.0) for j, v in enumerate(base)]
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [(seq, op, vid, vec) for seq, op, vid, vec in rows],
+        "seq long, op string, vec_id long, embedding array<float>",
+    )
+
+
+def _pipes(spark, tmp_path):
+    src = CDCPipeline(spark, str(tmp_path / "src"), key_cols=("vec_id",),
+                      num_buckets=2, merge_strategy="mor")
+    idx = CDCPipeline(spark, str(tmp_path / "idx"), key_cols=("vec_id",),
+                      num_buckets=2, merge_strategy="mor")
+    return src, idx
+
+
+def _batch_pairs(spark, idx, min_cos, max_cluster=None):
+    """Oracle: the batch `_dup_pairs` on the index's own live state and
+    cell assignments (identical geometry — the index IS the assignment)."""
+    from kf_etl_clin_portal_spark.dedup.semantic import _dup_pairs
+    from kf_etl_clin_portal_spark.functions.vectors import norm, to_double_array
+
+    assigned = (
+        idx.current()
+        .where(F.col("cell").isNotNull())
+        .select("vec_id", "embedding", "cell")
+        .withColumn("__vd", to_double_array(F.col("embedding")))
+        .withColumn("__rn", norm(F.col("__vd")))
+    )
+    return _dup_pairs(assigned, min_cos, "vec_id", "embedding", max_cluster)
+
+
+def test_pairs_match_batch_on_full_corpus(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    rows = [(i, "upsert", i, _vec(i % 5, eps=0.001 * i)) for i in range(20)]
+    src.apply_batch(_feed(spark, rows), batch_id="b0")
+    create_ivf_index(spark, src.table, idx, n_lists=4)
+
+    all_keys = src.current().select("vec_id")
+    got = semantic_pairs_for_changed(spark, idx, all_keys, min_cos=0.99)
+    # normalize both to unordered (a<b) pair sets with the same cos
+    got_set = {
+        (min(r.vec_id, r.other_vec_id), max(r.vec_id, r.other_vec_id), r.cos)
+        for r in got.collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.cos)
+        for r in _batch_pairs(spark, idx, 0.99).collect()
+    }
+    assert want, "fixture must produce at least one near-dup pair"
+    assert got_set == want
+    # both directions present for a changed-side view
+    one = got.collect()[0]
+    assert got.where(
+        (F.col("vec_id") == one.other_vec_id)
+        & (F.col("other_vec_id") == one.vec_id)
+    ).count() == 1
+
+
+def test_edits_and_deletes_flow_through_the_index(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    # 1 and 11 are near-dups (same seed family); 2 is distinct. ONE cell:
+    # this test exercises index-following (edits/deletes), not blocking —
+    # with tiny corpora the deterministic quantizer can make two
+    # near-identical vectors their own centroids and split the pair
+    # across cells (the inherent SemDeDup blocking trade, same as batch).
+    src.apply_batch(_feed(spark, [
+        (1, "upsert", 1, _vec(1)),
+        (2, "upsert", 2, _vec(2)),
+        (3, "upsert", 11, _vec(1, eps=0.001)),
+    ]), batch_id="b0")
+    create_ivf_index(spark, src.table, idx, n_lists=1)
+
+    changed = spark.createDataFrame([(11,)], "vec_id long")
+    drops = semantic_dedup_changed(spark, idx, changed, min_cos=0.99)
+    assert {r.vec_id for r in drops.collect()} == {11}  # blocked by 1
+    # the smaller id is never dropped by a bigger blocker
+    assert semantic_dedup_changed(
+        spark, idx, spark.createDataFrame([(1,)], "vec_id long"), min_cos=0.99
+    ).count() == 0
+
+    # edit 11 far away → no longer a dup; delete 1 → 11's blocker is gone
+    src.apply_batch(_feed(spark, [
+        (10, "upsert", 11, _vec(7)),
+        (11, "delete", 1, None),
+    ]), batch_id="b1")
+    update_ivf_index(spark, src.table, idx)
+    assert semantic_dedup_changed(spark, idx, changed, min_cos=0.99).count() == 0
+    # deleted vectors never appear as blockers or candidates
+    pairs = semantic_pairs_for_changed(
+        spark, idx, src.current().select("vec_id"), min_cos=0.0
+    )
+    ids = {r.vec_id for r in pairs.collect()} | {
+        r.other_vec_id for r in pairs.collect()
+    }
+    assert 1 not in ids
+
+
+def test_max_cluster_fails_open(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    # all 10 vectors in one tight family → one dominant cell
+    rows = [(i, "upsert", i, _vec(3, eps=0.0005 * i)) for i in range(10)]
+    src.apply_batch(_feed(spark, rows), batch_id="b0")
+    create_ivf_index(spark, src.table, idx, n_lists=1)
+    keys = src.current().select("vec_id")
+    assert semantic_pairs_for_changed(
+        spark, idx, keys, min_cos=0.99
+    ).count() > 0
+    # cap below the cell size → the cell is skipped, NO pairs (fail-open:
+    # a dedup verdict built on this keeps every member)
+    assert semantic_pairs_for_changed(
+        spark, idx, keys, min_cos=0.99, max_cluster=5
+    ).count() == 0
+    assert semantic_dedup_changed(
+        spark, idx, keys, min_cos=0.99, max_cluster=5
+    ).count() == 0
+
+
+def test_requires_existing_index(spark, tmp_path):
+    src, idx = _pipes(spark, tmp_path)
+    src.apply_batch(_feed(spark, [(1, "upsert", 1, _vec(1))]), batch_id="b0")
+    with pytest.raises(Exception):
+        semantic_pairs_for_changed(
+            spark, idx, src.current().select("vec_id")
+        ).count()
