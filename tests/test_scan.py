@@ -278,6 +278,71 @@ def test_estimate_rows_eq_and_range_same_column(spark, tmp_path):
     assert read_where(spark, t, "k IN (10, 20) AND k < 5").count() == 0
 
 
+def test_estimate_rows_bounds_law_property(spark, tmp_path):
+    """Property check of the bounds law over generated predicates: for
+    every combination of eq / IN / range conjuncts on the zone-mapped
+    column — including eq∩range on the SAME column, the round-2 advisor's
+    unsoundness class — lower <= true count <= upper must hold, and
+    read_where must equal the unpruned filtered read. One table build,
+    many predicates (each predicate costs one tiny count job)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kf_etl_clin_portal_spark.lake.scan import estimate_rows
+
+    def kbatch(k, lo, n=200):
+        return spark.range(lo, lo + n).select(
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.col("id").alias("seq"),
+            F.lit(k).cast("long").alias("k"),
+        )
+
+    t = SnapshotTable.create(
+        str(tmp_path / "pt"),
+        kbatch(1, 0).schema,
+        key_cols=["path"],
+        num_buckets=2,
+        properties={"stats.columns": "seq,k"},
+    )
+    for i, k in enumerate((2, 5, 9)):  # three constant-k appends
+        append(spark, t, kbatch(k, i * 1000))
+    live = read_live(spark, t).localCheckpoint()
+
+    _vals = st.integers(min_value=0, max_value=11)
+    _conj = st.one_of(
+        st.tuples(st.just("eq"), _vals),
+        st.tuples(st.just("in"), st.lists(_vals, min_size=1, max_size=3)),
+        st.tuples(st.sampled_from([">", ">=", "<", "<="]), _vals),
+        st.tuples(st.just("between"), st.tuples(_vals, _vals)),
+    )
+
+    def render(c):
+        kind, v = c
+        if kind == "eq":
+            return f"k = {v}"
+        if kind == "in":
+            return f"k IN ({', '.join(map(str, v))})"
+        if kind == "between":
+            return f"k BETWEEN {v[0]} AND {v[1]}"
+        return f"k {kind} {v}"
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(_conj, min_size=1, max_size=3))
+    def check(conjs):
+        pred = " AND ".join(render(c) for c in conjs)
+        est = estimate_rows(spark, t, pred)
+        true = live.where(F.expr(pred)).count()
+        assert est["lower"] <= true <= est["upper"], (pred, est, true)
+        got = read_where(spark, t, pred).count()
+        assert got == true, pred
+
+    check()
+
+
 def test_pipeline_estimate_wrapper(spark, tmp_path):
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
 
