@@ -302,12 +302,24 @@ def update_ivf_index(
     )
     key_cols = list(src.key_cols)
     dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+    # double-cast + row norm staged as BOUND columns: _nearest_cells
+    # references the vector once per centroid and the norm per centroid
+    # too — inline expressions would re-fold both n_lists times per row
+    # (the round-3 lambda/multi-reference contract; values identical)
+    from kf_etl_clin_portal_spark.functions.vectors import norm
+
+    staged = (
+        ch.select(*key_cols, F.col(seq_col), TOMBSTONE_COL, F.col(vec_col))
+        .withColumn("__vd", to_double_array(F.col(vec_col)))
+        .withColumn("__rn", norm(F.col("__vd")))
+    )
     cell = F.when(
         dead, F.lit(None).cast("int")
     ).otherwise(
-        _nearest_cells(to_double_array(F.col(vec_col)), cents, 1)[0].cast("int")
+        _nearest_cells(F.col("__vd"), cents, 1, row_norm=F.col("__rn"))[0]
+        .cast("int")
     )
-    batch = ch.select(
+    batch = staged.select(
         *key_cols, F.col(seq_col), TOMBSTONE_COL,
         cell.alias("cell"), F.col(vec_col),
     )
