@@ -1825,7 +1825,15 @@ def q_cdc_patch_fold(spark, sf):
     columns, and the ordinary exactly-once MERGE applies full
     post-images. Oracle: per-column last-writer-wins in SQL (arg_max
     FILTER over "touched" events; delete touches every column with NULL;
-    final-delete keys drop)."""
+    final-delete keys drop).
+
+    The WAL is a deterministic 20% subsample of the events table
+    (``seq % 10 < 2``, mirrored in the oracle — round-3 directive #3:
+    gate-sized, not sf0.1-sized). The residue class keeps every op/mask
+    modulus populated (%2, %3, %5, %11 all cycle through their values),
+    so the fold still exercises both-mask / et-only / value-only patches
+    plus deletes. 4 buckets: 2 fenced merges at gate scale are commit-
+    fixed-cost bound; 8-bucket commits measured 2x the wall of 4."""
     import shutil
 
     from kf_etl_clin_portal_spark.cdc.patch import apply_patch_batch
@@ -1835,7 +1843,7 @@ def q_cdc_patch_fold(spark, sf):
 
     ev = scale_out(_t(spark, sf, "events")).select(
         F.col("event_id").alias("seq"), "user_id", "event_type", "value"
-    )
+    ).where(F.pmod("seq", F.lit(10)) < 2)
     feed = ev.withColumn(
         "op",
         F.when(F.pmod("seq", F.lit(11)) == 0, "delete")
@@ -1855,7 +1863,7 @@ def q_cdc_patch_fold(spark, sf):
     tmp = tempfile.mkdtemp(prefix="patch_gate_")
     try:
         pipe = CDCPipeline(
-            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=4
         )
         apply_patch_batch(pipe, feed.where(F.col("seq") <= mid), batch_id="pg-a")
         apply_patch_batch(pipe, feed.where(F.col("seq") > mid), batch_id="pg-b")
@@ -1872,7 +1880,13 @@ def q_cdc_envelope_replay(spark, sf):
     seq%13 to exercise it), parsed back JVM-side with ONE from_json, and
     applied through the exactly-once MERGE. Oracle computes the final
     live state directly from the WAL (latest per user, deletes drop) —
-    the JSON leg must be semantics-free."""
+    the JSON leg must be semantics-free.
+
+    WAL = deterministic 20% subsample (``seq % 10 < 2``, mirrored in the
+    oracle — round-3 directive #3): the residue class keeps the op mix
+    (%2, %7, %11) and the lsn-null leg (%13) populated while sizing the
+    embedded merge to the gate, not to sf0.1. 4 buckets (commit fixed
+    cost, see q_cdc_patch_fold)."""
     import shutil
 
     from kf_etl_clin_portal_spark.cdc.envelope import parse_envelopes
@@ -1891,7 +1905,7 @@ def q_cdc_envelope_replay(spark, sf):
 
     src = scale_out(_t(spark, sf, "events")).select(
         F.col("event_id").alias("seq"), "user_id", "event_type", "value"
-    ).withColumn(
+    ).where(F.pmod("seq", F.lit(10)) < 2).withColumn(
         "dop",
         F.when(F.pmod("seq", F.lit(11)) == 0, "d")
         .when(F.pmod("seq", F.lit(7)) == 0, "r")
@@ -1916,7 +1930,7 @@ def q_cdc_envelope_replay(spark, sf):
     tmp = tempfile.mkdtemp(prefix="env_gate_")
     try:
         pipe = CDCPipeline(
-            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=8
+            spark, os.path.join(tmp, "t"), key_cols=("user_id",), num_buckets=4
         )
         pipe.apply_batch(feed, batch_id="eg-1")
         out = pipe.current().select("user_id", "seq", "event_type", "value")
@@ -3040,6 +3054,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'upsert' END AS op,
                 event_type, value
               FROM events
+              WHERE event_id % 10 < 2
             )
             SELECT user_id, seq, event_type, value FROM (
               SELECT user_id, seq, op,
@@ -3154,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'patch' END AS op,
                 event_type, value
               FROM events
+              WHERE event_id % 10 < 2
             ), t AS (
               SELECT seq, user_id, op,
                 CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS et,

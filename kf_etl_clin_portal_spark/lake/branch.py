@@ -73,14 +73,16 @@ def list_branches(table_or_root: "SnapshotTable | str") -> list[str]:
     bdir = _branches_dir(root)
     if not os.path.isdir(bdir):
         return []
-    # an entry-less dir is a creation that crashed (or lost the same-name
-    # race) between makedirs and the base-entry write — advertising it
-    # would wedge the name: create_branch says "already exists" while
-    # branch_table/refresh fail on the empty log. Treat it as nonexistent.
+    # an entry-less dir is a creation that crashed before its staged dir
+    # was renamed into place — advertising it would wedge the name:
+    # create_branch says "already exists" while branch_table/refresh fail
+    # on the empty log. Treat it as nonexistent. Dot-prefixed dirs are
+    # create_branch staging areas (never valid names per _NAME_RE).
     return sorted(
         d
         for d in os.listdir(bdir)
-        if os.path.isdir(os.path.join(bdir, d))
+        if not d.startswith(".")
+        and os.path.isdir(os.path.join(bdir, d))
         and any(os.scandir(os.path.join(bdir, d)))
     )
 
@@ -116,29 +118,37 @@ def create_branch(
     floor = table.state.get("expire_below", 0)
     if base < floor:
         raise ValueError(f"version {base} was expired (oldest readable: {floor})")
-    blog = os.path.join(_branches_dir(table.root), name)
-    if os.path.isdir(blog):
-        if any(os.scandir(blog)):
-            raise ValueError(f"branch {name!r} already exists")
-        # dead dir from a crashed/raced earlier create (no base entry ever
-        # landed): reclaim the name. rmdir only removes an EMPTY dir, so a
-        # concurrent winner whose entry just landed survives — we then fall
-        # through to makedirs + the O_EXCL entry write, which loses loudly.
-        try:
-            os.rmdir(blog)
-        except OSError:
-            pass
+    bdir = _branches_dir(table.root)
+    blog = os.path.join(bdir, name)
+    if os.path.isdir(blog) and any(os.scandir(blog)):
+        raise ValueError(f"branch {name!r} already exists")
     state = copy.deepcopy(table.state_at(base))
     state["operation"] = "branch_create"
     state["branch"] = name
     state["branch_base_version"] = base
     state["ts"] = _now()
-    os.makedirs(blog, exist_ok=True)
-    br = SnapshotTable(table.root, branch=name)
-    # _write_commit -> O_EXCL create: two racing create_branch calls for the
-    # same name collide on the base entry, second one fails loudly
-    br._write_commit(state, expected_version=base)
-    return br
+    # Stage-then-rename: write the base entry into a hidden staging dir
+    # (dot-prefixed — _NAME_RE can never produce one, list_branches skips
+    # them) and atomically os.rename it into place. There is no window
+    # between "dir exists" and "base entry exists", which closes the race
+    # the old empty-dir rmdir reclaim had: two racing creates could both
+    # win when main advanced between them (base entries at DIFFERENT
+    # versions don't collide on the O_EXCL filename) and silently leave a
+    # two-base log. rename(2) onto an existing EMPTY dir succeeds — a dead
+    # dir from a crashed pre-rename create is reclaimed atomically — while
+    # rename onto a non-empty dir fails ENOTEMPTY: exactly one racer's
+    # entire log becomes visible, the other loses loudly.
+    os.makedirs(bdir, exist_ok=True)
+    stage_name = f".stage-{name}-{uuid.uuid4().hex[:12]}"
+    os.makedirs(os.path.join(bdir, stage_name))
+    staged = SnapshotTable(table.root, branch=stage_name)
+    staged._write_commit(state, expected_version=base)
+    try:
+        os.rename(os.path.join(bdir, stage_name), blog)
+    except OSError:
+        shutil.rmtree(os.path.join(bdir, stage_name), ignore_errors=True)
+        raise ValueError(f"branch {name!r} already exists") from None
+    return SnapshotTable(table.root, branch=name).refresh()
 
 
 def branch_base_version(root: str, name: str) -> int:

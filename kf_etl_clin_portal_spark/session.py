@@ -87,9 +87,32 @@ def scale_out(df, min_partitions: int | None = None):
     returns the frame untouched; the round-robin repartition it inserts
     for narrow inputs shuffles only the small frame itself (row content
     is partition-independent, so results are unchanged).
+
+    The partition probe (``df.rdd.getNumPartitions()``) forces PHYSICAL
+    planning of the frame on the driver and reads the pre-AQE layout, so
+    it is gated: only plain scan pipelines (project/filter over a
+    relation) are probed — exactly the shape whose parallelism the scan
+    dictates. Any plan already containing an exchange-producing operator
+    (join/aggregate/window/repartition) parallelizes at
+    ``spark.sql.shuffle.partitions`` regardless of the scan, so probing
+    it would pay full planning just to decide a no-op; those frames pass
+    through untouched. Probe failures fail open (return the frame) —
+    scale_out is a performance hint, never semantics.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            marker in plan
+            for marker in (
+                "Join", "Aggregate", "Window", "RepartitionByExpression",
+                "Repartition", "GlobalLimit", "Sort", "Generate", "Union",
+            )
+        ):
+            return df
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    except Exception:
         return df
-    return df.repartition(target)

@@ -240,3 +240,74 @@ def test_guards(spark, feed_path, tmp_path):
         drop_branch(main, "ghost")
     with pytest.raises(ValueError, match="main handle"):
         fast_forward(bt, "staged")
+
+
+def test_create_race_with_divergent_bases_loses_loudly(spark, feed_path, tmp_path):
+    """The ADVICE race: creator A pauses between its staging write and the
+    rename, main advances, creator B completes. A's rename must then fail
+    loudly ("already exists") instead of landing a SECOND base entry at a
+    different version in the same branch log."""
+    from kf_etl_clin_portal_spark.lake.branch import _branches_dir
+
+    early, late = _halves(spark, feed_path)
+    root = str(tmp_path / "race")
+    pipe = CDCPipeline(spark, root, num_buckets=4)
+    pipe.replay(early, n_batches=1, by="seq", feed_id="base")
+    main = pipe.table
+
+    # simulate creator A frozen just before its rename: a fully-written
+    # staging dir for the name (base entry at the CURRENT version)
+    import copy as _copy
+
+    from kf_etl_clin_portal_spark.lake.branch import _now
+
+    a_state = _copy.deepcopy(main.state_at(main.version))
+    a_state.update(
+        operation="branch_create", branch="r", branch_base_version=main.version,
+        ts=_now(),
+    )
+    bdir = _branches_dir(root)
+    os.makedirs(bdir, exist_ok=True)
+    a_stage = os.path.join(bdir, ".stage-r-deadbeef0000")
+    os.makedirs(a_stage)
+    a_tbl = SnapshotTable(root, branch=".stage-r-deadbeef0000")
+    a_tbl._write_commit(a_state, expected_version=main.version)
+
+    # main advances, then creator B creates the branch at the NEW version
+    pipe2 = CDCPipeline(spark, root, num_buckets=4)
+    pipe2.apply_batch(late.limit(100), batch_id="advance")
+    main.refresh()
+    create_branch(main, "r")
+    b_base = min(
+        int(f.split(".")[0]) for f in os.listdir(os.path.join(bdir, "r"))
+        if f.endswith(".json")
+    )
+
+    # creator A wakes up and renames — must lose loudly
+    with pytest.raises(OSError):
+        os.rename(a_stage, os.path.join(bdir, "r"))
+    # exactly one base entry in the branch log
+    entries = [
+        f for f in os.listdir(os.path.join(bdir, "r")) if f.endswith(".json")
+    ]
+    assert len(entries) == 1 and int(entries[0].split(".")[0]) == b_base
+    # and the stale staging dir is invisible to the API
+    assert list_branches(root) == ["r"]
+
+
+def test_dead_empty_dir_reclaimed_atomically_by_rename(spark, feed_path, tmp_path):
+    """rename(2) onto an existing EMPTY dir succeeds: a pre-rename crash
+    of an OLD-style create (bare empty dir) is reclaimed without any
+    rmdir/recreate window."""
+    from kf_etl_clin_portal_spark.lake.branch import _branches_dir
+
+    early, _ = _halves(spark, feed_path)
+    root = str(tmp_path / "reclaim")
+    pipe = CDCPipeline(spark, root, num_buckets=4)
+    pipe.replay(early, n_batches=1, by="seq", feed_id="base")
+    main = pipe.table
+    dead = os.path.join(_branches_dir(root), "b")
+    os.makedirs(dead)
+    br = create_branch(main, "b")
+    assert list_branches(root) == ["b"]
+    assert br.version == main.version
