@@ -102,18 +102,83 @@ def cluster_stats(
     ).orderBy("cell")
 
 
+def _dup_pairs_gemm(
+    base: DataFrame, min_cos: float, id_col: str, max_cluster: int | None
+) -> DataFrame:
+    """Within-cluster pair scoring as ONE numpy GEMM per cell
+    (`applyInPandas`), the `similarity.ann.brute_force_topk_arrow`
+    pattern applied to SemDeDup: the b×b cosine matrix of a cell costs a
+    single BLAS call instead of b² JVM element-wise dot folds, and —
+    unlike the per-pair `cosine_pandas` route — the b² pair fan-out never
+    materializes through Arrow at all (only each cell's b vectors move
+    once). Sum order differs from the JVM fold (pairwise summation), so
+    last-ulp differences are possible; the round-6 threshold absorbs them
+    to the tolerance every rounded-cosine gate already accepts
+    (parity-asserted in tests/test_dedup.py).
+
+    The ``max_cluster`` guard applies INSIDE the grouped UDF (cell size
+    is exactly the group size): oversized cells yield no pairs — the same
+    fail-open verdict as the join-side guard — and also bound the task's
+    GEMM memory to max_cluster × dim doubles. At web scale run this path
+    WITH a cap: a degenerate cell is one task either way."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", base.schema[id_col].dataType),
+            T.StructField("id_b", base.schema[id_col].dataType),
+            T.StructField("cell", base.schema["cell"].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame({c: pd.Series(dtype="object") for c in
+                              ("id_a", "id_b", "cell", "cos")})
+        if n < 2 or (max_cluster is not None and n > max_cluster):
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")  # id_a < id_b by VALUE
+        ids = ids[order]
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["__vd"].to_numpy()[order]])
+        nrm = np.linalg.norm(m, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= min_cos  # NaN (zero norm) compares False
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cell": pdf["cell"].iloc[0],
+                "cos": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return base.select(F.col(id_col), "cell", "__vd").groupBy("cell").applyInPandas(
+        score_cell, schema
+    )
+
+
 def _dup_pairs(
     assigned: DataFrame,
     min_cos: float,
     id_col: str,
     vec_col: str,
     max_cluster: int | None,
-    arrow: bool = False,
+    arrow: bool | str = False,
 ) -> DataFrame:
     # assigned must carry __vd/__rn (see _assigned keep_internals): the
     # pair fan-out below then folds ONLY the dot per candidate instead of
     # re-casting both sides and re-folding both norms per pair
     base = assigned.select(F.col(id_col), "cell", "__vd", "__rn")
+    if arrow == "gemm":
+        return _dup_pairs_gemm(base, min_cos, id_col, max_cluster)
     if max_cluster is not None:
         ok = (
             base.groupBy("cell")
@@ -157,10 +222,13 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
-    arrow: bool = False,
+    arrow: bool | str = False,
 ) -> DataFrame:
     """(id_a, id_b, cell, cos) near-dup pairs within a shared cluster,
-    id_a < id_b, round(cos, 6) ≥ min_cos."""
+    id_a < id_b, round(cos, 6) ≥ min_cos. ``arrow``: False = JVM fold
+    (the oracle-gated reference semantics), True = per-pair Arrow cosine,
+    "gemm" = one numpy GEMM per cell (`_dup_pairs_gemm`, the scale
+    path)."""
     from kf_etl_clin_portal_spark.session import scale_out
 
     cents = _centroids(df, id_col, vec_col, n_clusters)
@@ -177,7 +245,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
-    arrow: bool = False,
+    arrow: bool | str = False,
 ) -> DataFrame:
     """Surviving rows (all input columns + ``cell``): a row is dropped iff
     some smaller-id row in the same cluster has cosine ≥ min_cos with it —

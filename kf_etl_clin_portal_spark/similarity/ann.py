@@ -89,14 +89,21 @@ def brute_force_topk_arrow(
     """Exact top-k per query via numpy GEMM over Arrow batches.
 
     Same semantics as `brute_force_topk` (self-matches excluded, ties →
-    smallest neighbor id, cos rounded to 6); scores may differ in the
-    last ulp (numpy pairwise summation vs the JVM sequential fold — see
-    module docstring). The query set is collected to the driver (bounded:
-    queries are the SMALL side by contract, exactly as the JVM path
-    broadcasts them) and rides the `mapInPandas` closure; each corpus
-    batch emits ≤ k rows per query — a global top-k row can never rank
-    below k within its own batch — so the finishing window sorts
-    k × n_batches × |queries| rows, never the corpus.
+    smallest neighbor id, cos rounded to 6, zero-norm pairs score NULL —
+    the JVM path's `nullif` denominator — and fill trailing ranks only
+    when a query has fewer than k finite candidates, since ``desc`` sorts
+    NULLS LAST); scores may differ in the last ulp (numpy pairwise
+    summation vs the JVM sequential fold — see module docstring). The
+    query set is collected to the driver (bounded: queries are the SMALL
+    side by contract, exactly as the JVM path broadcasts them) and rides
+    the `mapInPandas` closure; each corpus batch emits ≤ 2k rows per
+    query (k finite + k NULL-cos) — a global top-k row can never rank
+    below k within its own batch under either the finite (cos desc, id
+    asc) order or the NULL tie (id asc) order — so the finishing window
+    sorts O(k × n_batches × |queries|) rows, never the corpus.
+
+    Output id columns keep the INPUT id types (string doc ids work, not
+    just longs).
     """
     import numpy as np
     import pandas as pd
@@ -105,52 +112,65 @@ def brute_force_topk_arrow(
     from kf_etl_clin_portal_spark.session import scale_out
 
     query_id_col = query_id_col or id_col
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
-    if not qrows:
-        schema_empty = "query_id long, neighbor_id long, cos double, rank int"
-        return corpus.sparkSession.createDataFrame([], schema_empty)
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0] = np.nan  # cosine undefined for zero vectors (NULL later)
-
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
             T.StructField("cos", T.DoubleType()),
         ]
     )
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema.add("rank", T.IntegerType())
+        )
+    q_ids = np.array([r[0] for r in qrows])
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = np.nan  # cosine undefined for zero vectors (NULL below)
 
     def score_batches(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            if ids.dtype == object:  # pandas string column → sortable array
+                ids = np.array([str(x) for x in ids])
             cm = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             cn = np.linalg.norm(cm, axis=1)
             cn[cn == 0] = np.nan
             # |batch| × |queries| cosine matrix in one GEMM
-            cos = (cm @ qm.T) / np.outer(cn, qn)
+            with np.errstate(invalid="ignore"):
+                cos = (cm @ qm.T) / np.outer(cn, qn)
             cos = np.round(cos, 6)
-            # self-matches can never win
-            cos[ids[:, None] == q_ids[None, :]] = -np.inf
+            self_m = ids[:, None] == q_ids[None, :]
             kk = min(k, cos.shape[0])
-            # per-query local top-k under the (cos desc, id asc) order:
-            # lexsort on (ids, -cos) — last key primary
             take = []
             for j in range(cos.shape[1]):
-                order = np.lexsort((ids, -cos[:, j]))[:kk]
-                col = cos[order, j]
-                keep = np.isfinite(col)
+                col = np.where(self_m[:, j], -np.inf, cos[:, j])
+                finite = np.isfinite(col)
+                # finite candidates: local top-k under (cos desc, id asc)
+                # — lexsort on (ids, -cos), last key primary
+                fi = np.nonzero(finite)[0]
+                order = fi[np.lexsort((ids[fi], -col[fi]))][:kk]
+                vals = pd.array(col[order], dtype="Float64")
+                # NULL-cos candidates (zero norm on either side, not
+                # self): ties on cos, so id asc decides — k smallest ids
+                ni = np.nonzero(np.isnan(col) & ~self_m[:, j])[0]
+                nulls = ni[np.argsort(ids[ni], kind="stable")][:kk]
                 take.append(
                     pd.DataFrame(
                         {
                             "query_id": q_ids[j],
-                            "neighbor_id": ids[order][keep],
-                            "cos": col[keep],
+                            "neighbor_id": np.concatenate(
+                                [ids[order], ids[nulls]]
+                            ),
+                            "cos": pd.array(
+                                list(vals) + [pd.NA] * len(nulls),
+                                dtype="Float64",
+                            ),
                         }
                     )
                 )

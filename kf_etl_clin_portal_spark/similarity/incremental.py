@@ -417,6 +417,7 @@ def semantic_pairs_for_changed(
     min_cos: float = 0.9,
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    broadcast_max_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup near-dup pairs touching the given changed keys, served
     FROM the maintained IVF index — the embedding analog of
@@ -436,6 +437,16 @@ def semantic_pairs_for_changed(
     cells larger than the cap yield no pairs (every member survives a
     dedup verdict built on this), measured over the full index so the
     decision matches what a batch run over the same table would make.
+
+    The changed side (rows carrying full double-cast vectors + norms) is
+    broadcast ONLY while its key count stays under
+    ``broadcast_max_rows`` — a normal poll's delta, where avoiding the
+    index shuffle is the whole point. A large changed set (a backfill, or
+    the full corpus passed as changed_keys) would bypass the
+    autoBroadcastJoinThreshold safety valve if force-hinted, so past the
+    cap the hint is dropped and Spark plans the join from its own size
+    estimates (shuffle join: slower, never OOM). The key count is one
+    COUNT over the bare key frame — no vectors.
     """
     from kf_etl_clin_portal_spark.functions.vectors import (
         cosine_prenorm,
@@ -452,8 +463,10 @@ def semantic_pairs_for_changed(
         .withColumn("__n", norm(F.col("__vd")))
         .drop(vec_col)
     )
+    ckeys = changed_keys.select(*key_cols).distinct()
+    small_delta = ckeys.count() <= broadcast_max_rows
     changed = index.join(
-        F.broadcast(changed_keys.select(*key_cols).distinct()),
+        F.broadcast(ckeys) if small_delta else ckeys,
         on=key_cols, how="left_semi",
     )
     if max_cluster is not None:
@@ -477,7 +490,7 @@ def semantic_pairs_for_changed(
     for c in key_cols:
         same = same & (F.col(c) == F.col(f"other_{c}"))
     return (
-        other.join(F.broadcast(changed), on="cell")
+        other.join(F.broadcast(changed) if small_delta else changed, on="cell")
         .where(~same)
         .withColumn(
             "cos",

@@ -241,3 +241,47 @@ def test_full_probe_ivf_has_perfect_recall(spark):
     exact = brute_force_topk(emb, qs, k=3)
     full = ivf_topk(emb, qs, k=3, n_lists=4, n_probes=4)  # probe every list
     assert mean_recall_at_k(full, exact, k=3).collect()[0].micro_recall == 1.0
+
+
+def test_semantic_gemm_pairs_match_jvm_fold_on_real_data(spark):
+    """Round-3 directive #4: the per-cell GEMM scorer must reproduce the
+    JVM fold's pair set and verdicts on real embeddings (pairs within the
+    round-6 tolerance the rounded-cosine gates accept), including under
+    the max_cluster guard (applied inside the grouped UDF)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    for cap in (None, 60):
+        jvm = semantic_dup_pairs(
+            emb, min_cos=0.8, n_clusters=8, max_cluster=cap
+        ).collect()
+        gem = semantic_dup_pairs(
+            emb, min_cos=0.8, n_clusters=8, max_cluster=cap, arrow="gemm"
+        ).collect()
+        jm = {(r.id_a, r.id_b): (r.cell, r.cos) for r in jvm}
+        gm = {(r.id_a, r.id_b): (r.cell, r.cos) for r in gem}
+        assert set(jm) == set(gm), f"pair sets differ (cap={cap})"
+        for k in jm:
+            assert jm[k][0] == gm[k][0]
+            assert abs(jm[k][1] - gm[k][1]) <= 2e-6
+
+    # and the survivor sets agree end-to-end
+    keep_j = {r.vec_id for r in semantic_dedup(emb, min_cos=0.8).collect()}
+    keep_g = {
+        r.vec_id for r in semantic_dedup(emb, min_cos=0.8, arrow="gemm").collect()
+    }
+    assert keep_j == keep_g
+
+
+def test_semantic_gemm_zero_vector_pairs_dropped_like_jvm(spark):
+    """Zero-norm vectors: JVM cos is NULL (nullif) so the >= filter drops
+    the pair; the GEMM NaN must behave identically."""
+    emb = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 0.0]), (4, [0.0, 0.0])],
+    )
+    jvm = semantic_dup_pairs(emb, min_cos=0.5, n_clusters=2).collect()
+    gem = semantic_dup_pairs(emb, min_cos=0.5, n_clusters=2, arrow="gemm").collect()
+    assert sorted((r.id_a, r.id_b) for r in jvm) == sorted(
+        (r.id_a, r.id_b) for r in gem
+    )
+    assert all({r.id_a, r.id_b}.isdisjoint({3, 4}) for r in gem)

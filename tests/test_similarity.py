@@ -99,3 +99,53 @@ def test_ivf_centroids_no_global_sort(spark, sf_dir):
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_arrow_gemm_string_ids_and_zero_vectors_match_jvm(spark):
+    """ADVICE round-3: the GEMM path must (a) keep the INPUT id types —
+    string doc ids, not just longs — and (b) reproduce the JVM path's
+    NULL-cos rows for zero-norm vectors, which fill trailing ranks when a
+    query has fewer than k finite candidates (desc sorts NULLS LAST)."""
+    from kf_etl_clin_portal_spark.similarity.ann import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    rows = [
+        ("d1", [1.0, 0.0, 0.0]),
+        ("d2", [0.9, 0.1, 0.0]),
+        ("d3", [0.0, 0.0, 0.0]),  # zero vector → NULL cos against anyone
+        ("d4", [0.0, 1.0, 0.0]),
+        ("d5", [0.0, 0.0, 0.0]),  # second zero vector (id tie-break order)
+    ]
+    emb = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    q = emb.where(F.col("doc_id").isin("d1", "d3"))
+
+    def norm_rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, None if r.cos is None else round(r.cos, 6), r.rank)
+            for r in df.collect()
+        )
+
+    jvm = norm_rows(
+        brute_force_topk(emb, q, k=4, id_col="doc_id", vec_col="embedding")
+    )
+    gemm = norm_rows(
+        brute_force_topk_arrow(emb, q, k=4, id_col="doc_id", vec_col="embedding")
+    )
+    assert jvm == gemm
+    # sanity on the semantics themselves (order by RANK): d1 has two
+    # finite candidates (d2, d4); d3, d5 are NULL-cos and fill ranks 3-4
+    # by id asc
+    d1 = sorted((r for r in gemm if r[0] == "d1"), key=lambda r: r[3])
+    assert [r[1] for r in d1] == ["d2", "d4", "d3", "d5"]
+    assert d1[2][2] is None and d1[3][2] is None
+    # zero-vector QUERY: every candidate NULL, ranked by id asc
+    d3 = sorted((r for r in gemm if r[0] == "d3"), key=lambda r: r[3])
+    assert [r[1] for r in d3] == ["d1", "d2", "d4", "d5"]
+    assert all(r[2] is None for r in d3)
+    # output schema keeps string ids
+    out = brute_force_topk_arrow(emb, q, k=2, id_col="doc_id", vec_col="embedding")
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)[
+        "neighbor_id"
+    ] == "string"
