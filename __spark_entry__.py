@@ -2720,35 +2720,96 @@ def q_cdc_scan_where(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate (round-2 VERDICT directive #3): the driver's
-    # correctness gate records a ~50-entry PREFIX of this dict, and
-    # CORRECTNESS_r02 covered only the first 50 keys of the round-2 order.
-    # The 49 entries its artifact never recorded (all round-2 lake/CDC/
-    # curation gates — each verified green locally via tools/check_oracle.py)
-    # therefore come FIRST, cheapest first so more fit any time budget; the
-    # 50 already-recorded queries follow.
+    # Ordering is deliberate and ROTATES each round (round-3 VERDICT
+    # directive #6): the driver's correctness gate records a ~50-entry
+    # PREFIX of this dict, so the prefix must cover (a) every query whose
+    # code path changed since the last driver artifact and (b) enough of
+    # the block the previous round did NOT record that no gate's official
+    # record goes stale. Round-4 order:
+    #   block A — queries touched since CORRECTNESS_r03 (this round's WAL
+    #     resize, branch staged-rename, semantic GEMM staging, scale_out
+    #     gating, ANN/broadcast changes — every operator edit since r03);
+    #   block B — the r02-recorded set (last driver record two rounds old);
+    #   block C — the untouched r03-recorded remainder (freshest record).
     return {
-        # -- block 1: gates absent from CORRECTNESS_r02 (cheap, pure-query) --
+        # -- block A: touched since the r03 artifact --
+        "cdc_patch_fold": q_cdc_patch_fold,
+        "cdc_envelope_replay": q_cdc_envelope_replay,
+        "cdc_branch_publish": q_cdc_branch_publish,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "doc_text_stats": q_doc_text_stats,
         "doc_repetition": q_doc_repetition,
         "doc_redact": q_doc_redact,
-        "doc_paragraph_dedup": q_paragraph_dedup,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_sequences": q_doc_sequences,
-        "shingle_profile": q_shingle_profile,
+        "doc_fingerprint_dedup": q_doc_fingerprint_dedup,
+        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "shingle_profile": q_shingle_profile,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_bm25_incremental": q_doc_bm25_incremental,
+        "doc_hybrid_topk": q_doc_hybrid_topk,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_paragraph_dedup": q_paragraph_dedup,
+        "doc_clean_corpus": q_doc_clean_corpus,
+        # -- block B: last recorded in CORRECTNESS_r02 --
+        "cdc_latest_state": q_cdc_latest_state,
+        "cdc_salted_latest": q_cdc_salted_latest,
+        "cdc_user_rollup": q_cdc_user_rollup,
+        "hourly_windowed": q_hourly_windowed,
+        "value_buckets": q_value_buckets,
+        "props_json": q_props_json,
+        "two_level_reagg": q_two_level_reagg,
+        "q1_pricing_summary": q1_pricing_summary,
+        "enrich_orders": q_enrich_orders,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "global_topk": q_global_topk,
+        "customers_with_big_orders": q_customers_with_big_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "nation_rollup": q_nation_rollup,
+        "full_outer_counts": q_full_outer_counts,
+        "union_parties": q_union_parties,
+        "nations_cust_not_supp": q_nations_cust_not_supp,
+        "nested_orders": q_nested_orders,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_rolling_hash": q_doc_rolling_hash,
+        "source_rollup": q_source_rollup,
+        "member_top_custs": q_member_top_custs,
+        "part_root_chain": q_part_root_chain,
+        "order_lines_pair": q_order_lines_pair,
+        "latest_event_maxby": q_latest_event_maxby,
+        "doc_hash_map": q_doc_hash_map,
+        "word_classes": q_word_classes,
+        "monthly_orders": q_monthly_orders,
+        "cust_key_extract": q_cust_key_extract,
+        "lang_sets": q_lang_sets,
+        "scd2_history": q_scd2_history,
+        "snapshot_diff": q_snapshot_diff,
+        "part_ancestors": q_part_ancestors,
+        "priority_rollup": q_priority_rollup,
+        "status_cube": q_status_cube,
+        "sql_segment_share": q_sql_segment_share,
+        "orders_sample": q_orders_sample,
+        "docs_stratified": q_docs_stratified,
+        "docs_temperature_mix": q_docs_temperature_mix,
+        # -- block C: recorded in CORRECTNESS_r03, untouched since --
+        "doc_sequences": q_doc_sequences,
         "nested_type_sets": q_nested_type_sets,
         "event_hot_keys": q_event_hot_keys,
         "event_value_hist": q_event_value_hist,
         "event_asof_purchase": q_event_asof_purchase,
         "event_sessions": q_event_sessions,
         "event_window_hits": q_event_window_hits,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "doc_shards": q_doc_shards,
         "dup_components": q_dup_components,
-        # -- block 1 (cont.): lake/CDC gates with embedded temp tables --
         "cdc_metadata_stats": q_cdc_metadata_stats,
         "cdc_scan_where": q_cdc_scan_where,
         "table_profile": q_table_profile,
@@ -2772,65 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_distinct_rollup": q_ivm_distinct_rollup,
         "ivm_topk_values": q_ivm_topk_values,
         "ivm_derived_rollup": q_ivm_derived_rollup,
-        "cdc_branch_publish": q_cdc_branch_publish,
         "cdc_mirror_repair": q_cdc_mirror_repair,
         "cdc_txn_fanout": q_cdc_txn_fanout,
-        "ann_ivf_incremental": q_ann_ivf_incremental,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "doc_clean_corpus": q_doc_clean_corpus,
-        "cdc_patch_fold": q_cdc_patch_fold,
-        "cdc_envelope_replay": q_cdc_envelope_replay,
-        # -- block 2: queries already green in CORRECTNESS_r02 --
-        "cdc_latest_state": q_cdc_latest_state,
-        "cdc_salted_latest": q_cdc_salted_latest,
-        "cdc_user_rollup": q_cdc_user_rollup,
-        "hourly_windowed": q_hourly_windowed,
-        "value_buckets": q_value_buckets,
-        "props_json": q_props_json,
-        "two_level_reagg": q_two_level_reagg,
-        "q1_pricing_summary": q1_pricing_summary,
-        "enrich_orders": q_enrich_orders,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "global_topk": q_global_topk,
-        "customers_with_big_orders": q_customers_with_big_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "nation_rollup": q_nation_rollup,
-        "full_outer_counts": q_full_outer_counts,
-        "union_parties": q_union_parties,
-        "nations_cust_not_supp": q_nations_cust_not_supp,
-        "nested_orders": q_nested_orders,
-        "doc_text_stats": q_doc_text_stats,
-        "doc_quality_lang": q_doc_quality_lang,
-        "doc_rolling_hash": q_doc_rolling_hash,
-        "doc_fingerprint_dedup": q_doc_fingerprint_dedup,
-        "source_rollup": q_source_rollup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "semantic_dedup": q_semantic_dedup,
-        "doc_bm25_topk": q_doc_bm25_topk,
-        "doc_bm25_incremental": q_doc_bm25_incremental,
-        "doc_hybrid_topk": q_doc_hybrid_topk,
-        "member_top_custs": q_member_top_custs,
-        "part_root_chain": q_part_root_chain,
-        "order_lines_pair": q_order_lines_pair,
-        "latest_event_maxby": q_latest_event_maxby,
-        "doc_hash_map": q_doc_hash_map,
-        "word_classes": q_word_classes,
-        "monthly_orders": q_monthly_orders,
-        "cust_key_extract": q_cust_key_extract,
-        "lang_sets": q_lang_sets,
-        "scd2_history": q_scd2_history,
-        "snapshot_diff": q_snapshot_diff,
-        "part_ancestors": q_part_ancestors,
-        "priority_rollup": q_priority_rollup,
-        "status_cube": q_status_cube,
-        "sql_segment_share": q_sql_segment_share,
-        "orders_sample": q_orders_sample,
-        "docs_stratified": q_docs_stratified,
-        "docs_temperature_mix": q_docs_temperature_mix,
     }
 
 

