@@ -154,21 +154,27 @@ def main() -> None:
     # unexplained regression (the r02 embedding_topk lesson).
     requeried: dict[str, float] = state["requeried"]
     prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
-    if prev_path is None:
+    cands = [prev_path] if prev_path else []
+    if not cands:
         import glob
 
+        # newest artifact WITH a parsed record — BENCH_r03 is rc=124/
+        # parsed=null and must not silently disable the outlier re-runs
         cands = sorted(glob.glob(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
-        ))
-        prev_path = cands[-1] if cands else None
+        ), reverse=True)
     prev_q: dict[str, float] = {}
-    if prev_path and os.path.exists(prev_path):
+    for cand in cands:
+        if not os.path.exists(cand):
+            continue
         try:
-            with open(prev_path) as fh:
+            with open(cand) as fh:
                 prev = json.load(fh)
             prev_q = (prev.get("parsed") or prev).get("queries") or {}
         except (OSError, ValueError):
-            pass
+            continue
+        if prev_q:
+            break
     for name, dt in timings.items():
         if name in prev_q and prev_q[name] > 0 and dt > 2.0 * prev_q[name]:
             t0 = time.monotonic()

