@@ -61,6 +61,9 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 MAGIC = b"Obj\x01"
 _EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)  # naive UTC (session tz is UTC)
+_US = _dt.timedelta(microseconds=1)
+_MS = _dt.timedelta(milliseconds=1)
 
 # --------------------------------------------------------------------------
 # binary decoder (Avro spec "Binary Encoding")
@@ -171,14 +174,16 @@ def _logical(schema: dict, base_decode, names) -> tuple[T.DataType, Callable] | 
         return None
     if lt == "date" and t == "int":
         return T.DateType(), lambda c: _EPOCH_DATE + _dt.timedelta(days=_read_long(c))
+    # exact integer arithmetic: float seconds lose sub-microsecond
+    # precision at current epochs (2^53 spacing ≈ 0.25 µs by 2024)
     if lt == "timestamp-millis" and t == "long":
-        return T.TimestampType(), lambda c: _dt.datetime.fromtimestamp(
-            _read_long(c) / 1e3, tz=_dt.timezone.utc
-        ).replace(tzinfo=None)
+        return T.TimestampType(), lambda c: _EPOCH_DT + _dt.timedelta(
+            milliseconds=_read_long(c)
+        )
     if lt == "timestamp-micros" and t == "long":
-        return T.TimestampType(), lambda c: _dt.datetime.fromtimestamp(
-            _read_long(c) / 1e6, tz=_dt.timezone.utc
-        ).replace(tzinfo=None)
+        return T.TimestampType(), lambda c: _EPOCH_DT + _dt.timedelta(
+            microseconds=_read_long(c)
+        )
     if lt == "decimal" and t in ("bytes", "fixed"):
         prec, scale = int(schema["precision"]), int(schema.get("scale", 0))
         size = int(schema["size"]) if t == "fixed" else None
@@ -570,15 +575,15 @@ def _encoder(schema, names: dict) -> Callable[[io.BytesIO, Any], None]:
         return lambda o, v: _write_long(o, (v - _EPOCH_DATE).days)
     if lt == "timestamp-micros" and t == "long":
         def enc_ts(o, v):
-            if v.tzinfo is None:
-                v = v.replace(tzinfo=_dt.timezone.utc)
-            _write_long(o, int(v.timestamp() * 1e6))
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            _write_long(o, (v - _EPOCH_DT) // _US)  # exact integer micros
         return enc_ts
     if lt == "timestamp-millis" and t == "long":
         def enc_tsm(o, v):
-            if v.tzinfo is None:
-                v = v.replace(tzinfo=_dt.timezone.utc)
-            _write_long(o, int(v.timestamp() * 1e3))
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            _write_long(o, (v - _EPOCH_DT) // _MS)
         return enc_tsm
     if lt == "decimal" and t == "bytes":
         scale = int(schema.get("scale", 0))
