@@ -2781,6 +2781,86 @@ def q_avro_scan(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_media_real_decode(spark, sf):
+    """REAL media decode, oracle-gated (round 4; closes the decode half of
+    the round-3 multimodal gap for the formats public specs + stdlib make
+    decodable): 200 media payloads are GENERATED from integer formulas —
+    odd ids become RGB PNGs (pixel(y,x,c) = (id·31+y·7+x·13+c·5) mod 256,
+    encoded with filter type id mod 5, so all five PNG scanline filters
+    sit in the oracle-gated path), even ids become PCM-16 WAVs
+    (sample(i) = (id·37+i·11) mod 2048 − 1024) — then round-trip through
+    `multimodal/codecs.py`'s actual bitstream decoders inside the
+    production `decode_and_featurize` mapInPandas pipeline. The oracle
+    recomputes the dimensions and the exact integer pixel/sample sums
+    from the same formulas in SQL: a single mis-decoded byte anywhere
+    (filter inversion, CRC, chunk walk, sample widening) breaks the hash.
+    Video/JPEG remain honestly codec-gated (`decoder_for` → None)."""
+    import pandas as pd
+
+    from kf_etl_clin_portal_spark.multimodal.binary import decode_and_featurize
+    from kf_etl_clin_portal_spark.multimodal.codecs import (
+        _PNG_SIG,
+        audio_features,
+        encode_png,
+        encode_wav,
+        image_features,
+    )
+
+    base = spark.range(1, 201).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 2 == 1, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 1:
+                    h, w = mid % 13 + 4, mid % 17 + 4
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [(mid * 31 + yy * 7 + xx * 13 + c * 5) % 256
+                         for c in range(3)],
+                        axis=2,
+                    ).astype(np.uint8)
+                    payloads.append(encode_png(img, filter_type=mid % 5))
+                else:
+                    n = mid % 50 + 10
+                    s = (
+                        (mid * 37 + np.arange(n) * 11) % 2048 - 1024
+                    ).astype(np.int16)
+                    payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"],
+                 "payload": payloads}
+            )
+
+    media = base.repartition(8).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+
+    def dispatch(p: bytes) -> list[float]:
+        return image_features(p) if p.startswith(_PNG_SIG) else audio_features(p)
+
+    feats = decode_and_featurize(media, decoder=dispatch)
+    fcol = F.col("features")
+    is_img = F.col("kind") == "image"
+    out = feats.select(
+        "media_id",
+        "kind",
+        fcol[0].cast("long").alias("d1"),
+        fcol[1].cast("long").alias("d2"),
+        fcol[2].cast("long").alias("d3"),
+        F.when(is_img, fcol[3]).otherwise(fcol[4]).cast("long").alias("sum_v"),
+    )
+    return _pin_result(spark, out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate and ROTATES each round (round-3 VERDICT
     # directive #6): the driver's correctness gate records a ~50-entry
@@ -2794,8 +2874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   block B — the r02-recorded set (last driver record two rounds old);
     #   block C — the untouched r03-recorded remainder (freshest record).
     return {
-        # -- block A: touched since the r03 artifact (avro_scan is NEW) --
+        # -- block A: touched since the r03 artifact (avro_scan and
+        # media_real_decode are NEW) --
         "avro_scan": q_avro_scan,
+        "media_real_decode": q_media_real_decode,
         "cdc_patch_fold": q_cdc_patch_fold,
         "cdc_envelope_replay": q_cdc_envelope_replay,
         "cdc_branch_publish": q_cdc_branch_publish,
@@ -3233,6 +3315,34 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
                    user_id, event_type, value, props
             FROM events
+        """,
+        "media_real_decode": """
+            WITH ids AS (SELECT range AS media_id FROM range(1, 201)),
+            img AS (
+              SELECT media_id, 'image' AS kind,
+                     (media_id % 17) + 4 AS d1,
+                     (media_id % 13) + 4 AS d2,
+                     CAST(3 AS BIGINT) AS d3,
+                     -- constant-bound ranges + correlated WHERE: DuckDB's
+                     -- range() table function rejects lateral column args
+                     (SELECT SUM((media_id*31 + y.range*7 + x.range*13
+                                  + c.range*5) % 256)
+                      FROM range(0, 17) y, range(0, 21) x, range(0, 3) c
+                      WHERE y.range < (media_id % 13) + 4
+                        AND x.range < (media_id % 17) + 4) AS sum_v
+              FROM ids WHERE media_id % 2 = 1
+            ),
+            aud AS (
+              SELECT media_id, 'audio' AS kind,
+                     (media_id % 50) + 10 AS d1,
+                     CAST(1 AS BIGINT) AS d2,
+                     CAST(8000 AS BIGINT) AS d3,
+                     (SELECT SUM(((media_id*37 + i.range*11) % 2048) - 1024)
+                      FROM range(0, 60) i
+                      WHERE i.range < (media_id % 50) + 10) AS sum_v
+              FROM ids WHERE media_id % 2 = 0
+            )
+            SELECT * FROM img UNION ALL SELECT * FROM aud
         """,
         "cdc_patch_fold": """
             WITH feed AS (
