@@ -330,3 +330,10 @@ def decoder_for(mime: str, n_features: int = 8):
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return lambda p: audio_features(p, n_features)
     return None
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """A REAL resizer for `multimodal.binary.resize_images(resizer=...)`:
+    decode → nearest-neighbor → re-encode (filter 0). Deterministic and
+    library-free; swap for a PIL/libvips callable where quality matters."""
+    return encode_png(resize_nearest(decode_png(payload), width, height))

@@ -145,3 +145,31 @@ def test_decoder_for_dispatch():
     assert decoder_for("image/jpeg") is None
     img = _img(2, 2, 3)
     assert decoder_for("image/png")(encode_png(img))[3] == float(img.sum())
+
+
+def test_resize_images_real_path(spark):
+    """The production resize_images mapInPandas pipeline with the REAL
+    PNG resizer: output payloads are valid PNGs at the target size whose
+    pixels equal the nearest-neighbor sample of the source."""
+    import pandas as pd
+
+    from kf_etl_clin_portal_spark.multimodal.binary import resize_images
+    from kf_etl_clin_portal_spark.multimodal.codecs import resize_png
+
+    imgs = {i: _img(8 + i, 10 + i, 3, seed=i) for i in range(4)}
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": list(imgs), "kind": "image",
+             "payload": [encode_png(v, filter_type=i % 5)
+                          for i, v in imgs.items()]}
+        )
+    )
+    out = {r.media_id: r for r in
+           resize_images(df, 6, 5, resizer=resize_png).collect()}
+    assert len(out) == 4
+    for i, src in imgs.items():
+        r = out[i]
+        assert (r.width, r.height) == (6, 5)
+        dec = decode_png(bytes(r.payload))
+        assert dec.shape == (5, 6, 3)
+        assert np.array_equal(dec, resize_nearest(src, 6, 5))
