@@ -406,8 +406,18 @@ def main() -> None:
 
         n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
         runs: dict[int, list[dict]] = {}
+        # reserve covers the main pair AND one exec-mode repeat per side
+        # (when planned): the r4 trial showed an un-reserved exec pair gets
+        # starved by the quiet-wait and skipped at the deadline.
+        exec_planned = (
+            os.environ.get("SPARK_GRAFT_BENCH_EXEC_PAIR", "1") != "0"
+            and not os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES")
+        )
         sched["reserve"] = n_repeats * (
             est_run(n_small, n_events) + est_run(n_big, n_events)
+        ) + (
+            est_run(n_small, n_events) + est_run(n_big, n_events)
+            if exec_planned else 0.0
         )
         for _ in range(n_repeats):
             for cores in (n_big, n_small):
@@ -553,7 +563,7 @@ def main() -> None:
                 # bandwidth and does not share this ceiling. Full analysis:
                 # BASELINE.md "what the trio shows".
                 "membw_ceiling": {
-                    "rate_4n_pinned_ev_s": [166_000, 183_000],
+                    "rate_4n_pinned_ev_s": [166_000, 192_000],
                     "quiet_host_record": {
                         "efficiency": 0.856,
                         "rate_n": 52_372,
