@@ -405,6 +405,12 @@ def main() -> None:
             runs.setdefault(cores, []).append(r)
 
         n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        # SPARK_GRAFT_BENCH_EXEC_CORES=N runs the MAIN pair in local-cluster
+        # executor mode (worker JVMs of width N). run_once() scrubs the env
+        # for single-JVM runs, so the request must be threaded through
+        # explicitly — without this the main pair silently ran single-JVM
+        # while summarize() labeled it executor-mode.
+        main_exec = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES", "0"))
         runs: dict[int, list[dict]] = {}
         # reserve covers the main pair AND one exec-mode repeat per side
         # (when planned): the r4 trial showed an un-reserved exec pair gets
@@ -421,7 +427,7 @@ def main() -> None:
         )
         for _ in range(n_repeats):
             for cores in (n_big, n_small):
-                run_once(cores, runs)
+                run_once(cores, runs, exec_cores=main_exec)
 
         # noise-aware retries. Two independent contamination signals on this
         # shared VM (both observed as multi-minute episodes):
@@ -475,7 +481,7 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 sched["reserve"] += est_run(cores, n_events)
-                run_once(cores, runs)
+                run_once(cores, runs, exec_cores=main_exec)
                 tries += 1
 
         def merged_rate(rs: list[dict]) -> tuple[int, list[float]]:
