@@ -326,19 +326,146 @@ def compile_schema(schema_json: str) -> tuple[T.StructType, Callable]:
 # --------------------------------------------------------------------------
 
 
+def _snappy_decompress(buf: bytes) -> bytes:
+    """Pure-Python snappy block-format decompressor (the PUBLIC format
+    spec: a varint uncompressed length, then a tag stream of literals and
+    back-copies). Snappy is the de-facto default Avro codec in the wild,
+    so a jar-less/lib-less reader that rejected it would fail on most
+    real landing files. Slow path by design — the JVM module takes over
+    whenever spark-avro is on the classpath."""
+    # uncompressed length varint
+    pos = 0
+    ulen = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        ulen |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        pos += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:  # length stored in the next 1-4 bytes, LE
+                nb = length - 59
+                length = int.from_bytes(buf[pos : pos + nb], "little")
+                pos += nb
+            length += 1
+            out += buf[pos : pos + length]
+            pos += length
+            continue
+        if kind == 1:  # copy, 1-byte offset: len 4-11, offset 11 bits
+            length = ((tag >> 2) & 0x07) + 4
+            offset = ((tag >> 5) << 8) | buf[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte LE offset
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(buf[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte LE offset
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy: invalid copy offset")
+        # overlapping copies are the RLE mechanism: copy byte-at-a-time
+        # semantics when length > offset
+        start = len(out) - offset
+        if length <= offset:
+            out += out[start : start + length]
+        else:
+            for i in range(length):
+                out.append(out[start + i])
+    if len(out) != ulen:
+        raise ValueError(
+            f"snappy: length mismatch (got {len(out)}, header {ulen})"
+        )
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Greedy snappy block-format compressor (writer/fixture side): a
+    4-byte-gram hash table finds back-references, runs extend as far as
+    they match (overlap allowed — that is snappy's RLE), everything else
+    is literals. Output is spec-valid for ANY snappy decoder; ratio is
+    secondary to correctness here."""
+    out = bytearray()
+    # uncompressed-length varint
+    v = len(data)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+
+    def emit_literal(chunk: bytes) -> None:
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            nb = (ln.bit_length() + 7) // 8
+            out.append((59 + nb) << 2)
+            out.extend(ln.to_bytes(nb, "little"))
+        out.extend(chunk)
+
+    def emit_copy(offset: int, length: int) -> None:
+        while length > 0:
+            ln = min(length, 64)
+            if 4 <= ln <= 11 and offset < 2048:
+                out.append(0x01 | ((ln - 4) << 2) | ((offset >> 8) << 5))
+                out.append(offset & 0xFF)
+            else:  # 2-byte-offset copies carry any length 1..64
+                out.append(0x02 | ((ln - 1) << 2))
+                out.extend(offset.to_bytes(2, "little"))
+            length -= ln
+
+    n = len(data)
+    pos = 0
+    lit_start = 0
+    grams: dict[bytes, int] = {}
+    while pos + 4 <= n:
+        g = data[pos : pos + 4]
+        cand = grams.get(g)
+        grams[g] = pos
+        if cand is not None and pos - cand <= 0xFFFF:
+            # extend the match; cand+length may run past pos (overlap =
+            # snappy RLE) — comparing within the same buffer is still the
+            # correct match test, the DECODER handles the overlap
+            length = 4
+            while pos + length < n and data[cand + length] == data[pos + length]:
+                length += 1
+            if lit_start < pos:
+                emit_literal(data[lit_start:pos])
+            emit_copy(pos - cand, length)
+            pos += length
+            lit_start = pos
+        else:
+            pos += 1
+    if lit_start < n:
+        emit_literal(data[lit_start:n])
+    return bytes(out)
+
+
 def _decompress(codec: str, payload: bytes) -> bytes:
     if codec in ("null", ""):
         return payload
     if codec == "deflate":
         return zlib.decompress(payload, -15)
     if codec == "snappy":
-        try:
-            import snappy  # type: ignore
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise RuntimeError(
-                "avro block uses snappy; install python-snappy"
-            ) from e
-        return snappy.decompress(payload[:-4])  # trailing CRC32
+        # Avro frames each snappy block with a big-endian CRC32 of the
+        # UNCOMPRESSED data (Avro spec, file object container "snappy")
+        data = _snappy_decompress(payload[:-4])
+        (want,) = struct.unpack(">I", payload[-4:])
+        if zlib.crc32(data) & 0xFFFFFFFF != want:
+            raise ValueError("snappy: block CRC mismatch")
+        return data
     if codec == "zstandard":
         try:
             import zstandard  # type: ignore
@@ -679,6 +806,9 @@ def write_avro(
             if codec == "deflate":
                 co = zlib.compressobj(9, zlib.DEFLATED, -15)
                 payload = co.compress(payload) + co.flush()
+            elif codec == "snappy":
+                crc = struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+                payload = _snappy_compress(payload) + crc
             elif codec != "null":
                 raise ValueError(f"avro writer: unsupported codec {codec!r}")
             blk = io.BytesIO()
