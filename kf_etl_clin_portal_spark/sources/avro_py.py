@@ -36,8 +36,10 @@ unions of [null, T] in either order (→ nullable T), named-type references,
 and logical types date (→ date), timestamp-millis/micros (→ timestamp),
 decimal on bytes/fixed (→ decimal(p, s)), uuid (→ string). General
 multi-branch unions have no Spark analog and raise up front. Codecs:
-``null`` and ``deflate`` (stdlib zlib); ``snappy``/``zstandard`` are gated
-behind an import-try with an actionable error.
+``null``, ``deflate`` (stdlib zlib), and ``snappy`` — the de-facto
+default Avro codec — via a pure-Python block-format decompressor
+(`_snappy_decompress`, CRC-verified per the Avro framing); ``zstandard``
+stays import-gated with an actionable error.
 
 The writer (`write_avro`) is a bounded driver-side sink — the reference's
 S8 "driver-side Avro file sink" analog and this module's test fixture; it
