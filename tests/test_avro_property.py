@@ -1,0 +1,77 @@
+"""Property tests (hypothesis) for the pure-Python binary codecs —
+round-trip identity is the load-bearing claim for both the Avro binary
+encoding and the snappy block format, so it gets generated inputs, not
+just fixtures. Bounded example counts: these run in the main suite."""
+
+import io
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kf_etl_clin_portal_spark.sources.avro_py import (
+    _Cursor,
+    _read_long,
+    _snappy_compress,
+    _snappy_decompress,
+    _write_long,
+    compile_schema,
+    read_blocks,
+    write_avro,
+)
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(I64)
+def test_zigzag_varint_roundtrip(v):
+    out = io.BytesIO()
+    _write_long(out, v)
+    assert _read_long(_Cursor(out.getvalue())) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_snappy_roundtrip_arbitrary_bytes(data):
+    assert _snappy_decompress(_snappy_compress(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            I64,
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.binary(max_size=20),
+            st.floats(allow_nan=False, allow_infinity=False),
+        ),
+        min_size=0,
+        max_size=50,
+    ),
+    st.sampled_from(["null", "deflate", "snappy"]),
+)
+def test_avro_file_roundtrip_generated_rows(tmp_path_factory, rows, codec):
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "P",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"]},
+                {"name": "c", "type": "bytes"},
+                {"name": "d", "type": "double"},
+            ],
+        }
+    )
+    p = str(tmp_path_factory.mktemp("prop") / "p.avro")
+    recs = [{"a": a, "b": b, "c": c, "d": d} for a, b, c, d in rows]
+    assert write_avro(p, sch, recs, codec=codec, rows_per_block=7) == len(recs)
+    got = list(read_blocks(p))
+    assert len(got) == len(recs)
+    for g, e in zip(got, recs):
+        assert g[0] == e["a"] and g[1] == e["b"] and g[2] == e["c"]
+        assert g[3] == e["d"]
+    # schema compiles to the expected Spark shape every time
+    stype, _ = compile_schema(sch)
+    assert [f.name for f in stype.fields] == ["a", "b", "c", "d"]

@@ -173,3 +173,39 @@ def test_resize_images_real_path(spark):
         dec = decode_png(bytes(r.payload))
         assert dec.shape == (5, 6, 3)
         assert np.array_equal(dec, resize_nearest(src, 6, 5))
+
+
+def test_png_wav_property_roundtrip():
+    """Generated-array round-trips across shapes/filters (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.sampled_from([1, 2, 3, 4]),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def png_case(h, w, c, ftype, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=500),
+        st.sampled_from([1, 2]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def wav_case(n, ch, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-(2**15), 2**15, size=(n, ch), dtype=np.int64).astype(
+            np.int16
+        )
+        a, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and np.array_equal(a, s)
+
+    png_case()
+    wav_case()
