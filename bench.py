@@ -275,9 +275,10 @@ def main() -> None:
         # scaling number is strictly worse than a full record at a smaller
         # feed (the r03 lesson). Shrink rather than drop. Estimated
         # all-inclusive run walls on this host (startup + cold batch +
-        # steady window): 1c ≈ E/60k + 35 s, 4c ≈ E/180k + 35 s.
+        # steady window; r4 trials measured 1c ≈ 370-390 s at 18M on
+        # contended windows): 1c ≈ E/55k + 40 s, 4c ≈ E/165k + 40 s.
         def est_run(cores: int, events: int) -> float:
-            return events / (60_000 * min(cores, 3)) + 35.0
+            return events / (55_000 * min(cores, 3)) + 40.0
 
         if n_events_env is None:
             rem = remaining()
@@ -601,7 +602,10 @@ def main() -> None:
         if (
             os.environ.get("SPARK_GRAFT_BENCH_EXEC_PAIR", "1") != "0"
             and not os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES")
-            and remaining() > pair_cost + 90
+            # +30 slack only: the deadline bounds SCHEDULING, not in-flight
+            # runs, and a one-repeat exec record beats no record (trial2
+            # missed this gate by 19 s under the old +90)
+            and remaining() > pair_cost + 30
         ):
             erepeats = n_repeats if remaining() > n_repeats * pair_cost + 120 else 1
             if erepeats < n_repeats:
@@ -630,7 +634,7 @@ def main() -> None:
                 cdc["scaling_executors"] = scaling_execs
         elif not os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES"):
             print(f"# deadline: exec-mode pair skipped ({remaining():.0f}s "
-                  f"left < {pair_cost + 90:.0f})", file=sys.stderr)
+                  f"left < {pair_cost + 30:.0f})", file=sys.stderr)
     else:
         spark.stop()
 
