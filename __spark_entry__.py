@@ -3324,12 +3324,15 @@ def oracle_sql() -> dict[str, str]:
                      (media_id % 13) + 4 AS d2,
                      CAST(3 AS BIGINT) AS d3,
                      -- constant-bound ranges + correlated WHERE: DuckDB's
-                     -- range() table function rejects lateral column args
-                     (SELECT SUM((media_id*31 + y.range*7 + x.range*13
+                     -- range() table function rejects lateral column args.
+                     -- CAST: DuckDB SUM over integers is HUGEINT, which
+                     -- pandas renders float64 — the driver hasher would see
+                     -- 244943.0 vs Spark's int64 244943 (r04's one red cell)
+                     CAST((SELECT SUM((media_id*31 + y.range*7 + x.range*13
                                   + c.range*5) % 256)
                       FROM range(0, 17) y, range(0, 21) x, range(0, 3) c
                       WHERE y.range < (media_id % 13) + 4
-                        AND x.range < (media_id % 17) + 4) AS sum_v
+                        AND x.range < (media_id % 17) + 4) AS BIGINT) AS sum_v
               FROM ids WHERE media_id % 2 = 1
             ),
             aud AS (
@@ -3337,9 +3340,9 @@ def oracle_sql() -> dict[str, str]:
                      (media_id % 50) + 10 AS d1,
                      CAST(1 AS BIGINT) AS d2,
                      CAST(8000 AS BIGINT) AS d3,
-                     (SELECT SUM(((media_id*37 + i.range*11) % 2048) - 1024)
+                     CAST((SELECT SUM(((media_id*37 + i.range*11) % 2048) - 1024)
                       FROM range(0, 60) i
-                      WHERE i.range < (media_id % 50) + 10) AS sum_v
+                      WHERE i.range < (media_id % 50) + 10) AS BIGINT) AS sum_v
               FROM ids WHERE media_id % 2 = 0
             )
             SELECT * FROM img UNION ALL SELECT * FROM aud

@@ -59,6 +59,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
+        # bounds BEFORE slicing: a truncated file must raise ValueError,
+        # not struct.error from a short CRC slice (r04 ADVICE)
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG (chunk {ctype!r} overruns file)")
         data = payload[pos + 8 : pos + 8 + length]
         # CRC covers type+data — verify: corruption must fail loudly
         (crc,) = struct.unpack(
@@ -78,6 +82,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color, comp, filt, interlace = ihdr
+    if width == 0 or height == 0:
+        raise ValueError("PNG zero dimension (spec requires nonzero W/H)")
     if depth != 8:
         raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
     if color not in _CHANNELS:
@@ -85,7 +91,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace:
         raise ValueError("PNG Adam7 interlace unsupported")
     nch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        # empty/garbled streams (e.g. a clean cut after IHDR) must raise
+        # the documented ValueError, not zlib.error
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT zlib stream invalid: {e}") from None
     stride = width * nch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
@@ -236,9 +247,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        # explicit reject, not silent truncation, when a chunk's declared
+        # length overruns the buffer (r04 ADVICE)
+        if pos + 8 + clen > len(payload):
+            raise ValueError(f"truncated WAV (chunk {cid!r} overruns file)")
         body = payload[pos + 8 : pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -247,6 +264,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, nch, rate, _byte_rate, _align, bits = fmt
     if audio_fmt != 1:
         raise ValueError(f"WAV format {audio_fmt} unsupported (PCM only)")
+    if nch == 0:
+        raise ValueError("WAV zero channels")
     if bits == 16:
         a = np.frombuffer(data, dtype="<i2")
     elif bits == 8:

@@ -102,15 +102,23 @@ def scale_out(df, min_partitions: int | None = None):
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(
-            marker in plan
-            for marker in (
-                "Join", "Aggregate", "Window", "RepartitionByExpression",
-                "Repartition", "GlobalLimit", "Sort", "Generate", "Union",
-            )
-        ):
-            return df
+        # Structural walk over analyzed-plan NODE NAMES (r04 ADVICE: a raw
+        # substring match over the plan string false-positives on column or
+        # relation names like `SortKey`/`union_flag`, silently disabling
+        # the hint for exactly the data that contains those words).
+        exchange_nodes = {
+            "Join", "Aggregate", "Window", "RepartitionByExpression",
+            "Repartition", "RepartitionOperation", "GlobalLimit", "Sort",
+            "Generate", "Union", "Deduplicate", "Intersect", "Except",
+        }
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in exchange_nodes:
+                return df
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
         if df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)

@@ -113,11 +113,13 @@ def _read_bytes(c: _Cursor) -> bytes:
 
 
 def _nullable_branch(schema) -> tuple[Any, bool] | None:
-    """For a union of [null, T] (either order) return (T, True); else None."""
+    """For a union of [null, T] (either order) return (T, True); else None.
+    Single-branch unions [T] are handled at the call sites: the Avro spec
+    puts a branch-index varint on the wire for EVERY union, including
+    1-branch ones, so they cannot be treated as a bare T (r04 ADVICE —
+    doing so silently misdecoded spec-compliant external files)."""
     if not isinstance(schema, list):
         return None
-    if len(schema) == 1:
-        return schema[0], False
     if len(schema) == 2 and "null" in schema:
         other = schema[0] if schema[1] == "null" else schema[1]
         return other, True
@@ -208,9 +210,29 @@ def _compile(schema, names: dict[str, tuple]) -> tuple[T.DataType, Callable]:
         if schema in _PRIMITIVE_SPARK:
             return _PRIMITIVE_SPARK[schema], _PRIMITIVE_DECODE[schema]
         if schema in names:
-            return names[schema]
+            st, dec = names[schema]
+            if st is None:  # pre-registered sentinel: still compiling it
+                raise ValueError(
+                    "avro: recursive records have no Spark analog "
+                    f"(self/ancestor reference to {schema!r})"
+                )
+            return st, dec
         raise ValueError(f"avro: unknown type reference {schema!r}")
     if isinstance(schema, list):
+        if len(schema) == 1:
+            # [T]: the branch index (always 0) is still on the wire
+            st, dec = _compile(schema[0], names)
+
+            def dec_union1(c, _d=dec):
+                idx = _read_long(c)
+                if idx != 0:
+                    raise ValueError(
+                        f"avro: branch index {idx} out of range for "
+                        "single-branch union"
+                    )
+                return _d(c)
+
+            return st, dec_union1
         nb = _nullable_branch(schema)
         if nb is None:
             raise ValueError(
@@ -680,6 +702,14 @@ def _encoder(schema, names: dict) -> Callable[[io.BytesIO, Any], None]:
             return names[schema]
         raise ValueError(f"avro writer: unknown type {schema!r}")
     if isinstance(schema, list):
+        if len(schema) == 1:
+            enc1 = _encoder(schema[0], names)
+
+            def enc_union1(o, v, _e=enc1):
+                _write_long(o, 0)  # branch index is mandatory on the wire
+                _e(o, v)
+
+            return enc_union1
         nb = _nullable_branch(schema)
         if nb is None:
             raise ValueError("avro writer: only [null, T] unions")

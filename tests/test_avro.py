@@ -209,6 +209,44 @@ def test_general_union_rejected():
         compile_schema(sch)
 
 
+def test_single_branch_union_consumes_branch_index(tmp_path):
+    """r04 ADVICE (medium): [T] unions still carry a branch-index varint
+    on the wire — spec-compliant writers always emit it. Decoding the
+    standard bytes for {"x": 5} under schema ["long"] must return 5 (the
+    old code returned 0, a silent misdecode)."""
+    from kf_etl_clin_portal_spark.sources.avro_py import _Cursor
+
+    sch = json.dumps({
+        "type": "record", "name": "S", "fields": [
+            {"name": "x", "type": ["long"]},
+        ],
+    })
+    stype, dec = compile_schema(sch)
+    assert stype["x"].dataType.simpleString() == "bigint"
+    # spec bytes: branch index 0 (zigzag 0x00) then long 5 (zigzag 0x0A)
+    assert dec(_Cursor(b"\x00\x0a")) == (5,)
+    # out-of-range branch must raise, not misdecode
+    with pytest.raises(ValueError, match="branch index"):
+        dec(_Cursor(b"\x02\x0a"))
+    # writer round-trip: encoder emits the index symmetrically
+    p = str(tmp_path / "u1.avro")
+    write_avro(p, sch, [{"x": i * 3} for i in range(20)])
+    assert [r[0] for r in read_blocks(p)] == [i * 3 for i in range(20)]
+
+
+def test_recursive_record_rejected():
+    """r04 ADVICE: a self-referential record has no Spark analog — raise
+    ValueError up front instead of an opaque StructField assertion."""
+    sch = json.dumps({
+        "type": "record", "name": "Node", "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    })
+    with pytest.raises(ValueError, match="recursive"):
+        compile_schema(sch)
+
+
 def test_not_avro_rejected(tmp_path):
     p = str(tmp_path / "x.avro")
     with open(p, "wb") as fh:

@@ -209,3 +209,149 @@ def test_png_wav_property_roundtrip():
 
     png_case()
     wav_case()
+
+
+# --------------------------------------------------------------------------
+# adversarial inputs (r04 ADVICE #4 + round-5 directive #6): truncation,
+# byte flips, overlong IDAT, zero-dim IHDR, odd-length stereo data — the
+# decoders sit in a production Arrow path and must raise ValueError (the
+# documented contract) or decode correctly; never struct.error/hangs.
+# --------------------------------------------------------------------------
+
+
+def test_png_truncation_raises_valueerror():
+    png = encode_png(_img(6, 7, 3, seed=3), filter_type=2)
+    full = decode_png(png)
+    for cut in range(len(png)):
+        try:
+            out = decode_png(png[:cut])
+        except ValueError:
+            continue
+        # only acceptable non-raise: everything but IEND present
+        assert np.array_equal(out, full), f"cut={cut} silently misdecoded"
+
+
+def test_png_overlong_and_short_idat_rejected():
+    img = _img(4, 5, 3)
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+    stride = 5 * 3
+    good = b"".join(b"\x00" + bytes(stride) for _ in range(4))
+    for raw in (good + b"\x00", good[:-1]):  # one byte over / short
+        png = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IDAT length"):
+            decode_png(png)
+    # sanity: exact-length body decodes
+    png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(good))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png).shape == (4, 5, 3)
+
+
+def test_png_zero_dimension_rejected():
+    for w, h in ((0, 4), (4, 0), (0, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b""))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero dimension"):
+            decode_png(png)
+
+
+def _wav_raw(fmt: bytes, data: bytes) -> bytes:
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_chunk_overrun_rejected():
+    wav = bytearray(encode_wav(np.arange(10, dtype=np.int16), 8000))
+    # inflate the data chunk's declared length past end-of-buffer
+    off = wav.index(b"data") + 4
+    wav[off:off + 4] = struct.pack("<I", 10_000_000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bytes(wav))
+
+
+def test_wav_short_fmt_and_zero_channels_rejected():
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(_wav_raw(struct.pack("<HH", 1, 1), b""))
+    zero_ch = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav(_wav_raw(zero_ch, b"\x00\x00"))
+
+
+def test_wav_stereo_odd_byte_count_rejected():
+    stereo16 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    with pytest.raises(ValueError):
+        decode_wav(_wav_raw(stereo16, b"\x01\x02\x03"))  # 3 bytes, not %2
+
+
+def test_codec_mutation_property():
+    """Hypothesis sweep: arbitrary truncations and byte flips of valid
+    files must raise ValueError or decode to a well-formed (and for PNG,
+    CRC-guaranteed identical) result — no struct.error, no zlib.error
+    escaping, no hangs/overreads."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base_png = encode_png(_img(5, 6, 3, seed=9), filter_type=4)
+    ref_png = decode_png(base_png)
+    base_wav = encode_wav(
+        (np.arange(64, dtype=np.int64) * 1103 % 4096 - 2048).astype(np.int16)
+        .reshape(-1, 2), 16000,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base_png) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.booleans(),
+    )
+    def png_case(pos, xor, truncate):
+        buf = base_png[:pos] if truncate else (
+            base_png[:pos]
+            + bytes([base_png[pos] ^ xor])
+            + base_png[pos + 1:]
+        )
+        try:
+            out = decode_png(buf)
+        except ValueError:
+            return
+        assert np.array_equal(out, ref_png)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base_wav) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.booleans(),
+    )
+    def wav_case(pos, xor, truncate):
+        buf = base_wav[:pos] if truncate else (
+            base_wav[:pos]
+            + bytes([base_wav[pos] ^ xor])
+            + base_wav[pos + 1:]
+        )
+        try:
+            a, rate = decode_wav(buf)
+        except ValueError:
+            return
+        # WAV has no CRC: a content flip decodes to different samples,
+        # so assert well-formedness, not equality
+        assert a.dtype == np.int16 and a.ndim == 2 and a.shape[1] >= 1
+        assert isinstance(rate, int)
+
+    png_case()
+    wav_case()

@@ -1,0 +1,59 @@
+"""scale_out (`session.py`) — the one-split-scan parallelism hint.
+
+r04 ADVICE: the exchange gate must match plan NODE NAMES structurally;
+raw substring matching over the plan string false-positives on column or
+relation names that contain operator words (SortKey, union_flag) and
+silently disables the hint for exactly that data.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kf_etl_clin_portal_spark.session import scale_out
+
+
+def _one_split_df(spark, tmp_path, pdf, name):
+    p = str(tmp_path / name)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_scale_out_repartitions_one_split_scan(spark, tmp_path):
+    df = _one_split_df(
+        spark, tmp_path,
+        pd.DataFrame({"k": range(100), "v": [i * 2 for i in range(100)]}),
+        "plain",
+    )
+    assert df.rdd.getNumPartitions() == 1
+    out = scale_out(df)
+    assert out.rdd.getNumPartitions() > 1
+    assert out.count() == 100
+
+
+def test_scale_out_not_fooled_by_operator_words_in_names(spark, tmp_path):
+    """Columns named SortKey/union_flag (and a relation path containing
+    'Join') must NOT disable the hint — only real exchange operators do."""
+    df = _one_split_df(
+        spark, tmp_path,
+        pd.DataFrame({"SortKey": range(50), "union_flag": [True] * 50,
+                      "GenerateId": range(50)}),
+        "JoinWindowData",
+    )
+    narrow = df.where(F.col("SortKey") >= 0).select("SortKey", "union_flag")
+    assert narrow.rdd.getNumPartitions() == 1
+    assert scale_out(narrow).rdd.getNumPartitions() > 1
+
+
+def test_scale_out_passes_through_exchange_plans(spark, tmp_path):
+    df = _one_split_df(
+        spark, tmp_path, pd.DataFrame({"k": [i % 5 for i in range(50)]}),
+        "agg",
+    )
+    agg = df.groupBy("k").count()
+    assert scale_out(agg) is agg
+    srt = df.orderBy("k")
+    assert scale_out(srt) is srt
+    joined = df.join(df.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2"))
+    assert scale_out(joined) is joined
+    un = df.union(df)
+    assert scale_out(un) is un
