@@ -1816,6 +1816,39 @@ def q_cdc_diff_cdf(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_WAL20_CACHE: dict = {}
+
+
+def _wal20(spark, sf):
+    """Shared gate-sized WAL (round-4 VERDICT directive #4): the
+    deterministic 20% events subsample (``seq % 10 < 2``) that BOTH
+    ``cdc_patch_fold`` and ``cdc_envelope_replay`` fold, materialized ONCE
+    per (session, sf) via an eager ``localCheckpoint`` and reused — each
+    gate keeps its own temp table and fenced merges (the end-to-end
+    semantics under test), but the WAL derivation no longer re-scans the
+    events parquet for every merge job the two gates fire (prune stats,
+    base-image read, merge+write each re-planned the scan: ~6 scans across
+    the pair, now 1). 8 round-robin partitions: the subsample is a gate
+    fixture a few thousand rows wide, so wide-scan parallelism only buys
+    task-scheduling overhead. GATE-FIXTURE-BOUNDED BY DESIGN: checkpoint
+    blocks live in the session block manager; never copy this idiom into
+    a data path — at data scale the WAL is the source table itself."""
+    key = (spark.sparkContext.applicationId, sf)
+    df = _WAL20_CACHE.get(key)
+    if df is None:
+        df = (
+            _t(spark, sf, "events")
+            .select(
+                F.col("event_id").alias("seq"), "user_id", "event_type", "value"
+            )
+            .where(F.pmod("seq", F.lit(10)) < 2)
+            .repartition(8)
+            .localCheckpoint(eager=True)
+        )
+        _WAL20_CACHE[key] = df
+    return df
+
+
 def q_cdc_patch_fold(spark, sf):
     """Partial-image CDC normalization (`cdc/patch.py:fold_patches`): a
     mixed feed of full upserts (seq%3==0), deletes (seq%11==0) and sparse
@@ -1833,17 +1866,14 @@ def q_cdc_patch_fold(spark, sf):
     modulus populated (%2, %3, %5, %11 all cycle through their values),
     so the fold still exercises both-mask / et-only / value-only patches
     plus deletes. 4 buckets: 2 fenced merges at gate scale are commit-
-    fixed-cost bound; 8-bucket commits measured 2x the wall of 4."""
+    fixed-cost bound; 8-bucket commits measured 2x the wall of 4. WAL
+    materialized once and shared with cdc_envelope_replay (``_wal20``)."""
     import shutil
 
     from kf_etl_clin_portal_spark.cdc.patch import apply_patch_batch
     from kf_etl_clin_portal_spark.cdc.pipeline import CDCPipeline
 
-    from kf_etl_clin_portal_spark.session import scale_out
-
-    ev = scale_out(_t(spark, sf, "events")).select(
-        F.col("event_id").alias("seq"), "user_id", "event_type", "value"
-    ).where(F.pmod("seq", F.lit(10)) < 2)
+    ev = _wal20(spark, sf)
     feed = ev.withColumn(
         "op",
         F.when(F.pmod("seq", F.lit(11)) == 0, "delete")
@@ -1886,7 +1916,8 @@ def q_cdc_envelope_replay(spark, sf):
     oracle — round-3 directive #3): the residue class keeps the op mix
     (%2, %7, %11) and the lsn-null leg (%13) populated while sizing the
     embedded merge to the gate, not to sf0.1. 4 buckets (commit fixed
-    cost, see q_cdc_patch_fold)."""
+    cost, see q_cdc_patch_fold). WAL materialized once and shared with
+    cdc_patch_fold (``_wal20``)."""
     import shutil
 
     from kf_etl_clin_portal_spark.cdc.envelope import parse_envelopes
@@ -1901,11 +1932,7 @@ def q_cdc_envelope_replay(spark, sf):
             T_.StructField("value", T_.DoubleType()),
         ]
     )
-    from kf_etl_clin_portal_spark.session import scale_out
-
-    src = scale_out(_t(spark, sf, "events")).select(
-        F.col("event_id").alias("seq"), "user_id", "event_type", "value"
-    ).where(F.pmod("seq", F.lit(10)) < 2).withColumn(
+    src = _wal20(spark, sf).withColumn(
         "dop",
         F.when(F.pmod("seq", F.lit(11)) == 0, "d")
         .when(F.pmod("seq", F.lit(7)) == 0, "r")
@@ -2863,23 +2890,91 @@ def q_media_real_decode(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate and ROTATES each round (round-3 VERDICT
-    # directive #6): the driver's correctness gate records a ~50-entry
-    # PREFIX of this dict, so the prefix must cover (a) every query whose
-    # code path changed since the last driver artifact and (b) enough of
-    # the block the previous round did NOT record that no gate's official
-    # record goes stale. Round-4 order:
-    #   block A — queries touched since CORRECTNESS_r03 (this round's WAL
-    #     resize, branch staged-rename, semantic GEMM staging, scale_out
-    #     gating, ANN/broadcast changes — every operator edit since r03);
-    #   block B — the r02-recorded set (last driver record two rounds old);
-    #   block C — the untouched r03-recorded remainder (freshest record).
+    # directive #6, re-affirmed by round-4 directive #5): the driver's
+    # correctness gate records a ~50-entry PREFIX of this dict, so the
+    # prefix must cover (a) every query whose code path changed since the
+    # last driver artifact and (b) the block the previous round did NOT
+    # record. Round-5 order:
+    #   block A — touched since CORRECTNESS_r04: the two cdc gates now
+    #     share one materialized WAL (`_wal20`, r4 directive #4),
+    #     media_real_decode's oracle SUMs are BIGINT-cast (r4 directive
+    #     #2), avro_scan's source grew the single-branch-union wire fix
+    #     (r4 ADVICE);
+    #   block B — the 52 queries r04 did not record (driver records are
+    #     r02/r03 vintage), oldest records first. 56 candidates > 50
+    #     slots, so SIX block-B queries whose code path is exercised by an
+    #     in-prefix sibling are demoted past the prefix (each keeps its
+    #     green r03 driver row): media_features ⊂ media_real_decode,
+    #     cdc_diff_feed ⊂ cdc_diff_cdf (same diff core, wider emit),
+    #     ivm_derived_rollup = composition of ivm_event/distinct_rollup,
+    #     scd2_view ⊣ scd2_history (same window history core),
+    #     table_profile (stats read-path over the same snapshot reader as
+    #     cdc_metadata_stats), zorder_curve (pure constant-input function,
+    #     hypothesis-tested);
+    #   block C — the r04-recorded remainder (freshest official records).
     return {
-        # -- block A: touched since the r03 artifact (avro_scan and
-        # media_real_decode are NEW) --
-        "avro_scan": q_avro_scan,
-        "media_real_decode": q_media_real_decode,
+        # -- block A: touched since the r04 artifact --
         "cdc_patch_fold": q_cdc_patch_fold,
         "cdc_envelope_replay": q_cdc_envelope_replay,
+        "media_real_decode": q_media_real_decode,
+        "avro_scan": q_avro_scan,
+        # -- block B1: last recorded in CORRECTNESS_r02 --
+        "part_root_chain": q_part_root_chain,
+        "order_lines_pair": q_order_lines_pair,
+        "latest_event_maxby": q_latest_event_maxby,
+        "doc_hash_map": q_doc_hash_map,
+        "word_classes": q_word_classes,
+        "monthly_orders": q_monthly_orders,
+        "cust_key_extract": q_cust_key_extract,
+        "lang_sets": q_lang_sets,
+        "scd2_history": q_scd2_history,
+        "snapshot_diff": q_snapshot_diff,
+        "part_ancestors": q_part_ancestors,
+        "priority_rollup": q_priority_rollup,
+        "status_cube": q_status_cube,
+        "sql_segment_share": q_sql_segment_share,
+        "orders_sample": q_orders_sample,
+        "docs_stratified": q_docs_stratified,
+        "docs_temperature_mix": q_docs_temperature_mix,
+        # -- block B2: last recorded in CORRECTNESS_r03 --
+        "doc_sequences": q_doc_sequences,
+        "nested_type_sets": q_nested_type_sets,
+        "event_hot_keys": q_event_hot_keys,
+        "event_value_hist": q_event_value_hist,
+        "event_asof_purchase": q_event_asof_purchase,
+        "event_sessions": q_event_sessions,
+        "event_window_hits": q_event_window_hits,
+        "doc_shards": q_doc_shards,
+        "dup_components": q_dup_components,
+        "cdc_metadata_stats": q_cdc_metadata_stats,
+        "cdc_scan_where": q_cdc_scan_where,
+        "cdc_changes_datasource": q_cdc_changes_datasource,
+        "cdc_diff_cdf": q_cdc_diff_cdf,
+        "cdc_default_column": q_cdc_default_column,
+        "cdc_generated_column": q_cdc_generated_column,
+        "cdc_secondary_lookup": q_cdc_secondary_lookup,
+        "cdc_pruned_lookup": q_cdc_pruned_lookup,
+        "cdc_spj_join": q_cdc_spj_join,
+        "cdc_purge": q_cdc_purge,
+        "cdc_dv_delete": q_cdc_dv_delete,
+        "dv_correction": q_dv_correction,
+        "dml_correction": q_dml_correction,
+        "merge_into_clauses": q_merge_into_clauses,
+        "cdc_join_view": q_cdc_join_view,
+        "ivm_event_rollup": q_ivm_event_rollup,
+        "ivm_distinct_rollup": q_ivm_distinct_rollup,
+        "ivm_topk_values": q_ivm_topk_values,
+        "cdc_mirror_repair": q_cdc_mirror_repair,
+        "cdc_txn_fanout": q_cdc_txn_fanout,
+        # -- block B demotions (in-prefix sibling covers the code path;
+        # green r03 driver rows stand) --
+        "media_features": q_media_features,
+        "cdc_diff_feed": q_cdc_diff_feed,
+        "ivm_derived_rollup": q_ivm_derived_rollup,
+        "scd2_view": q_scd2_view,
+        "table_profile": q_table_profile,
+        "zorder_curve": q_zorder_curve,
+        # -- block C: recorded green in CORRECTNESS_r04 --
         "cdc_branch_publish": q_cdc_branch_publish,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
@@ -2904,7 +2999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_paragraph_dedup": q_paragraph_dedup,
         "doc_clean_corpus": q_doc_clean_corpus,
-        # -- block B: last recorded in CORRECTNESS_r02 --
         "cdc_latest_state": q_cdc_latest_state,
         "cdc_salted_latest": q_cdc_salted_latest,
         "cdc_user_rollup": q_cdc_user_rollup,
@@ -2927,59 +3021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_hash": q_doc_rolling_hash,
         "source_rollup": q_source_rollup,
         "member_top_custs": q_member_top_custs,
-        "part_root_chain": q_part_root_chain,
-        "order_lines_pair": q_order_lines_pair,
-        "latest_event_maxby": q_latest_event_maxby,
-        "doc_hash_map": q_doc_hash_map,
-        "word_classes": q_word_classes,
-        "monthly_orders": q_monthly_orders,
-        "cust_key_extract": q_cust_key_extract,
-        "lang_sets": q_lang_sets,
-        "scd2_history": q_scd2_history,
-        "snapshot_diff": q_snapshot_diff,
-        "part_ancestors": q_part_ancestors,
-        "priority_rollup": q_priority_rollup,
-        "status_cube": q_status_cube,
-        "sql_segment_share": q_sql_segment_share,
-        "orders_sample": q_orders_sample,
-        "docs_stratified": q_docs_stratified,
-        "docs_temperature_mix": q_docs_temperature_mix,
-        # -- block C: recorded in CORRECTNESS_r03, untouched since --
-        "doc_sequences": q_doc_sequences,
-        "nested_type_sets": q_nested_type_sets,
-        "event_hot_keys": q_event_hot_keys,
-        "event_value_hist": q_event_value_hist,
-        "event_asof_purchase": q_event_asof_purchase,
-        "event_sessions": q_event_sessions,
-        "event_window_hits": q_event_window_hits,
-        "media_features": q_media_features,
-        "doc_shards": q_doc_shards,
-        "dup_components": q_dup_components,
-        "cdc_metadata_stats": q_cdc_metadata_stats,
-        "cdc_scan_where": q_cdc_scan_where,
-        "table_profile": q_table_profile,
-        "zorder_curve": q_zorder_curve,
-        "cdc_changes_datasource": q_cdc_changes_datasource,
-        "cdc_diff_feed": q_cdc_diff_feed,
-        "cdc_diff_cdf": q_cdc_diff_cdf,
-        "cdc_default_column": q_cdc_default_column,
-        "cdc_generated_column": q_cdc_generated_column,
-        "cdc_secondary_lookup": q_cdc_secondary_lookup,
-        "cdc_pruned_lookup": q_cdc_pruned_lookup,
-        "cdc_spj_join": q_cdc_spj_join,
-        "cdc_purge": q_cdc_purge,
-        "cdc_dv_delete": q_cdc_dv_delete,
-        "dv_correction": q_dv_correction,
-        "dml_correction": q_dml_correction,
-        "merge_into_clauses": q_merge_into_clauses,
-        "scd2_view": q_scd2_view,
-        "cdc_join_view": q_cdc_join_view,
-        "ivm_event_rollup": q_ivm_event_rollup,
-        "ivm_distinct_rollup": q_ivm_distinct_rollup,
-        "ivm_topk_values": q_ivm_topk_values,
-        "ivm_derived_rollup": q_ivm_derived_rollup,
-        "cdc_mirror_repair": q_cdc_mirror_repair,
-        "cdc_txn_fanout": q_cdc_txn_fanout,
     }
 
 

@@ -22,6 +22,25 @@ TABLES = [
 ]
 
 
+def dtype_hazards(spdf: pd.DataFrame, opdf: pd.DataFrame, name: str) -> list[str]:
+    """The driver's hasher renders VALUES, so a dtype split (e.g. DuckDB
+    HUGEINT→float64 vs Spark int64 — the r04 `media_real_decode` lesson)
+    hash-mismatches even when this tool's lenient compare passes. Width
+    differences (int32 vs int64) render identically and were hash-green in
+    r03/r04 driver artifacts; only KIND differences (int vs float renders
+    `5` vs `5.0`, int vs object, ...) are the hazard class — surface
+    those."""
+    out = []
+    for c in set(spdf.columns) & set(opdf.columns):
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        if sk != ok and not ({sk, ok} <= {"i", "u"}):
+            out.append(
+                f"{name}: column {c} dtype kind spark={spdf[c].dtype} "
+                f"oracle={opdf[c].dtype}"
+            )
+    return out
+
+
 def compare(spdf: pd.DataFrame, opdf: pd.DataFrame, name: str) -> list[str]:
     problems = []
     scols, ocols = sorted(spdf.columns), sorted(opdf.columns)
@@ -58,8 +77,10 @@ def compare(spdf: pd.DataFrame, opdf: pd.DataFrame, name: str) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict-dtype"]
+    strict_dtype = "--strict-dtype" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from kf_etl_clin_portal_spark.session import build_session
@@ -92,6 +113,11 @@ def main() -> int:
             print(f"FAIL  {name} (oracle error)")
             continue
         problems = compare(spdf, opdf, name)
+        hz = dtype_hazards(spdf, opdf, name)
+        for h in hz:
+            print(f"warn  {h}")
+        if strict_dtype:
+            problems = problems + hz
         if problems:
             failures.extend(problems)
             print(f"FAIL  {name}")
