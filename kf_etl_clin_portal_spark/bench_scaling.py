@@ -101,6 +101,15 @@ def main() -> None:
         execs = 0
         master = f"local[{cores}]"
 
+    # ad-hoc conf overrides for A/B probes without editing this file:
+    # SPARK_GRAFT_BENCH_EXTRA_CONF="k1=v1;k2=v2" (applied last, any mode)
+    for kv in filter(None, (
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_EXTRA_CONF", "").split(";")
+    )):
+        k, _, v = kv.partition("=")
+        exec_conf[k.strip()] = v.strip()
+
     spark = build_session(
         app_name=f"bench-scaling-{cores}",
         master=master,
