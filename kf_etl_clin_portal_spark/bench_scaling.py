@@ -102,13 +102,15 @@ def main() -> None:
         master = f"local[{cores}]"
 
     # ad-hoc conf overrides for A/B probes without editing this file:
-    # SPARK_GRAFT_BENCH_EXTRA_CONF="k1=v1;k2=v2" (applied last, any mode)
+    # SPARK_GRAFT_BENCH_EXTRA_CONF="k1=v1;k2=v2" — merged LAST so a probe
+    # can override any harness default (driver.memory, GC, split size)
+    extra_env_conf: dict[str, str] = {}
     for kv in filter(None, (
         s.strip()
         for s in os.environ.get("SPARK_GRAFT_BENCH_EXTRA_CONF", "").split(";")
     )):
         k, _, v = kv.partition("=")
-        exec_conf[k.strip()] = v.strip()
+        extra_env_conf[k.strip()] = v.strip()
 
     spark = build_session(
         app_name=f"bench-scaling-{cores}",
@@ -129,7 +131,7 @@ def main() -> None:
             # a 2.75-wave tail at 4 cores; 32MB splits give ~8x more map
             # tasks and near-full utilization at every measured core count
             "spark.sql.files.maxPartitionBytes": "33554432",
-        },
+        } | extra_env_conf,
     )
     feed = spark.read.parquet(feed_dir)
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
